@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing defaults; the same settings scale to a cluster (AQE,
+shuffle-partition sizing, Arrow) — see SURVEY.md §7 and the scale notes in
+each operator module.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "rapids_and_rivers_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession with engine defaults.
+
+    Defaults are chosen for correctness-at-scale, not just local speed:
+    - AQE on (runtime coalesce + skew-join handling) so plans self-correct
+      at 100x data volume;
+    - shuffle partitions sized to cores locally (cluster deployments should
+      set ``spark.sql.shuffle.partitions`` to ~2-3x total cores or rely on
+      AQE coalescing);
+    - Arrow enabled so any Pandas-UDF slow path is batch-vectorized;
+    - UTC session timezone for deterministic temporal semantics.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # open-schema JSON merge (envelope ⊕ payload) relies on map_concat
+        # override semantics: original JSON -> map<string,variant>, updates win
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,79 @@
+"""Batch parquet loaders for the test star schema (TESTDATA.md).
+
+Quirk: the driver-generated parquet stores timestamps as
+``INT64 (TIMESTAMP(NANOS))``, which Spark's vectorized reader rejects
+([PARQUET_TYPE_ILLEGAL]). With ``spark.sql.legacy.parquet.nanosAsLong=true``
+Spark reads them as LongType nanoseconds; we detect the affected columns
+from the parquet footer (pyarrow) and restore proper ``timestamp_ntz``
+columns JVM-side (``timestamp_micros(ns div 1000)``), so downstream
+operators see real temporal types.
+
+At scale this is a metadata-only fix: the footer probe reads one file's
+schema, and the ns→ts conversion is a vectorized projection fused into the
+scan stage — no extra pass, no Python on the data path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+_NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _timestamp_columns(path: str) -> dict[str, str]:
+    """column -> arrow time unit ('ns'/'us'/'ms'/'s') from the parquet footer."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    schema = pq.read_schema(_first_parquet_file(path))
+    return {
+        f.name: f.type.unit
+        for f in schema
+        if pa.types.is_timestamp(f.type)
+    }
+
+
+def _first_parquet_file(path: str) -> str:
+    if os.path.isfile(path):
+        return path
+    for root, _, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    return path
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table, restoring nano-timestamp columns to timestamp_ntz."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ts_cols = _timestamp_columns(path)
+    needs_legacy = any(unit == "ns" for unit in ts_cols.values())
+    if needs_legacy:
+        spark.conf.set(_NANOS_AS_LONG, "true")
+    df = spark.read.parquet(path)
+    for col, unit in ts_cols.items():
+        if unit == "ns" and dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the star schema and register each table as a temp view."""
+    out = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
