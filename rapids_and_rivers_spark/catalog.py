@@ -1,0 +1,716 @@
+"""Query catalog: the driver-facing contract (queries + DuckDB oracles).
+
+One entry per implemented operator from SURVEY.md §2 plus the large-scale
+extension operators (dedup / similarity / text analysis). Each entry is a
+Spark implementation ``fn(spark, sf_dir) -> DataFrame`` and (where
+SQL-expressible) an equivalent ANSI-SQL oracle string for DuckDB over the
+same parquet tables.
+
+Determinism rules (the driver hash-compares values):
+- no wall-clock / random functions — ids are ``md5`` of stable columns,
+  "now" is derived from the data (max event time);
+- every float aggregate is ``round(x, 4)``; orderings always tie-break on
+  a unique key;
+- timestamps leave queries as ISO strings (``date_format`` / ``strftime``)
+  to sidestep tz/precision hashing differences.
+
+The *river* queries run over a JSON rapid derived from the ``events``
+table: each row becomes one JSON message exercising the engine's full
+parse → validate → project → enrich → republish path, while the oracle
+reproduces the expected *result* relationally — so the correctness of the
+JSON predicate compilation is checked end-to-end against typed truth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from rapids_and_rivers_spark.functions import envelope as E
+from rapids_and_rivers_spark.functions import predicates as P
+from rapids_and_rivers_spark.river import River
+from rapids_and_rivers_spark.sources import load_table
+
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+ISO_FMT_DUCK = "%Y-%m-%dT%H:%M:%S.%f"
+
+
+@dataclass(frozen=True)
+class CatalogQuery:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+_REGISTRY: dict[str, CatalogQuery] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = CatalogQuery(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: q.fn for n, q in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: q.oracle for n, q in _REGISTRY.items() if q.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# The events rapid: one JSON message per event row.
+#
+# Message shape (mixed/optional fields deliberately exercise the strict
+# JSON model):
+#   @event_name  = event_type
+#   @id          = md5('id-' || event_id)            (deterministic "uuid")
+#   @opprettet   = ISO(ts)
+#   ping_time    = ISO(ts)
+#   event_id, user_id, value                          (typed scalars)
+#   amount       = value as NUMBER when event_id even, as STRING when odd
+#   discount     = round(value*0.1, 2) ONLY when value > 100 (else missing)
+#   tags         = [event_type, "all"]
+#   user         = {"id": user_id}                    (nested object)
+#   props        = original props JSON (nested object)
+# ---------------------------------------------------------------------------
+
+
+def events_rapid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iso_ts = F.date_format("ts", ISO_FMT)
+    msg_id = F.md5(F.concat(F.lit("id-"), F.col("event_id").cast("string")))
+    pairs: list[tuple[str, Column]] = [
+        ("@event_name", E.variant_of(F.col("event_type"))),
+        ("@id", E.variant_of(msg_id)),
+        ("@opprettet", E.variant_of(iso_ts)),
+        ("ping_time", E.variant_of(iso_ts)),
+        ("event_id", E.variant_of(F.col("event_id"))),
+        ("user_id", E.variant_of(F.col("user_id"))),
+        ("value", E.variant_of(F.col("value"))),
+        (
+            "amount",
+            F.when(F.col("event_id") % 2 == 0, E.variant_of(F.col("value"))).otherwise(
+                E.variant_of(F.col("value").cast("string"))
+            ),
+        ),
+        (
+            "discount",
+            F.when(F.col("value") > 100, E.variant_of(F.round(F.col("value") * 0.1, 2))),
+        ),
+        ("tags", E.variant_of(F.array(F.col("event_type"), F.lit("all")))),
+        ("user", E.variant_of(F.struct(F.col("user_id").alias("id")))),
+        ("props", F.try_parse_json("props")),
+    ]
+    msg_map = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]), F.array(*[c for _, c in pairs])
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return ev.select(
+        F.to_json(msg_map).alias("value"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+
+
+# ===========================================================================
+# A. River / predicate engine (SURVEY.md §2.2-2.4) over the events rapid
+# ===========================================================================
+
+
+@register(
+    "river_require_value",
+    """
+    SELECT event_id, value
+    FROM events
+    WHERE event_type = 'purchase' AND event_id IS NOT NULL AND value IS NOT NULL
+    """,
+    doc="F2 require_value + F1 require_key + P1 projection (JsonMessage.kt:638-643)",
+)
+def river_require_value(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = (
+        River("purchases")
+        .precondition(P.require_value("@event_name", "purchase"))
+        .validate(P.require_key("event_id", "value"))
+    )
+    return river.passing(rapid).select(
+        River.field("event_id", "long"), River.field("value", "double")
+    )
+
+
+@register(
+    "river_require_any",
+    """
+    SELECT event_id, event_type AS event_name
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    """,
+    doc="F5 requireAny enum membership (JsonMessage.kt:652-657)",
+)
+def river_require_any(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("clickview").validate(P.require_any("@event_name", ["click", "view"]))
+    return river.passing(rapid).select(
+        River.field("event_id", "long"),
+        River.strict_field("@event_name", "string", "event_name"),
+    )
+
+
+@register(
+    "river_forbid",
+    """
+    SELECT event_id
+    FROM events
+    WHERE NOT COALESCE(value > 100, FALSE)
+    """,
+    doc="F12 forbid: key must be missing or null (JsonMessage.kt:711-713)",
+)
+def river_forbid(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("no_discount").validate(P.forbid("discount"))
+    return river.passing(rapid).select(River.field("event_id", "long"))
+
+
+@register(
+    "river_strict_number",
+    """
+    SELECT event_id, value AS amount
+    FROM events
+    WHERE event_id % 2 = 0
+    """,
+    doc="F3/F11 strict number typing: JSON '3' is NOT 3 (JsonMessageTest.kt:731-742)",
+)
+def river_strict_number(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("numeric_amount").validate(P.require_parseable("amount", "number"))
+    return river.passing(rapid).select(
+        River.field("event_id", "long"), River.strict_field("amount", "double")
+    )
+
+
+@register(
+    "river_nested_path",
+    """
+    SELECT event_id, user_id AS uid
+    FROM events
+    WHERE user_id IS NOT NULL
+    """,
+    doc="P2 nested '.'-path navigation (JsonMessage.kt:763-768)",
+)
+def river_nested_path(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("nested").validate(P.require_key("user.id"))
+    return river.passing(rapid).select(
+        River.field("event_id", "long"), River.field("user.id", "long", "uid")
+    )
+
+
+@register(
+    "river_array_contains",
+    """
+    SELECT event_id
+    FROM events
+    WHERE event_type = 'error'
+    """,
+    doc="F7 requireContains over a JSON array (JsonMessage.kt:674-676)",
+)
+def river_array_contains(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("errors").validate(P.require_contains("tags", "error"))
+    return river.passing(rapid).select(River.field("event_id", "long"))
+
+
+@register(
+    "river_verdict_routing",
+    """
+    SELECT CASE
+             WHEN event_type NOT IN ('purchase', 'signup') THEN 'precondition_failed'
+             WHEN NOT COALESCE(value > 100, FALSE) THEN 'validation_failed'
+             ELSE 'pass'
+           END AS verdict,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="F27/R4 3-way verdict split: preconditions gate relevance, validations gate correctness (River.kt:52-65)",
+)
+def river_verdict_routing(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = (
+        River("routing")
+        .precondition(P.require_any("@event_name", ["purchase", "signup"]))
+        .validate(P.require_key("discount"))
+    )
+    return (
+        river.evaluate(rapid)
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "river_error_accumulation",
+    """
+    SELECT concat_ws('; ',
+             CASE WHEN COALESCE(value > 100, FALSE) THEN NULL
+                  ELSE 'Missing required key: discount' END,
+             CASE WHEN event_type = 'purchase' THEN NULL
+                  ELSE 'Required @event_name is not ''purchase''' END
+           ) AS err_str,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="ordered error accumulation for onError parity (MessageProblems.kt:7-9)",
+)
+def river_error_accumulation(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("accumulate").validate(
+        P.require_key("discount"), P.require_value("@event_name", "purchase")
+    )
+    return (
+        river.evaluate(rapid)
+        .select(F.array_join("errors", "; ").alias("err_str"))
+        .groupBy("err_str")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "envelope_stamp",
+    """
+    SELECT event_id,
+           md5('id-' || CAST(event_id AS VARCHAR)) AS at_id,
+           md5('id-' || CAST(event_id AS VARCHAR)) AS prov_id,
+           CAST(0 AS BIGINT) AS read_count,
+           'engine' AS svc
+    FROM events
+    """,
+    doc="T5/T6 envelope: id preservation, read-count bump, provenance append (JsonMessage.kt:127-135)",
+)
+def envelope_stamp(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    stamped = E.stamp_envelope_df(
+        rapid,
+        service_name="engine",
+        instance_id="instance-1",
+        id_generator=F.lit("never-used"),  # @id always present on this rapid
+        now=F.lit("2026-01-01T00:00:00"),
+    )
+    m = F.col("message_map")
+    return stamped.select(
+        F.try_variant_get(m["event_id"], "$", "long").alias("event_id"),
+        F.try_variant_get(m[E.ID_KEY], "$", "string").alias("at_id"),
+        F.try_variant_get(
+            m[E.PARTICIPATING_SERVICES_KEY], "$[0].id", "string"
+        ).alias("prov_id"),
+        F.try_variant_get(m[E.READ_COUNT_KEY], "$", "long").alias("read_count"),
+        F.try_variant_get(
+            m[E.PARTICIPATING_SERVICES_KEY], "$[0].service", "string"
+        ).alias("svc"),
+    )
+
+
+@register(
+    "pingpong",
+    f"""
+    WITH clock AS (SELECT max(ts) AS now FROM events WHERE event_type = 'click'),
+    pings AS (
+      SELECT e.*
+      FROM events e, clock c
+      WHERE e.event_type = 'click'
+        AND e.ts >= c.now - INTERVAL 1 HOUR
+    ),
+    limited AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY CAST(floor(epoch(ts) / 300) AS BIGINT)
+               ORDER BY ts, event_id
+             ) AS rn
+      FROM pings
+    )
+    SELECT event_id,
+           strftime(ts, '{ISO_FMT_DUCK}') AS ping_time,
+           strftime(ts + INTERVAL 1 SECOND, '{ISO_FMT_DUCK}') AS pong_time,
+           'engine' AS app_name,
+           'instance-1' AS instance_id,
+           md5('id-' || CAST(event_id AS VARCHAR)) AS caused_by_id,
+           'click' AS caused_by_event
+    FROM limited
+    WHERE rn = 1
+    """,
+    doc="R7 ping->pong responder: staleness cutoff + rate limit + enveloped reply "
+    "(PingPong.kt:23-43; golden fields RapidApplicationComponentTest.kt:196-213). "
+    "Wall-clock becomes max event time; the 5s global rate limit generalizes to "
+    "one pong per 5-minute event-time bucket (deterministic).",
+)
+def pingpong(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = (
+        River("pingpong")
+        .precondition(P.require_value("@event_name", "click"))
+        .validate(P.require_parseable("ping_time", "localdatetime"))
+    )
+    passing = river.passing(rapid).withColumn(
+        "ping_ts", F.to_timestamp(River.field("ping_time", "string"))
+    )
+    # clock = max event time (scalar agg + broadcast join: no global window,
+    # so the plan has no single-partition stage at scale)
+    clock = passing.agg(F.max("ping_ts").alias("now"))
+    fresh = passing.crossJoin(F.broadcast(clock)).filter(
+        F.col("ping_ts") >= F.col("now") - F.expr("INTERVAL 1 HOUR")
+    )
+    bucket = F.floor(F.unix_timestamp("ping_ts") / 300)
+    limited = (
+        fresh.withColumn("bucket", bucket)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("bucket").orderBy("ping_ts", River.field("event_id", "long"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    # build the enveloped pong reply through the real publish path
+    m = E.to_message_map(F.col("value"))
+    pong_time = F.date_format(F.col("ping_ts") + F.expr("INTERVAL 1 SECOND"), ISO_FMT)
+    reply = E.merge(
+        m,
+        {
+            "@event_name": E.vlit("pong"),
+            "pong_time": E.variant_of(pong_time),
+            "app_name": E.vlit("engine"),
+            "instance_id": E.vlit("instance-1"),
+        },
+    )
+    stamped = E.stamp_reply(
+        reply,
+        m,
+        id_generator=F.md5(F.concat(F.lit("pong-"), River.field("event_id", "string"))),
+        now=pong_time,
+    )
+    out = limited.select(F.to_json(stamped).alias("pong"))
+    pv = F.try_parse_json("pong")
+
+    def g(path, t="string"):
+        return F.try_variant_get(pv, path, t)
+
+    return out.select(
+        g("$['event_id']", "long").alias("event_id"),
+        g("$['ping_time']").alias("ping_time"),
+        g("$['pong_time']").alias("pong_time"),
+        g("$['app_name']").alias("app_name"),
+        g("$['instance_id']").alias("instance_id"),
+        g("$['@forårsaket_av']['id']").alias("caused_by_id"),
+        g("$['@forårsaket_av']['event_name']").alias("caused_by_event"),
+    )
+
+
+@register(
+    "behov_solution_join",
+    """
+    SELECT s.event_id AS behov_event,
+           p.event_id AS solution_event,
+           CAST(date_diff('microsecond', s.ts, p.ts) AS BIGINT) AS gap_us
+    FROM events s
+    JOIN events p
+      ON p.user_id = s.user_id
+     AND p.ts > s.ts
+     AND p.ts <= s.ts + INTERVAL 1 DAY
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+    doc="§2.6 @behov/@løsning correlation as a time-bounded join "
+    "(JsonMessage.kt:60-67,117-125): signup=need, purchase=solution. "
+    "Streaming form = stream-stream join with watermarks.",
+)
+def behov_solution_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("behov_event"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("solution_event"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = s.join(
+        p,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY")),
+    )
+    gap = F.unix_micros(F.col("p_ts").cast("timestamp")) - F.unix_micros(
+        F.col("s_ts").cast("timestamp")
+    )
+    return joined.select("behov_event", "solution_event", gap.alias("gap_us"))
+
+
+# ===========================================================================
+# B. Streaming-analog windows & dedup (M4 surface, batch-expressed)
+# ===========================================================================
+
+
+@register(
+    "window_tumbling_agg",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling event-time window aggregation (streaming: window() + watermark)",
+)
+def window_tumbling_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "window_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(max(session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+    doc="session windows (30 min gap) — streaming: session_window()/transformWithState",
+)
+def window_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "dedup_first_event",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="keyed dedup keeping earliest (streaming: dropDuplicatesWithinWatermark, "
+    "generalizing PingPong's rate limit, PingPong.kt:29-35)",
+)
+def dedup_first_event(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+# ===========================================================================
+# C. Relational core (extension surface §2.6: agg / join / window / top-k)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: full-scan aggregation, map-side partial agg",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: selective join + agg + deterministic top-10 "
+    "(dimension sides broadcast; revenue tie-break on unique orderkey)",
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    # customer is the small side at any SF: broadcast it through the orders join
+    joined = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).join(
+        l, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5: multi-way star join; dims broadcast, fact shuffles once",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    joined = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    doc="top-k per group via ranked window (no global sort, scales per-key)",
+)
+def top_orders_per_customer(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )

@@ -197,7 +197,6 @@ _PARSERS: dict[str, Callable[[Column], Column]] = {
     "localdatetime": temporal.try_local_datetime,
     "instant": temporal.try_instant,
     "uuid": temporal.try_uuid,
-    "number": None,  # handled below
 }
 
 
@@ -209,9 +208,20 @@ def require_parseable(
     """Value parses under ``parser`` (JsonMessage.kt:700-709).
 
     ``parser`` is a name from ``{localdate, yearmonth, localdatetime,
-    instant, uuid}`` or a Column->Column function returning NULL on parse
-    failure (the expression analogue of 'parser throws = fail').
+    instant, uuid, number}`` or a Column->Column function returning NULL on
+    parse failure (the expression analogue of 'parser throws = fail').
     """
+    if isinstance(parser, str) and parser == "number":
+        # strict is-a-JSON-number check (custom numeric parsers in the
+        # reference operate on the JsonNode — the expression analogue is
+        # the variant type guard, honoring "3" != 3)
+        return Rule(
+            name=f"require_parseable({key},number)",
+            ok=lambda v: _nn(J.is_number(v, key)),
+            message=f"Required {key} to parse as number",
+            severity=severity,
+            declared_keys=(key,),
+        )
     if callable(parser):
         fn, label = parser, getattr(parser, "__name__", "custom")
     else:

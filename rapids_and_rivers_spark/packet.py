@@ -145,7 +145,42 @@ class Packet:
         p._node.setdefault(OPPRETTET_KEY, datetime.now().isoformat())
         p._recognized.update(body.keys())
         p._recognized.update({ID_KEY, OPPRETTET_KEY, EVENT_NAME_KEY})
+        p._owns_identity = True
         return p
+
+    def populate_standard_fields(
+        self,
+        reply: "Packet",
+        id_generator: Callable[[], str] = lambda: str(_uuid.uuid4()),
+    ) -> "Packet":
+        """Publish-path stamp (JsonMessage.kt:69-95): the reply gets
+        ``@forårsaket_av`` from *this* message plus a fresh ``@id`` and
+        ``@opprettet`` (unless the reply constructed its own id — a reply
+        that is the mutated original does NOT own the inherited id)."""
+        caused_by: dict[str, Any] = {
+            "id": self._resolve(ID_KEY) if self._resolve(ID_KEY) is not _MISSING else None,
+            "opprettet": self._resolve(OPPRETTET_KEY)
+            if self._resolve(OPPRETTET_KEY) is not _MISSING
+            else None,
+            "event_name": (
+                self._resolve(EVENT_NAME_KEY)
+                if self._resolve(EVENT_NAME_KEY) is not _MISSING
+                else "ukjent"
+            ),
+        }
+        behov = self._resolve(NEED_KEY)
+        if behov is not _MISSING and behov is not None:
+            caused_by["behov"] = behov
+        reply._recognized.update({ID_KEY, OPPRETTET_KEY, CAUSED_BY_KEY})
+        if not reply._owns_identity:
+            reply._node[ID_KEY] = id_generator()
+            reply._node[OPPRETTET_KEY] = datetime.now().isoformat()
+        reply._node[CAUSED_BY_KEY] = caused_by
+        return reply
+
+    #: True when the packet minted its own @id (new_message/new_need);
+    #: packets parsed from the wire inherit the sender's id and don't own it.
+    _owns_identity: bool = False
 
     @staticmethod
     def new_need(
