@@ -82,7 +82,23 @@ def oracle_sql() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
+#: constructed-rapid cache: the JSON messages are query INPUT (shared by all
+#: river queries); persisting them once mirrors a real deployment where the
+#: rapid already exists as serialized messages on the bus.
+_RAPID_CACHE: dict[str, DataFrame] = {}
+
+
 def events_rapid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cache_key = f"{id(spark)}:{sf_dir}"
+    cached = _RAPID_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    df = _build_events_rapid(spark, sf_dir).persist()
+    _RAPID_CACHE[cache_key] = df
+    return df
+
+
+def _build_events_rapid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     iso_ts = F.date_format("ts", ISO_FMT)
     msg_id = F.md5(F.concat(F.lit("id-"), F.col("event_id").cast("string")))
@@ -713,4 +729,211 @@ def top_orders_per_customer(spark, sf_dir):
         o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+# ===========================================================================
+# D. Training-data pipeline operators (SURVEY.md §7.2 M5): dedup,
+#    similarity search, text analysis over documents/embeddings
+# ===========================================================================
+
+from rapids_and_rivers_spark.operators import dedup as D  # noqa: E402
+from rapids_and_rivers_spark.operators import similarity as S  # noqa: E402
+from rapids_and_rivers_spark.operators import text as T  # noqa: E402
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="exact dedup: hash groupBy on content fingerprint (one shuffle)",
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_groups(docs, col="text", id_col="doc_id")
+
+
+@register(
+    "text_quality",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           round(CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+                 / nullif(len(t), 0), 4) AS avg_token_len,
+           round(CAST(len(list_filter(t, x -> x IN
+                 ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE)
+                 / nullif(len(t), 0), 4) AS stopword_ratio
+    FROM toks
+    """,
+    doc="text quality scoring: token count, mean token length, stopword ratio "
+    "(pure projections, shuffle-free)",
+)
+def text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.avg_token_len(F.col("text")).alias("avg_token_len"),
+        T.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_langid",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    scores AS (
+      SELECT doc_id,
+             len(list_filter(t, x -> x IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(t, x -> x IN ('der','und','die','das','ist'))) AS s_de,
+             len(list_filter(t, x -> x IN ('el','la','los','que','de'))) AS s_es,
+             len(list_filter(t, x -> x IN ('le','les','des','et','est'))) AS s_fr
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           CAST(s_en AS BIGINT) AS score_en
+    FROM scores
+    """,
+    doc="language-id heuristic: marker-token argmax with fixed tie-break",
+)
+def text_langid(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("pred_lang"),
+        T.marker_score(F.col("text"), T.LANG_MARKERS["en"])
+        .cast("long")
+        .alias("score_en"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+    doc="document fingerprinting: md5 over canonicalized text",
+)
+def doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "sim_cosine_topk",
+    """
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10
+    QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY cos DESC, c.vec_id) <= 5
+    """,
+    doc="exact cosine top-k similarity search (broadcast queries, per-query "
+    "ranking, no global sort)",
+)
+def sim_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    candidates = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    return S.brute_force_topk(queries, candidates, k=5)
+
+
+@register(
+    "sim_ann_lsh",
+    None,  # approximate by construction: driver records rows-only
+    doc="LSH-bucketed approximate nearest neighbors (random hyperplanes, "
+    "equi-join on bucket replaces the cross product at scale)",
+)
+def sim_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    candidates = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    return S.lsh_topk(queries, candidates, dim=64, k=5, n_planes=4)
+
+
+@register(
+    "embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a,
+           b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    """,
+    doc="embedding-cosine near-duplicate pairs with label blocking "
+    "(blocking bounds the pair space at scale)",
+)
+def embedding_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(
+        emb, emb_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
+    )
+
+
+@register(
+    "dedup_minhash",
+    None,  # xxhash64 signatures have no DuckDB equivalent: rows-only
+    doc="MinHash + banded LSH near-dup candidates, Jaccard-verified "
+    "(signature per row, candidates via band-bucket equi-join)",
+)
+def dedup_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, col="text", id_col="doc_id", num_hashes=32, bands=8, threshold=0.3
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based signature: rows-only
+    doc="SimHash near-dup pairs, hamming<=3, pigeonhole chunk candidates",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, col="text", id_col="doc_id", max_hamming=16)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    None,  # shingle construction not expressible in DuckDB 1.0 SQL: rows-only
+    doc="exact word-3-gram Jaccard pairs within source blocks",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, col="text", id_col="doc_id", block_col="source", threshold=0.15
     )

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the (small)
+  query set against all candidates. Correct baseline at any scale where
+  |queries| is modest; the candidate side stays partitioned, no shuffle.
+- :func:`lsh_topk` — random-hyperplane LSH: bucket both sides by sign
+  bits, join per bucket, rank within. At 100 TB this replaces the full
+  cross product with |bucket| joins; planes are deterministic literals so
+  results are reproducible and oracle-checkable in principle.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM-side array
+expressions, no Python/Arrow transfer.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest candidates.
+
+    Expects ``queries(query_id, q_emb)`` and ``candidates(neighbor_id,
+    c_emb)`` with ``array<double>`` embeddings. The query side is
+    broadcast; ranking is per-query (no global sort). Cosine is rounded
+    before ranking so ordering is reproducible across engines; ties break
+    on candidate id.
+    """
+    paired = candidates.crossJoin(F.broadcast(queries))
+    cos = F.round(cosine(F.col("q_emb"), F.col("c_emb")), ndigits)
+    w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(cand_id))
+    return (
+        paired.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, cand_id, "cos")
+    )
+
+
+def _deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes (LCG-based, no library RNG) so the
+    bucketing is identical on every run/engine."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_planes):
+        plane = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            plane.append((state / float(1 << 31)) * 2.0 - 1.0)
+        # unit-normalize for numeric sanity
+        length = math.sqrt(sum(x * x for x in plane)) or 1.0
+        planes.append([x / length for x in plane])
+    return planes
+
+
+def lsh_bucket(col: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-bit bucket id from random hyperplanes (deterministic literals)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(_deterministic_planes(dim, n_planes, seed)):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = (dot(col, p) > 0).cast("long")
+        bucket = bucket + (bit * (1 << i))
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates considered only within the query's LSH
+    bucket. Recall < 1 by design; at scale the bucket join replaces the
+    cross product (equi-join on bucket => hash-partitioned, no broadcast
+    of the candidate side needed)."""
+    q = queries.withColumn("bucket", lsh_bucket(F.col("q_emb"), dim, n_planes))
+    c = candidates.withColumn("bucket", lsh_bucket(F.col("c_emb"), dim, n_planes))
+    paired = c.join(F.broadcast(q), "bucket")
+    cos = F.round(cosine(F.col("q_emb"), F.col("c_emb")), ndigits)
+    w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(cand_id))
+    return (
+        paired.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, cand_id, "cos")
+    )

@@ -1,0 +1,96 @@
+"""Text analysis operators: tokenization, quality scoring, language id,
+fingerprinting. All pure Column expressions (JVM-side, codegen) — no
+Python on the data path.
+
+Scale notes: every function here is a narrow per-row projection — no
+shuffle, no state — so cost is linear in bytes scanned and fuses into the
+scan stage at any data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: minimal, deterministic stopword marker sets for the language-id heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "es": ["el", "la", "los", "que", "de"],
+    "fr": ["le", "les", "des", "et", "est"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization: array of non-empty tokens."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def avg_token_len(col: Column, ndigits: int = 4) -> Column:
+    """Mean token length (NULL for empty text)."""
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.nullif(F.size(toks), F.lit(0)), ndigits)
+
+
+def stopword_ratio(
+    col: Column, stopwords: list[str] | None = None, ndigits: int = 4
+) -> Column:
+    """Fraction of tokens that are stopwords — a classic quality signal."""
+    sw = stopwords or EN_STOPWORDS
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return F.round(hits / F.nullif(F.size(toks), F.lit(0)).cast("double"), ndigits)
+
+
+def punct_ratio(col: Column, ndigits: int = 4) -> Column:
+    """Fraction of characters that are punctuation."""
+    stripped = F.regexp_replace(col, r"[.,;:!?'\"()\[\]{}]", "")
+    n = F.length(col)
+    return F.round(
+        (n - F.length(stripped)) / F.nullif(n, F.lit(0)).cast("double"), ndigits
+    )
+
+
+def marker_score(col: Column, markers: list[str]) -> Column:
+    """Count of tokens that are language-marker words."""
+    return F.size(F.filter(tokens(col), lambda t: t.isin(markers)))
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram/stopword-heuristic language id with a fixed tie-break order.
+
+    argmax over marker counts; ties resolve in en > de > es > fr order so
+    the result is fully deterministic.
+    """
+    scores = {lang: marker_score(col, m) for lang, m in LANG_MARKERS.items()}
+    return (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), "de")
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+
+
+def normalized(col: Column) -> Column:
+    """Canonical text form: lowercase, whitespace collapsed, trimmed."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(col))

@@ -1,0 +1,131 @@
+"""Operator semantics tests: dedup, similarity, text analysis."""
+
+from pyspark.sql import functions as F
+
+from rapids_and_rivers_spark.operators import dedup as D
+from rapids_and_rivers_spark.operators import similarity as S
+from rapids_and_rivers_spark.operators import text as T
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, f"src{i % 2}") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_exact_groups(spark):
+    df = docs_df(spark, ["a b c", "a b c", "x y z"])
+    rows = {r.keep_id: r.n for r in D.exact_groups(df).collect()}
+    assert rows == {0: 2, 2: 1}
+
+
+def test_minhash_identical_texts_found(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = docs_df(spark, [base, base, "entirely different words here nothing shared at all ok"])
+    pairs = D.minhash_lsh_pairs(df, threshold=0.9).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(0, 1, 1.0)]
+
+
+def test_minhash_near_duplicate_found(spark):
+    a = "one two three four five six seven eight nine ten eleven twelve"
+    b = "one two three four five six seven eight nine ten eleven thirteen"
+    df = docs_df(spark, [a, b])
+    pairs = D.minhash_lsh_pairs(df, threshold=0.3).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard > 0.5
+
+
+def test_simhash_identical_is_zero_distance(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = docs_df(spark, [base, base])
+    pairs = D.simhash_pairs(df, max_hamming=0).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def test_jaccard_pairs_blocked(spark):
+    # doc 0 and 2 share source block src0 and are near-identical
+    df = docs_df(
+        spark,
+        [
+            "one two three four five six",
+            "unrelated text entirely different",
+            "one two three four five seven",
+        ],
+    )
+    pairs = D.ngram_jaccard_pairs(df, threshold=0.2).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 2)]
+
+
+def test_brute_force_topk_exact(spark):
+    import math
+
+    vecs = {
+        0: [1.0, 0.0],  # query
+        10: [1.0, 0.0],  # identical -> cos 1
+        11: [1.0, 1.0],  # cos ~0.7071
+        12: [0.0, 1.0],  # cos 0
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = df.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    rows = S.brute_force_topk(q, c, k=2).collect()
+    assert [(r.neighbor_id, r.cos) for r in rows] == [
+        (10, 1.0),
+        (11, round(1 / math.sqrt(2), 4)),
+    ]
+
+
+def test_lsh_bucket_groups_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [1.0] * 8), (2, [-1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = df.select(
+        "vec_id", S.lsh_bucket(F.col("embedding"), dim=8, n_planes=4).alias("b")
+    ).collect()
+    buckets = {r.vec_id: r.b for r in out}
+    assert buckets[0] == buckets[1] != buckets[2]
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([("The cat and the dog!",)], "text string")
+    row = df.select(
+        T.token_count(F.col("text")).alias("n"),
+        T.stopword_ratio(F.col("text"), ["the", "and"]).alias("sw"),
+        T.punct_ratio(F.col("text")).alias("punct"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.lang_id(F.col("text")).alias("lang"),
+    ).collect()[0]
+    assert row.n == 5
+    assert row.sw == round(2 / 5, 4)  # 'and', 'the' (second); 'The' is cased
+    assert row.punct == round(1 / 20, 4)
+    assert len(row.fp) == 32
+    assert row.lang == "en"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",)], "text string"
+    )
+    fps = [r.fp for r in df.select(T.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_embedding_neardup_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [0.99, 0.1], 1),
+            (2, [0.0, 1.0], 1),
+            (3, [1.0, 0.0], 2),  # other block: never paired with 0
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pairs = D.embedding_neardup_pairs(df, threshold=0.95).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
