@@ -920,11 +920,11 @@ def dedup_minhash(spark, sf_dir):
 @register(
     "dedup_simhash",
     None,  # xxhash64-based signature: rows-only
-    doc="SimHash near-dup pairs, hamming<=3, pigeonhole chunk candidates",
+    doc="SimHash near-dup pairs, hamming<=8, pigeonhole chunk candidates",
 )
 def dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, col="text", id_col="doc_id", max_hamming=16)
+    return D.simhash_pairs(docs, col="text", id_col="doc_id", max_hamming=8)
 
 
 @register(

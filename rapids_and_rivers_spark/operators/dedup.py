@@ -87,9 +87,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(col), shingle_n).alias("shingles"),
     ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    # bands carry only (id, band, band_hash) — the wide shingle arrays are
+    # NOT duplicated through the explode/join (joined back per candidate)
     banded = base.select(
         "id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -106,7 +107,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "shingles", "bb.band", "bb.band_hash")
+    ).select("id", "bb.band", "bb.band_hash")
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
@@ -116,20 +117,27 @@ def minhash_lsh_pairs(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        candidates.withColumn(
-            "jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), ndigits)
+    shingle_sets = base.select("id", "shingles")
+    verified = (
+        candidates.join(
+            shingle_sets.select(
+                F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+            ),
+            "id_a",
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .join(
+            shingle_sets.select(
+                F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), ndigits))
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 
@@ -144,27 +152,49 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs within blocking groups.
 
-    Blocking on ``block_col`` bounds the pair space (at scale: block on a
-    cheap key — source, length bucket, simhash prefix — so each block fits
-    the |block|² join). Output: (id_a, id_b, jaccard) with id_a < id_b.
+    Inverted-index formulation: explode shingles, self-join on
+    (block, shingle) to count intersections per pair, then
+    ``|a∩b| / (|a|+|b|-|a∩b|)``. Exact for any ``threshold > 0`` (pairs
+    sharing no shingle have Jaccard 0 and can never qualify), and far
+    cheaper than a block-wise cross join: the pair space is generated
+    only where shingles actually collide. Blocking on ``block_col``
+    additionally bounds hot shingles (at scale: block on a cheap key —
+    source, length bucket, simhash prefix).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         word_shingles(F.col(col), shingle_n).alias("shingles"),
+    ).withColumn("sz", F.size("shingles"))
+    ex = base.select("id", "block", "sz", F.explode("shingles").alias("sh"))
+    l, r = ex.alias("l"), ex.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.sh") == F.col("r.sh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sz").alias("sz_a"),
+            F.col("r.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    left, right = base.alias("l"), base.alias("r")
-    pairs = left.join(
-        right,
-        (F.col("l.block") == F.col("r.block")) & (F.col("l.id") < F.col("r.id")),
-    ).select(
-        F.col("l.id").alias("id_a"),
-        F.col("r.id").alias("id_b"),
-        F.round(jaccard(F.col("l.shingles"), F.col("r.shingles")), ndigits).alias(
-            "jaccard"
-        ),
+    jac = F.round(
+        F.col("inter")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        ndigits,
     )
-    return pairs.filter(F.col("jaccard") >= threshold)
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -172,15 +202,32 @@ def ngram_jaccard_pairs(
 
 def simhash(col: Column, bits: int = 64) -> Column:
     """SimHash of the token multiset: bit k is set when more token hashes
-    have bit k set than not (Charikar's similarity hash)."""
+    have bit k set than not (Charikar's similarity hash).
+
+    Single pass over the tokens: each hash expands to its bit vector once
+    and a ``zip_with`` accumulator sums per-bit counts — O(tokens·bits)
+    adds instead of ``bits`` separate filter passes over the token array.
+    """
     hashes = F.transform(tokens(normalized(col)), lambda t: F.xxhash64(t))
     n = F.size(hashes)
+    ks = F.sequence(F.lit(0), F.lit(bits - 1))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                ks,
+                lambda k: F.call_function("shiftright", h, k)
+                .bitwiseAND(F.lit(1))
+                .cast("int"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
     sig = F.lit(0).cast("long")
     for k in range(bits):
-        ones = F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1)
-        )
-        bit = (ones * 2 > n).cast("long")
+        bit = (counts[k] * 2 > n).cast("long")
         if k == 63:
             # avoid signed-overflow of 1<<63: set the sign bit directly
             sig = sig.bitwiseOR(F.when(bit == 1, F.lit(-(1 << 63))).otherwise(F.lit(0)))
@@ -204,8 +251,11 @@ def simhash_pairs(
 
     Candidate generation by the pigeonhole principle: split the 64-bit
     signature into ``chunks`` pieces; any pair within ``max_hamming``
-    (< chunks) must agree on at least one whole chunk — so candidates come
-    from equi-joins on (chunk_index, chunk_value), never a cross product.
+    must agree on at least one whole chunk when ``max_hamming < chunks``
+    — so candidates come from equi-joins on (chunk_index, chunk_value),
+    never a cross product. With ``max_hamming >= chunks`` recall is
+    approximate (pairs whose differing bits spread across every chunk are
+    missed); raise ``chunks`` for exact recall at higher distances.
     """
     width = 64 // chunks
     mask = (1 << width) - 1

@@ -73,6 +73,14 @@ class Packet:
             if not isinstance(services, list):
                 services = []
             self._node[PARTICIPATING_SERVICES_KEY] = services + [entry]
+        # tracing capture at parse time (JsonMessage.kt:138-145): causation
+        # reflects the message AS RECEIVED, not as later mutated by handlers
+        self._tracing = {
+            "id": self._node.get(ID_KEY),
+            "opprettet": self._node.get(OPPRETTET_KEY),
+            "event_name": self._node.get(EVENT_NAME_KEY, "ukjent"),
+            "behov": self._node.get(NEED_KEY),
+        }
 
     # -- declared-key contract -------------------------------------------------
 
@@ -157,20 +165,19 @@ class Packet:
         ``@forårsaket_av`` from *this* message plus a fresh ``@id`` and
         ``@opprettet`` (unless the reply constructed its own id — a reply
         that is the mutated original does NOT own the inherited id)."""
-        caused_by: dict[str, Any] = {
-            "id": self._resolve(ID_KEY) if self._resolve(ID_KEY) is not _MISSING else None,
-            "opprettet": self._resolve(OPPRETTET_KEY)
-            if self._resolve(OPPRETTET_KEY) is not _MISSING
-            else None,
-            "event_name": (
-                self._resolve(EVENT_NAME_KEY)
-                if self._resolve(EVENT_NAME_KEY) is not _MISSING
-                else "ukjent"
-            ),
+        tracing = getattr(self, "_tracing", None) or {
+            "id": self._node.get(ID_KEY),
+            "opprettet": self._node.get(OPPRETTET_KEY),
+            "event_name": self._node.get(EVENT_NAME_KEY, "ukjent"),
+            "behov": self._node.get(NEED_KEY),
         }
-        behov = self._resolve(NEED_KEY)
-        if behov is not _MISSING and behov is not None:
-            caused_by["behov"] = behov
+        caused_by: dict[str, Any] = {
+            "id": tracing["id"],
+            "opprettet": tracing["opprettet"],
+            "event_name": tracing["event_name"] or "ukjent",
+        }
+        if tracing.get("behov"):
+            caused_by["behov"] = tracing["behov"]
         reply._recognized.update({ID_KEY, OPPRETTET_KEY, CAUSED_BY_KEY})
         if not reply._owns_identity:
             reply._node[ID_KEY] = id_generator()

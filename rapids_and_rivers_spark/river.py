@@ -87,6 +87,7 @@ class River:
         self._preconditions: list[Rule] = []
         self._validations: list[Rule] = []
         self._listeners: list[Callable] = []
+        self._responders: list[Callable[[DataFrame], DataFrame]] = []
 
     # -- registration ---------------------------------------------------------
 
@@ -103,9 +104,24 @@ class River:
         self._listeners.append(fn)
         return self
 
+    def respond(self, fn: Callable[[DataFrame], DataFrame]) -> "River":
+        """Register an expression-level responder: ``fn(passing_df) ->
+        replies_df`` with columns ``(value, key)``.
+
+        This is the scalable handler path — the whole enrich/reply stays a
+        Catalyst plan (U1 handlers that need imperative Python use
+        ``on_packet``, executed via mapInPandas on the executors).
+        """
+        self._responders.append(fn)
+        return self
+
     @property
     def listeners(self) -> list[Callable]:
         return list(self._listeners)
+
+    @property
+    def responders(self) -> list[Callable[[DataFrame], DataFrame]]:
+        return list(self._responders)
 
     @property
     def declared_keys(self) -> list[str]:

@@ -1,0 +1,239 @@
+"""StreamingRapid — the Structured Streaming execution of the bus.
+
+Reference lifecycle (SURVEY.md §3.1, KafkaRapid.kt:176-201): poll →
+per-record dispatch through every river → handlers enrich + republish →
+commit offsets after processing (at-least-once).
+
+Spark mapping: a streaming source of ``(value, key, ...)`` rows; each
+micro-batch runs every registered river over the batch DataFrame
+(parse ONCE, shared across rivers — the reference re-parses per river,
+River.kt:53-55), unions all reply DataFrames into the publish sink, and
+routes non-passing verdicts to a DLQ sink. Offset tracking is Structured
+Streaming checkpointing (WAL): restart resumes after the last committed
+batch — the reference's commit-after-process loop (KafkaRapid.kt:132-158)
+becomes checkpoint-commit-after-batch, preserving at-least-once into the
+sinks.
+
+Handler execution model:
+- ``river.respond(fn)``   expression responders — full Catalyst plan,
+                          scalable path;
+- ``river.on_packet(fn)`` imperative Python handlers — executed on the
+                          EXECUTORS via ``mapInPandas`` (Arrow batches),
+                          each packet wrapped in :class:`Packet` with a
+                          collecting publish context. No driver-side
+                          collect of message payloads.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rapids_and_rivers_spark.rapid import AbstractRapid
+from rapids_and_rivers_spark.river import ERRORS_COL, VARIANT_COL, VERDICT_COL, River, Verdict
+
+REPLY_SCHEMA = "value string, key string"
+
+
+def run_packet_listeners(
+    passing: DataFrame,
+    river: River,
+    service_name: str | None,
+    instance_id: str | None,
+) -> DataFrame:
+    """Execute Python packet handlers on the executors, returning replies.
+
+    Each input row becomes a :class:`Packet`; handler ``publish`` calls are
+    collected and stamped with causation + fresh id (JsonMessageContext
+    semantics) — all inside an Arrow-batched ``mapInPandas``.
+    """
+    listeners = river.listeners
+    declared = list(river.declared_keys)
+    svc, inst = service_name, instance_id
+
+    def gen(batches):
+        import pandas as pd
+
+        from rapids_and_rivers_spark.packet import Packet
+        from rapids_and_rivers_spark.problems import MessageProblemsException
+
+        for pdf in batches:
+            out_vals: list[str] = []
+            out_keys: list[str | None] = []
+            for value, key in zip(pdf["value"], pdf["key"]):
+                try:
+                    packet = Packet(value, service_name=svc, instance_id=inst)
+                except MessageProblemsException:
+                    continue
+                packet.declare(*declared)
+                published: list[tuple[str | Packet, str | None]] = []
+
+                class _Ctx:
+                    def publish(self, message, key_override=None):
+                        published.append((message, key_override))
+
+                ctx = _Ctx()
+                for fn in listeners:
+                    fn(packet, ctx)
+                for message, key_override in published:
+                    reply = (
+                        message
+                        if isinstance(message, Packet)
+                        else Packet(message, stamp=False)
+                    )
+                    packet.populate_standard_fields(reply)
+                    out_vals.append(reply.to_json())
+                    out_keys.append(key_override if key_override is not None else key)
+            yield pd.DataFrame({"value": out_vals, "key": out_keys})
+
+    return passing.select("value", "key").mapInPandas(gen, REPLY_SCHEMA)
+
+
+class StreamingRapid(AbstractRapid):
+    """Source-agnostic streaming rapid.
+
+    Wire a streaming source with :meth:`set_source` (or use the file/kafka
+    factories), sinks with :meth:`set_sink`/:meth:`set_dlq`, register
+    rivers, then :meth:`start`.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        service_name: str | None = None,
+        instance_id: str | None = None,
+    ):
+        super().__init__(service_name, instance_id)
+        self.spark = spark
+        self._source: DataFrame | None = None
+        self._sink: Callable[[DataFrame], None] | None = None
+        self._dlq: Callable[[DataFrame], None] | None = None
+        self._raw_listeners: list[Callable[[DataFrame], None]] = []
+
+    # -- wiring ----------------------------------------------------------------
+
+    def set_source(self, df: DataFrame) -> "StreamingRapid":
+        """Streaming DataFrame with at least ``value: string``; a ``key``
+        column is added (NULL) if absent."""
+        if "key" not in df.columns:
+            df = df.withColumn("key", F.lit(None).cast("string"))
+        self._source = df
+        return self
+
+    @classmethod
+    def from_text_files(
+        cls,
+        spark: SparkSession,
+        path: str,
+        service_name: str | None = None,
+        instance_id: str | None = None,
+    ) -> "StreamingRapid":
+        """File-based rapid: each line of each file is one message (the
+        in-container stand-in for a Kafka topic; same runtime semantics)."""
+        rapid = cls(spark, service_name, instance_id)
+        src = spark.readStream.format("text").load(path).select(
+            F.col("value").cast("string").alias("value")
+        )
+        return rapid.set_source(src)
+
+    def set_sink_parquet(self, path: str) -> "StreamingRapid":
+        def write(df: DataFrame) -> None:
+            df.write.mode("append").parquet(path)
+
+        self._sink = write
+        return self
+
+    def set_sink(self, fn: Callable[[DataFrame], None]) -> "StreamingRapid":
+        self._sink = fn
+        return self
+
+    def set_dlq_parquet(self, path: str) -> "StreamingRapid":
+        def write(df: DataFrame) -> None:
+            df.write.mode("append").parquet(path)
+
+        self._dlq = write
+        return self
+
+    def on_raw_batch(self, fn: Callable[[DataFrame], None]) -> "StreamingRapid":
+        """Raw-string listener (U5 surface, RapidsConnection.kt:111-113)."""
+        self._raw_listeners.append(fn)
+        return self
+
+    # -- batch dispatch (the heart of the runtime) -----------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
+        """One micro-batch through every river (also usable on batch DFs —
+        batch/stream duality)."""
+        # tombstone skip (KafkaRapid.kt:162-163)
+        msgs = batch_df.filter(F.col("value").isNotNull() & (F.length("value") > 0))
+        for fn in self._raw_listeners:
+            fn(msgs)
+        replies: list[DataFrame] = []
+        dlq_parts: list[DataFrame] = []
+        for river in self._rivers:
+            evaluated = river.evaluate(msgs)
+            passing = evaluated.filter(F.col(VERDICT_COL) == Verdict.PASS)
+            for responder in river.responders:
+                replies.append(responder(passing).select("value", "key"))
+            if river.listeners:
+                replies.append(
+                    run_packet_listeners(
+                        passing, river, self.service_name, self.instance_id
+                    )
+                )
+            if self._dlq is not None:
+                dlq_parts.append(
+                    evaluated.filter(F.col(VERDICT_COL) != Verdict.PASS).select(
+                        F.lit(river.name).alias("river"),
+                        VERDICT_COL,
+                        F.col(ERRORS_COL).cast("array<string>").alias(ERRORS_COL),
+                        "value",
+                        "key",
+                    )
+                )
+        if replies and self._sink is not None:
+            out = replies[0]
+            for r in replies[1:]:
+                out = out.unionByName(r)
+            self._sink(out)
+        if dlq_parts and self._dlq is not None:
+            dlq = dlq_parts[0]
+            for d in dlq_parts[1:]:
+                dlq = dlq.unionByName(d)
+            self._dlq(dlq)
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def start(
+        self,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        processing_time: str | None = None,
+        query_name: str | None = None,
+    ):
+        """Start the streaming query (checkpointed foreachBatch dispatch).
+
+        ``available_now=True`` drains everything available then stops —
+        the test/batch-replay trigger; pass ``processing_time`` (e.g.
+        ``'1 second'``, matching the reference's poll cadence,
+        KafkaRapid.kt:183) for a continuous micro-batch schedule.
+        """
+        if self._source is None:
+            raise ValueError("no source configured")
+        writer = (
+            self._source.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name or f"rapid_{_uuid.uuid4().hex[:8]}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_available(self, checkpoint_dir: str) -> None:
+        """Drain all available input and wait (the poll-until-empty loop)."""
+        query = self.start(checkpoint_dir, available_now=True)
+        query.awaitTermination()

@@ -1,0 +1,242 @@
+"""Streaming runtime semantics, mirroring RapidIntegrationTest.kt (SURVEY.md
+§5.2) on a file-based rapid (no broker in the container):
+
+- consume -> enrich -> republish round trip
+- checkpoint restart: already-processed input is NOT redelivered
+- tombstone/empty-message skip
+- Python packet handlers executed via mapInPandas with envelope stamping
+- DLQ routing of failed verdicts
+- Kafka option builders (env contract)
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rapids_and_rivers_spark.functions import envelope as E
+from rapids_and_rivers_spark.river import River
+from rapids_and_rivers_spark.functions import predicates as P
+from rapids_and_rivers_spark.streaming.kafka import (
+    KafkaConfig,
+    consumer_options,
+    producer_options,
+)
+from rapids_and_rivers_spark.streaming.pingpong import pingpong_river
+from rapids_and_rivers_spark.streaming.runtime import StreamingRapid
+
+
+def write_messages(path: str, messages: list[str], name: str = "batch0.txt"):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        f.write("\n".join(messages) + "\n")
+
+
+def read_parquet_values(spark, path):
+    try:
+        return [r.value for r in spark.read.parquet(path).collect()]
+    except Exception:
+        return []
+
+
+def test_roundtrip_enrich_republish(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    write_messages(
+        src,
+        [
+            json.dumps({"@event_name": "order", "order_id": i, "status": "new"})
+            for i in range(20)
+        ],
+    )
+    river = River("orders").precondition(P.require_value("@event_name", "order")).validate(
+        P.require_key("order_id")
+    )
+
+    def responder(passing):
+        m = E.to_message_map(F.col("value"))
+        reply = E.merge(
+            m,
+            {
+                "@event_name": E.vlit("order_enriched"),
+                "status": E.vlit("processed"),
+            },
+        )
+        return passing.select(
+            E.to_json_message(E.stamp_reply(reply, m)).alias("value"), "key"
+        )
+
+    river.respond(responder)
+    rapid = (
+        StreamingRapid.from_text_files(spark, src, "app", "i-1")
+        .register(river)
+        .set_sink_parquet(out)
+    )
+    rapid.run_available(ckpt)
+
+    values = [json.loads(v) for v in read_parquet_values(spark, out)]
+    assert len(values) == 20
+    assert all(v["@event_name"] == "order_enriched" for v in values)
+    assert all(v["status"] == "processed" for v in values)
+    assert all(v["@forårsaket_av"]["event_name"] == "order" for v in values)
+    assert all("@id" in v for v in values)
+    # original payload preserved through the open-schema merge
+    assert sorted(v["order_id"] for v in values) == list(range(20))
+
+
+def test_checkpoint_no_redelivery(spark, tmp_path):
+    """The reference commits offsets after processing so restarts resume
+    after the last processed record (RapidIntegrationTest.kt:205-276);
+    our equivalent: checkpoint restart must not reprocess drained input."""
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    write_messages(src, [json.dumps({"@event_name": "a", "n": 1})], "first.txt")
+    river = River("all").validate(P.require_key("@event_name"))
+    river.respond(
+        lambda passing: passing.select(F.col("value").alias("value"), "key")
+    )
+    rapid = (
+        StreamingRapid.from_text_files(spark, src, "app", "i-1")
+        .register(river)
+        .set_sink_parquet(out)
+    )
+    rapid.run_available(ckpt)
+    assert len(read_parquet_values(spark, out)) == 1
+
+    # restart with no new input: nothing redelivered
+    rapid2 = (
+        StreamingRapid.from_text_files(spark, src, "app", "i-1")
+        .register(river)
+        .set_sink_parquet(out)
+    )
+    rapid2.run_available(ckpt)
+    assert len(read_parquet_values(spark, out)) == 1
+
+    # new input after restart: only the new message flows
+    write_messages(src, [json.dumps({"@event_name": "b", "n": 2})], "second.txt")
+    rapid3 = (
+        StreamingRapid.from_text_files(spark, src, "app", "i-1")
+        .register(river)
+        .set_sink_parquet(out)
+    )
+    rapid3.run_available(ckpt)
+    values = read_parquet_values(spark, out)
+    assert len(values) == 2
+
+
+def test_tombstone_and_garbage_skip(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    dlq = str(tmp_path / "dlq")
+    write_messages(
+        src,
+        ["", json.dumps({"@event_name": "x"}), "not json at all", ""],
+    )
+    river = River("x").validate(P.require_value("@event_name", "x"))
+    river.respond(lambda passing: passing.select("value", "key"))
+    rapid = (
+        StreamingRapid.from_text_files(spark, src, "app", "i-1")
+        .register(river)
+        .set_sink_parquet(out)
+        .set_dlq_parquet(dlq)
+    )
+    rapid.run_available(ckpt)
+    assert len(read_parquet_values(spark, out)) == 1
+    dlq_rows = spark.read.parquet(dlq).collect()
+    # 'not json at all' -> unparseable; empty lines are tombstone-skipped
+    assert [(r.verdict, r.river) for r in dlq_rows] == [("unparseable", "x")]
+
+
+def test_python_packet_handlers_on_executors(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    write_messages(
+        src,
+        [json.dumps({"@event_name": "need", "req": i}) for i in range(5)],
+    )
+    river = River("needs").validate(
+        P.require_value("@event_name", "need"), P.require_key("req")
+    )
+
+    def handler(packet, context):
+        packet["solved"] = packet["req"] * 10
+        packet["@event_name"] = "solution"
+        context.publish(packet)
+
+    river.on_packet(handler)
+    rapid = (
+        StreamingRapid.from_text_files(spark, src, "app", "i-1")
+        .register(river)
+        .set_sink_parquet(out)
+    )
+    rapid.run_available(ckpt)
+    values = [json.loads(v) for v in read_parquet_values(spark, out)]
+    assert len(values) == 5
+    assert sorted(v["solved"] for v in values) == [0, 10, 20, 30, 40]
+    assert all(v["@event_name"] == "solution" for v in values)
+    # envelope: parse-stamp (read_count, provenance) + reply causation
+    assert all(v["system_read_count"] == 0 for v in values)
+    assert all(v["@forårsaket_av"]["event_name"] == "need" for v in values)
+
+
+def test_pingpong_river_streaming(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    write_messages(
+        src,
+        [
+            json.dumps({"@event_name": "ping", "ping_time": "2026-01-01T00:00:00"}),
+            json.dumps({"@event_name": "ping", "ping_time": "2026-01-01T00:00:01"}),
+            json.dumps({"@event_name": "other"}),
+        ],
+    )
+    river = pingpong_river(
+        "my_app", "inst-1", now=F.lit("2026-01-01T01:00:00").cast("timestamp")
+    )
+    rapid = (
+        StreamingRapid.from_text_files(spark, src, "my_app", "inst-1")
+        .register(river)
+        .set_sink_parquet(out)
+    )
+    rapid.run_available(ckpt)
+    values = [json.loads(v) for v in read_parquet_values(spark, out)]
+    # both pings in the same 5s bucket -> rate-limited to one pong
+    assert len(values) == 1
+    pong = values[0]
+    assert pong["@event_name"] == "pong"
+    assert pong["app_name"] == "my_app" and pong["instance_id"] == "inst-1"
+    assert pong["ping_time"] == "2026-01-01T00:00:00"
+    assert pong["@forårsaket_av"]["event_name"] == "ping"
+
+
+def test_kafka_option_builders():
+    cfg = KafkaConfig.from_env(
+        {
+            "KAFKA_BROKERS": "b1:9092,b2:9092",
+            "KAFKA_RAPID_TOPIC": "rapid",
+            "KAFKA_EXTRA_TOPIC": "extra1,extra2",
+            "KAFKA_CONSUMER_GROUP_ID": "app-v1",
+            "KAFKA_RESET_POLICY": "earliest",
+            "KAFKA_MAX_RECORDS": "500",
+        }
+    )
+    co = consumer_options(cfg)
+    assert co["subscribe"] == "rapid,extra1,extra2"
+    assert co["startingOffsets"] == "earliest"
+    assert co["maxOffsetsPerTrigger"] == "500"
+    assert co["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    po = producer_options(cfg)
+    assert po["topic"] == "rapid"
+    assert po["kafka.acks"] == "all"
+    assert po["kafka.max.in.flight.requests.per.connection"] == "1"
+
+
+def test_process_batch_on_plain_batch_df(spark):
+    """Batch/stream duality: the same dispatch runs on a batch DataFrame."""
+    df = spark.createDataFrame(
+        [(json.dumps({"@event_name": "e", "v": 1}), None)], "value string, key string"
+    )
+    captured = []
+    river = River("e").validate(P.require_value("@event_name", "e"))
+    river.respond(lambda passing: passing.select("value", "key"))
+    rapid = StreamingRapid(spark, "app", "i").register(river).set_sink(
+        lambda out: captured.extend(r.value for r in out.collect())
+    )
+    rapid.process_batch(df)
+    assert len(captured) == 1
