@@ -937,3 +937,50 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(
         docs, col="text", id_col="doc_id", block_col="source", threshold=0.15
     )
+
+
+# ===========================================================================
+# E. Multimodal plumbing (binary payload columns + Pandas-UDF extraction)
+# ===========================================================================
+
+from rapids_and_rivers_spark.operators import multimodal as M  # noqa: E402
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           ord(substr(text, 1, 1)) AS first_byte,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+    doc="multimodal feature extraction: binary payload column -> Arrow-batched "
+    "mapInPandas feature UDF (decode stubbed; plumbing real)",
+)
+def multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_media(docs, payload_from="text", id_col="doc_id")
+    return M.extract_features(media, fake=True).select(
+        "doc_id", "n_bytes", F.col("first_byte").cast("int").alias("first_byte"), "mime"
+    )
+
+
+@register(
+    "multimodal_frames",
+    """
+    SELECT d.doc_id,
+           CAST(t.range AS INT) AS frame_no,
+           substr(d.text, CAST(t.range AS INT) * 64 + 1, 64) AS frame
+    FROM documents d, range(8) t
+    WHERE length(substr(d.text, CAST(t.range AS INT) * 64 + 1, 64)) > 0
+    """,
+    doc="frame-sampling plumbing: fixed-stride slices exploded to one row "
+    "per frame (video frame-sample shape)",
+)
+def multimodal_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_media(docs, payload_from="text", id_col="doc_id")
+    return M.sample_frames(media, every_n_bytes=64, max_frames=8).select(
+        "doc_id", F.col("frame_no").cast("int").alias("frame_no"), "frame"
+    )

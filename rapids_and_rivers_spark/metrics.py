@@ -1,0 +1,58 @@
+"""Pipeline metrics — the reference's Micrometer surface as observations.
+
+Reference metrics (River.kt:79-102,126-140): ``message_counter`` (tags:
+river, validated, event_name), ``message_keys_counter`` (per recognized
+key), ``on_packet_seconds`` timer. Spark mapping: ``DataFrame.observe``
+aggregates ride the existing action — zero extra passes, collected on the
+driver after each batch/action (streaming: per micro-batch via
+``QueryProgressEvent.observedMetrics``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, functions as F
+
+from rapids_and_rivers_spark.river import VERDICT_COL, Verdict
+
+
+def observe_verdicts(
+    evaluated: DataFrame, name: str = "river_metrics"
+) -> tuple[DataFrame, Observation | str]:
+    """Attach message_counter-equivalent metrics to an evaluated river DF.
+
+    Returns ``(df, observation)``; after an action runs on ``df``,
+    ``observation.get`` yields ``{messages, passed, precondition_failed,
+    validation_failed, unparseable}``. On streaming DFs a named observe is
+    used (read the same metrics from ``QueryProgressEvent.observedMetrics``)
+    and the name is returned instead of an Observation handle.
+    """
+    counters = [
+        F.count(F.lit(1)).alias("messages"),
+        F.count(F.when(F.col(VERDICT_COL) == Verdict.PASS, 1)).alias("passed"),
+        F.count(
+            F.when(F.col(VERDICT_COL) == Verdict.PRECONDITION_FAILED, 1)
+        ).alias("precondition_failed"),
+        F.count(
+            F.when(F.col(VERDICT_COL) == Verdict.VALIDATION_FAILED, 1)
+        ).alias("validation_failed"),
+        F.count(F.when(F.col(VERDICT_COL) == Verdict.UNPARSEABLE, 1)).alias(
+            "unparseable"
+        ),
+    ]
+    if evaluated.isStreaming:
+        return evaluated.observe(name, *counters), name
+    obs = Observation(name)
+    return evaluated.observe(obs, *counters), obs
+
+
+def event_name_counts(evaluated: DataFrame, variant_col: str = "__variant") -> DataFrame:
+    """Per-event-name message counts (the event_name metric tag,
+    River.kt:195-233) as a groupBy — for dashboards/sinks rather than
+    inline observation."""
+    return evaluated.groupBy(
+        F.coalesce(
+            F.try_variant_get(F.col(variant_col), "$['@event_name']", "string"),
+            F.lit("ukjent"),
+        ).alias("event_name"),
+        VERDICT_COL,
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -33,6 +33,9 @@ class KafkaConfig:
     group_id: str = "rapids-spark"
     reset_policy: str = "latest"  # KAFKA_RESET_POLICY (Defaults.kt:20,48)
     max_records: int | None = None  # KAFKA_MAX_RECORDS -> maxOffsetsPerTrigger
+    #: S12 admin offsets-for-time (Consumer.kt:12-34): start from the first
+    #: offset at/after this epoch-millis timestamp instead of reset_policy
+    starting_timestamp_ms: int | None = None
     ssl: dict[str, str] = field(default_factory=dict)  # kafka.ssl.* passthrough
     extra_options: dict[str, str] = field(default_factory=dict)
 
@@ -66,6 +69,10 @@ def consumer_options(cfg: KafkaConfig) -> dict[str, str]:
         # compacted/expired offsets explicitly rather than silently
         "failOnDataLoss": "false",
     }
+    if cfg.starting_timestamp_ms is not None:
+        # seek-by-time supersedes the reset policy (Consumer.kt:12-34)
+        opts.pop("startingOffsets")
+        opts["startingTimestamp"] = str(cfg.starting_timestamp_ms)
     if cfg.max_records is not None:
         opts["maxOffsetsPerTrigger"] = str(cfg.max_records)
     for k, v in cfg.ssl.items():

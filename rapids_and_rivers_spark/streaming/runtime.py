@@ -237,3 +237,13 @@ class StreamingRapid(AbstractRapid):
         """Drain all available input and wait (the poll-until-empty loop)."""
         query = self.start(checkpoint_dir, available_now=True)
         query.awaitTermination()
+
+    @staticmethod
+    def stop_gracefully(query) -> None:
+        """Graceful shutdown (R10, PreStopHook.kt:17-67 + KafkaRapid.kt:
+        113-119): stop the trigger loop; the in-flight micro-batch finishes
+        and commits its checkpoint, so restart resumes AFTER the last
+        processed record (the reference's commit-next-offset-on-shutdown,
+        RapidIntegrationTest.kt:205-276)."""
+        query.stop()
+        query.awaitTermination()

@@ -1,0 +1,122 @@
+"""DSL v2 (should/must/can — MessageValidationTest.kt parity), metrics
+observations, and multimodal plumbing."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from rapids_and_rivers_spark.functions.dsl import can, must, should, spec
+from rapids_and_rivers_spark.metrics import event_name_counts, observe_verdicts
+from rapids_and_rivers_spark.operators import multimodal as M
+from rapids_and_rivers_spark.river import River, Verdict
+
+
+def run(spark, river, messages):
+    df = spark.createDataFrame([(m,) for m in messages], "value string")
+    return [
+        (r.verdict, r.errors)
+        for r in river.evaluate(df).select("verdict", "errors").collect()
+    ]
+
+
+# --- DSL v2 truth tables (MessageValidationTest.kt) --------------------------
+
+
+def test_should_exist(spark):
+    river = River().validate(spec(should("k").exist()))
+    out = run(spark, river, ['{"k":1}', "{}", '{"k":null}'])
+    assert [v for v, _ in out] == [
+        Verdict.PASS, Verdict.VALIDATION_FAILED, Verdict.VALIDATION_FAILED,
+    ]
+
+
+def test_must_be_aborts(spark):
+    river = River().validate(
+        spec(should("a").exist(), must("e").be("x"), should("b").exist())
+    )
+    verdict, errors = run(spark, river, ['{"e":"y"}'])[0]
+    assert verdict == Verdict.VALIDATION_FAILED
+    # must-failure aborts: b's error never accumulates
+    assert errors == ["Missing required key: a", "Required e is not 'x'"]
+
+
+def test_can_never_fails_on_absence(spark):
+    river = River().validate(spec(can("opt").exist()))
+    assert [v for v, _ in run(spark, river, ["{}", '{"opt":5}'])] == [
+        Verdict.PASS, Verdict.PASS,
+    ]
+
+
+def test_can_be_checks_only_when_present(spark):
+    river = River().validate(spec(can("mode").be("fast")))
+    out = [v for v, _ in run(spark, river, ["{}", '{"mode":"fast"}', '{"mode":"slow"}'])]
+    assert out == [Verdict.PASS, Verdict.PASS, Verdict.VALIDATION_FAILED]
+
+
+def test_dsl_declares_keys(spark):
+    river = River().validate(
+        spec(should("a").exist(), must("b").be("x"), can("c").exist())
+    )
+    assert river.declared_keys == ["a", "b", "c"]
+
+
+# --- metrics ----------------------------------------------------------------
+
+
+def test_observe_verdicts_batch(spark):
+    river = River().validate(should("k").exist())
+    df = spark.createDataFrame(
+        [('{"k":1}',), ("{}",), ("junk",)], "value string"
+    )
+    observed, obs = observe_verdicts(river.evaluate(df))
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["messages"] == 3
+    assert got["passed"] == 1
+    assert got["validation_failed"] == 1
+    assert got["unparseable"] == 1
+
+
+def test_event_name_counts(spark):
+    river = River().validate(can("x").exist())
+    df = spark.createDataFrame(
+        [('{"@event_name":"ping"}',), ('{"@event_name":"ping"}',), ("{}",)],
+        "value string",
+    )
+    rows = {
+        (r.event_name, r.verdict): r.n
+        for r in event_name_counts(river.evaluate(df)).collect()
+    }
+    assert rows == {("ping", "pass"): 2, ("ukjent", "pass"): 1}
+
+
+# --- multimodal plumbing ------------------------------------------------------
+
+
+def test_multimodal_features(spark):
+    df = spark.createDataFrame(
+        [(1, "abc", "s1"), (2, "", "s2")], "doc_id long, text string, source string"
+    )
+    media = M.attach_media(df)
+    rows = {r.doc_id: r for r in M.extract_features(media).collect()}
+    assert rows[1].n_bytes == 3
+    assert rows[1].first_byte == ord("a")
+    assert rows[1].byte_checksum == (ord("a") + ord("b") + ord("c")) % 1_000_000_007
+    assert rows[2].n_bytes == 0 and rows[2].first_byte == -1
+    assert rows[1].mime == "application/octet-stream"
+
+
+def test_multimodal_frames(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 100, "s")], "doc_id long, text string, source string"
+    )
+    media = M.attach_media(df)
+    frames = M.sample_frames(media, every_n_bytes=64, max_frames=8).collect()
+    assert [(f.frame_no, len(f.frame)) for f in frames] == [(0, 64), (1, 36)]
+
+
+def test_decode_image_is_stubbed():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")

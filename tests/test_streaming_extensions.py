@@ -1,0 +1,125 @@
+"""M4 streaming extensions (SURVEY.md §7.2): event-time watermarks +
+tumbling windows, dropDuplicatesWithinWatermark, and the stream-stream
+@behovId join generalizing the behov/løsning protocol — all on real
+Structured Streaming queries over file sources.
+"""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def write_lines(path, lines, name="part0.txt"):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def stream_json(spark, path, schema):
+    raw = spark.readStream.format("text").load(path)
+    return raw.select(F.from_json("value", schema).alias("m")).select("m.*")
+
+
+def test_windowed_aggregation_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "in")
+    write_lines(
+        src,
+        [
+            json.dumps({"event_name": "click", "ts": f"2026-01-01T00:{m:02d}:00"})
+            for m in (0, 1, 2, 10, 11, 30)
+        ],
+    )
+    events = stream_json(spark, src, "event_name string, ts timestamp").withWatermark(
+        "ts", "10 minutes"
+    )
+    agg = events.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_name"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.w.start.minute, r.n) for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    assert rows == {(0, 3), (10, 2), (30, 1)}
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "in")
+    write_lines(
+        src,
+        [
+            json.dumps({"id": "a", "ts": "2026-01-01T00:00:00"}),
+            json.dumps({"id": "a", "ts": "2026-01-01T00:00:03"}),  # dup within wm
+            json.dumps({"id": "b", "ts": "2026-01-01T00:00:05"}),
+        ],
+    )
+    events = stream_json(spark, src, "id string, ts timestamp").withWatermark(
+        "ts", "1 minute"
+    )
+    deduped = events.dropDuplicatesWithinWatermark(["id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r.id for r in spark.sql("SELECT id FROM dedup_wm").collect())
+    assert ids == ["a", "b"]
+
+
+def test_stream_stream_behov_join(spark, tmp_path):
+    """The @behov/@løsning request-reply correlation (JsonMessage.kt:60-67,
+    117-125) as a watermarked stream-stream inner join on @behovId."""
+    needs_src = str(tmp_path / "needs")
+    sols_src = str(tmp_path / "sols")
+    write_lines(
+        needs_src,
+        [
+            json.dumps(
+                {"behovId": f"need-{i}", "behov": ["x"], "ts": f"2026-01-01T00:0{i}:00"}
+            )
+            for i in range(3)
+        ],
+    )
+    write_lines(
+        sols_src,
+        [
+            json.dumps(
+                {"behovId": "need-1", "solution": 42, "ts": "2026-01-01T00:02:00"}
+            ),
+            json.dumps(
+                {"behovId": "need-7", "solution": 9, "ts": "2026-01-01T00:03:00"}
+            ),
+        ],
+    )
+    needs = stream_json(
+        spark, needs_src, "behovId string, behov array<string>, ts timestamp"
+    ).withWatermark("ts", "10 minutes").alias("n")
+    sols = stream_json(
+        spark, sols_src, "behovId string, solution long, ts timestamp"
+    ).withWatermark("ts", "10 minutes").alias("s")
+    joined = needs.join(
+        sols,
+        F.expr(
+            "n.behovId = s.behovId AND s.ts >= n.ts AND s.ts <= n.ts + INTERVAL 1 HOUR"
+        ),
+    ).select(F.col("n.behovId").alias("behovId"), "solution")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("behov_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(r.behovId, r.solution) for r in spark.sql("SELECT * FROM behov_join").collect()]
+    assert rows == [("need-1", 42)]
