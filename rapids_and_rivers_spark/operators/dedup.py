@@ -9,14 +9,36 @@ Scale design:
 - verification (exact Jaccard / hamming) runs only on candidate pairs.
 
 All signature math uses ``xxhash64`` (JVM, codegen) — no Python UDFs.
+
+Expression-binding rule learned the hard way: an outer expression referenced
+inside a higher-order-function lambda is RE-EVALUATED per array element
+(no common-subexpression elimination across the lambda boundary). Binding
+``tokens(text)`` to a projected attribute first makes shingle construction
+~30x faster than inlining it — every builder below projects tokens/arrays
+to a named column before any ``transform``/``aggregate`` touches them.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from rapids_and_rivers_spark.operators.similarity import cosine
+from rapids_and_rivers_spark.operators.similarity import dot, norm
 from rapids_and_rivers_spark.operators.text import normalized, tokens
+
+
+def spread(df: DataFrame, by: str) -> DataFrame:
+    """Repartition iff the scan is under-partitioned for this cluster.
+
+    Local/small parquet often arrives as ONE split, serializing per-row
+    signature work onto one core. At 100 TB inputs already carry thousands
+    of splits, so this is a no-op there — the guard avoids paying an
+    unnecessary full-corpus shuffle at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, by)
+    return df
 
 
 # --- exact ------------------------------------------------------------------
@@ -34,24 +56,80 @@ def exact_groups(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Da
 # --- shingles & MinHash ------------------------------------------------------
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
-    toks = tokens(normalized(col))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over a *bound* token-array column.
+
+    Texts with fewer than ``n`` tokens yield an empty shingle set (the
+    ``when`` guard matters: ``sequence(1, stop)`` with ``stop < 1`` would
+    count *down* through 0, and slicing at index 0 throws).
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def hashed_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct 64-bit word n-gram shingle hashes over a *bound* token array.
+
+    Hashes token slices directly (``xxhash64(tok_i, …, tok_{i+n-1})``)
+    without ever materializing shingle strings — at scale this removes a
+    full string-concat pass and shrinks every downstream shuffle/compare
+    from variable-length strings to 8-byte longs. 64-bit collisions are
+    negligible for dedup purposes (~N²/2⁶⁵ expected false merges).
+    Short texts (< n tokens) yield an empty set (see word_shingles note).
+
+    ``toks`` MUST be a projected attribute (see module docstring) — pass
+    text through :func:`shingled` rather than inlining ``tokens(text)``.
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)]),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def shingled(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    extra_cols: list[str] | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """(id[, extra…], shingles) with tokens bound to an attribute between
+    the tokenize and shingle projections, so the shingle lambda reads an
+    array column instead of re-running tokenization per element."""
+    keep = [F.col(id_col).alias("id")] + [F.col(c) for c in (extra_cols or [])]
+    toked = df.select(*keep, tokens(normalized(F.col(col))).alias("toks"))
+    return toked.select(
+        *[c for c in toked.columns if c != "toks"],
+        hashed_shingles(F.col("toks"), n).alias("shingles"),
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per seed, the min of xxhash64(seed, shingle).
+def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature over pre-hashed (long) shingles.
 
-    num_hashes independent permutations approximated by seeded xxhash64 —
-    standard practice (Broder's MinHash with k hash functions).
+    Per permutation i: ``min(xxhash64(i, h))`` — seeded re-hash of a
+    fixed-width long (Broder's MinHash with k hash functions). Hashing
+    8-byte longs instead of shingle *strings* keeps each of the k passes
+    O(1) per shingle regardless of shingle text length. (No multiply-add
+    universal hashing here: long-overflow throws under ANSI mode, which
+    the driver's session may enable.)
     """
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+            F.array_min(
+                F.transform(shingle_hashes, lambda h, i=i: F.xxhash64(F.lit(i), h))
+            )
             for i in range(num_hashes)
         ]
     )
@@ -78,20 +156,28 @@ def minhash_lsh_pairs(
 
     rows/band = num_hashes/bands; a pair is a candidate when ANY band's
     sub-signature hashes equal. Candidates are then verified with exact
-    Jaccard over the shingle sets and filtered at ``threshold``.
+    Jaccard over the (hashed) shingle sets and filtered at ``threshold``.
+
+    The (id, shingles, sig) base is persisted: it feeds the band explode
+    AND two verification join-backs — without reuse the whole
+    shingle+signature computation would run three times. (At 100 TB the
+    equivalent is materializing the signature table to storage once.)
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(col), shingle_n).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    base = (
+        shingled(spread(df, id_col), col, id_col, n=shingle_n)
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+        .persist()
+    )
     # bands carry only (id, band, band_hash) — the wide shingle arrays are
-    # NOT duplicated through the explode/join (joined back per candidate)
+    # NOT duplicated through the explode/join (joined back per candidate).
+    # explode_outer: never-empty literal array; avoids the inferred
+    # size>0 pre-filter re-hashing every band (see ngram_jaccard_pairs)
     banded = base.select(
         "id",
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -159,16 +245,23 @@ def ngram_jaccard_pairs(
     cheaper than a block-wise cross join: the pair space is generated
     only where shingles actually collide. Blocking on ``block_col``
     additionally bounds hot shingles (at scale: block on a cheap key —
-    source, length bucket, simhash prefix).
+    source, length bucket, simhash prefix). Shingles are 64-bit hashes
+    (:func:`hashed_shingles`) so the exploded join shuffles 8-byte keys,
+    not shingle strings.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("block"),
-        word_shingles(F.col(col), shingle_n).alias("shingles"),
-    ).withColumn("sz", F.size("shingles"))
-    ex = base.select("id", "block", "sz", F.explode("shingles").alias("sh"))
+    base = shingled(
+        spread(df, id_col), col, id_col, extra_cols=[block_col], n=shingle_n
+    ).withColumnRenamed(block_col, "block").withColumn("sz", F.size("shingles"))
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # `size(shingles)>0` filter and push it below the exchange, inlining
+    # the whole shingle computation into a pre-shuffle single-split Filter
+    # (observed 8x slowdown); outer-explode infers nothing, and the null
+    # postings are dropped cheaply after the fact.
+    ex = base.select(
+        "id", "block", "sz", F.explode_outer("shingles").alias("sh")
+    ).filter(F.col("sh").isNotNull())
     l, r = ex.alias("l"), ex.alias("r")
     inter = (
         l.join(
@@ -200,29 +293,23 @@ def ngram_jaccard_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 
-def simhash(col: Column, bits: int = 64) -> Column:
-    """SimHash of the token multiset: bit k is set when more token hashes
-    have bit k set than not (Charikar's similarity hash).
+def simhash(hashes: Column, bits: int = 64) -> Column:
+    """SimHash from a *bound* token-hash array column: bit k is set when
+    more token hashes have bit k set than not (Charikar's similarity hash).
 
     Single pass over the tokens: each hash expands to its bit vector once
     and a ``zip_with`` accumulator sums per-bit counts — O(tokens·bits)
     adds instead of ``bits`` separate filter passes over the token array.
     """
-    hashes = F.transform(tokens(normalized(col)), lambda t: F.xxhash64(t))
     n = F.size(hashes)
-    ks = F.sequence(F.lit(0), F.lit(bits - 1))
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                ks,
-                lambda k: F.call_function("shiftright", h, k)
-                .bitwiseAND(F.lit(1))
-                .cast("int"),
-            ),
-            lambda a, b: a + b,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda a, k: a
+            + F.call_function("shiftright", h, k).bitwiseAND(F.lit(1)).cast("int"),
         ),
     )
     sig = F.lit(0).cast("long")
@@ -259,11 +346,20 @@ def simhash_pairs(
     """
     width = 64 // chunks
     mask = (1 << width) - 1
-    base = df.select(F.col(id_col).alias("id"), simhash(F.col(col)).alias("sig"))
+    toked = spread(df, id_col).select(
+        F.col(id_col).alias("id"), tokens(normalized(F.col(col))).alias("toks")
+    )
+    hashed = toked.select(
+        "id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("hashes")
+    )
+    base = hashed.select("id", simhash(F.col("hashes")).alias("sig"))
+    # explode_outer: the chunk array is never empty, and plain explode's
+    # inferred size>0 filter would re-evaluate the simhash below the
+    # exchange (see ngram_jaccard_pairs note)
     chunked = base.select(
         "id",
         "sig",
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -311,11 +407,14 @@ def embedding_neardup_pairs(
     Blocking on ``block_col`` (cluster/label/LSH bucket) bounds the pair
     space; pass None for full pairwise (test scale only).
     """
-    base = df.select(
+    # norms are per-ROW quantities: compute them once before the join
+    # instead of per PAIR inside cosine (saves 2 of 3 O(dim) array passes
+    # per pair; formula stays dot/(na*nb) so rounding matches the oracle)
+    base = spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.col(emb_col).cast("array<double>").alias("emb"),
         (F.col(block_col) if block_col else F.lit(0)).alias("block"),
-    )
+    ).withColumn("nrm", norm(F.col("emb")))
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(
@@ -325,7 +424,11 @@ def embedding_neardup_pairs(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.emb"), F.col("r.emb")), ndigits).alias("cos"),
+            F.round(
+                dot(F.col("l.emb"), F.col("r.emb"))
+                / (F.col("l.nrm") * F.col("r.nrm")),
+                ndigits,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

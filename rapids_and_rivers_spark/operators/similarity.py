@@ -54,8 +54,14 @@ def brute_force_topk(
     before ranking so ordering is reproducible across engines; ties break
     on candidate id.
     """
-    paired = candidates.crossJoin(F.broadcast(queries))
-    cos = F.round(cosine(F.col("q_emb"), F.col("c_emb")), ndigits)
+    q = queries.withColumn("q_nrm", norm(F.col("q_emb")))
+    c = candidates.withColumn("c_nrm", norm(F.col("c_emb")))
+    paired = c.crossJoin(F.broadcast(q))
+    # norms precomputed per row (not per pair): cosine costs ONE array pass
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        ndigits,
+    )
     w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(cand_id))
     return (
         paired.withColumn("cos", cos)
@@ -105,10 +111,17 @@ def lsh_topk(
     bucket. Recall < 1 by design; at scale the bucket join replaces the
     cross product (equi-join on bucket => hash-partitioned, no broadcast
     of the candidate side needed)."""
-    q = queries.withColumn("bucket", lsh_bucket(F.col("q_emb"), dim, n_planes))
-    c = candidates.withColumn("bucket", lsh_bucket(F.col("c_emb"), dim, n_planes))
+    q = queries.withColumn("bucket", lsh_bucket(F.col("q_emb"), dim, n_planes)).withColumn(
+        "q_nrm", norm(F.col("q_emb"))
+    )
+    c = candidates.withColumn("bucket", lsh_bucket(F.col("c_emb"), dim, n_planes)).withColumn(
+        "c_nrm", norm(F.col("c_emb"))
+    )
     paired = c.join(F.broadcast(q), "bucket")
-    cos = F.round(cosine(F.col("q_emb"), F.col("c_emb")), ndigits)
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        ndigits,
+    )
     w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(cand_id))
     return (
         paired.withColumn("cos", cos)
