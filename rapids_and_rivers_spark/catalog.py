@@ -76,6 +76,7 @@ def oracle_sql() -> dict[str, str]:
 #   event_id, user_id, value                          (typed scalars)
 #   amount       = value as NUMBER when event_id even, as STRING when odd
 #   discount     = round(value*0.1, 2) ONLY when value > 100 (else missing)
+#   is_large     = value > 100 (boolean; missing when value is null)
 #   tags         = [event_type, "all"]
 #   user         = {"id": user_id}                    (nested object)
 #   props        = original props JSON (nested object)
@@ -120,6 +121,7 @@ def _build_events_rapid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "discount",
             F.when(F.col("value") > 100, E.variant_of(F.round(F.col("value") * 0.1, 2))),
         ),
+        ("is_large", E.variant_of(F.col("value") > 100)),
         ("tags", E.variant_of(F.array(F.col("event_type"), F.lit("all")))),
         ("user", E.variant_of(F.struct(F.col("user_id").alias("id")))),
         ("props", F.try_parse_json("props")),
@@ -297,6 +299,212 @@ def river_error_accumulation(spark, sf_dir):
         .select(F.array_join("errors", "; ").alias("err_str"))
         .groupBy("err_str")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "river_require_all",
+    """
+    SELECT event_id FROM events WHERE event_type = 'click'
+    """,
+    doc="F6 requireAll: array must contain ALL values (JsonMessage.kt:687-694); "
+    "tags=[event_type,'all'] so ⊇{all,click} selects exactly the clicks",
+)
+def river_require_all(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("all_tags").validate(P.require_all("tags", ["all", "click"]))
+    return river.passing(rapid).select(River.field("event_id", "long"))
+
+
+@register(
+    "river_all_or_any",
+    """
+    SELECT event_id FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+    doc="F8 requireAllOrAny: array intersects values (JsonMessage.kt:678-685)",
+)
+def river_all_or_any(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("overlap").validate(
+        P.require_all_or_any("tags", ["purchase", "signup"])
+    )
+    return river.passing(rapid).select(River.field("event_id", "long"))
+
+
+@register(
+    "river_forbid_values",
+    """
+    SELECT event_id FROM events WHERE event_type NOT IN ('click', 'view')
+    """,
+    doc="F14 forbidValues: fail when string ∈ values (JsonMessage.kt:727-731)",
+)
+def river_forbid_values(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("fv").validate(P.forbid_values("@event_name", ["click", "view"]))
+    return river.passing(rapid).select(River.field("event_id", "long"))
+
+
+@register(
+    "river_bool_value",
+    """
+    SELECT event_id
+    FROM events
+    WHERE COALESCE(value > 100, FALSE) AND event_type <> 'error'
+    """,
+    doc="F4 requireValue(Boolean) + F13 forbidValue: strict boolean typing "
+    "(JsonMessage.kt:632-637,715-725) over the is_large flag",
+)
+def river_bool_value(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("bools").validate(
+        P.require_value("is_large", True), P.forbid_value("@event_name", "error")
+    )
+    return river.passing(rapid).select(River.field("event_id", "long"))
+
+
+@register(
+    "river_array_elements",
+    """
+    SELECT event_id FROM events WHERE event_type <> 'error'
+    """,
+    doc="F10 requireArray with element validation block: every element passes "
+    "the nested predicate (JsonMessage.kt:663-671; JsonMessageTest.kt:777-796)",
+)
+def river_array_elements(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("elements").validate(
+        P.require_array(
+            "tags",
+            element_ok=lambda e: F.try_variant_get(e, "$", "string") != F.lit("error"),
+        )
+    )
+    return river.passing(rapid).select(River.field("event_id", "long"))
+
+
+@register(
+    "river_interested_in",
+    """
+    SELECT event_id,
+           COALESCE(value > 100, FALSE) AS has_discount
+    FROM events
+    """,
+    doc="F15/F16 interestedIn: always passes, declares/projects optional keys; "
+    "with parser fails only when present AND unparseable (JsonMessage.kt:733-745). "
+    "Presence projected as boolean: re-deriving the rounded double in the "
+    "oracle hits round-half float divergence (14.095 binary -> 14.09 vs 14.10)",
+)
+def river_interested_in(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("interest").validate(
+        P.require_key("event_id"), *P.interested_in("discount", parser="number")
+    )
+    return river.passing(rapid).select(
+        River.field("event_id", "long"),
+        River.field("discount", "double").isNotNull().alias("has_discount"),
+    )
+
+
+@register(
+    "river_dsl_v2",
+    """
+    SELECT CASE WHEN COALESCE(value > 100, FALSE) AND event_id % 2 = 0
+                THEN 'pass' ELSE 'validation_failed' END AS verdict,
+           concat_ws('; ',
+             CASE WHEN NOT COALESCE(value > 100, FALSE)
+                  THEN 'Missing required key: discount' END,
+             CASE WHEN event_id % 2 = 1
+                  THEN 'Required amount to parse as number' END
+           ) AS err_str,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="F28 DSL v2 should/must/can (MessageValidation.kt:54-94): should "
+    "accumulates, must aborts remaining rules (amount is a string for odd "
+    "event_ids), can only declares",
+)
+def river_dsl_v2(spark, sf_dir):
+    from rapids_and_rivers_spark.functions import dsl
+
+    rapid = events_rapid(spark, sf_dir)
+    river = River("dslv2").validate(
+        dsl.spec(
+            dsl.should("discount").exist(),
+            dsl.must("amount").parse_as("number"),
+            dsl.should("ping_time").parse_as("localdatetime"),
+            dsl.can("user_id").exist(),
+        )
+    )
+    return (
+        river.evaluate(rapid)
+        .select("verdict", F.array_join("errors", "; ").alias("err_str"))
+        .groupBy("verdict", "err_str")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "river_temporal_parse",
+    f"""
+    SELECT event_id,
+           strftime(ts, '{ISO_FMT_DUCK}') AS ldt,
+           strftime(ts, '%Y-%m-%d') AS d,
+           strftime(ts, '%Y-%m') AS ym,
+           TRUE AS instant_rejected,
+           TRUE AS not_a_uuid
+    FROM events
+    """,
+    doc="T7/T8 temporal & id parsers (JsonMessage.kt:786-838,782): "
+    "asLocalDateTime roundtrip, date/year-month projection, asInstant "
+    "REJECTS zone-less input, toUUID rejects non-UUID strings",
+)
+def river_temporal_parse(spark, sf_dir):
+    from rapids_and_rivers_spark.functions import temporal as TP
+
+    rapid = events_rapid(spark, sf_dir)
+    river = River("temporal").validate(
+        P.require_parseable("ping_time", "localdatetime")
+    )
+    ping = River.field("ping_time", "string", "ping_raw")
+    parsed = TP.try_local_datetime(ping)
+    return river.passing(rapid).select(
+        River.field("event_id", "long"),
+        F.date_format(parsed, ISO_FMT).alias("ldt"),
+        F.date_format(parsed, "yyyy-MM-dd").alias("d"),
+        F.date_format(parsed, "yyyy-MM").alias("ym"),
+        TP.try_instant(ping).isNull().alias("instant_rejected"),
+        TP.try_uuid(River.field("@id", "string", "idv")).isNull().alias("not_a_uuid"),
+    )
+
+
+@register(
+    "republish_open_schema",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+           TRUE AS audited,
+           'audited_event' AS event_name
+    FROM events
+    """,
+    doc="T1/T2/§1.5 mutation + open-schema republish (JsonMessage.kt:773-779): "
+    "set fields, re-serialize, and UNDECLARED nested fields (props.k) survive "
+    "the round-trip verbatim",
+)
+def republish_open_schema(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+    river = River("repub").validate(P.require_key("event_id"))
+    passing = river.passing(rapid)
+    m = E.to_message_map(F.col("value"))
+    updated = E.merge(
+        m, {"audited": E.vlit(True), "@event_name": E.vlit("audited_event")}
+    )
+    out = passing.select(F.to_json(updated).alias("republished"))
+    pv = F.try_parse_json("republished")
+    return out.select(
+        F.try_variant_get(pv, "$['event_id']", "long").alias("event_id"),
+        F.try_variant_get(pv, "$['props']['k']", "long").alias("prop_k"),
+        F.try_variant_get(pv, "$['audited']", "boolean").alias("audited"),
+        F.try_variant_get(pv, "$['@event_name']", "string").alias("event_name"),
     )
 
 
@@ -732,6 +940,259 @@ def top_orders_per_customer(spark, sf_dir):
     )
 
 
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 (adapted: late-ship predicate): EXISTS == left-semi join; "
+    "the semi join shuffles once on orderkey, no row duplication",
+)
+def q4_order_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure scan-filter-aggregate; predicate pushdown to parquet, "
+    "single partial+final agg, zero joins",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10: returned-item ranking; nation broadcast, fact-side joins "
+    "shuffle on orderkey, deterministic top-20",
+)
+def q10_returned_items(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_effect",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 (adapted: p_type equality): conditional aggregation over a "
+    "broadcast dimension join",
+)
+def q14_promo_effect(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q18_large_volume",
+    """
+    SELECT c.c_custkey, o.o_orderkey,
+           round(o.o_totalprice, 4) AS totalprice,
+           round(t.sum_qty, 4) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 120
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H Q18: agg-then-join (HAVING pre-filters the fact side before "
+    "the join, shrinking the shuffle)",
+)
+def q18_large_volume(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    t = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 120)
+    )
+    return (
+        t.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.round("qty", 4).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "anti_join_quiet_customers",
+    """
+    SELECT c.c_custkey
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+    doc="NOT EXISTS == left-anti join: customers with no large order "
+    "(extension surface §2.6 set/semi ops)",
+)
+def anti_join_quiet_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+
+
+@register(
+    "set_ops_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    GROUP BY o_custkey HAVING count(*) >= 6
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    GROUP BY o_custkey HAVING count(*) >= 9
+    """,
+    doc="set operators (§2.6): INTERSECT / UNION(distinct) / EXCEPT with "
+    "SQL's left-to-right chaining semantics",
+)
+def set_ops_segments(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+
+    def frequent(n):
+        return (
+            o.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= n)
+            .select(F.col("o_custkey").alias("c_custkey"))
+        )
+
+    # SQL precedence: INTERSECT binds tighter; UNION/EXCEPT left-to-right:
+    # ((B ∩ F6) ∪ A) − F9, all with DISTINCT semantics
+    return building.intersect(frequent(6)).union(auto).subtract(frequent(9))
+
+
+@register(
+    "rollup_order_status",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="ROLLUP grouping sets (§2.6): hierarchical subtotals in one pass "
+    "(partial aggregation still applies per grouping set)",
+)
+def rollup_order_status(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
 # ===========================================================================
 # D. Training-data pipeline operators (SURVEY.md §7.2 M5): dedup,
 #    similarity search, text analysis over documents/embeddings
@@ -818,6 +1279,34 @@ def text_langid(spark, sf_dir):
         T.marker_score(F.col("text"), T.LANG_MARKERS["en"])
         .cast("long")
         .alias("score_en"),
+    )
+
+
+@register(
+    "text_token_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}]', '', 'g')) AS DOUBLE)
+                 / nullif(length(text), 0), 4) AS punct_ratio
+    FROM documents
+    """,
+    doc="BPE-ish regex token counting + whitespace tokens + punctuation ratio "
+    "(pre-tokenizer word/number/symbol split, GPT-2 style simplified); "
+    "narrow projections, fuse into the scan",
+)
+def text_token_bpe(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    return docs.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        T.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
     )
 
 
