@@ -24,21 +24,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from rapids_and_rivers_spark.operators.similarity import dot, norm
 from rapids_and_rivers_spark.operators.text import normalized, tokens
-
-
-def spread(df: DataFrame, by: str) -> DataFrame:
-    """Repartition iff the scan is under-partitioned for this cluster.
-
-    Local/small parquet often arrives as ONE split, serializing per-row
-    signature work onto one core. At 100 TB inputs already carry thousands
-    of splits, so this is a no-op there — the guard avoids paying an
-    unnecessary full-corpus shuffle at scale.
-    """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target, by)
-    return df
+from rapids_and_rivers_spark.sources.tables import spread
 
 
 # --- exact ------------------------------------------------------------------

@@ -38,7 +38,10 @@ def attach_media(
     binary / object-store pointers); here it is synthesized by encoding a
     text column so the pipeline is runnable on the test tables.
     """
+    from rapids_and_rivers_spark.sources.tables import spread
+
     payload = F.encode(F.col(payload_from), "UTF-8")
+    df = spread(df, id_col)  # parallel Arrow batches on under-partitioned input
     return df.select(
         F.col(id_col).alias("doc_id"),
         payload.alias("payload"),
@@ -69,16 +72,23 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
         raise NotImplementedError("real decode requires codec libraries")
 
     def gen(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             payloads = pdf["payload"]
+            # vectorize inside the batch: numpy over the raw bytes, never a
+            # per-byte Python loop (the production decode would likewise be
+            # a C-level call per payload)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": payloads.map(len),
                     "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
-                    "byte_checksum": payloads.map(lambda b: sum(b) % 1_000_000_007),
+                    "byte_checksum": payloads.map(
+                        lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())
+                        % 1_000_000_007
+                    ),
                     "mime": pdf["meta"].map(lambda m: m["mime"]),
                 }
             )
@@ -92,6 +102,11 @@ def sample_frames(
     """Frame-sampling plumbing: emit up to ``max_frames`` fixed-stride
     'frames' (byte slices) per payload — the video-frame-sampling shape
     (explode to one row per frame) with a byte-slice stand-in decode."""
+    # bind the decoded payload to an attribute first: expressions inside
+    # HOF lambdas are re-evaluated per element (here: per frame)
+    decoded = media.select(
+        "doc_id", F.col("payload").cast("string").alias("payload_str")
+    )
     idx = F.sequence(F.lit(0), F.lit(max_frames - 1))
     frames = F.filter(
         F.transform(
@@ -99,12 +114,18 @@ def sample_frames(
             lambda i: F.struct(
                 i.alias("frame_no"),
                 F.substring(
-                    F.col("payload").cast("string"), i * every_n_bytes + 1, every_n_bytes
+                    F.col("payload_str"), i * every_n_bytes + 1, every_n_bytes
                 ).alias("frame"),
             ),
         ),
         lambda s: F.length(s["frame"]) > 0,
     )
-    return media.select(
-        "doc_id", F.explode(frames).alias("f")
-    ).select("doc_id", F.col("f.frame_no").alias("frame_no"), F.col("f.frame").alias("frame"))
+    return (
+        decoded.select("doc_id", F.explode_outer(frames).alias("f"))
+        .filter(F.col("f").isNotNull())
+        .select(
+            "doc_id",
+            F.col("f.frame_no").alias("frame_no"),
+            F.col("f.frame").alias("frame"),
+        )
+    )

@@ -67,6 +67,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, by: str) -> DataFrame:
+    """Repartition iff the scan is under-partitioned for this cluster.
+
+    Local/small parquet often arrives as ONE split, serializing per-row
+    compute onto one core. At 100 TB inputs already carry thousands of
+    splits, so this is a no-op there — the guard avoids paying an
+    unnecessary full-corpus shuffle at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, by)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
