@@ -1368,6 +1368,28 @@ def sim_ann_lsh(spark, sf_dir):
 
 
 @register(
+    "sim_ann_ivf",
+    None,  # approximate by construction: driver records rows-only
+    doc="IVF-style ANN: candidates inverted-filed by nearest coarse "
+    "centroid, queries probe nprobe cells (scan nprobe/n_cells of the "
+    "corpus instead of all of it)",
+)
+def sim_ann_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    candidates = spread(
+        emb.filter(F.col("vec_id") >= 10), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    return S.ivf_topk(queries, candidates, dim=64, k=5, n_cells=16, nprobe=4)
+
+
+@register(
     "embedding_neardup",
     """
     SELECT a.vec_id AS id_a,

@@ -97,6 +97,77 @@ def lsh_bucket(col: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Colu
     return bucket
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    ndigits: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: an inverted file over coarse cells.
+
+    Every candidate is assigned to its nearest of ``n_cells`` coarse
+    centroids (the IVF cell); each query probes its ``nprobe`` nearest
+    cells and ranks only those candidates. At scale this is the classic
+    IVF trade: the candidate side is hash-partitioned by cell (one
+    shuffle, reusable across query batches), and each query scans
+    ``nprobe/n_cells`` of the corpus instead of all of it.
+
+    Centroids here are deterministic pseudo-random unit vectors (the
+    'training' plug-point — production would fit k-means and broadcast
+    the codebook; the plan shape is identical).
+    """
+    cents = _deterministic_planes(dim, n_cells, seed)
+
+    def scores_of(col: Column) -> Column:
+        return F.array(
+            *[dot(col, F.array(*[F.lit(x) for x in p])) for p in cents]
+        )
+
+    # candidates: argmax cell (array_position is 1-based; ties -> first)
+    c = candidates.withColumn("__scores", scores_of(F.col("c_emb")))
+    c = c.withColumn(
+        "cell", F.array_position(F.col("__scores"), F.array_max(F.col("__scores")))
+    ).drop("__scores").withColumn("c_nrm", norm(F.col("c_emb")))
+
+    # queries: probe the nprobe best cells (scores bound to an attribute
+    # BEFORE the transform — HOF lambdas re-evaluate outer expressions)
+    q = queries.withColumn("__scores", scores_of(F.col("q_emb")))
+    ranked = F.transform(
+        F.col("__scores"),
+        lambda s, i: F.struct(s.alias("score"), (i + 1).alias("cell")),
+    )
+    q = (
+        q.withColumn("__probe", F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe))
+        .withColumn("q_nrm", norm(F.col("q_emb")))
+        .select(
+            query_id,
+            "q_emb",
+            "q_nrm",
+            F.explode(F.transform(F.col("__probe"), lambda s: s["cell"])).alias(
+                "cell"
+            ),
+        )
+    )
+    paired = c.join(F.broadcast(q), "cell")
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        ndigits,
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(cand_id))
+    return (
+        paired.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, cand_id, "cos")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

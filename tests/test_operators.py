@@ -129,3 +129,23 @@ def test_embedding_neardup_threshold(spark):
     )
     pairs = D.embedding_neardup_pairs(df, threshold=0.95).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+
+
+def test_ivf_topk_finds_self_cell_neighbors(spark):
+    """IVF ANN: identical vectors land in the same cell and rank first."""
+    from rapids_and_rivers_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    dim = 8
+    base = [float(i % 3 - 1) for i in range(dim)]
+    rows = [(0, base), (10, base), (11, [-x for x in base])]
+    df = spark.createDataFrame(rows, "vec_id int, emb array<double>")
+    q = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    c = df.filter("vec_id >= 10").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb")
+    )
+    out = S.ivf_topk(q, c, dim=dim, k=2, n_cells=4, nprobe=2).collect()
+    by_id = {r.neighbor_id: r.cos for r in out}
+    assert by_id.get(10) == 1.0  # identical vector found with cos 1

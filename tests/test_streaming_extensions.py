@@ -123,3 +123,77 @@ def test_stream_stream_behov_join(spark, tmp_path):
     q.awaitTermination()
     rows = [(r.behovId, r.solution) for r in spark.sql("SELECT * FROM behov_join").collect()]
     assert rows == [("need-1", 42)]
+
+
+def test_stateful_rate_limit_across_batches(spark, tmp_path):
+    """applyInPandasWithState rate limiter: state survives micro-batch
+    boundaries (PingPong.kt:29-35 lastPing generalized per key)."""
+    from rapids_and_rivers_spark.streaming.stateful import rate_limit_by_key
+
+    src = str(tmp_path / "in")
+    # two files + maxFilesPerTrigger=1 => two micro-batches
+    write_lines(
+        src,
+        [
+            json.dumps({"k": "k1", "ts": "2026-01-01T00:00:00"}),
+            json.dumps({"k": "k1", "ts": "2026-01-01T00:00:03"}),  # < 5s: drop
+            json.dumps({"k": "k2", "ts": "2026-01-01T00:00:01"}),
+        ],
+        name="a.txt",
+    )
+    write_lines(
+        src,
+        [
+            # only suppressed if k1's last_emit SURVIVED batch 1
+            json.dumps({"k": "k1", "ts": "2026-01-01T00:00:04"}),
+            json.dumps({"k": "k1", "ts": "2026-01-01T00:00:06"}),  # >= 5s: emit
+        ],
+        name="b.txt",
+    )
+    # the file source orders batches by modification time: pin a.txt first
+    now = os.path.getmtime(os.path.join(src, "a.txt"))
+    os.utime(os.path.join(src, "a.txt"), (now - 100, now - 100))
+    os.utime(os.path.join(src, "b.txt"), (now + 100, now + 100))
+    events = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .select(F.from_json("value", "k string, ts timestamp").alias("m"))
+        .select("m.*")
+    )
+    limited = rate_limit_by_key(events, "k", "ts", interval_seconds=5)
+    q = (
+        limited.writeStream.format("memory")
+        .queryName("rate_limited")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.k, r.ts.isoformat())
+        for r in spark.sql("SELECT * FROM rate_limited").collect()
+    }
+    assert got == {
+        ("k1", "2026-01-01T00:00:00"),
+        ("k1", "2026-01-01T00:00:06"),
+        ("k2", "2026-01-01T00:00:01"),
+    }
+
+
+def test_stateful_rate_limit_on_batch_df(spark):
+    """Batch/stream duality: the same operator runs on a plain DataFrame."""
+    from rapids_and_rivers_spark.streaming.stateful import rate_limit_by_key
+
+    df = spark.createDataFrame(
+        [
+            ("g", "2026-01-01T00:00:00"),
+            ("g", "2026-01-01T00:00:02"),
+            ("g", "2026-01-01T00:00:09"),
+        ],
+        "k string, raw string",
+    ).select("k", F.col("raw").cast("timestamp").alias("ts"))
+    out = rate_limit_by_key(df.select("k", "ts"), "k", "ts", interval_seconds=5)
+    got = sorted(r.ts.isoformat() for r in out.collect())
+    assert got == ["2026-01-01T00:00:00", "2026-01-01T00:00:09"]
