@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
-from rapids_and_rivers_spark.river import VERDICT_COL, Verdict
+from rapids_and_rivers_spark.river import VARIANT_COL, VERDICT_COL, Verdict
 
 
 def observe_verdicts(
@@ -43,6 +43,24 @@ def observe_verdicts(
         return evaluated.observe(name, *counters), name
     obs = Observation(name)
     return evaluated.observe(obs, *counters), obs
+
+
+def recognized_key_counts(evaluated: DataFrame, river) -> DataFrame:
+    """``message_keys_counter`` parity (P3, River.kt:91-102): for each key
+    the river declared, how many PASSING packets carried it non-null.
+
+    One aggregation pass (a conditional count per key), unpivoted to
+    ``(key, n)`` rows — no per-key scans.
+    """
+    from rapids_and_rivers_spark.functions import json_ops as J
+
+    v = F.col(VARIANT_COL)
+    counts = [
+        F.count(F.when(~J.is_missing_or_null(v, k), 1)).alias(k)
+        for k in river.declared_keys
+    ]
+    agg = evaluated.filter(F.col(VERDICT_COL) == Verdict.PASS).agg(*counts)
+    return agg.unpivot([], list(river.declared_keys), "key", "n")
 
 
 def event_name_counts(evaluated: DataFrame, variant_col: str = "__variant") -> DataFrame:

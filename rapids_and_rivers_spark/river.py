@@ -156,9 +156,15 @@ class River:
         """Attach ``__variant``, ``verdict``, ``errors`` columns.
 
         The variant parse is materialized as a column so Catalyst evaluates
-        it once and every rule expression references the shared result.
+        it once and every rule expression references the shared result. A
+        pre-existing ``__variant`` column is REUSED — the runtime parses
+        each micro-batch once and every registered river shares it (the
+        reference re-parses per river, River.kt:53-55).
         """
-        with_v = df.withColumn(VARIANT_COL, J.parse(F.col(value_col)))
+        if VARIANT_COL in df.columns:
+            with_v = df
+        else:
+            with_v = df.withColumn(VARIANT_COL, J.parse(F.col(value_col)))
         verdict = self.verdict_expr(F.col(VARIANT_COL))
         return with_v.withColumn(VERDICT_COL, verdict[VERDICT_COL]).withColumn(
             ERRORS_COL, verdict[ERRORS_COL]

@@ -170,10 +170,18 @@ class StreamingRapid(AbstractRapid):
         msgs = batch_df.filter(F.col("value").isNotNull() & (F.length("value") > 0))
         for fn in self._raw_listeners:
             fn(msgs)
+        # parse ONCE per batch; every river's branch and the DLQ union read
+        # the cached parsed batch instead of re-scanning + re-parsing the
+        # source per river (the union sink plan has one branch per river)
+        from rapids_and_rivers_spark.functions import json_ops as J
+
+        parsed = msgs.withColumn(VARIANT_COL, J.parse(F.col("value")))
+        if len(self._rivers) > 1:
+            parsed = parsed.persist()
         replies: list[DataFrame] = []
         dlq_parts: list[DataFrame] = []
         for river in self._rivers:
-            evaluated = river.evaluate(msgs)
+            evaluated = river.evaluate(parsed)
             passing = evaluated.filter(F.col(VERDICT_COL) == Verdict.PASS)
             for responder in river.responders:
                 replies.append(responder(passing).select("value", "key"))
@@ -193,16 +201,20 @@ class StreamingRapid(AbstractRapid):
                         "key",
                     )
                 )
-        if replies and self._sink is not None:
-            out = replies[0]
-            for r in replies[1:]:
-                out = out.unionByName(r)
-            self._sink(out)
-        if dlq_parts and self._dlq is not None:
-            dlq = dlq_parts[0]
-            for d in dlq_parts[1:]:
-                dlq = dlq.unionByName(d)
-            self._dlq(dlq)
+        try:
+            if replies and self._sink is not None:
+                out = replies[0]
+                for r in replies[1:]:
+                    out = out.unionByName(r)
+                self._sink(out)
+            if dlq_parts and self._dlq is not None:
+                dlq = dlq_parts[0]
+                for d in dlq_parts[1:]:
+                    dlq = dlq.unionByName(d)
+                self._dlq(dlq)
+        finally:
+            if len(self._rivers) > 1:
+                parsed.unpersist()
 
     # -- lifecycle -------------------------------------------------------------
 

@@ -120,3 +120,28 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
+
+
+def test_recognized_key_counts(spark):
+    """message_keys_counter parity: per-declared-key usage over passing packets."""
+    import json
+    from rapids_and_rivers_spark import metrics
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import River
+
+    msgs = [
+        json.dumps({"@event_name": "x", "a": 1, "b": 2}),
+        json.dumps({"@event_name": "x", "a": 1}),
+        json.dumps({"@event_name": "y", "a": 1, "b": 3}),  # fails the river
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    river = (
+        River("r")
+        .validate(P.require_value("@event_name", "x"), P.require_key("a"))
+        .validate(*P.interested_in("b"))
+    )
+    out = {
+        r.key: r.n
+        for r in metrics.recognized_key_counts(river.evaluate(df), river).collect()
+    }
+    assert out == {"@event_name": 2, "a": 2, "b": 1}

@@ -240,3 +240,57 @@ def test_process_batch_on_plain_batch_df(spark):
     )
     rapid.process_batch(df)
     assert len(captured) == 1
+
+
+def test_evaluate_reuses_preparsed_variant(spark):
+    """River.evaluate must reuse an existing __variant column (the runtime
+    parses each micro-batch once and shares it across rivers)."""
+    from pyspark.sql import functions as F
+    from rapids_and_rivers_spark.functions import json_ops as J
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import VARIANT_COL, River
+
+    df = spark.createDataFrame([('{"a": 1}',)], "value string")
+    # pre-parse a DIFFERENT document: if evaluate re-parsed `value`, the
+    # verdict would flip
+    preparsed = df.withColumn(VARIANT_COL, J.parse(F.lit('{"b": 2}')))
+    river = River("r").validate(P.require_key("b"))
+    out = river.evaluate(preparsed).select("verdict").collect()
+    assert out[0].verdict == "pass"
+
+
+def test_multi_river_batch_dispatch(spark, tmp_path):
+    """Two rivers over one batch: both see every message (R1 broadcast
+    dispatch), each filters independently, replies union into the sink."""
+    import json
+    from pyspark.sql import functions as F
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import River
+    from rapids_and_rivers_spark.streaming.runtime import StreamingRapid
+
+    msgs = [
+        json.dumps({"@event_name": "a", "n": 1}),
+        json.dumps({"@event_name": "b", "n": 2}),
+        json.dumps({"@event_name": "a", "n": 3}),
+    ]
+    df = spark.createDataFrame([(m, "k") for m in msgs], "value string, key string")
+
+    def tag(name):
+        def responder(passing):
+            return passing.select(
+                F.concat(F.lit(name + ":"), F.col("value")).alias("value"), "key"
+            )
+
+        return responder
+
+    rapid = StreamingRapid(spark, service_name="svc", instance_id="i1")
+    rapid.register(
+        River("ra").validate(P.require_value("@event_name", "a")).respond(tag("ra"))
+    )
+    rapid.register(
+        River("rb").validate(P.require_value("@event_name", "b")).respond(tag("rb"))
+    )
+    got = []
+    rapid.set_sink(lambda out: got.extend(r.value for r in out.collect()))
+    rapid.process_batch(df)
+    assert sorted(g.split(":")[0] for g in got) == ["ra", "ra", "rb"]
