@@ -41,9 +41,19 @@ class Rule:
     severity: str = REQUIRE
     #: keys this rule declares readable on the packet (JsonMessage.kt:109)
     declared_keys: tuple[str, ...] = field(default_factory=tuple)
+    #: optional dynamic message builder (variant -> string Column); when
+    #: set it supersedes ``message`` (used for per-element error indexes)
+    message_expr: Callable[[Column], Column] | None = None
 
     def with_severity(self, severity: str) -> "Rule":
-        return Rule(self.name, self.ok, self.message, severity, self.declared_keys)
+        return Rule(
+            self.name,
+            self.ok,
+            self.message,
+            severity,
+            self.declared_keys,
+            self.message_expr,
+        )
 
 
 def _nn(col: Column) -> Column:
@@ -171,6 +181,7 @@ def require_array(
     """
     if element_ok is None:
         ok = lambda v: _nn(J.is_array(v, key))  # noqa: E731
+        message_expr = None
     else:
         ok = lambda v: _nn(  # noqa: E731
             J.is_array(v, key)
@@ -179,6 +190,28 @@ def require_array(
                 lambda e: F.coalesce(element_ok(e), F.lit(False)),
             )
         )
+
+        def message_expr(v: Column) -> Column:
+            # per-index failure report (JsonMessage.kt:663-671 indexes each
+            # element's errors): "tags: elements [0, 2] failed validation"
+            arr = F.try_variant_get(v, J.json_path(key), "array<variant>")
+            bad = F.filter(
+                F.transform(arr, lambda e, i: F.struct(i.alias("i"), e.alias("e"))),
+                lambda s: ~F.coalesce(element_ok(s["e"]), F.lit(False)),
+            )
+            idx_list = F.array_join(
+                F.transform(bad, lambda s: s["i"].cast("string")), ", "
+            )
+            return F.when(
+                arr.isNull(), F.lit(f"Required {key} to be an array")
+            ).otherwise(
+                F.concat(
+                    F.lit(f"{key}: elements ["),
+                    idx_list,
+                    F.lit("] failed validation"),
+                )
+            )
+
     return Rule(
         name=f"require_array({key})",
         ok=ok,
@@ -186,6 +219,7 @@ def require_array(
         + (" with valid elements" if element_ok else ""),
         severity=severity,
         declared_keys=(key,),
+        message_expr=message_expr,
     )
 
 

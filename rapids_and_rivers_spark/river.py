@@ -66,9 +66,13 @@ def _errors_expr(rules: Sequence[Rule], v: Column) -> Column:
     for rule in rules:
         ok = F.coalesce(rule.ok(v), F.lit(False))
         fail = (~ok) & (~aborted)
-        errors = F.when(fail, F.array_append(errors, F.lit(rule.message))).otherwise(
-            errors
+        # a rule may carry a dynamic (per-message) error message built from
+        # the variant — e.g. requireArray reports WHICH element indexes
+        # failed (JsonMessage.kt:663-671 errors are per-index)
+        msg = rule.message_expr(v) if rule.message_expr is not None else F.lit(
+            rule.message
         )
+        errors = F.when(fail, F.array_append(errors, msg)).otherwise(errors)
         if rule.severity == DEMAND:
             aborted = aborted | fail
     return errors

@@ -246,3 +246,30 @@ def test_demand_pass_continues(spark):
     )
     verdict, errors = run_river(spark, river, ['{"e":"x","b":1}'])[0]
     assert verdict == Verdict.PASS and errors == []
+
+
+def test_require_array_reports_failing_indexes(spark):
+    """F10 element-validation errors name the failing element indexes
+    (JsonMessage.kt:663-671 indexes element errors)."""
+    import json
+    from pyspark.sql import functions as F
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import River
+
+    msgs = [
+        json.dumps({"xs": [1, -2, 3, -4]}),  # indexes 1, 3 fail
+        json.dumps({"xs": [5, 6]}),          # passes
+        json.dumps({"xs": "nope"}),          # not an array
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    river = River("r").validate(
+        P.require_array(
+            "xs", element_ok=lambda e: F.try_variant_get(e, "$", "long") > 0
+        )
+    )
+    rows = river.evaluate(df).select("verdict", "errors").collect()
+    assert rows[0].verdict == "validation_failed"
+    assert rows[0].errors == ["xs: elements [1, 3] failed validation"]
+    assert rows[1].verdict == "pass"
+    assert rows[2].verdict == "validation_failed"
+    assert rows[2].errors == ["Required xs to be an array"]
