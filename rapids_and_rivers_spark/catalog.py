@@ -750,6 +750,48 @@ def window_sessionize(spark, sf_dir):
 
 
 @register(
+    "window_session_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             -- >= not >: session_window merges only when the next event is
+             -- STRICTLY inside the previous event's gap window
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%dT%H:%M:%S.%f') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc="native session_window() groupBy (gap-close 30 min) — the same "
+    "operator Structured Streaming runs incrementally with a watermark; "
+    "oracle reproduces sessions via gap-flag window functions",
+)
+def window_session_native(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", ISO_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "dedup_first_event",
     """
     SELECT user_id, event_type, event_id AS first_event_id
@@ -1409,6 +1451,45 @@ def embedding_neardup(spark, sf_dir):
     return D.embedding_neardup_pairs(
         emb, emb_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
     )
+
+
+@register(
+    "dedup_clusters",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM r JOIN edges e ON r.b = e.u
+      )
+      SELECT * FROM r
+    )
+    SELECT a AS node, least(a, min(b)) AS cluster
+    FROM reach
+    GROUP BY a
+    """,
+    doc="near-dup pairs -> duplicate CLUSTERS: connected components via "
+    "iterative min-label propagation; cluster id = canonical keeper "
+    "(oracle: transitive closure by recursive CTE)",
+)
+def dedup_clusters(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs(
+        emb, emb_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
+    )
+    return D.duplicate_clusters(pairs)
 
 
 @register(

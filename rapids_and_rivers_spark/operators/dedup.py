@@ -377,6 +377,64 @@ def simhash_pairs(
     )
 
 
+# --- duplicate clusters (connected components over near-dup pairs) -----------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into CLUSTERS: connected components by
+    iterative min-label propagation; the cluster id is the smallest doc id
+    in the component (the canonical "keeper" every dedup pipeline needs).
+
+    Scale notes: each iteration is one join + one aggregation (2 shuffles)
+    over the edge list; iterations needed = graph diameter, which for
+    near-dup graphs is tiny (dup clusters are dense). The loop converges
+    early via a per-iteration changed-count check — an iterative algorithm
+    by nature, so the driver-side loop is the correct shape (each pass is
+    fully distributed). Production-hardened variants (large-star/small-star)
+    drop in here unchanged.
+
+    Output: (node, cluster) for every id that appears in ``pairs``.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = (
+        edges.select("u").distinct().withColumn("label", F.col("u")).persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nl") < F.col("label")).alias("changed"),
+            )
+        ).persist()
+        # full count (not limit-1): materializes the WHOLE new label cache
+        # before the parent cache is dropped, keeping lineage flat
+        changed = new_labels.filter(F.col("changed")).count()
+        labels.unpersist()
+        labels = new_labels.select("u", "label").persist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster"))
+
+
 # --- embedding near-dup -------------------------------------------------------
 
 

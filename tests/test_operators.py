@@ -149,3 +149,15 @@ def test_ivf_topk_finds_self_cell_neighbors(spark):
     out = S.ivf_topk(q, c, dim=dim, k=2, n_cells=4, nprobe=2).collect()
     by_id = {r.neighbor_id: r.cos for r in out}
     assert by_id.get(10) == 1.0  # identical vector found with cos 1
+
+
+def test_duplicate_clusters_chain_and_island(spark):
+    """Connected components: a chain 1-2-3 collapses to cluster 1; the
+    separate pair (7,9) keeps cluster 7."""
+    from rapids_and_rivers_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a bigint, id_b bigint"
+    )
+    got = {r.node: r.cluster for r in D.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}

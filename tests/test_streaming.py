@@ -294,3 +294,36 @@ def test_multi_river_batch_dispatch(spark, tmp_path):
     rapid.set_sink(lambda out: got.extend(r.value for r in out.collect()))
     rapid.process_batch(df)
     assert sorted(g.split(":")[0] for g in got) == ["ra", "ra", "rb"]
+
+
+def test_dlq_routes_failed_verdicts(spark, tmp_path):
+    """R4 error channels: non-passing messages land in the DLQ with river
+    name, verdict, and accumulated errors (River.kt:104-124)."""
+    import json
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import River
+    from rapids_and_rivers_spark.streaming.runtime import StreamingRapid
+
+    msgs = [
+        json.dumps({"@event_name": "a", "n": 1}),   # pass
+        json.dumps({"@event_name": "b"}),           # precondition fail
+        json.dumps({"@event_name": "a"}),           # validation fail (no n)
+        "not json at all",                          # unparseable
+    ]
+    df = spark.createDataFrame([(m, "k") for m in msgs], "value string, key string")
+    rapid = StreamingRapid(spark, service_name="svc", instance_id="i1")
+    rapid.register(
+        River("ra")
+        .precondition(P.require_value("@event_name", "a"))
+        .validate(P.require_key("n"))
+        .respond(lambda passing: passing.select("value", "key"))
+    )
+    rapid.set_sink(lambda out: out.count())
+    dlq_dir = str(tmp_path / "dlq")
+    rapid.set_dlq_parquet(dlq_dir)
+    rapid.process_batch(df)
+    rows = spark.read.parquet(dlq_dir).collect()
+    by_verdict = {r.verdict: r for r in rows}
+    assert set(by_verdict) == {"precondition_failed", "validation_failed", "unparseable"}
+    assert by_verdict["validation_failed"].errors == ["Missing required key: n"]
+    assert all(r.river == "ra" for r in rows)
