@@ -28,26 +28,29 @@ def main() -> None:
     spark = build_session("rars_bench")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in catalog.queries().items():
         start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # foreach-noop forces full evaluation of every row without
-        # collecting results to the driver
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, sf_dir)
+            # foreach-noop forces full evaluation of every row without
+            # collecting results to the driver
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one broken query must not kill the bench
+            errors[name] = str(exc).splitlines()[0][:200]
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -161,3 +161,25 @@ def test_duplicate_clusters_chain_and_island(spark):
     )
     got = {r.node: r.cluster for r in D.duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_skew_safe_agg_matches_plain_groupby(spark):
+    """Two-phase salted aggregation == plain groupBy results."""
+    from rapids_and_rivers_spark.operators.skew import skew_safe_agg
+    from pyspark.sql import functions as F
+
+    rows = [("hot", i, float(i)) for i in range(500)] + [
+        ("cold", i, float(i)) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, x double")
+    got = {
+        r.k: (r.n, r.mx)
+        for r in skew_safe_agg(
+            df,
+            keys=["k"],
+            aggs={"n": ("sum", F.count(F.lit(1))), "mx": ("max", F.max("x"))},
+            tiebreak="i",
+            buckets=8,
+        ).collect()
+    }
+    assert got == {"hot": (500, 499.0), "cold": (7, 6.0)}
