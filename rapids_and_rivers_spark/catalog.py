@@ -635,6 +635,85 @@ def pingpong(spark, sf_dir):
 
 
 @register(
+    "behov_protocol",
+    """
+    SELECT event_id,
+           md5('behov-' || CAST(event_id AS VARCHAR)) AS behov_id,
+           'verify_user' AS need,
+           user_id AS solved_user,
+           md5('id-' || CAST(event_id AS VARCHAR)) AS caused_by_id
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+    doc="the @behov/@løsning need/solution protocol end-to-end "
+    "(JsonMessage.kt:60-67,117-125): signups become needs (newNeed stamps "
+    "@behov + @behovId), the responder river requires the need and forbids "
+    "an existing solution, fills @løsning keyed by need name, and the "
+    "reply is envelope-stamped with @forårsaket_av causation",
+)
+def behov_protocol(spark, sf_dir):
+    rapid = events_rapid(spark, sf_dir)
+
+    # producer side: signup messages become behov events (newNeed,
+    # JsonMessage.kt:60-67) — deterministic behovId for the oracle
+    signup = River("signups").validate(P.require_value("@event_name", "signup"))
+    m0 = E.to_message_map(F.col("value"))
+    behov_id = F.md5(
+        F.concat(F.lit("behov-"), River.field("event_id", "string", "eid"))
+    )
+    needs = signup.passing(rapid).select(
+        F.to_json(
+            E.merge(
+                m0,
+                {
+                    E.NEED_KEY: E.vlit(["verify_user"]),
+                    E.NEED_ID_KEY: E.variant_of(behov_id),
+                },
+            )
+        ).alias("value"),
+        "key",
+    )
+
+    # responder side: the standard pattern — require the need, forbid an
+    # existing solution (so answered needs don't loop), fill @løsning
+    responder = (
+        River("verify_user_responder")
+        .precondition(P.require_all_or_any(E.NEED_KEY, ["verify_user"]))
+        .precondition(P.forbid(E.SOLUTION_KEY))
+        .validate(P.require_key(E.NEED_ID_KEY, "user_id"))
+    )
+    passing = responder.passing(needs)
+    m = E.to_message_map(F.col("value"))
+    solution = E.variant_of(
+        F.struct(
+            F.struct(River.field("user_id", "long", "u").alias("verified")).alias(
+                "verify_user"
+            )
+        )
+    )
+    reply = E.merge(m, {E.SOLUTION_KEY: solution})
+    stamped = E.stamp_reply(
+        reply,
+        m,
+        id_generator=F.md5(F.concat(F.lit("sol-"), River.field("event_id", "string"))),
+        now=River.field("@opprettet", "string", "created"),
+    )
+    out = passing.select(F.to_json(stamped).alias("solved"))
+    pv = F.try_parse_json("solved")
+    return out.select(
+        F.try_variant_get(pv, "$['event_id']", "long").alias("event_id"),
+        F.try_variant_get(pv, "$['@behovId']", "string").alias("behov_id"),
+        F.try_variant_get(pv, "$['@behov'][0]", "string").alias("need"),
+        F.try_variant_get(
+            pv, "$['@løsning']['verify_user']['verified']", "long"
+        ).alias("solved_user"),
+        F.try_variant_get(pv, "$['@forårsaket_av']['id']", "string").alias(
+            "caused_by_id"
+        ),
+    )
+
+
+@register(
     "behov_solution_join",
     """
     SELECT s.event_id AS behov_event,
