@@ -401,10 +401,12 @@ def duplicate_clusters(
     Output: (node, cluster) for every id that appears in ``pairs``.
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
-    labels = (
-        edges.select("u").distinct().withColumn("label", F.col("u")).persist()
-    )
+    # localCheckpoint (eager) TRUNCATES LINEAGE each iteration — without it
+    # every pass stacks its plan on the previous one and the final
+    # iterations replan/recompute the whole history (measured 18 s on an
+    # iteration whose data fit in one block)
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
+    labels = edges.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -423,15 +425,12 @@ def duplicate_clusters(
                 ),
                 (F.col("nl") < F.col("label")).alias("changed"),
             )
-        ).persist()
-        # full count (not limit-1): materializes the WHOLE new label cache
-        # before the parent cache is dropped, keeping lineage flat
+            .localCheckpoint()
+        )
         changed = new_labels.filter(F.col("changed")).count()
-        labels.unpersist()
-        labels = new_labels.select("u", "label").persist()
+        labels = new_labels.select("u", "label")
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster"))
 
 
