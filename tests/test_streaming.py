@@ -327,3 +327,27 @@ def test_dlq_routes_failed_verdicts(spark, tmp_path):
     assert set(by_verdict) == {"precondition_failed", "validation_failed", "unparseable"}
     assert by_verdict["validation_failed"].errors == ["Missing required key: n"]
     assert all(r.river == "ra" for r in rows)
+
+
+def test_lifecycle_listener_event_order():
+    """R8/R9: startup callbacks run BEFORE up/ready publish; shutdown emits
+    stop then down (RapidApplication.kt:94-139 ordering)."""
+    import json
+    from rapids_and_rivers_spark.streaming.lifecycle import RapidLifecycleListener
+
+    published, order = [], []
+    listener = RapidLifecycleListener(published.append, "app", "i-1")
+    listener.on_startup_callbacks.append(lambda: order.append("startup_cb"))
+    listener.on_ready_callbacks.append(lambda: order.append("ready_cb"))
+    listener.on_shutdown_callbacks.append(lambda: order.append("shutdown_cb"))
+
+    listener.onQueryStarted(None)
+    listener.onQueryTerminated(None)
+
+    assert listener.events == [
+        "application_up", "application_ready", "application_stop", "application_down",
+    ]
+    assert order == ["startup_cb", "ready_cb", "shutdown_cb"]
+    first = json.loads(published[0])
+    assert first["@event_name"] == "application_up"
+    assert first["app_name"] == "app" and first["instance_id"] == "i-1"
