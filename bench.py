@@ -27,6 +27,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session("rars_bench")
 
+    # warm the JVM + Python worker pool outside the timed loop so the first
+    # query's number reflects the query, not session spin-up; real work
+    # (rapid construction, signature computation) stays inside the timings
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, "x int"
+    ).count()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in catalog.queries().items():

@@ -75,9 +75,15 @@ def spread(df: DataFrame, by: str) -> DataFrame:
     splits, so this is a no-op there — the guard avoids paying an
     unnecessary full-corpus shuffle at scale.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        underpartitioned = df.rdd.getNumPartitions() < max(2, target // 2)
+    except Exception:
+        # Spark Connect sessions expose neither sparkContext nor .rdd;
+        # skip the optimization rather than guess (a blind repartition
+        # would be a full shuffle on well-partitioned cluster inputs)
+        return df
+    if underpartitioned:
         return df.repartition(target, by)
     return df
 

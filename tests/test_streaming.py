@@ -351,3 +351,58 @@ def test_lifecycle_listener_event_order():
     first = json.loads(published[0])
     assert first["@event_name"] == "application_up"
     assert first["app_name"] == "app" and first["instance_id"] == "i-1"
+
+
+def test_failed_batch_redelivered_after_restart(spark, tmp_path):
+    """Crash-stop + at-least-once parity (RapidIntegrationTest.kt:144-202):
+    a sink failure fails the query BEFORE the checkpoint commits, so a
+    restarted query redelivers the same batch and the messages are not
+    lost."""
+    import json
+    from pyspark.sql import functions as F
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import River
+    from rapids_and_rivers_spark.streaming.runtime import StreamingRapid
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    marker = tmp_path / "failed_once"
+    write_messages(src, [json.dumps({"@event_name": "ev", "n": i}) for i in range(3)])
+
+    def build():
+        rapid = StreamingRapid(spark, service_name="svc", instance_id="i1")
+        rapid.set_source(
+            spark.readStream.format("text")
+            .load(src)
+            .select(F.col("value"), F.lit("k").alias("key"))
+        )
+        rapid.register(
+            River("ev")
+            .validate(P.require_value("@event_name", "ev"))
+            .respond(lambda passing: passing.select("value", "key"))
+        )
+        return rapid
+
+    got = []
+
+    def flaky_sink(out):
+        rows = [r.value for r in out.collect()]
+        if not marker.exists():
+            marker.write_text("x")
+            raise RuntimeError("simulated publish failure")
+        got.extend(rows)
+
+    rapid = build()
+    rapid.set_sink(flaky_sink)
+    q = rapid.start(ckpt, available_now=True)
+    try:
+        q.awaitTermination()
+        raise AssertionError("query should have failed (crash-stop)")
+    except Exception as exc:
+        assert "simulated publish failure" in str(exc)
+
+    # restart from the same checkpoint: the uncommitted batch is redelivered
+    rapid2 = build()
+    rapid2.set_sink(flaky_sink)
+    rapid2.run_available(ckpt)
+    assert sorted(json.loads(v)["n"] for v in got) == [0, 1, 2]
