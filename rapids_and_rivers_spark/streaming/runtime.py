@@ -145,6 +145,26 @@ class StreamingRapid(AbstractRapid):
         self._sink = write
         return self
 
+    def set_sink_parquet_idempotent(self, path: str) -> "StreamingRapid":
+        """Replay-safe sink: rows land under a ``__batch_id`` partition and
+        a re-run of the same micro-batch OVERWRITES only its own partition
+        (dynamic partition overwrite). Checkpoint at-least-once redelivery
+        thus becomes exactly-once *effective* delivery into the table —
+        the idempotent-sink half of Structured Streaming's contract (the
+        Kafka sink stays at-least-once, matching the reference)."""
+
+        def write(df: DataFrame) -> None:
+            (
+                df.withColumn("__batch_id", F.lit(self._current_batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(path)
+            )
+
+        self._sink = write
+        return self
+
     def set_sink(self, fn: Callable[[DataFrame], None]) -> "StreamingRapid":
         self._sink = fn
         return self
@@ -166,6 +186,7 @@ class StreamingRapid(AbstractRapid):
     def process_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
         """One micro-batch through every river (also usable on batch DFs —
         batch/stream duality)."""
+        self._current_batch_id = batch_id
         # tombstone skip (KafkaRapid.kt:162-163)
         msgs = batch_df.filter(F.col("value").isNotNull() & (F.length("value") > 0))
         for fn in self._raw_listeners:

@@ -406,3 +406,32 @@ def test_failed_batch_redelivered_after_restart(spark, tmp_path):
     rapid2.set_sink(flaky_sink)
     rapid2.run_available(ckpt)
     assert sorted(json.loads(v)["n"] for v in got) == [0, 1, 2]
+
+
+def test_idempotent_sink_replay_safe(spark, tmp_path):
+    """Re-running the SAME batch id overwrites its own partition (no dups);
+    a new batch id appends — exactly-once effective delivery."""
+    import json
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import River
+    from rapids_and_rivers_spark.streaming.runtime import StreamingRapid
+
+    out = str(tmp_path / "out")
+    rapid = StreamingRapid(spark, service_name="svc", instance_id="i1")
+    rapid.register(
+        River("ev")
+        .validate(P.require_key("n"))
+        .respond(lambda passing: passing.select("value", "key"))
+    )
+    rapid.set_sink_parquet_idempotent(out)
+
+    def batch(ns):
+        msgs = [(json.dumps({"n": n}), "k") for n in ns]
+        return spark.createDataFrame(msgs, "value string, key string")
+
+    rapid.process_batch(batch([1, 2]), batch_id=0)
+    rapid.process_batch(batch([1, 2]), batch_id=0)  # replay: must not dup
+    rapid.process_batch(batch([3]), batch_id=1)
+
+    vals = sorted(json.loads(r.value)["n"] for r in spark.read.parquet(out).collect())
+    assert vals == [1, 2, 3]
