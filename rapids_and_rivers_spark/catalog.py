@@ -1460,6 +1460,618 @@ def q22_global_sales_opportunity(spark, sf_dir):
 
 
 @register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             round(avg(l_extendedprice / l_quantity), 4) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    rcost AS (
+      SELECT c.l_partkey, c.supplycost, s.s_name, s.s_acctbal, n.n_name
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, rc.s_name, rc.n_name,
+           round(rc.s_acctbal, 4) AS s_acctbal, rc.supplycost
+    FROM part p
+    JOIN rcost rc ON rc.l_partkey = p.p_partkey
+    WHERE p.p_size = 3
+      AND rc.supplycost = (SELECT min(rc2.supplycost) FROM rcost rc2
+                           WHERE rc2.l_partkey = p.p_partkey)
+    """,
+    doc="TPC-H Q2 (adapted: no partsupp table; supply cost derived as the "
+    "supplier's observed avg unit price from lineitem): correlated min "
+    "subquery decorrelated into a per-part min aggregate joined back — the "
+    "classic argmin-per-group shape",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # derived supply cost per (part, supplier); rounded BEFORE the min so the
+    # argmin comparison is on identical canonical values in Spark and DuckDB
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "supplycost"
+        )
+    )
+    eur_supp = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # supplier dim is small — broadcast; the cost fact keeps its partitioning
+    rcost = cost.join(
+        F.broadcast(eur_supp), F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("l_partkey", "supplycost", "s_name", "s_acctbal", "n_name")
+    min_cost = rcost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 3).select(
+        "p_partkey"
+    )
+    return (
+        rcost.join(
+            min_cost,
+            (F.col("m_partkey") == F.col("l_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            "supplycost",
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH volume AS (
+      SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM volume GROUP BY o_year
+    """,
+    doc="TPC-H Q8: national market share — 7-way join (nation joined twice "
+    "under customer and supplier roles), then a conditional-sum ratio per "
+    "year; every dim side broadcast, lineitem never reshuffled before the "
+    "final small groupBy",
+)
+def q8_market_share(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.join(
+        F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+                    0.0
+                )
+            )
+            / F.sum("volume"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    """
+    SELECT sn.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 (adapted: no ps_supplycost — cost modeled as 10% of "
+    "p_retailprice per unit): profit by supplier nation and order year for "
+    "parts matching a LIKE pattern; the LIKE filter prunes part before the "
+    "broadcast so lineitem is filtered by the join itself",
+)
+def q9_product_type_profit(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    profit = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return profit.groupBy("nation", "o_year").agg(
+        F.round(F.sum("amount"), 4).alias("sum_profit")
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH value_by_part AS (
+      SELECT l.l_partkey, sum(l.l_extendedprice) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_regionkey = 2
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, round(part_value, 4) AS part_value
+    FROM value_by_part
+    WHERE part_value > (SELECT sum(part_value) * 0.0007 FROM value_by_part)
+    """,
+    doc="TPC-H Q11 (adapted: stock value derived from lineitem revenue per "
+    "part for Asian suppliers): HAVING against a scalar fraction-of-total "
+    "subquery — the total is a broadcast scalar over the already-aggregated "
+    "(small) per-part view, so the fact scans once",
+)
+def q11_important_stock(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2).select(
+        "n_nationkey"
+    )
+    asian = s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+    per_part = (
+        l.join(F.broadcast(asian), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("part_value"))
+    )
+    total = per_part.agg((F.sum("part_value") * 0.0007).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 4).alias("part_value"))
+    )
+
+
+@register(
+    "q12_late_shipments",
+    """
+    SELECT CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS ship_year,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 (adapted: no shipmode/commitdate — 'late' means shipped "
+    ">90 days after order date): non-equi predicate evaluated post-join, "
+    "priority-class conditional counts; the date filter pushes to the "
+    "lineitem scan, the lateness filter runs joined",
+)
+def q12_late_shipments(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy(
+        F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 (adapted: part-supplier pairs observed in lineitem stand "
+    "in for partsupp; negative-balance suppliers stand in for the complaint "
+    "filter): NOT IN compiled to a left-anti join, then count-distinct per "
+    "part attribute triple",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    """
+    SELECT s.s_name, round(s.s_acctbal, 4) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_regionkey = 3
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 50
+    )
+    """,
+    doc="TPC-H Q20 (adapted: 'excess stock' means a supplier moved >50 units "
+    "of a small part in 1997): nested IN subqueries compiled to a semi-join "
+    "chain — part filter semi-joins lineitem, the grouped HAVING result "
+    "semi-joins supplier",
+)
+def q20_excess_stock_suppliers(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3).select(
+        "n_nationkey"
+    )
+    small_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= 10
+    ).select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    movers = (
+        l.join(F.broadcast(small_parts), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"), "left_semi")
+        .join(F.broadcast(movers), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_regionkey = 2
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 (adapted: a returned line ('R') stands in for a late "
+    "receipt): the EXISTS / NOT EXISTS pair over the same fact compiles to "
+    "a left-semi plus left-anti self-join on l_orderkey with a non-equi "
+    "suppkey disqualifier — the sole-blame pattern",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2).select(
+        "n_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    blamed = (
+        l1.join(o, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(
+            l2,
+            (F.col("l2_orderkey") == F.col("l_orderkey"))
+            & (F.col("l2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_orderkey") == F.col("l_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    eligible = s.join(
+        F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"), "left_semi"
+    )
+    return (
+        blamed.join(F.broadcast(eligible), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "asof_prev_click",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    w AS (
+      SELECT user_id, ts, event_id, is_p,
+             last_value(click_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_id
+      FROM u
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS purchase_ts,
+           prev_click_id,
+           date_diff('microseconds', prev_click_ts, ts) AS gap_us
+    FROM w WHERE is_p = 1
+    """,
+    doc="Backward as-of join (purchase → most recent strictly-prior click "
+    "per user) via the union-and-carry-forward trick: both sides union into "
+    "one stream, ONE shuffle on user_id, last(ignorenulls) over an "
+    "unbounded-preceding frame carries the click forward. At 100 TB this "
+    "beats a range join outright — no candidate-pair explosion, no "
+    "broadcast, linear in events per user",
+)
+def asof_prev_click(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select("user_id", "ts", "event_id", "event_type")
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+    )
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_p",
+        F.last("click_ts", ignorenulls=True).over(frame).alias("prev_click_ts"),
+        F.last("click_id", ignorenulls=True).over(frame).alias("prev_click_id"),
+    )
+    return w.filter(F.col("is_p") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", ISO_FMT).alias("purchase_ts"),
+        "prev_click_id",
+        F.expr("timestampdiff(MICROSECOND, prev_click_ts, ts)").alias("gap_us"),
+    )
+
+
+@register(
+    "range_join_error_views",
+    """
+    SELECT e.event_id,
+           CAST(count(v.event_id) AS BIGINT) AS views_5min
+    FROM events e
+    LEFT JOIN events v
+      ON v.user_id = e.user_id AND v.event_type = 'view'
+     AND v.ts > e.ts - INTERVAL 5 MINUTE AND v.ts <= e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    doc="Bounded range join (views within 5 min before each error, same "
+    "user) via time-bucketing: each error probes exactly two 5-min buckets "
+    "(explode of 2 keys), views carry one bucket key, the join is EQUI on "
+    "(user_id, bucket) then an exact range filter. Work is O(pairs-in-"
+    "adjacent-buckets), not O(errors × views) — the shape that survives "
+    "100 TB where a naive theta-join dies",
+)
+def range_join_error_views(spark, sf_dir):
+    width = 300  # bucket width == range width: probe spans at most 2 buckets
+    epoch_s = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        epoch_s.alias("e_epoch"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.floor(epoch_s / width).alias("bucket"),
+    )
+    probes = errors.select(
+        "e_id",
+        "e_user",
+        "e_ts",
+        F.explode(
+            F.array(
+                F.floor(F.col("e_epoch") / width),
+                F.floor((F.col("e_epoch") - width) / width),
+            )
+        ).alias("bucket"),
+    ).distinct()  # dedup the two keys when the window stays in one bucket
+    hits = (
+        probes.join(views, ["bucket"], "inner")
+        .filter(
+            (F.col("v_user") == F.col("e_user"))
+            & (F.col("v_ts") > F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("v_ts") <= F.col("e_ts"))
+        )
+        .groupBy(F.col("e_id").alias("h_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return errors.join(hits, F.col("h_id") == F.col("e_id"), "left").select(
+        F.col("e_id").alias("event_id"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("views_5min"),
+    )
+
+
+@register(
+    "cube_order_metrics",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (extension surface §2.6): all 4 grouping "
+    "combinations in one pass — Spark expands to a single shuffle with a "
+    "grouping-id column, not 4 scans",
+)
+def cube_order_metrics(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@register(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` == "
+    "DuckDB `quantile_cont`). At 100 TB the same query swaps to "
+    "approx_percentile (t-digest sketch, mergeable map-side) — kept exact "
+    "here so the oracle hash-matches",
+)
+def events_value_percentiles(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
     "anti_join_quiet_customers",
     """
     SELECT c.c_custkey
