@@ -128,10 +128,20 @@ def _build_events_rapid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("user_id").alias("id")).alias("user"),
         F.try_parse_json("props").alias("props"),
     )
-    return ev.select(
+    serialized = ev.select(
         F.to_json(msg, {"ignoreNullFields": "true"}).alias("value"),
         F.col("user_id").cast("string").alias("key"),
     )
+    # parse ONCE for the whole catalog run: River.evaluate reuses a
+    # pre-existing __variant column, so persisting it alongside the raw
+    # JSON is exactly the runtime's per-batch shared parse
+    # (StreamingRapid.process_batch) applied to the bench — each river
+    # query compiles its predicates over the shared parsed column instead
+    # of re-parsing 600k JSON bodies per query
+    from rapids_and_rivers_spark.functions import json_ops as J
+    from rapids_and_rivers_spark.river import VARIANT_COL
+
+    return serialized.withColumn(VARIANT_COL, J.parse(F.col("value")))
 
 
 # ===========================================================================
@@ -1762,11 +1772,10 @@ def q12_late_shipments(spark, sf_dir):
     "part attribute triple",
 )
 def q16_supplier_part_counts(spark, sf_dir):
-    pairs = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    # no .distinct() here: count_distinct dedups supplier ids per group
+    # map-side anyway, and a pre-distinct would cost a full extra shuffle
+    # of the fact projection
+    pairs = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
@@ -2408,9 +2417,10 @@ def dedup_clusters(spark, sf_dir):
 
 @register(
     "dedup_minhash",
-    None,  # xxhash64 signatures have no DuckDB equivalent: rows-only
+    None,  # hash-family signatures have no DuckDB equivalent: rows-only
     doc="MinHash + banded LSH near-dup candidates, Jaccard-verified "
-    "(signature per row, candidates via band-bucket equi-join)",
+    "(numpy multiply-shift signatures per row, candidates via "
+    "band-bucket equi-join)",
 )
 def dedup_minhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
