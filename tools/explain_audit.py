@@ -40,6 +40,7 @@ SCALAR_CROSS_OK = {
     "sim_ann_ivf",
     "embedding_neardup",
     "dedup_clusters",
+    "pingpong",  # staleness clock = max event time, broadcast 1-row agg
 }
 
 
@@ -49,7 +50,8 @@ def audit_plan(name: str, plan: str) -> tuple[list[str], dict[str, int]]:
         "shuffles": len(re.findall(r"Exchange hashpartitioning", plan)),
         "broadcasts": len(re.findall(r"BroadcastExchange", plan)),
         "scans": len(re.findall(r"FileScan parquet|Scan parquet", plan)),
-        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # executedPlan().toString() marks codegen stages with a "*(N)" prefix
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
     }
     if "CartesianProduct" in plan and name not in SCALAR_CROSS_OK:
         flags.append("CartesianProduct")
@@ -70,6 +72,9 @@ def main() -> int:
             continue
         try:
             df = fn(spark, sf_dir)
+            # execute THIS DataFrame (not a derived count) so AQE finalizes
+            # and the plan string carries real codegen/shuffle decisions
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {exc}")
