@@ -7,6 +7,6 @@ LSH-bucketed ANN), text analysis (language id, quality scoring, token
 counting, fingerprinting), and multimodal column plumbing.
 """
 
-from rapids_and_rivers_spark.operators import dedup, similarity, text
+from rapids_and_rivers_spark.operators import dedup, joins, similarity, text
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = ["dedup", "joins", "similarity", "text"]

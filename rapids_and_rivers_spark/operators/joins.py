@@ -1,0 +1,164 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bounded range join.
+
+Both are composed from existing DataFrame primitives (SURVEY.md §7 design
+stance: composition first, Pandas UDF only when semantics demand it):
+
+- :func:`asof_join` uses the union-and-carry-forward trick: both inputs
+  become one stream, ONE shuffle on the entity key sorts it, and a
+  ``last(ignorenulls)`` window carries the most recent right-side payload
+  onto each left row. Cost is O(n log n) per key group with zero
+  candidate-pair explosion — the shape that survives 100 TB, where the
+  naive range-condition join (Spark falls back to broadcast-nested-loop
+  or a sort-merge with per-row rescans) dies.
+- :func:`range_join` buckets the time axis so the range condition becomes
+  an EQUI join on (key, bucket): with bucket width >= window width each
+  left row probes at most ``ceil(window/width)+1`` buckets, so work is
+  O(pairs in adjacent buckets), never O(|left| x |right|).
+
+No reference parity claim: navikt/rapids-and-rivers has no join operators
+at all (SURVEY.md §2.6) — these are extension surface for the
+training-data pipeline (sessionized features, point-in-time-correct
+feature lookups, dedup windows).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+_SIDE = "__asof_side"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_time: str,
+    right_time: str,
+    tolerance_seconds: float | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: enrich each ``left`` row with the most recent
+    ``right`` row for the same ``by`` key whose time is <= (or < when
+    ``strict``) the left row's time.
+
+    Output: all ``left`` columns plus every non-key ``right`` column
+    (null when no prior right row exists, or the match is farther back
+    than ``tolerance_seconds``). Right columns must not collide with left
+    column names — alias them before calling.
+
+    Implementation: union both sides into one stream ordered by
+    (time, side) per key — right rows sort before left rows at equal
+    times, so inclusive semantics fall out of the sort order rather than
+    a self-join; ``strict`` flips the side order. One shuffle total.
+    """
+    r_payload_cols = [c for c in right.columns if c != by and c != right_time]
+    overlap = set(r_payload_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right columns collide with left: {sorted(overlap)}")
+
+    # right rows must be visible to an equal-time left row (inclusive) =>
+    # right sorts first; strict => right at time t visible only to later rows
+    r_side, l_side = (0, 1) if not strict else (1, 0)
+    r = right.select(
+        F.col(by).alias(by),
+        F.col(right_time).alias("__t"),
+        F.lit(r_side).alias(_SIDE),
+        F.struct(
+            F.col(right_time).alias("__rt"), *[F.col(c) for c in r_payload_cols]
+        ).alias(_PAYLOAD),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != by],
+    )
+    l = left.select(
+        F.col(by).alias(by),
+        F.col(left_time).alias("__t"),
+        F.lit(l_side).alias(_SIDE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[F.col(c) for c in left.columns if c != by],
+    )
+    unioned = r.unionByName(l)
+    frame = (
+        W.partitionBy(by)
+        .orderBy("__t", _SIDE)
+        .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = unioned.withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(frame)
+    ).filter(F.col(_SIDE) == l_side)
+    if tolerance_seconds is not None:
+        in_range = (
+            F.col(_PAYLOAD).isNotNull()
+            & (
+                F.expr(f"timestampdiff(MICROSECOND, {_PAYLOAD}.__rt, __t)")
+                <= int(tolerance_seconds * 1_000_000)
+            )
+        )
+        carried = carried.withColumn(
+            _PAYLOAD, F.when(in_range, F.col(_PAYLOAD))
+        )
+    out_cols = [F.col(by)] + [
+        F.col("__t").alias(left_time) if c == left_time else F.col(c)
+        for c in left.columns
+        if c != by
+    ]
+    out_cols += [F.col(_PAYLOAD)[c].alias(c) for c in r_payload_cols]
+    out_cols += [F.col(_PAYLOAD)["__rt"].alias(right_time)]
+    return carried.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_time: str,
+    right_time: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    bucket_seconds: float | None = None,
+) -> DataFrame:
+    """Inner join of ``left`` x ``right`` on ``by`` where
+    ``left_time + lower <= right_time <= left_time + upper``.
+
+    The time axis is bucketed (default width = window width) and each left
+    row explodes to the handful of candidate buckets its window spans;
+    the join is EQUI on (key, bucket) with the exact range applied after.
+    Output: all left columns + all right columns (they must not collide).
+    """
+    if upper_seconds < lower_seconds:
+        raise ValueError("upper_seconds < lower_seconds")
+    overlap = (set(right.columns) & set(left.columns)) - {by}
+    if overlap:
+        raise ValueError(f"column collision: {sorted(overlap)}")
+    width = bucket_seconds or max(upper_seconds - lower_seconds, 1e-6)
+    n_buckets = math.ceil((upper_seconds - lower_seconds) / width) + 1
+
+    def epoch(col: str) -> Column:
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) / 1e6"
+        )
+
+    r = right.withColumn("__bucket", F.floor(epoch(right_time) / width))
+    first_bucket = F.floor((epoch(left_time) + lower_seconds) / width)
+    l = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(*[first_bucket + i for i in range(n_buckets)])
+            )
+        ),
+    )
+    lo_us = int(lower_seconds * 1_000_000)
+    hi_us = int(upper_seconds * 1_000_000)
+    gap = F.expr(f"timestampdiff(MICROSECOND, {left_time}, {right_time})")
+    r2 = r.withColumnRenamed(by, "__rkey").withColumnRenamed("__bucket", "__rbucket")
+    return (
+        l.join(
+            r2,
+            (F.col("__rkey") == F.col(by)) & (F.col("__rbucket") == F.col("__bucket")),
+        )
+        .filter((gap >= lo_us) & (gap <= hi_us))
+        .drop("__bucket", "__rbucket", "__rkey")
+    )

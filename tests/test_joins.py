@@ -1,0 +1,143 @@
+"""Differential tests for the temporal join operators.
+
+asof_join is checked against ``pandas.merge_asof`` (the widely-trusted
+reference implementation of backward as-of semantics) over randomized
+inputs; range_join against a naive O(n*m) pandas cross filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from rapids_and_rivers_spark.operators.joins import asof_join, range_join
+
+
+def _random_frames(seed: int, n_left: int = 120, n_right: int = 90):
+    rng = np.random.RandomState(seed)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n_left),
+            "lt": base + pd.to_timedelta(rng.randint(0, 500_000, n_left), unit="s"),
+            "lval": np.arange(n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n_right),
+            "rt": base + pd.to_timedelta(rng.randint(0, 500_000, n_right), unit="s"),
+            "rval": np.arange(n_right) * 10,
+        }
+    )
+    # merge_asof demands unique, sorted times; jitter out duplicates
+    left["lt"] = left["lt"] + pd.to_timedelta(rng.permutation(n_left), unit="us")
+    right["rt"] = right["rt"] + pd.to_timedelta(rng.permutation(n_right), unit="us")
+    return left, right
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_asof_join_matches_pandas_merge_asof(spark, seed):
+    left, right = _random_frames(seed)
+    sl = spark.createDataFrame(left).withColumn("lt", F.col("lt").cast("timestamp_ntz"))
+    sr = spark.createDataFrame(right).withColumn("rt", F.col("rt").cast("timestamp_ntz"))
+
+    got = (
+        asof_join(sl, sr, by="k", left_time="lt", right_time="rt")
+        .select("k", "lt", "lval", "rval")
+        .toPandas()
+        .sort_values(["k", "lt"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left.sort_values("lt"),
+            right.sort_values("rt"),
+            left_on="lt",
+            right_on="rt",
+            by="k",
+            direction="backward",
+        )[["k", "lt", "lval", "rval"]]
+        .sort_values(["k", "lt"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_join_tolerance_and_strict(spark):
+    left = pd.DataFrame(
+        {"k": [1, 1, 1], "lt": pd.to_datetime(["2024-01-01 00:00:10",
+                                               "2024-01-01 00:01:00",
+                                               "2024-01-01 00:10:00"]), "lval": [1, 2, 3]}
+    )
+    right = pd.DataFrame(
+        {"k": [1], "rt": pd.to_datetime(["2024-01-01 00:00:10"]), "rval": [99]}
+    )
+    sl = spark.createDataFrame(left).withColumn("lt", F.col("lt").cast("timestamp_ntz"))
+    sr = spark.createDataFrame(right).withColumn("rt", F.col("rt").cast("timestamp_ntz"))
+
+    # inclusive: equal-time right row matches; 60s tolerance drops the 10min row
+    got = (
+        asof_join(sl, sr, "k", "lt", "rt", tolerance_seconds=60)
+        .orderBy("lval")
+        .select("rval")
+        .toPandas()["rval"]
+        .tolist()
+    )
+    assert got[0] == 99 and got[1] == 99 and pd.isna(got[2])
+    # strict: the equal-time row no longer matches
+    got_strict = (
+        asof_join(sl, sr, "k", "lt", "rt", strict=True)
+        .orderBy("lval")
+        .select("rval")
+        .toPandas()["rval"]
+        .tolist()
+    )
+    assert pd.isna(got_strict[0]) and got_strict[1] == 99 and got_strict[2] == 99
+
+
+def test_asof_join_rejects_column_collision(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": pd.to_datetime(["2024-01-01"]), "x": [1]})
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df.withColumnRenamed("t", "rt"), "k", "t", "rt")
+
+
+@pytest.mark.parametrize("lower,upper", [(-300.0, 0.0), (0.0, 120.0), (-60.0, 60.0)])
+def test_range_join_matches_naive(spark, lower, upper):
+    left, right = _random_frames(11, 80, 80)
+    sl = spark.createDataFrame(left).withColumn("lt", F.col("lt").cast("timestamp_ntz"))
+    sr = spark.createDataFrame(right).withColumn("rt", F.col("rt").cast("timestamp_ntz"))
+    got = (
+        range_join(
+            sl,
+            sr,
+            by="k",
+            left_time="lt",
+            right_time="rt",
+            lower_seconds=lower,
+            upper_seconds=upper,
+        )
+        .select("lval", "rval")
+        .toPandas()
+        .sort_values(["lval", "rval"])
+        .reset_index(drop=True)
+    )
+    naive = left.merge(right, on="k")
+    gap = (naive["rt"] - naive["lt"]).dt.total_seconds()
+    naive = naive[(gap >= lower) & (gap <= upper)][["lval", "rval"]]
+    naive = naive.sort_values(["lval", "rval"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, naive, check_dtype=False)
+
+
+def test_range_join_rejects_bad_bounds(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": pd.to_datetime(["2024-01-01"]), "x": [1]})
+    )
+    with pytest.raises(ValueError):
+        range_join(df, df.withColumnRenamed("t", "rt").withColumnRenamed("x", "y"),
+                   "k", "t", "rt", 10.0, 0.0)
