@@ -56,10 +56,67 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    try:
+        payload["streaming_msgs_per_sec"] = streaming_throughput(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        payload["streaming_error"] = str(exc).splitlines()[0][:200]
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
     spark.stop()
+
+
+def streaming_throughput(spark, sf_dir: str) -> float:
+    """Messages/sec through the FULL streaming runtime: file source ->
+    checkpointed micro-batch dispatch -> river (precondition + validation
+    over the parsed variant) -> enriched reply -> parquet sink.
+
+    This is the apples-to-apples number against the reference's consume
+    path (KafkaRapid poll loop -> per-record river dispatch -> publish),
+    whose single instance is bounded by one consumer thread; here the
+    same per-message work distributes across all cores.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import River
+    from rapids_and_rivers_spark.streaming.runtime import StreamingRapid
+
+    workdir = tempfile.mkdtemp(prefix="rars_stream_bench_")
+    try:
+        rapid_df = catalog.events_rapid(spark, sf_dir)
+        n_msgs = rapid_df.count()
+        rapid_df.select("value").write.mode("overwrite").text(f"{workdir}/in")
+
+        rapid = StreamingRapid.from_text_files(
+            spark, f"{workdir}/in", service_name="bench", instance_id="b-1"
+        ).set_sink_parquet(f"{workdir}/out")
+        river = (
+            River("purchases")
+            .precondition(P.require_value("@event_name", "purchase"))
+            .validate(P.require_key("event_id", "value"))
+        )
+        river.respond(
+            lambda passing: passing.select(
+                F.to_json(
+                    F.named_struct(
+                        F.lit("@event_name"), F.lit("purchase_seen"),
+                        F.lit("event_id"), River.field("event_id", "long"),
+                    )
+                ).alias("value"),
+                F.lit(None).cast("string").alias("key"),
+            )
+        )
+        rapid.register(river)
+        start = time.perf_counter()
+        rapid.run_available(f"{workdir}/ckpt")
+        elapsed = time.perf_counter() - start
+        return round(n_msgs / elapsed, 1)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
