@@ -2081,6 +2081,49 @@ def events_value_percentiles(spark, sf_dir):
 
 
 @register(
+    "text_quality_filter",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(0.5 * least(CAST(len(t) AS DOUBLE) / 100, 1.0)
+                   + 0.5 * (CAST(len(list_filter(t, x -> x IN
+                     ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE)
+                     / nullif(len(t), 0)), 4) AS score
+      FROM toks
+    ),
+    thr AS (SELECT round(quantile_cont(score, 0.25), 4) AS t FROM scored)
+    SELECT s.doc_id, s.score
+    FROM scored s, thr
+    WHERE s.score > thr.t
+    """,
+    doc="percentile-threshold quality filter (the 'drop the worst quartile' "
+    "op of every training-data pipeline): composite score from "
+    "length + stopword signals, cutoff = exact p25 as a broadcast scalar; "
+    "at 100 TB the cutoff swaps to approx_percentile (t-digest, "
+    "map-side mergeable) with no shape change",
+)
+def text_quality_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(
+            0.5 * F.least(T.token_count(F.col("text")).cast("double") / 100, F.lit(1.0))
+            + 0.5 * T.stopword_ratio(F.col("text"), ndigits=None),
+            4,
+        ).alias("score"),
+    )
+    thr = scored.agg(F.round(F.expr("percentile(score, 0.25)"), 4).alias("t"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("score") > F.col("t"))
+        .select("doc_id", "score")
+    )
+
+
+@register(
     "anti_join_quiet_customers",
     """
     SELECT c.c_custkey

@@ -43,13 +43,19 @@ def avg_token_len(col: Column, ndigits: int = 4) -> Column:
 
 
 def stopword_ratio(
-    col: Column, stopwords: list[str] | None = None, ndigits: int = 4
+    col: Column, stopwords: list[str] | None = None, ndigits: int | None = 4
 ) -> Column:
-    """Fraction of tokens that are stopwords — a classic quality signal."""
+    """Fraction of tokens that are stopwords — a classic quality signal.
+
+    ``ndigits=None`` skips rounding: compose-then-round-once avoids
+    landing on exact decimal midpoints where engines' rounding rules
+    diverge (Spark BigDecimal HALF_UP vs scaled-double rounding).
+    """
     sw = stopwords or EN_STOPWORDS
     toks = tokens(col)
     hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
-    return F.round(hits / F.nullif(F.size(toks), F.lit(0)).cast("double"), ndigits)
+    ratio = hits / F.nullif(F.size(toks), F.lit(0)).cast("double")
+    return ratio if ndigits is None else F.round(ratio, ndigits)
 
 
 def punct_ratio(col: Column, ndigits: int = 4) -> Column:
