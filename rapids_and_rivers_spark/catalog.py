@@ -2124,6 +2124,87 @@ def text_quality_filter(spark, sf_dir):
 
 
 @register(
+    "sample_stratified_hash",
+    """
+    WITH rates(source, pct) AS (VALUES ('src0', 30), ('src1', 50), ('src2', 80))
+    SELECT d.doc_id, d.source
+    FROM documents d
+    LEFT JOIN rates r ON r.source = d.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 < coalesce(r.pct, 100)
+    """,
+    doc="deterministic stratified sampling by content hash (no RNG): the "
+    "per-source keep-rate joins as a broadcast dim and the keep decision "
+    "is md5(id) mod 100 — reproducible across runs/retries/engines, "
+    "embarrassingly parallel, and stable under re-partitioning (the "
+    "production-safe sampler; Spark's sample() is seed+partition "
+    "dependent)",
+)
+def sample_stratified_hash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = spark.createDataFrame(
+        [("src0", 30), ("src1", 50), ("src2", 80)], "source string, pct int"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        docs.join(F.broadcast(rates), "source", "left")
+        .filter(bucket < F.coalesce(F.col("pct"), F.lit(100)))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "token_budget_pack",
+    """
+    WITH sized AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    running AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM running
+    WHERE cum_tokens <= 800
+    """,
+    doc="token-budget packing: keep docs per source until a cumulative "
+    "token budget — running-sum window (one shuffle on the stratum key) "
+    "then filter; the deterministic doc_id order makes the selection "
+    "reproducible (a real pipeline orders by a quality score instead — "
+    "same plan shape)",
+)
+def token_budget_pack(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    frame = (
+        W.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(frame))
+        .filter(F.col("cum_tokens") <= 800)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )
+
+
+@register(
     "anti_join_quiet_customers",
     """
     SELECT c.c_custkey
