@@ -2205,6 +2205,57 @@ def token_budget_pack(spark, sf_dir):
 
 
 @register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 4) AS F,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 4) AS O,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 4) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="PIVOT: long->wide aggregation with explicit pivot values (one "
+    "shuffle; explicit value list keeps the plan static — value-discovery "
+    "pivot would need an extra pass at scale)",
+)
+def pivot_status_by_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 4).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "quality_deciles",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           ntile(10) OVER (ORDER BY n_tokens DESC, doc_id) AS decile
+    FROM toks
+    """,
+    doc="NTILE decile bucketing by a quality proxy (the 'train on the top "
+    "N deciles' selector). NOTE the single global window: fine for ranked "
+    "cutoffs over aggregated/sampled scores; for raw 100 TB corpora use "
+    "text_quality_filter's percentile-threshold shape instead (no global "
+    "sort) — both are provided deliberately",
+)
+def quality_deciles(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+    w = W.orderBy(F.col("n_tokens").desc(), "doc_id")
+    return sized.select("doc_id", F.ntile(10).over(w).alias("decile"))
+
+
+@register(
     "anti_join_quiet_customers",
     """
     SELECT c.c_custkey
