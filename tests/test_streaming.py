@@ -435,3 +435,55 @@ def test_idempotent_sink_replay_safe(spark, tmp_path):
 
     vals = sorted(json.loads(r.value)["n"] for r in spark.read.parquet(out).collect())
     assert vals == [1, 2, 3]
+
+
+def test_multi_source_union_stream(spark, tmp_path):
+    """S1 at the runtime level: the rapid topic plus an extra topic consumed
+    as ONE stream (KafkaRapid.kt:27-36 subscribe(rapid, *extra)) — here two
+    file sources unioned into a single set_source, one river, one sink."""
+    rapid_dir, extra_dir = str(tmp_path / "rapid"), str(tmp_path / "extra")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    write_messages(
+        rapid_dir,
+        [json.dumps({"@event_name": "order", "order_id": i, "src": "rapid"})
+         for i in range(10)],
+    )
+    write_messages(
+        extra_dir,
+        [json.dumps({"@event_name": "order", "order_id": 100 + i, "src": "extra"})
+         for i in range(5)],
+    )
+    src_rapid = spark.readStream.format("text").load(rapid_dir).select(
+        F.col("value").cast("string").alias("value")
+    )
+    src_extra = spark.readStream.format("text").load(extra_dir).select(
+        F.col("value").cast("string").alias("value")
+    )
+    river = (
+        River("orders")
+        .precondition(P.require_value("@event_name", "order"))
+        .validate(P.require_key("order_id", "src"))
+    )
+    river.respond(
+        lambda passing: passing.select(
+            F.to_json(
+                F.named_struct(
+                    F.lit("order_id"), River.field("order_id", "long"),
+                    F.lit("src"), River.field("src", "string"),
+                )
+            ).alias("value"),
+            "key",
+        )
+    )
+    rapid = (
+        StreamingRapid(spark, "app", "i-1")
+        .set_source(src_rapid.unionByName(src_extra))
+        .register(river)
+        .set_sink_parquet(out)
+    )
+    rapid.run_available(ckpt)
+
+    values = [json.loads(v) for v in read_parquet_values(spark, out)]
+    assert len(values) == 15
+    assert sorted(v["order_id"] for v in values) == list(range(10)) + [100 + i for i in range(5)]
+    assert {v["src"] for v in values} == {"rapid", "extra"}
