@@ -2256,6 +2256,28 @@ def quality_deciles(spark, sf_dir):
 
 
 @register(
+    "order_parts_agg",
+    """
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           list_sort(list(DISTINCT l_partkey)) AS parts
+    FROM lineitem
+    WHERE l_orderkey % 100 = 7
+    GROUP BY l_orderkey
+    """,
+    doc="array aggregation (collect_set + sort): per-order part list — the "
+    "nested-result shape (one row per group, array payload) used for "
+    "feature bundling; sorted so the value hash is deterministic",
+)
+def order_parts_agg(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 7)
+    return l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.array_sort(F.collect_set("l_partkey")).alias("parts"),
+    )
+
+
+@register(
     "anti_join_quiet_customers",
     """
     SELECT c.c_custkey
