@@ -1520,19 +1520,19 @@ def q2_min_cost_supplier(spark, sf_dir):
     rcost = cost.join(
         F.broadcast(eur_supp), F.col("s_suppkey") == F.col("l_suppkey")
     ).select("l_partkey", "supplycost", "s_name", "s_acctbal", "n_name")
-    min_cost = rcost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("supplycost").alias("min_cost")
-    )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 3).select(
         "p_partkey"
     )
+    # argmin-per-group as a window min over the part key: the per-part min
+    # and the equality filter share ONE shuffle, vs aggregate + join-back
+    # which pays the partkey shuffle twice more (both shapes are correct;
+    # the window wins whenever the group count is large — at 100 TB the
+    # per-part min table would itself be huge, so no broadcast escape)
+    min_w = F.min("supplycost").over(W.partitionBy("l_partkey"))
     return (
-        rcost.join(
-            min_cost,
-            (F.col("m_partkey") == F.col("l_partkey"))
-            & (F.col("supplycost") == F.col("min_cost")),
-        )
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        rcost.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("min_cost", min_w)
+        .filter(F.col("supplycost") == F.col("min_cost"))
         .select(
             "p_partkey",
             "s_name",
