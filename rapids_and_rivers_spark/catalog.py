@@ -1474,18 +1474,21 @@ def q22_global_sales_opportunity(spark, sf_dir):
     """
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
-             round(avg(l_extendedprice / l_quantity), 4) AS supplycost
+             sum(l_extendedprice) / sum(l_quantity) AS supplycost,
+             round(sum(l_extendedprice), 2) AS cost_price,
+             CAST(sum(l_quantity) AS BIGINT) AS cost_qty
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     rcost AS (
-      SELECT c.l_partkey, c.supplycost, s.s_name, s.s_acctbal, n.n_name
+      SELECT c.l_partkey, c.supplycost, c.cost_price, c.cost_qty,
+             s.s_name, s.s_acctbal, n.n_name
       FROM cost c
       JOIN supplier s ON s.s_suppkey = c.l_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
     )
     SELECT p.p_partkey, rc.s_name, rc.n_name,
-           round(rc.s_acctbal, 4) AS s_acctbal, rc.supplycost
+           round(rc.s_acctbal, 4) AS s_acctbal, rc.cost_price, rc.cost_qty
     FROM part p
     JOIN rcost rc ON rc.l_partkey = p.p_partkey
     WHERE p.p_size = 3
@@ -1504,12 +1507,18 @@ def q2_min_cost_supplier(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    # derived supply cost per (part, supplier); rounded BEFORE the min so the
-    # argmin comparison is on identical canonical values in Spark and DuckDB
+    # derived supply cost = volume-weighted unit price. The argmin filter
+    # compares UNROUNDED ratios — a within-engine comparison, safe because
+    # per-part supplier costs are distinct by far more than float noise —
+    # while the OUTPUT exposes the exact (rounded-sum, integer-qty) pair
+    # instead of the ratio: rounding a quotient lands on exact decimal
+    # midpoints where engines' rounding rules diverge (observed at both
+    # 4dp and 2dp at sf0.1), but a sum of 2-decimal prices has no 2dp
+    # midpoints, so its round is cross-engine stable
     cost = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "supplycost"
-        )
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("supplycost"),
+        F.round(F.sum("l_extendedprice"), 2).alias("cost_price"),
+        F.sum("l_quantity").cast("long").alias("cost_qty"),
     )
     eur_supp = (
         s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
@@ -1519,7 +1528,10 @@ def q2_min_cost_supplier(spark, sf_dir):
     # supplier dim is small — broadcast; the cost fact keeps its partitioning
     rcost = cost.join(
         F.broadcast(eur_supp), F.col("s_suppkey") == F.col("l_suppkey")
-    ).select("l_partkey", "supplycost", "s_name", "s_acctbal", "n_name")
+    ).select(
+        "l_partkey", "supplycost", "cost_price", "cost_qty",
+        "s_name", "s_acctbal", "n_name",
+    )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 3).select(
         "p_partkey"
     )
@@ -1538,7 +1550,8 @@ def q2_min_cost_supplier(spark, sf_dir):
             "s_name",
             "n_name",
             F.round("s_acctbal", 4).alias("s_acctbal"),
-            "supplycost",
+            "cost_price",
+            "cost_qty",
         )
     )
 
