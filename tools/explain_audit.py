@@ -41,6 +41,7 @@ SCALAR_CROSS_OK = {
     "embedding_neardup",
     "dedup_clusters",
     "pingpong",  # staleness clock = max event time, broadcast 1-row agg
+    "text_quality_filter",  # p25 cutoff = broadcast 1-row percentile agg
 }
 
 
