@@ -2291,6 +2291,88 @@ def order_parts_agg(spark, sf_dir):
 
 
 @register(
+    "funnel_conversion",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_signup,
+           CAST(sum(CASE WHEN t_signup < t_click THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+           CAST(sum(CASE WHEN t_signup < t_click AND t_click < t_purchase
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM firsts
+    """,
+    doc="funnel analysis (signup -> click -> purchase in order): per-user "
+    "conditional-min aggregation collapses the event stream to one row "
+    "per user in ONE shuffle, then ordered-stage predicates count "
+    "conversions — no self-joins, no sequence explosion, scales as "
+    "O(events) + O(users)",
+)
+def funnel_conversion(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    reached_click = F.col("t_signup") < F.col("t_click")
+    reached_purchase = reached_click & (F.col("t_click") < F.col("t_purchase"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_signup").isNotNull().cast("int")).alias("stage_signup"),
+        F.sum(reached_click.cast("int")).alias("stage_click"),
+        F.sum(reached_purchase.cast("int")).alias("stage_purchase"),
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH seen AS (
+      SELECT user_id,
+             CAST(floor(date_diff('day', TIMESTAMP '2024-01-01', ts) / 7) AS BIGINT) AS week
+      FROM events GROUP BY 1, 2
+    ),
+    cohorts AS (
+      SELECT user_id, min(week) AS cohort_week FROM seen GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           s.week - c.cohort_week AS weeks_since,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS active_users
+    FROM seen s
+    JOIN cohorts c ON c.user_id = s.user_id
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention triangle: first-seen week per user (one agg), "
+    "then distinct-active counts per (cohort, weeks-since) — the user "
+    "dimension joins back on the already-reduced per-(user, week) set, so "
+    "the fact table shuffles once and the retention matrix is "
+    "O(users x weeks)",
+)
+def cohort_retention(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.expr("timestampdiff(DAY, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)") / 7
+    ).cast("long")
+    seen = ev.select("user_id", week.alias("week")).distinct()
+    cohorts = seen.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        seen.join(cohorts, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
     "anti_join_quiet_customers",
     """
     SELECT c.c_custkey
