@@ -2373,6 +2373,66 @@ def cohort_retention(spark, sf_dir):
 
 
 @register(
+    "histogram_event_values",
+    """
+    SELECT event_type,
+           CAST(floor(value / 50) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="fixed-width histogram per group (floor-bucket + count): the "
+    "map-side-combinable shape — at 100 TB each executor pre-aggregates "
+    "its buckets and the shuffle carries only (group, bucket) partials",
+)
+def histogram_event_values(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "event_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             date_diff('microseconds',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+    FROM gaps
+    GROUP BY user_id
+    """,
+    doc="lag-based inter-event gaps per user (one shuffle on the entity "
+    "key shared by the window AND the aggregation — Catalyst reuses the "
+    "partitioning, no second exchange); gaps stay integer microseconds "
+    "end-to-end (engines disagree on second-truncation semantics, not on "
+    "exact microsecond differences)",
+)
+def event_gap_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    gaps = ev.withColumn(
+        "gap_us",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+        ),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.sum("gap_us").cast("long").alias("total_gap_us"),
+    )
+
+
+@register(
     "anti_join_quiet_customers",
     """
     SELECT c.c_custkey
