@@ -2364,9 +2364,12 @@ def cohort_retention(spark, sf_dir):
         F.expr("timestampdiff(DAY, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)") / 7
     ).cast("long")
     seen = ev.select("user_id", week.alias("week")).distinct()
-    cohorts = seen.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    # cohort week as a window min over the user partitioning the distinct
+    # already produced — no aggregate + join-back (q2's argmin lesson:
+    # same partitioning, one exchange instead of three)
+    cohort_week = F.min("week").over(W.partitionBy("user_id"))
     return (
-        seen.join(cohorts, "user_id")
+        seen.withColumn("cohort_week", cohort_week)
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
