@@ -2436,6 +2436,29 @@ def event_gap_stats(spark, sf_dir):
 
 
 @register(
+    "props_json_extract",
+    """
+    SELECT event_type,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON path extraction over a raw string column (the lake-table "
+    "pattern, distinct from the rapid's variant path access): "
+    "get_json_object stays inside codegen, nulls on absent/invalid keys "
+    "flow through the aggregates",
+)
+def props_json_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+@register(
     "anti_join_quiet_customers",
     """
     SELECT c.c_custkey
