@@ -2256,16 +2256,45 @@ def pivot_status_by_priority(spark, sf_dir):
     FROM toks
     """,
     doc="NTILE decile bucketing by a quality proxy (the 'train on the top "
-    "N deciles' selector). NOTE the single global window: fine for ranked "
-    "cutoffs over aggregated/sampled scores; for raw 100 TB corpora use "
-    "text_quality_filter's percentile-threshold shape instead (no global "
-    "sort) — both are provided deliberately",
+    "N deciles' selector) WITHOUT a global sort: exact global rank is "
+    "reconstructed from (a) a histogram over the score — one shuffle, "
+    "tiny aggregate, collected as a broadcast base-rank dim — plus (b) a "
+    "per-score-value partitioned row_number for the doc_id tiebreak; the "
+    "decile is then pure arithmetic on the rank (DuckDB ntile bucket-size "
+    "semantics reproduced exactly, incl. the N%10 oversized head buckets). "
+    "No Exchange SinglePartition anywhere. Skew note: the per-value window "
+    "partitions on the score value; a pathological corpus where most docs "
+    "share one score would hot-spot that value — compose with "
+    "skew.with_salt on (n_tokens, doc_id bucket) in that regime",
 )
 def quality_deciles(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
-    w = W.orderBy(F.col("n_tokens").desc(), "doc_id")
-    return sized.select("doc_id", F.ntile(10).over(w).alias("decile"))
+    sized = docs.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    # histogram: |distinct scores| rows — the ONLY collect, a few KB
+    hist = sized.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    ordered = sorted(hist, key=lambda r: -r.n_tokens)
+    total = 0
+    base_rows = []
+    for r in ordered:
+        base_rows.append((r.n_tokens, total))
+        total += r.cnt
+    base_dim = spark.createDataFrame(base_rows, "n_tokens long, base_rank long")
+    # global rank in (n_tokens DESC, doc_id) order = rows with a greater
+    # score (base_rank) + position among ties (partitioned row_number)
+    wv = W.partitionBy("n_tokens").orderBy("doc_id")
+    ranked = sized.join(F.broadcast(base_dim), "n_tokens").withColumn(
+        "rnk", F.col("base_rank") + F.row_number().over(wv)
+    )
+    # ntile(10): first N%10 buckets hold ceil(N/10) rows, the rest floor
+    size, rem = total // 10, total % 10
+    head = rem * (size + 1)
+    decile = F.when(
+        F.lit(head > 0) & (F.col("rnk") <= head),
+        F.floor((F.col("rnk") - 1) / F.lit(size + 1)) + 1,
+    ).otherwise(F.lit(rem) + F.floor((F.col("rnk") - head - 1) / F.lit(max(size, 1))) + 1)
+    return ranked.select("doc_id", decile.cast("int").alias("decile"))
 
 
 @register(

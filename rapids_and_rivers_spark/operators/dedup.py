@@ -116,6 +116,12 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
     SQL expressions (uint64 wraparound is the intended semantics here).
     Constants come from a fixed-seed generator — deterministic across
     runs and partitions.
+
+    NULL or EMPTY shingle sets (texts with fewer than ``shingle_n``
+    tokens) yield a NULL signature — there is no meaningful minimum over
+    zero shingles. Anything that buckets signatures downstream must
+    filter NULLs first or every degenerate doc collides (see the guard
+    in :func:`minhash_lsh_pairs`).
     """
     import numpy as np
     import pandas as pd
@@ -152,6 +158,60 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / F.nullif(union, F.lit(0)).cast("double")
 
 
+def lsh_candidate_pairs(
+    base: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH band-bucket candidate pairs over a (id, sig) signature table.
+
+    Bands carry only (id, band, band_hash) — wide signature/shingle arrays
+    are NOT duplicated through the explode/join. ``explode_outer``: the
+    band array is a never-empty literal, and plain explode's inferred
+    size>0 filter would re-hash every band below the exchange (see
+    ngram_jaccard_pairs).
+
+    ``sig IS NOT NULL`` guard: docs with < shingle_n tokens have a NULL
+    signature, and ``xxhash64(NULL,…,NULL)`` is a CONSTANT — without the
+    filter every degenerate doc collides in the same bucket in ALL bands,
+    an O(D²) candidate blow-up at scale (verification would drop them,
+    but only after materializing the pairs). With the guard, degenerate
+    docs produce zero candidates.
+
+    Output: (id_a, id_b) with id_a < id_b, deduplicated across bands.
+    """
+    rows_per_band = num_hashes // bands
+    banded = base.filter(F.col("sig").isNotNull()).select(
+        "id",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[i]
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     col: str = "text",
@@ -175,47 +235,12 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
     base = (
         shingled(spread(df, id_col), col, id_col, n=shingle_n)
         .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
         .persist()
     )
-    # bands carry only (id, band, band_hash) — the wide shingle arrays are
-    # NOT duplicated through the explode/join (joined back per candidate).
-    # explode_outer: never-empty literal array; avoids the inferred
-    # size>0 pre-filter re-hashing every band (see ngram_jaccard_pairs)
-    banded = base.select(
-        "id",
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[i]
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.band_hash")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    candidates = lsh_candidate_pairs(base, num_hashes=num_hashes, bands=bands)
     shingle_sets = base.select("id", "shingles")
     verified = (
         candidates.join(
@@ -303,9 +328,12 @@ def ngram_jaccard_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 
-def simhash(hashes: Column, bits: int = 64) -> Column:
-    """SimHash from a *bound* token-hash array column: bit k is set when
-    more token hashes have bit k set than not (Charikar's similarity hash).
+def simhash(hashes: Column) -> Column:
+    """64-bit SimHash from a *bound* token-hash array column: bit k is set
+    when more token hashes have bit k set than not (Charikar's similarity
+    hash). NULL hash arrays yield a NULL signature; EMPTY arrays yield 0
+    (no majority bit set) — callers that band/bucket signatures must
+    filter NULLs before candidate generation (see minhash_lsh_pairs).
 
     Computed in a vectorized Arrow-batched Pandas UDF: the per-bit
     majority over T token hashes is a (T, 64) numpy bit matrix reduced
@@ -316,7 +344,6 @@ def simhash(hashes: Column, bits: int = 64) -> Column:
     stay JVM-side (``xxhash64``), so only the compact hash arrays cross
     the Arrow boundary, never the text.
     """
-    assert bits == 64, "simhash is specialized to 64-bit signatures"
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

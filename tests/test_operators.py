@@ -35,6 +35,24 @@ def test_minhash_near_duplicate_found(spark):
     assert len(pairs) == 1 and pairs[0].jaccard > 0.5
 
 
+def test_minhash_degenerate_docs_produce_no_candidates(spark):
+    """Docs with < shingle_n tokens get a NULL signature; the NULL-sig
+    guard must keep them out of band buckets entirely. Without it, 200
+    one-word docs would collide in every band -> 19900 candidate pairs."""
+    long_a = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [long_a, long_a] + [f"w{i}" for i in range(200)]
+    df = docs_df(spark, texts)
+    base = D.shingled(df, "text", "doc_id").withColumn(
+        "sig", D.minhash_signature(F.col("shingles"), 32)
+    )
+    cands = D.lsh_candidate_pairs(base).collect()
+    # only the one real duplicate pair — candidate count stays linear
+    assert [(c.id_a, c.id_b) for c in cands] == [(0, 1)]
+    # and the end-to-end output is unchanged
+    pairs = D.minhash_lsh_pairs(df, threshold=0.9).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(0, 1, 1.0)]
+
+
 def test_simhash_identical_is_zero_distance(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta"
     df = docs_df(spark, [base, base])

@@ -60,6 +60,13 @@ def audit_plan(name: str, plan: str) -> tuple[list[str], dict[str, int]]:
         flags.append("BroadcastNestedLoopJoin")
     if re.search(r"\bBatchEvalPython\b", plan):
         flags.append("row-at-a-time Python UDF (BatchEvalPython)")
+    # partition-less Window: Window over a child Sort fed by an
+    # Exchange SinglePartition = a single-task global sort of the whole
+    # input — the quality_deciles anti-pattern; must not regress
+    if re.search(
+        r"Window .*\n[^\n]*Sort .*\n[^\n]*Exchange SinglePartition", plan
+    ):
+        flags.append("partition-less Window (global single-task sort)")
     return flags, stats
 
 
