@@ -54,7 +54,19 @@ def asof_join(
     (time, side) per key — right rows sort before left rows at equal
     times, so inclusive semantics fall out of the sort order rather than
     a self-join; ``strict`` flips the side order. One shuffle total.
+
+    Determinism: when several right rows share the same (by, time), the
+    one with the GREATEST payload struct wins (the payload — right_time
+    plus all carried columns — is the final sort key), so the result is
+    stable across runs and partitionings. When a right payload column has
+    a non-orderable type (map), the tiebreak is skipped and duplicate
+    (by, time) right rows pick an arbitrary winner — documented caveat.
     """
+    if left_time == right_time:
+        raise ValueError(
+            f"left_time and right_time are both {left_time!r}: the output "
+            "carries each under its own name — alias one side first"
+        )
     r_payload_cols = [c for c in right.columns if c != by and c != right_time]
     overlap = set(r_payload_cols) & set(left.columns)
     if overlap:
@@ -80,9 +92,14 @@ def asof_join(
         *[F.col(c) for c in left.columns if c != by],
     )
     unioned = r.unionByName(l)
+    # deterministic duplicate-(by, time) tiebreak: order by the payload
+    # struct last, so last(ignorenulls) picks the max payload among ties.
+    # Maps are not orderable in Spark — skip the tiebreak if present.
+    orderable = all("map<" not in right.schema[c].simpleString() for c in r_payload_cols)
+    order_keys = ["__t", _SIDE] + ([_PAYLOAD] if orderable else [])
     frame = (
         W.partitionBy(by)
-        .orderBy("__t", _SIDE)
+        .orderBy(*order_keys)
         .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
     )
     carried = unioned.withColumn(
@@ -129,15 +146,26 @@ def range_join(
     """
     if upper_seconds < lower_seconds:
         raise ValueError("upper_seconds < lower_seconds")
+    if bucket_seconds is not None and bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
     overlap = (set(right.columns) & set(left.columns)) - {by}
     if overlap:
         raise ValueError(f"column collision: {sorted(overlap)}")
-    width = bucket_seconds or max(upper_seconds - lower_seconds, 1e-6)
+    width = (
+        bucket_seconds
+        if bucket_seconds is not None
+        else max(upper_seconds - lower_seconds, 1e-6)
+    )
     n_buckets = math.ceil((upper_seconds - lower_seconds) / width) + 1
+
+    def _q(name: str) -> str:
+        """Backtick-quote an identifier for F.expr interpolation."""
+        return "`" + name.replace("`", "``") + "`"
 
     def epoch(col: str) -> Column:
         return F.expr(
-            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) / 1e6"
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"{_q(col)}) / 1e6"
         )
 
     r = right.withColumn("__bucket", F.floor(epoch(right_time) / width))
@@ -152,7 +180,7 @@ def range_join(
     )
     lo_us = int(lower_seconds * 1_000_000)
     hi_us = int(upper_seconds * 1_000_000)
-    gap = F.expr(f"timestampdiff(MICROSECOND, {left_time}, {right_time})")
+    gap = F.expr(f"timestampdiff(MICROSECOND, {_q(left_time)}, {_q(right_time)})")
     r2 = r.withColumnRenamed(by, "__rkey").withColumnRenamed("__bucket", "__rbucket")
     return (
         l.join(

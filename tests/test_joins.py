@@ -107,6 +107,66 @@ def test_asof_join_rejects_column_collision(spark):
         asof_join(df, df.withColumnRenamed("t", "rt"), "k", "t", "rt")
 
 
+def test_asof_join_rejects_same_time_name(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": pd.to_datetime(["2024-01-01"]), "x": [1]})
+    )
+    with pytest.raises(ValueError, match="alias"):
+        asof_join(df, df.withColumnRenamed("x", "y"), "k", "t", "t")
+
+
+def test_asof_join_duplicate_time_tiebreak_is_deterministic(spark):
+    """Several right rows at the same (key, time): the max payload struct
+    wins — the same winner on every run regardless of input order."""
+    left = pd.DataFrame(
+        {"k": [1], "lt": pd.to_datetime(["2024-01-01 00:01:00"]), "lval": [0]}
+    )
+    dup = pd.DataFrame(
+        {
+            "k": [1] * 4,
+            "rt": pd.to_datetime(["2024-01-01 00:00:00"] * 4),
+            "rval": [30, 10, 40, 20],
+        }
+    )
+    sl = spark.createDataFrame(left).withColumn("lt", F.col("lt").cast("timestamp_ntz"))
+    for order in ([0, 1, 2, 3], [3, 2, 1, 0], [2, 0, 3, 1]):
+        sr = spark.createDataFrame(dup.iloc[order]).withColumn(
+            "rt", F.col("rt").cast("timestamp_ntz")
+        )
+        got = asof_join(sl, sr, "k", "lt", "rt").select("rval").collect()
+        assert [r.rval for r in got] == [40]
+
+
+def test_range_join_rejects_nonpositive_bucket(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": pd.to_datetime(["2024-01-01"]), "x": [1]})
+    )
+    r = df.withColumnRenamed("t", "rt").withColumnRenamed("x", "y")
+    for bad in (0.0, -5.0):
+        with pytest.raises(ValueError, match="bucket_seconds"):
+            range_join(df, r, "k", "t", "rt", 0.0, 10.0, bucket_seconds=bad)
+
+
+def test_range_join_quotes_odd_column_names(spark):
+    """Time columns whose names need backtick quoting must work."""
+    left = pd.DataFrame(
+        {"k": [1], "left time": pd.to_datetime(["2024-01-01 00:00:00"]), "lval": [1]}
+    )
+    right = pd.DataFrame(
+        {"k": [1], "right-time": pd.to_datetime(["2024-01-01 00:00:30"]), "rval": [2]}
+    )
+    sl = spark.createDataFrame(left).withColumn(
+        "left time", F.col("left time").cast("timestamp_ntz")
+    )
+    sr = spark.createDataFrame(right).withColumn(
+        "right-time", F.col("right-time").cast("timestamp_ntz")
+    )
+    got = range_join(
+        sl, sr, "k", "left time", "right-time", 0.0, 60.0
+    ).select("lval", "rval").collect()
+    assert [(r.lval, r.rval) for r in got] == [(1, 2)]
+
+
 @pytest.mark.parametrize("lower,upper", [(-300.0, 0.0), (0.0, 120.0), (-60.0, 60.0)])
 def test_range_join_matches_naive(spark, lower, upper):
     left, right = _random_frames(11, 80, 80)
