@@ -2868,19 +2868,53 @@ from rapids_and_rivers_spark.operators import multimodal as M  # noqa: E402
 @register(
     "multimodal_features",
     """
+    WITH px AS (
+      SELECT d.doc_id, y.range AS y, x.range AS x
+      FROM documents d, range(9) y, range(15) x
+    )
+    SELECT doc_id, 15 AS width, 9 AS height,
+           round(avg((doc_id * 7  + y * 5 + x * 3)  % 256), 4) AS mean_r,
+           round(avg((doc_id * 11 + y * 2 + x * 13) % 256), 4) AS mean_g,
+           round(avg((doc_id * 17 + y * 3 + x * 7)  % 256), 4) AS mean_b,
+           CAST(floor(max(0.299 * ((doc_id * 7  + y * 5 + x * 3)  % 256)
+                        + 0.587 * ((doc_id * 11 + y * 2 + x * 13) % 256)
+                        + 0.114 * ((doc_id * 17 + y * 3 + x * 7)  % 256))) AS INT)
+             AS max_luma
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL image decode: a synthetic uncompressed 24-bit BMP per doc is "
+    "generated executor-side (padded rows, bottom-up layout), then "
+    "extract_features PARSES THE BYTES (header + numpy pixel array) inside "
+    "Arrow-batched mapInPandas and reduces to per-channel means / max "
+    "luma. The oracle recomputes the expected stats from the closed-form "
+    "pixel function — the query only matches if the BMP round-trip "
+    "(encode, pad, flip, BGR) is byte-correct. Bytes never cross the "
+    "driver; compressed formats swap decode_bmp for a codec call in the "
+    "same plan shape",
+)
+def multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthetic_bmp_corpus(docs, id_col="doc_id", width=15, height=9)
+    return M.extract_features(media)
+
+
+@register(
+    "multimodal_byte_stats",
+    """
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            ord(substr(text, 1, 1)) AS first_byte,
            'application/octet-stream' AS mime
     FROM documents
     """,
-    doc="multimodal feature extraction: binary payload column -> Arrow-batched "
-    "mapInPandas feature UDF (decode stubbed; plumbing real)",
+    doc="byte-level feature extraction for OPAQUE payloads (no decodable "
+    "format): binary payload column -> Arrow-batched mapInPandas UDF; the "
+    "routing path for media the pipeline cannot decode",
 )
-def multimodal_features(spark, sf_dir):
+def multimodal_byte_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_media(docs, payload_from="text", id_col="doc_id")
-    return M.extract_features(media, fake=True).select(
+    return M.byte_features(media).select(
         "doc_id", "n_bytes", F.col("first_byte").cast("int").alias("first_byte"), "mime"
     )
 

@@ -93,12 +93,12 @@ def test_event_name_counts(spark):
 # --- multimodal plumbing ------------------------------------------------------
 
 
-def test_multimodal_features(spark):
+def test_multimodal_byte_features(spark):
     df = spark.createDataFrame(
         [(1, "abc", "s1"), (2, "", "s2")], "doc_id long, text string, source string"
     )
     media = M.attach_media(df)
-    rows = {r.doc_id: r for r in M.extract_features(media).collect()}
+    rows = {r.doc_id: r for r in M.byte_features(media).collect()}
     assert rows[1].n_bytes == 3
     assert rows[1].first_byte == ord("a")
     assert rows[1].byte_checksum == (ord("a") + ord("b") + ord("c")) % 1_000_000_007
@@ -115,11 +115,68 @@ def test_multimodal_frames(spark):
     assert [(f.frame_no, len(f.frame)) for f in frames] == [(0, 64), (1, 36)]
 
 
-def test_decode_image_is_stubbed():
+def test_bmp_roundtrip_known_pixels():
+    """Golden-bytes BMP check, no Spark: encode a hand-chosen 2x3 image
+    (odd width -> 3 padding bytes/row), verify the exact header fields
+    and that decode recovers every pixel, including the row flip."""
+    import numpy as np
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[1, 2, 3], [4, 5, 6], [7, 8, 9]]],
+        dtype=np.uint8,
+    )  # (h=2, w=3)
+    payload = M.encode_bmp(px)
+    assert payload[:2] == b"BM"
+    assert int.from_bytes(payload[10:14], "little") == 54  # pixel offset
+    assert int.from_bytes(payload[18:22], "little") == 3  # width
+    assert int.from_bytes(payload[22:26], "little") == 2  # height
+    assert int.from_bytes(payload[28:30], "little") == 24  # bpp
+    row_size = 12  # 3*3=9 -> padded to 12
+    assert len(payload) == 54 + row_size * 2
+    # bottom row of the file is the TOP image row, BGR order
+    assert payload[54:57] == bytes([3, 2, 1])  # (1,2,3) as BGR
+    assert payload[54 + row_size : 54 + row_size + 3] == bytes([0, 0, 255])
+    np.testing.assert_array_equal(M.decode_bmp(payload), px)
+
+
+def test_decode_bmp_top_down_and_errors():
+    import numpy as np
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    payload = bytearray(M.encode_bmp(px))
+    # flip the height sign -> top-down layout: rows come back reversed
+    payload[22:26] = (-2).to_bytes(4, "little", signed=True)
+    np.testing.assert_array_equal(M.decode_bmp(bytes(payload)), px[::-1])
+    with pytest.raises(ValueError, match="not a BMP"):
+        M.decode_bmp(b"\x89PNG....")
+    with pytest.raises(ValueError, match="unsupported"):
+        bad = bytearray(M.encode_bmp(px))
+        bad[28:30] = (8).to_bytes(2, "little")  # claim 8-bit
+        M.decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_bmp(M.encode_bmp(px)[:-4])
+
+
+def test_multimodal_pixel_features_end_to_end(spark):
+    """Full path: synthetic BMP corpus (executor-generated) -> decode ->
+    pixel stats; cross-checked against the closed-form pixel function."""
+    import numpy as np
+
+    df = spark.createDataFrame([(7,), (12,)], "doc_id long")
+    media = M.synthetic_bmp_corpus(df, width=15, height=9)
+    rows = {r.doc_id: r for r in M.extract_features(media).collect()}
+    yy, xx = np.mgrid[0:9, 0:15]
+    for doc_id in (7, 12):
+        r, g, b = M.synthetic_pixel(doc_id, yy, xx)
+        got = rows[doc_id]
+        assert (got.width, got.height) == (15, 9)
+        assert got.mean_r == round(float(np.mean(r)), 4)
+        assert got.mean_g == round(float(np.mean(g)), 4)
+        assert got.mean_b == round(float(np.mean(b)), 4)
+        luma = 0.299 * r + 0.587 * g + 0.114 * b
+        assert got.max_luma == int(luma.max())
 
 
 def test_recognized_key_counts(spark):
