@@ -2720,11 +2720,58 @@ def sim_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(queries, candidates, k=5)
 
 
+def _lsh_oracle_sql(dim=64, n_planes=4, n_tables=4, k=5) -> str:
+    """Generate the DuckDB oracle for sim_ann_lsh: the hyperplanes are
+    deterministic literals (similarity._deterministic_planes), so the
+    sign-bit bucketing — the 'approximate' part — is reproducible in SQL
+    exactly; candidate generation and ranking then mirror the Spark plan.
+    A FULL value oracle for an ANN query: both engines must agree on
+    every bucket bit and every rounded cosine."""
+    from rapids_and_rivers_spark.operators.similarity import _deterministic_planes
+
+    def bucket_expr(emb: str, seed: int) -> str:
+        bits = []
+        for i, plane in enumerate(_deterministic_planes(dim, n_planes, seed)):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_inner_product({emb}, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    def tabled(src: str, id_alias: str, flt: str) -> str:
+        branches = " ".join(
+            f"WHEN {t} THEN {bucket_expr('emb', 42 + t)}" for t in range(n_tables)
+        )
+        return f"""
+      SELECT vec_id AS {id_alias}, CAST(embedding AS DOUBLE[]) AS emb,
+             t.range AS tbl, CASE t.range {branches} END AS bucket
+      FROM embeddings, range({n_tables}) t WHERE {flt}"""
+
+    return f"""
+    WITH qb AS ({tabled('embeddings', 'query_id', 'vec_id < 10')}),
+    cb AS ({tabled('embeddings', 'neighbor_id', 'vec_id >= 10')}),
+    pairs AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id, q.emb AS qe, c.emb AS ce
+      FROM qb q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+    )
+    SELECT query_id, neighbor_id,
+           round(list_inner_product(qe, ce)
+                 / (sqrt(list_inner_product(qe, qe))
+                    * sqrt(list_inner_product(ce, ce))), 4) AS cos
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) <= {k}
+    """
+
+
 @register(
     "sim_ann_lsh",
-    None,  # approximate by construction: driver records rows-only
+    _lsh_oracle_sql(),
     doc="LSH-bucketed approximate nearest neighbors (random hyperplanes, "
-    "equi-join on bucket replaces the cross product at scale)",
+    "equi-join on bucket replaces the cross product at scale). FULL value "
+    "oracle: the planes are deterministic literals, so DuckDB recomputes "
+    "the identical sign-bit buckets, candidate set, and rounded cosines",
 )
 def sim_ann_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2824,10 +2871,37 @@ def dedup_clusters(spark, sf_dir):
 
 @register(
     "dedup_minhash",
-    None,  # hash-family signatures have no DuckDB equivalent: rows-only
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in range(1, len(t) - 1)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) AS sa, len(b.shingles) AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+    )
+    SELECT id_a, id_b, round(inter / CAST(sa + sb - inter AS DOUBLE), 4) AS jaccard
+    FROM pairs WHERE inter / CAST(sa + sb - inter AS DOUBLE) >= 0.3
+    """,
     doc="MinHash + banded LSH near-dup candidates, Jaccard-verified "
     "(numpy multiply-shift signatures per row, candidates via "
-    "band-bucket equi-join)",
+    "band-bucket equi-join). The oracle computes ALL pairs >= threshold "
+    "via exact string-shingle Jaccard (O(n^2), oracle-scale only) — a "
+    "FULL value match, valid because banded LSH has recall 1 on this "
+    "corpus: every true pair here has jaccard >= 0.89, where the "
+    "8-band x 4-row miss probability is (1 - 0.89^4)^8 ~ 4e-4 per pair "
+    "(verified exactly equal at sf0.001 and sf0.01); a corpus dense in "
+    "borderline-threshold pairs would need the weaker rows-only check",
 )
 def dedup_minhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -2848,8 +2922,35 @@ def dedup_simhash(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
-    None,  # shingle construction not expressible in DuckDB 1.0 SQL: rows-only
-    doc="exact word-3-gram Jaccard pairs within source blocks",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in range(1, len(t) - 1)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) AS sa, len(b.shingles) AS sb
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+    )
+    SELECT id_a, id_b, round(inter / CAST(sa + sb - inter AS DOUBLE), 4) AS jaccard
+    FROM pairs WHERE inter / CAST(sa + sb - inter AS DOUBLE) >= 0.15
+    """,
+    doc="exact word-3-gram Jaccard pairs within source blocks — FULL value "
+    "oracle: the inverted-index formulation is mathematically exact for "
+    "threshold > 0, and hashed-shingle Jaccard equals string-shingle "
+    "Jaccard absent 64-bit collisions, so the DuckDB block-wise cross "
+    "join (oracle-scale only) must reproduce the identical pair set and "
+    "jaccard values",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
