@@ -45,6 +45,38 @@ def observe_verdicts(
     return evaluated.observe(obs, *counters), obs
 
 
+class PacketTimer:
+    """``on_packet_seconds`` parity (River.kt:74-88): per-(river, listener)
+    wall-time totals and call counts for Python packet handlers.
+
+    The reference wraps every ``packetListener.onPacket`` in a Micrometer
+    timer tagged (rapid, river, event_name). Spark mapping: a pair of
+    accumulators per (river, listener) — updated executor-side inside the
+    ``mapInPandas`` handler loop (`perf_counter` around each call, ~ns
+    overhead), merged into driver-readable totals with each task result.
+    Accumulators are created lazily on the DRIVER (they cannot be created
+    inside a serialized closure) before the batch is planned.
+    """
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._acc: dict[str, tuple] = {}
+
+    def pair(self, name: str) -> tuple:
+        """(count_acc, seconds_acc) for a listener label, created on demand."""
+        if name not in self._acc:
+            sc = self._spark.sparkContext
+            self._acc[name] = (sc.accumulator(0), sc.accumulator(0.0))
+        return self._acc[name]
+
+    def snapshot(self) -> dict[str, dict[str, float]]:
+        """{label: {count, total_seconds}} — the timer readout."""
+        return {
+            n: {"count": c.value, "total_seconds": s.value}
+            for n, (c, s) in self._acc.items()
+        }
+
+
 def recognized_key_counts(evaluated: DataFrame, river) -> DataFrame:
     """``message_keys_counter`` parity (P3, River.kt:91-102): for each key
     the river declared, how many PASSING packets carried it non-null.

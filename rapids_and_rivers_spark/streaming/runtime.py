@@ -37,23 +37,43 @@ from rapids_and_rivers_spark.river import ERRORS_COL, VARIANT_COL, VERDICT_COL, 
 REPLY_SCHEMA = "value string, key string"
 
 
+def listener_label(river: River, fn, index: int) -> str:
+    """Stable timer label for a packet listener: river/name (PacketListener
+    .name() analog — function name, or class name for callables)."""
+    name = getattr(fn, "__name__", None) or type(fn).__name__
+    return f"{river.name}/{index}:{name}"
+
+
 def run_packet_listeners(
     passing: DataFrame,
     river: River,
     service_name: str | None,
     instance_id: str | None,
+    timer=None,
 ) -> DataFrame:
     """Execute Python packet handlers on the executors, returning replies.
 
     Each input row becomes a :class:`Packet`; handler ``publish`` calls are
     collected and stamped with causation + fresh id (JsonMessageContext
     semantics) — all inside an Arrow-batched ``mapInPandas``.
+
+    With a :class:`~rapids_and_rivers_spark.metrics.PacketTimer`, each
+    listener call is timed executor-side (`on_packet_seconds` parity,
+    River.kt:79-88) — accumulator pairs are materialized here, on the
+    driver, before the closure ships.
     """
     listeners = river.listeners
     declared = list(river.declared_keys)
     svc, inst = service_name, instance_id
+    timer_pairs = (
+        [timer.pair(listener_label(river, fn, i)) for i, fn in enumerate(listeners)]
+        if timer is not None
+        else None
+    )
 
     def gen(batches):
+        import time as _time
+
         import pandas as pd
 
         from rapids_and_rivers_spark.packet import Packet
@@ -75,8 +95,16 @@ def run_packet_listeners(
                         published.append((message, key_override))
 
                 ctx = _Ctx()
-                for fn in listeners:
-                    fn(packet, ctx)
+                for i, fn in enumerate(listeners):
+                    if timer_pairs is None:
+                        fn(packet, ctx)
+                    else:
+                        t0 = _time.perf_counter()
+                        fn(packet, ctx)
+                        dt = _time.perf_counter() - t0
+                        count_acc, sec_acc = timer_pairs[i]
+                        count_acc.add(1)
+                        sec_acc.add(dt)
                 for message, key_override in published:
                     reply = (
                         message
@@ -111,6 +139,16 @@ class StreamingRapid(AbstractRapid):
         self._sink: Callable[[DataFrame], None] | None = None
         self._dlq: Callable[[DataFrame], None] | None = None
         self._raw_listeners: list[Callable[[DataFrame], None]] = []
+        self.packet_timer = None
+
+    def enable_packet_timers(self):
+        """Turn on per-listener wall-time metrics (on_packet_seconds parity,
+        River.kt:79-88); returns the :class:`PacketTimer` whose
+        ``snapshot()`` yields {river/listener: {count, total_seconds}}."""
+        from rapids_and_rivers_spark.metrics import PacketTimer
+
+        self.packet_timer = PacketTimer(self.spark)
+        return self.packet_timer
 
     # -- wiring ----------------------------------------------------------------
 
@@ -209,7 +247,11 @@ class StreamingRapid(AbstractRapid):
             if river.listeners:
                 replies.append(
                     run_packet_listeners(
-                        passing, river, self.service_name, self.instance_id
+                        passing,
+                        river,
+                        self.service_name,
+                        self.instance_id,
+                        timer=self.packet_timer,
                     )
                 )
             if self._dlq is not None:

@@ -353,6 +353,112 @@ def test_lifecycle_listener_event_order():
     assert first["app_name"] == "app" and first["instance_id"] == "i-1"
 
 
+def test_lifecycle_golden_fields_on_started_query(spark, tmp_path):
+    """R8/R9 golden-field parity through a REAL StreamingQueryListener on a
+    started query: each published lifecycle event carries exactly the
+    reference field set — @event_name, @id, @opprettet, app_name,
+    instance_id (RapidApplication.kt:119-139 builds
+    JsonMessage.newMessage(event, {app_name, instance_id}))."""
+    import json
+    import time
+    from pyspark.sql import functions as F
+    from rapids_and_rivers_spark.streaming.lifecycle import RapidLifecycleListener
+    from rapids_and_rivers_spark.streaming.runtime import StreamingRapid
+
+    src = str(tmp_path / "in")
+    write_messages(src, [json.dumps({"@event_name": "ev", "n": 1})])
+    published: list[str] = []
+    ids = iter(f"lifecycle-id-{i}" for i in range(10))
+    listener = RapidLifecycleListener(
+        published.append,
+        app_name="engine",
+        instance_id="instance-1",
+        id_generator=lambda: next(ids),
+        query_name="lifecycle_golden_q",
+    )
+    spark.streams.addListener(listener)
+    try:
+        rapid = StreamingRapid(spark, service_name="engine", instance_id="instance-1")
+        rapid.set_source(
+            spark.readStream.format("text").load(src).select(F.col("value"))
+        )
+        rapid.set_sink(lambda out: out.count())
+        query = rapid.start(
+            str(tmp_path / "ckpt"), available_now=True, query_name="lifecycle_golden_q"
+        )
+        query.awaitTermination()
+        # the listener bus delivers asynchronously — poll for the tail event
+        deadline = time.time() + 30
+        while "application_down" not in listener.events and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.events == [
+        "application_up", "application_ready", "application_stop", "application_down",
+    ]
+    for i, payload in enumerate(published):
+        msg = json.loads(payload)
+        assert set(msg) == {
+            "@event_name", "@id", "@opprettet", "app_name", "instance_id"
+        }, f"field drift in event {i}: {sorted(msg)}"
+        assert msg["@event_name"] == listener.events[i]
+        assert msg["@id"] == f"lifecycle-id-{i}"
+        assert msg["app_name"] == "engine" and msg["instance_id"] == "instance-1"
+
+
+def test_lifecycle_null_app_name_publishes_nothing():
+    """applicationEvent returns null without app_name (RapidApplication.kt
+    :130): events are tracked but nothing is published."""
+    from rapids_and_rivers_spark.streaming.lifecycle import RapidLifecycleListener
+
+    published: list[str] = []
+    listener = RapidLifecycleListener(published.append, None, "i-1")
+    listener.onQueryStarted(None)
+    listener.onQueryTerminated(None)
+    assert listener.events == [
+        "application_up", "application_ready", "application_stop", "application_down",
+    ]
+    assert published == []
+
+
+def test_on_packet_seconds_timer(spark):
+    """on_packet_seconds parity (River.kt:74-88): per-listener call counts
+    and wall-time totals accumulate from the executor-side handler loop."""
+    import json
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import River
+    from rapids_and_rivers_spark.streaming.runtime import StreamingRapid
+
+    def slow_listener(packet, context):
+        import time
+
+        time.sleep(0.002)
+        context.publish(packet)
+
+    def fast_listener(packet, context):
+        pass
+
+    river = (
+        River("timed")
+        .validate(P.require_key("@event_name"))
+        .on_packet(slow_listener)
+        .on_packet(fast_listener)
+    )
+    msgs = [json.dumps({"@event_name": "e", "i": i}) for i in range(5)]
+    df = spark.createDataFrame([(m, "k") for m in msgs], "value string, key string")
+    rapid = StreamingRapid(spark, service_name="svc", instance_id="i1")
+    timer = rapid.enable_packet_timers()
+    rapid.register(river)
+    rapid.set_sink(lambda out: out.count())
+    rapid.process_batch(df)
+    snap = timer.snapshot()
+    slow = snap["timed/0:slow_listener"]
+    fast = snap["timed/1:fast_listener"]
+    assert slow["count"] == 5 and fast["count"] == 5
+    assert slow["total_seconds"] >= 5 * 0.002
+    assert 0 <= fast["total_seconds"] < slow["total_seconds"]
+
+
 def test_failed_batch_redelivered_after_restart(spark, tmp_path):
     """Crash-stop + at-least-once parity (RapidIntegrationTest.kt:144-202):
     a sink failure fails the query BEFORE the checkpoint commits, so a
