@@ -15,6 +15,10 @@ stance: composition first, Pandas UDF only when semantics demand it):
   an EQUI join on (key, bucket): with bucket width >= window width each
   left row probes at most ``ceil(window/width)+1`` buckets, so work is
   O(pairs in adjacent buckets), never O(|left| x |right|).
+- :func:`asof_join_sliced` is the hot-key variant: the same as-of
+  semantics with the per-key sort decomposed along time slices (salting
+  cannot preserve carry-forward; time-slicing can) — use it when one
+  entity dominates the key distribution.
 
 No reference parity claim: navikt/rapids-and-rivers has no join operators
 at all (SURVEY.md §2.6) — these are extension surface for the
@@ -61,7 +65,43 @@ def asof_join(
     stable across runs and partitionings. When a right payload column has
     a non-orderable type (map), the tiebreak is skipped and duplicate
     (by, time) right rows pick an arbitrary winner — documented caveat.
+
+    Skew: the window partitions on ``by`` alone, so ONE task sorts each
+    key; fine up to ~10^6 rows/key, beyond that use
+    :func:`asof_join_sliced` (same semantics, time-decomposed sort).
     """
+    prep = _asof_prep(left, right, by, left_time, right_time, strict)
+    frame = (
+        W.partitionBy(by)
+        .orderBy(*prep.order_keys)
+        .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = prep.unioned.withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(frame)
+    ).filter(F.col(_SIDE) == prep.l_side)
+    return _asof_output(carried, left, by, left_time, right_time,
+                        prep.r_payload_cols, tolerance_seconds)
+
+
+class _AsofPrep:
+    def __init__(self, unioned, r_payload_cols, r_side, l_side, order_keys):
+        self.unioned = unioned
+        self.r_payload_cols = r_payload_cols
+        self.r_side = r_side
+        self.l_side = l_side
+        self.order_keys = order_keys
+
+
+def _asof_prep(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_time: str,
+    right_time: str,
+    strict: bool,
+) -> _AsofPrep:
+    """Validate and build the union-and-carry stream shared by the asof
+    variants: both sides as (by, __t, __side, __payload, left cols)."""
     if left_time == right_time:
         raise ValueError(
             f"left_time and right_time are both {left_time!r}: the output "
@@ -97,14 +137,18 @@ def asof_join(
     # Maps are not orderable in Spark — skip the tiebreak if present.
     orderable = all("map<" not in right.schema[c].simpleString() for c in r_payload_cols)
     order_keys = ["__t", _SIDE] + ([_PAYLOAD] if orderable else [])
-    frame = (
-        W.partitionBy(by)
-        .orderBy(*order_keys)
-        .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
-    )
-    carried = unioned.withColumn(
-        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(frame)
-    ).filter(F.col(_SIDE) == l_side)
+    return _AsofPrep(unioned, r_payload_cols, r_side, l_side, order_keys)
+
+
+def _asof_output(
+    carried: DataFrame,
+    left: DataFrame,
+    by: str,
+    left_time: str,
+    right_time: str,
+    r_payload_cols: list[str],
+    tolerance_seconds: float | None,
+) -> DataFrame:
     if tolerance_seconds is not None:
         in_range = (
             F.col(_PAYLOAD).isNotNull()
@@ -113,9 +157,7 @@ def asof_join(
                 <= int(tolerance_seconds * 1_000_000)
             )
         )
-        carried = carried.withColumn(
-            _PAYLOAD, F.when(in_range, F.col(_PAYLOAD))
-        )
+        carried = carried.withColumn(_PAYLOAD, F.when(in_range, F.col(_PAYLOAD)))
     out_cols = [F.col(by)] + [
         F.col("__t").alias(left_time) if c == left_time else F.col(c)
         for c in left.columns
@@ -124,6 +166,91 @@ def asof_join(
     out_cols += [F.col(_PAYLOAD)[c].alias(c) for c in r_payload_cols]
     out_cols += [F.col(_PAYLOAD)["__rt"].alias(right_time)]
     return carried.select(*out_cols)
+
+
+def asof_join_sliced(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_time: str,
+    right_time: str,
+    slice_seconds: float,
+    tolerance_seconds: float | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join for HOT keys: identical semantics to
+    :func:`asof_join`, but the per-key window is decomposed so no single
+    task ever sorts a whole hot entity.
+
+    Why not salting: :func:`~rapids_and_rivers_spark.operators.skew.with_salt`
+    composition is semantically INVALID for as-of — carry-forward crosses
+    any hash-salt boundary, so splitting a key's rows by salt loses
+    matches. The valid decomposition is along TIME:
+
+    1. rows partition into (key, time-slice) groups; the carry-forward
+       window runs per slice — a hot key with N rows over S slices costs
+       S sorts of ~N/S rows instead of one N-row sort;
+    2. per (key, slice) the LAST right payload is aggregated (map-side
+       combinable groupBy), and a per-key prefix scan over those slice
+       summaries — S rows per key, not N — yields each slice's carry-in;
+    3. carry-in joins back on (key, slice) and fills left rows whose
+       slice has no earlier right row.
+
+    Slice boundaries never split equal timestamps (equal times share a
+    slice), so inclusive/strict semantics and the duplicate-(key, time)
+    payload tiebreak match :func:`asof_join` exactly. Pick
+    ``slice_seconds`` so a hot key's densest slice fits an executor
+    (e.g. hourly slices for a key emitting ~10k rows/hour).
+    """
+    if slice_seconds <= 0:
+        raise ValueError(f"slice_seconds must be positive, got {slice_seconds}")
+    prep = _asof_prep(left, right, by, left_time, right_time, strict)
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', __t)"
+    )
+    sliced = prep.unioned.withColumn(
+        "__slice", F.floor(epoch_us / F.lit(int(slice_seconds * 1_000_000)))
+    )
+    # (1) within-slice carry-forward
+    frame = (
+        W.partitionBy(by, "__slice")
+        .orderBy(*prep.order_keys)
+        .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
+    )
+    within = sliced.withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(frame)
+    )
+    # (2) per-slice last right payload (max over (__t, payload) of right
+    # rows — same winner as the window's (__t, side, payload) order since
+    # only right rows carry payloads), then per-key prefix over slices
+    slice_last = (
+        sliced.filter(F.col(_SIDE) == prep.r_side)
+        .groupBy(by, "__slice")
+        .agg(F.max(F.struct(F.col("__t"), F.col(_PAYLOAD))).alias("__last"))
+        .select(by, "__slice", F.col("__last")[_PAYLOAD].alias("__slice_payload"))
+    )
+    # spine of ALL (key, slice) groups present — a slice with no right
+    # rows still inherits carry-in from earlier slices
+    spine = sliced.select(by, "__slice").distinct()
+    prefix_frame = (
+        W.partitionBy(by).orderBy("__slice").rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry_in = (
+        spine.join(slice_last, [by, "__slice"], "left")
+        .withColumn(
+            "__carry_in",
+            F.last("__slice_payload", ignorenulls=True).over(prefix_frame),
+        )
+        .select(by, "__slice", "__carry_in")
+    )
+    # (3) fill: carry-in is strictly older than every row in the slice
+    carried = (
+        within.join(carry_in, [by, "__slice"], "left")
+        .withColumn(_PAYLOAD, F.coalesce(F.col(_PAYLOAD), F.col("__carry_in")))
+        .filter(F.col(_SIDE) == prep.l_side)
+    )
+    return _asof_output(carried, left, by, left_time, right_time,
+                        prep.r_payload_cols, tolerance_seconds)
 
 
 def range_join(

@@ -13,7 +13,11 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from rapids_and_rivers_spark.operators.joins import asof_join, range_join
+from rapids_and_rivers_spark.operators.joins import (
+    asof_join,
+    asof_join_sliced,
+    range_join,
+)
 
 
 def _random_frames(seed: int, n_left: int = 120, n_right: int = 90):
@@ -135,6 +139,73 @@ def test_asof_join_duplicate_time_tiebreak_is_deterministic(spark):
         )
         got = asof_join(sl, sr, "k", "lt", "rt").select("rval").collect()
         assert [r.rval for r in got] == [40]
+
+
+@pytest.mark.parametrize("seed,strict", [(1, False), (7, True), (42, False)])
+def test_asof_join_sliced_matches_plain(spark, seed, strict):
+    """The time-sliced hot-key variant must be semantically identical to
+    the per-key-window asof_join, including strict mode and slices with
+    no right rows (carry-in inheritance)."""
+    left, right = _random_frames(seed)
+    sl = spark.createDataFrame(left).withColumn("lt", F.col("lt").cast("timestamp_ntz"))
+    sr = spark.createDataFrame(right).withColumn("rt", F.col("rt").cast("timestamp_ntz"))
+    cols = ["k", "lt", "lval", "rval", "rt"]
+    plain = sorted(
+        map(tuple, asof_join(sl, sr, "k", "lt", "rt", strict=strict).select(*cols).collect())
+    )
+    # 1h slices over the ~6-day span -> many slices, most without right rows
+    sliced = sorted(
+        map(
+            tuple,
+            asof_join_sliced(
+                sl, sr, "k", "lt", "rt", slice_seconds=3600, strict=strict
+            ).select(*cols).collect(),
+        )
+    )
+    assert sliced == plain
+
+
+def test_asof_hot_key_stress_within_budget(spark):
+    """Verdict #9: 1e5 rows on ONE key — differential vs pandas merge_asof
+    for both variants, inside a wall-clock budget."""
+    import time
+
+    rng = np.random.RandomState(3)
+    n_left, n_right = 100_000, 10_000
+    base = pd.Timestamp("2024-01-01")
+    # unique microsecond offsets keep merge_asof's tie semantics out of play
+    lt_off = rng.choice(500_000_000, size=n_left, replace=False)
+    rt_off = rng.choice(500_000_000, size=n_right, replace=False)
+    left = pd.DataFrame(
+        {"k": 0, "lt": base + pd.to_timedelta(lt_off, unit="us"),
+         "lval": np.arange(n_left)}
+    )
+    right = pd.DataFrame(
+        {"k": 0, "rt": base + pd.to_timedelta(rt_off, unit="us"),
+         "rval": np.arange(n_right) * 10}
+    )
+    sl = spark.createDataFrame(left).withColumn("lt", F.col("lt").cast("timestamp_ntz"))
+    sr = spark.createDataFrame(right).withColumn("rt", F.col("rt").cast("timestamp_ntz"))
+    want = (
+        pd.merge_asof(
+            left.sort_values("lt"), right.sort_values("rt"),
+            left_on="lt", right_on="rt", by="k", direction="backward",
+        )[["lval", "rval"]]
+        .sort_values("lval").reset_index(drop=True)
+    )
+    budget_seconds = 120
+    for fn in (
+        lambda: asof_join(sl, sr, "k", "lt", "rt"),
+        lambda: asof_join_sliced(sl, sr, "k", "lt", "rt", slice_seconds=30),
+    ):
+        t0 = time.time()
+        got = (
+            fn().select("lval", "rval").toPandas()
+            .sort_values("lval").reset_index(drop=True)
+        )
+        elapsed = time.time() - t0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert elapsed < budget_seconds, f"hot-key asof took {elapsed:.1f}s"
 
 
 def test_range_join_rejects_nonpositive_bucket(spark):
