@@ -2959,6 +2959,250 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_keep_list",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in range(1, len(t) - 1)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+        AND len(list_intersect(a.shingles, b.shingles))
+            / CAST(len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM r JOIN edges e ON r.b = e.u
+      )
+      SELECT * FROM r
+    ),
+    dropped AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING a != least(a, min(b))
+    )
+    SELECT d.doc_id FROM documents d
+    ANTI JOIN dropped x ON d.doc_id = x.doc_id
+    """,
+    doc="END-TO-END dedup pipeline: MinHash-LSH pairs -> connected "
+    "components -> keep-list (every doc except non-canonical cluster "
+    "members) — the artifact a training pipeline actually consumes. "
+    "Composition of three already-verified operators in one plan; the "
+    "oracle chains the all-pairs Jaccard + recursive-CTE closure + anti "
+    "join (valid per the dedup_minhash recall-1 note)",
+)
+def dedup_keep_list(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, col="text", id_col="doc_id", num_hashes=32, bands=8, threshold=0.3
+    )
+    clusters = D.duplicate_clusters(pairs)
+    dropped = clusters.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.select("doc_id").join(dropped, "doc_id", "left_anti")
+
+
+@register(
+    "text_repetition_signals",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, max(cnt) AS top_cnt FROM (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM toks, unnest(t) AS u(tok) GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2
+                  THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+                  END AS bigrams
+      FROM toks
+    )
+    SELECT toks.doc_id,
+           round(len(list_distinct(t)) / CAST(nullif(len(t), 0) AS DOUBLE), 4)
+             AS distinct_ratio,
+           round(freq.top_cnt / CAST(nullif(len(t), 0) AS DOUBLE), 4)
+             AS top_token_ratio,
+           round((len(bigrams) - len(list_distinct(bigrams)))
+                 / CAST(len(bigrams) AS DOUBLE), 4) AS dup_bigram_frac
+    FROM toks JOIN freq USING (doc_id) JOIN big USING (doc_id)
+    """,
+    doc="Gopher-style repetition signals (Rae et al. 2021 A1.1): distinct-"
+    "token ratio, top-token share, duplicate-bigram fraction — pure "
+    "per-row Column expressions over a bound token array, shuffle-free; "
+    "the boilerplate/spam screen of every LLM data pipeline",
+)
+def text_repetition_signals(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    return toked.select(
+        "doc_id",
+        T.distinct_token_ratio(F.col("toks")).alias("distinct_ratio"),
+        T.top_token_ratio(F.col("toks")).alias("top_token_ratio"),
+        T.dup_bigram_fraction(F.col("toks")).alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "gopher_quality_flags",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             round(CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+                   AS DOUBLE) / nullif(len(t), 0), 4) AS mean_word_len,
+             round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                   / CAST(nullif(length(text), 0) AS DOUBLE), 4) AS symbol_ratio,
+             len(list_filter(t, x -> x IN
+                 ('the','a','an','of','and','to','in','is','it','for'))) > 0
+               AS has_stopword
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, has_stopword,
+           (n_tokens BETWEEN 5 AND 10000
+            AND mean_word_len BETWEEN 2 AND 10
+            AND symbol_ratio <= 0.1
+            AND has_stopword) AS passed
+    FROM sig
+    """,
+    doc="Gopher quality rule screen (Rae et al. 2021 A1.1): token-count "
+    "bounds, mean-word-length band, symbol-ratio cap, stopword presence, "
+    "and the conjunction as the keep/drop flag — one shuffle-free "
+    "projection; rules stay data-inspectable instead of a black box",
+)
+def gopher_quality_flags(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "text", T.tokens(F.col("text")).alias("toks")
+    )
+    sig = toked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(F.col("toks"), F.lit(0), lambda a, t: a + F.length(t))
+            / F.nullif(F.size("toks"), F.lit(0)),
+            4,
+        ).alias("mean_word_len"),
+        T.symbol_ratio(F.col("text")).alias("symbol_ratio"),
+        (
+            F.size(F.filter(F.col("toks"), lambda t: t.isin(T.EN_STOPWORDS))) > 0
+        ).alias("has_stopword"),
+    )
+    return sig.withColumn(
+        "passed",
+        F.col("n_tokens").between(5, 10000)
+        & F.col("mean_word_len").between(2, 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & F.col("has_stopword"),
+    )
+
+
+@register(
+    "decontaminate_overlap",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in range(1, len(t) - 1)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT sh_val FROM sh, unnest(shingles) AS u(sh_val)
+      WHERE doc_id % 97 = 0
+    ),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 97 != 0),
+    matched AS (
+      SELECT p.doc_id, count(*) AS n_hit
+      FROM (SELECT doc_id, u.sh_val
+            FROM corpus, unnest(shingles) AS u(sh_val)) p
+      JOIN bench b ON p.sh_val = b.sh_val
+      GROUP BY p.doc_id
+    ),
+    hits AS (
+      SELECT c.doc_id, len(c.shingles) AS n_shingles,
+             coalesce(m.n_hit, 0) AS n_hit
+      FROM corpus c LEFT JOIN matched m USING (doc_id)
+    )
+    SELECT doc_id AS id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(n_hit / CAST(nullif(n_shingles, 0) AS DOUBLE), 4) AS overlap_frac,
+           coalesce(round(n_hit / CAST(nullif(n_shingles, 0) AS DOUBLE), 4) >= 0.5,
+                    false) AS contaminated
+    FROM hits
+    """,
+    doc="benchmark decontamination (the GPT-3 13-gram / PaLM 8-gram "
+    "train-test overlap screen, at 3-grams for the short test docs): "
+    "benchmark docs (doc_id % 97 = 0) contribute one compact distinct-"
+    "shingle-hash table; corpus postings semi-count against it — one "
+    "8-byte-key join, no pairwise doc comparison",
+)
+def decontaminate_overlap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.contamination_check(
+        corpus, bench, col="text", id_col="doc_id", shingle_n=3, threshold=0.5
+    )
+
+
+@register(
+    "length_histogram_by_source",
+    r"""
+    WITH toks AS (
+      SELECT source, len(string_split_regex(trim(text), '\s+')) AS n FROM documents
+    )
+    SELECT source,
+           CAST(floor(log2(greatest(n, 1))) AS INT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY source, log2_bucket
+    """,
+    doc="token-length histogram per source in log2 buckets — the corpus-"
+    "composition dashboard every data pipeline keeps; one groupBy on a "
+    "low-cardinality composite key",
+)
+def length_histogram_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", T.token_count(F.col("text")).alias("n")
+    )
+    return sized.groupBy(
+        "source",
+        F.floor(F.log2(F.greatest(F.col("n"), F.lit(1)))).cast("int").alias("log2_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )
+
+
 # ===========================================================================
 # E. Multimodal plumbing (binary payload columns + Pandas-UDF extraction)
 # ===========================================================================

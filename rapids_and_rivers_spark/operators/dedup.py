@@ -325,6 +325,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus doc, the fraction of its
+    word n-gram shingles that appear ANYWHERE in the benchmark set — the
+    standard train/test-overlap screen for LLM training data (the GPT-3
+    paper's 13-gram and PaLM's 8-gram checks are this exact shape).
+
+    Scale design: the benchmark's distinct shingle hashes form one compact
+    8-byte-key table (typically millions of rows — broadcastable or a
+    cheap hash join); corpus shingles explode to postings and LEFT
+    SEMI-count against it — one join keyed on the hash, no pairwise doc
+    comparison anywhere. Docs with no shingles (< n tokens) are reported
+    with ``n_shingles = 0`` and NULL fraction, never flagged.
+
+    Output: (id, n_shingles, n_hit, overlap_frac, contaminated).
+    """
+    bench_shingles = (
+        shingled(spread(benchmark, id_col), col, id_col, n=shingle_n)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    corpus_sh = shingled(spread(corpus, id_col), col, id_col, n=shingle_n)
+    postings = corpus_sh.select(
+        "id", F.size("shingles").alias("n_shingles"), F.explode_outer("shingles").alias("sh")
+    )
+    hits = (
+        postings.join(
+            bench_shingles.withColumn("__hit", F.lit(1)), "sh", "left"
+        )
+        .groupBy("id", "n_shingles")
+        .agg(F.count("__hit").alias("n_hit"))
+    )
+    frac = F.round(
+        F.col("n_hit") / F.nullif(F.col("n_shingles"), F.lit(0)).cast("double"),
+        ndigits,
+    )
+    return hits.select(
+        "id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        frac.alias("overlap_frac"),
+        F.coalesce(frac >= threshold, F.lit(False)).alias("contaminated"),
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

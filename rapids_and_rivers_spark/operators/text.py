@@ -92,6 +92,64 @@ def lang_id(col: Column) -> Column:
     )
 
 
+# --- repetition signals (Gopher-style quality rules) --------------------------
+#
+# Rae et al. 2021 (Gopher, arXiv:2112.11446 A1.1) and the C4 cleanup
+# (Raffel et al. 2020) filter training documents on repetition: a high
+# duplicate-token or duplicate-n-gram fraction marks boilerplate/spam.
+# All three signals below are per-row Column expressions over a BOUND
+# token array (see operators/dedup.py module docstring) — no shuffle.
+
+
+def distinct_token_ratio(toks: Column, ndigits: int = 4) -> Column:
+    """|distinct tokens| / |tokens| — low values mean heavy repetition."""
+    return F.round(
+        F.size(F.array_distinct(toks))
+        / F.nullif(F.size(toks), F.lit(0)).cast("double"),
+        ndigits,
+    )
+
+
+def top_token_ratio(toks: Column, ndigits: int = 4) -> Column:
+    """Share of the most frequent token (Gopher caps this at ~0.1-0.2).
+
+    O(distinct x n) per row — fine for documents (n is bounded by doc
+    length); the equivalent explode+groupBy shape is only worth its two
+    shuffles for extreme row sizes.
+    """
+    uniq = F.array_distinct(toks)
+    counts = F.transform(
+        uniq, lambda u: F.size(F.filter(toks, lambda t: t == u))
+    )
+    return F.round(
+        F.array_max(counts) / F.nullif(F.size(toks), F.lit(0)).cast("double"),
+        ndigits,
+    )
+
+
+def dup_bigram_fraction(toks: Column, ndigits: int = 4) -> Column:
+    """Fraction of word bigrams that are duplicates of an earlier bigram
+    (1 - distinct/total); NULL for texts with < 2 tokens."""
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+    )
+    return F.round(
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+        / F.size(bigrams).cast("double"),
+        ndigits,
+    )
+
+
+def symbol_ratio(col: Column, ndigits: int = 4) -> Column:
+    """Fraction of characters that are neither alphanumeric nor whitespace
+    (the Gopher symbol-to-word screen, simplified to chars)."""
+    n = F.length(col)
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.round(F.length(stripped) / F.nullif(n, F.lit(0)).cast("double"), ndigits)
+
+
 def normalized(col: Column) -> Column:
     """Canonical text form: lowercase, whitespace collapsed, trimmed."""
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))

@@ -135,6 +135,51 @@ def test_fingerprint_normalization(spark):
     assert fps[0] == fps[1]
 
 
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z")], "doc_id long, text string"
+    )
+    toked = df.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    rows = {
+        r.doc_id: r
+        for r in toked.select(
+            "doc_id",
+            T.distinct_token_ratio(F.col("toks")).alias("dr"),
+            T.top_token_ratio(F.col("toks")).alias("tr"),
+            T.dup_bigram_fraction(F.col("toks")).alias("bf"),
+        ).collect()
+    }
+    assert rows[1].dr == 0.5  # {a, b} of 4
+    assert rows[1].tr == 0.75  # 'a' 3 of 4
+    assert rows[1].bf == round(1 / 3, 4)  # 'a a' repeats once in 3 bigrams
+    assert rows[2].dr == 1.0 and rows[2].tr == 0.25 and rows[2].bf == 0.0
+
+
+def test_symbol_ratio(spark):
+    df = spark.createDataFrame([("ab #$%",)], "text string")
+    row = df.select(T.symbol_ratio(F.col("text")).alias("s")).collect()[0]
+    assert row.s == 0.5  # 3 symbol chars of 6
+
+
+def test_contamination_check(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high today"),  # heavy overlap
+            (2, "completely unrelated words appear in this document"),
+            (3, "hi"),  # degenerate: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in D.contamination_check(corpus, bench, threshold=0.5).collect()}
+    assert rows[1].contaminated and rows[1].n_hit == 4  # 4 of 5 shingles shared
+    assert not rows[2].contaminated and rows[2].n_hit == 0
+    assert rows[3].n_shingles == 0 and rows[3].overlap_frac is None
+    assert not rows[3].contaminated
+
+
 def test_embedding_neardup_threshold(spark):
     df = spark.createDataFrame(
         [
