@@ -793,6 +793,50 @@ def window_tumbling_agg(spark, sf_dir):
 
 
 @register(
+    "window_sliding_agg",
+    """
+    WITH wins AS (
+      SELECT event_type, value, ts,
+             make_timestamp(CAST((floor(epoch(ts) / 900) * 900
+                                  - t.range * 900) * 1000000 AS BIGINT))
+               AS win_start
+      FROM events, range(2) t
+    )
+    SELECT strftime(win_start, '%Y-%m-%dT%H:%M:%S') AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM wins
+    WHERE ts >= win_start AND ts < win_start + INTERVAL 30 MINUTE
+    GROUP BY 1, 2
+    """,
+    doc="SLIDING (hopping) event-time window aggregation: 30-minute "
+    "windows every 15 minutes — each event lands in size/slide = 2 "
+    "windows (Spark's window() explodes exactly that many rows before "
+    "the one aggregation shuffle; the oracle reproduces the epoch-aligned "
+    "window grid). Streaming-dual: the same expression runs under a "
+    "watermark in test_streaming_extensions",
+)
+def window_sliding_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "window_sessionize",
     """
     WITH flagged AS (

@@ -1,5 +1,21 @@
-"""Sources: batch table loaders and (see streaming/) stream sources."""
+"""Sources: batch table loaders, ingest/egress utilities, and (see
+streaming/) stream sources."""
 
+from rapids_and_rivers_spark.sources.ingest import (
+    bucketed_table,
+    read_jsonl,
+    write_bucketed,
+    write_partitioned,
+)
 from rapids_and_rivers_spark.sources.tables import load_table, load_tables, spread, TABLES
 
-__all__ = ["load_table", "load_tables", "spread", "TABLES"]
+__all__ = [
+    "load_table",
+    "load_tables",
+    "spread",
+    "TABLES",
+    "read_jsonl",
+    "write_partitioned",
+    "write_bucketed",
+    "bucketed_table",
+]

@@ -1,0 +1,107 @@
+"""Batch ingest/egress utilities: JSONL with corrupt-record routing,
+partitioned parquet, and bucketed tables for co-located joins.
+
+These complete the lakehouse loop around the engine:
+
+- :func:`read_jsonl` — the LLM-corpus interchange format, read with the
+  rapid's DLQ philosophy: bad lines are never silently dropped, they are
+  ROUTED (the batch analog of the streaming runtime's unparseable
+  verdict channel).
+- :func:`write_partitioned` — hive-partitioned parquet output, the shape
+  downstream consumers prune on.
+- :func:`write_bucketed` / :func:`bucketed_table` — Spark bucketing: two
+  tables bucketed on the same key with the same bucket count join with
+  ZERO exchanges (verified by test_ingest.py's plan assertion). At 100 TB
+  this converts every repeated fact-to-fact join from a full shuffle
+  into a local zip of pre-sorted buckets — the single biggest repeatable
+  shuffle win a pipeline can bank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSON-lines, splitting parseable from corrupt rows.
+
+    Returns ``(good, bad)``: ``good`` carries the declared/inferred
+    columns (corrupt rows excluded), ``bad`` carries the raw offending
+    line in ``_corrupt_record`` for DLQ landing — the batch analog of the
+    streaming runtime's unparseable verdict channel, and the same parse
+    shape (text scan + ``from_json``), which sidesteps Spark's
+    corrupt-column-only query restriction on native JSON reads. Blank
+    lines are skipped like the rapid's tombstone filter.
+
+    Pass an explicit ``schema`` at scale — inference costs a full extra
+    pass over the data (done here only when ``schema`` is None).
+    """
+    if schema is None:
+        inferred = spark.read.option("mode", "DROPMALFORMED").json(path).schema
+        schema = ",".join(f"`{f.name}` {f.dataType.simpleString()}" for f in inferred)
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    # from_json in PERMISSIVE mode yields null-filled structs for corrupt
+    # input (never a NULL struct) — an embedded corrupt-record field is
+    # the reliable malformed marker
+    full_schema = f"{schema}, {CORRUPT_COL} string"
+    parsed = lines.select(
+        F.col("value"),
+        F.from_json(
+            "value", full_schema, {"columnNameOfCorruptRecord": CORRUPT_COL}
+        ).alias("__row"),
+    )
+    good = parsed.filter(F.col(f"__row.{CORRUPT_COL}").isNull()).select(
+        "__row.*"
+    ).drop(CORRUPT_COL)
+    bad = parsed.filter(F.col(f"__row.{CORRUPT_COL}").isNotNull()).select(
+        F.col("value").alias(CORRUPT_COL)
+    )
+    return good, bad
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-partitioned parquet: downstream scans prune on the partition
+    columns for free (the lakehouse layout every consumer expects)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally per-bucket sorted)
+    external parquet table.
+
+    Bucketing pre-shuffles ONCE at write time: every future join or
+    aggregation on ``bucket_cols`` against an equally-bucketed table
+    skips its exchange (and with ``sort_cols``, its sort). The cost model
+    at 100 TB: one write-side shuffle buys N shuffle-free reads.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket metadata (a plain
+    ``spark.read.parquet(path)`` would lose it and re-shuffle)."""
+    return spark.table(table_name)

@@ -1,0 +1,85 @@
+"""Ingest/egress utilities: JSONL corrupt routing, partition pruning,
+bucketed co-located joins (the zero-exchange plan assertion)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rapids_and_rivers_spark.sources import (
+    bucketed_table,
+    read_jsonl,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_read_jsonl_routes_corrupt_lines(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+        '{"doc_id": 3, "text": unquoted}\n'
+    )
+    good, bad = read_jsonl(spark, str(p), schema="doc_id bigint, text string")
+    assert sorted((r.doc_id, r.text) for r in good.collect()) == [
+        (1, "good"),
+        (2, "also good"),
+    ]
+    bad_lines = sorted(r._corrupt_record for r in bad.collect())
+    assert bad_lines == ["this is not json", '{"doc_id": 3, "text": unquoted}']
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"t{i}") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    out = str(tmp_path / "parted")
+    write_partitioned(df, out, ["source"])
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("source=")
+    ) == ["source=src0", "source=src1", "source=src2"]
+    read = spark.read.parquet(out).filter(F.col("source") == "src1")
+    assert read.count() == 10
+    # partition pruning visible in the plan: only one partition's files scanned
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The headline: two tables bucketed on the same key join with ZERO
+    shuffles (and with sortBy, no extra sort on the probe side)."""
+    facts = spark.createDataFrame(
+        [(i % 50, i, float(i)) for i in range(1000)], "k long, i long, x double"
+    )
+    dims = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(50)], "k long, name string"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_facts")
+    spark.sql("DROP TABLE IF EXISTS b_dims")
+    write_bucketed(facts, "b_facts", str(tmp_path / "bf"), ["k"], 8, sort_cols=["k"])
+    write_bucketed(dims, "b_dims", str(tmp_path / "bd"), ["k"], 8, sort_cols=["k"])
+    try:
+        with_broadcast_off = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+        old = {k: spark.conf.get(k) for k in with_broadcast_off}
+        for k, v in with_broadcast_off.items():
+            spark.conf.set(k, v)
+        try:
+            joined = bucketed_table(spark, "b_facts").join(
+                bucketed_table(spark, "b_dims"), "k"
+            )
+            joined.collect()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+            assert joined.count() == 1000
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_facts")
+        spark.sql("DROP TABLE IF EXISTS b_dims")
