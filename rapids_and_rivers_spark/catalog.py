@@ -3326,3 +3326,216 @@ def multimodal_frames(spark, sf_dir):
     return M.sample_frames(media, every_n_bytes=64, max_frames=8).select(
         "doc_id", F.col("frame_no").cast("int").alias("frame_no"), "frame"
     )
+
+
+@register(
+    "pii_redaction",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 logged'
+                     ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '[PHONE]', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IPV4]', 'g')) AS redacted_fp
+    FROM seeded
+    """,
+    doc="PII scrub (C4/ROOTS-style pre-release pass): regex detection + "
+    "class-token redaction for emails, phone numbers, IPv4s. The corpus "
+    "is synthetic word-salad, so deterministic PII is injected from "
+    "doc_id BEFORE the scrub (both engines derive the identical input); "
+    "detection counts and the md5 of the redacted text are compared. "
+    "Patterns live in operators/text.py PII_PATTERNS and are valid in "
+    "both Java regex and RE2. Pure chained regexp_replace — linear in "
+    "bytes, zero shuffle, codegen-fused",
+)
+def pii_redaction(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-123-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".7 logged")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return seeded.select(
+        "doc_id",
+        T.pii_count(F.col("t"), "email").cast("long").alias("n_emails"),
+        T.pii_count(F.col("t"), "phone").cast("long").alias("n_phones"),
+        T.pii_count(F.col("t"), "ipv4").cast("long").alias("n_ipv4"),
+        F.md5(T.redact_pii(F.col("t"))).alias("redacted_fp"),
+    )
+
+
+@register(
+    "url_normalize_hosts",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://Sub' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/P'
+               || CAST(doc_id % 3 AS VARCHAR) || '?b=2&a='
+               || CAST(doc_id % 2 AS VARCHAR) || '#frag' AS url
+      FROM documents
+    ),
+    norm AS (
+      SELECT lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+             || lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
+             || regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+             || '?' || array_to_string(
+                  list_sort(string_split(regexp_extract(url, '\?([^#]*)', 1), '&')),
+                  '&') AS norm_url,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host
+      FROM urls
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT norm_url) AS BIGINT) AS n_norm,
+           min(norm_url) AS example_url
+    FROM norm GROUP BY host
+    """,
+    doc="URL canonicalization for URL-keyed dedup: lowercase scheme/host, "
+    "drop fragment, sort query params (operators/text.py url_normalize, "
+    "JVM parse_url), then per-host rollup. Synthetic URLs derived from "
+    "doc_id in both engines; the oracle reparses with RE2. One shuffle "
+    "on a 5-value host key (AQE coalesces)",
+)
+def url_normalize_hosts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://Sub"),
+            (d % 5).cast("string"),
+            F.lit(".Example.com/P"),
+            (d % 3).cast("string"),
+            F.lit("?b=2&a="),
+            (d % 2).cast("string"),
+            F.lit("#frag"),
+        ).alias("url")
+    )
+    return (
+        urls.select(
+            T.url_host(F.col("url")).alias("host"),
+            T.url_normalize(F.col("url")).alias("norm_url"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("norm_url").alias("n_norm"),
+            F.min("norm_url").alias("example_url"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH inc AS (
+      SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents WHERE doc_id % 10 >= 8 GROUP BY 1
+    ),
+    base AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8
+    )
+    SELECT i.fp, i.keep_id, i.n
+    FROM inc i ANTI JOIN base b ON i.fp = b.fp
+    """,
+    doc="cross-snapshot incremental dedup (operators/dedup.py "
+    "incremental_new): an incoming batch (doc_id%10>=8 as the stand-in "
+    "snapshot split) deduped within itself then anti-joined against the "
+    "already-ingested base corpus's fingerprints — the continuous-crawl "
+    "ingest shape. Fingerprints shuffle, document bodies never do",
+)
+def dedup_incremental(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8)
+    base = docs.filter(F.col("doc_id") % 10 < 8)
+    return D.incremental_new(incoming, base, col="text", id_col="doc_id")
+
+
+@register(
+    "dedup_lines",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    chunked AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS pos,
+             t
+      FROM toks
+    ),
+    lines AS (
+      SELECT doc_id, pos,
+             array_to_string(t[CAST(pos * 8 + 1 AS BIGINT):CAST(pos * 8 + 8 AS BIGINT)], ' ') AS line
+      FROM chunked
+    ),
+    ranked AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lines
+    ),
+    totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM lines GROUP BY 1
+    ),
+    kept AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(line, ' ' ORDER BY pos)) AS kept_fp
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.kept_fp, md5('')) AS kept_fp
+    FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
+    doc="C4-style corpus-wide duplicate-LINE removal (operators/dedup.py "
+    "line_dedup): 8-token chunk pseudo-lines (corpus has no newlines), "
+    "every line keeps only its first (doc_id, pos) occurrence, docs "
+    "reassembled from survivors. First-occurrence pick is row_number "
+    "partitioned BY LINE CONTENT — one shuffle, no global sort; "
+    "reassembly one shuffle on doc_id",
+)
+def dedup_lines(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    return D.line_dedup(docs, col="text", id_col="doc_id", chunk=8)

@@ -39,6 +39,103 @@ def exact_groups(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def incremental_new(
+    incoming: DataFrame,
+    base: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot incremental dedup: new-unique docs of an incoming
+    batch against an already-ingested base corpus.
+
+    Dedups WITHIN the incoming batch (min-id keeper per fingerprint),
+    then LEFT ANTI joins fingerprints already present in ``base`` — the
+    standard shape for continuously-crawled corpora where each snapshot
+    must be deduped against everything shipped before.
+
+    Scale: one shuffle per side on an 8-byte-entropy md5 key; the base
+    side reduces to DISTINCT fingerprints (in production, a maintained
+    fingerprint table read directly — no rescan of base bytes). The anti
+    join shuffles fingerprints only, never document bodies.
+    """
+    inc = (
+        incoming.select(F.md5(F.col(col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n"))
+    )
+    seen = base.select(F.md5(F.col(col)).alias("fp")).distinct()
+    return inc.join(seen, "fp", "left_anti")
+
+
+# --- line-level (chunk) dedup ------------------------------------------------
+
+
+def chunk_lines(toks: Column, chunk: int = 8) -> Column:
+    """Split a token array into consecutive ``chunk``-token pseudo-lines.
+
+    C4 (Raffel et al. 2020) dedups at line granularity; the synthetic
+    corpus has no newlines, so fixed token windows stand in as lines. The
+    final window may be shorter; empty token arrays yield NULL.
+    """
+    idx = F.sequence(
+        F.lit(0), (F.ceil(F.size(toks) / F.lit(chunk)) - 1).cast("int")
+    )
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i * chunk + 1, chunk))
+        ),
+    )
+
+
+def line_dedup(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", chunk: int = 8
+) -> DataFrame:
+    """C4-style corpus-wide duplicate-line removal over token-chunk
+    pseudo-lines: every line keeps exactly its FIRST occurrence
+    (min (doc_id, position)); later repeats are dropped, and each doc is
+    reassembled from its surviving lines in order.
+
+    Returns ``(doc_id, n_chunks, n_kept, kept_fp)`` — original line
+    count, surviving line count, md5 of the reassembled text.
+
+    Scale: explode is linear; first-occurrence selection is ONE shuffle
+    partitioned by line content (row_number over the line key — no global
+    sort); reassembly is one shuffle back on doc_id. Skewed boilerplate
+    lines concentrate in single partitions — for pathological hot lines,
+    pre-aggregate count per (chunk, doc) or salt the line key.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunk_lines(toks, chunk)).alias("pos", "line")
+    )
+    first = F.row_number().over(
+        Window.partitionBy("line").orderBy(id_col, "pos")
+    )
+    kept = exploded.withColumn("rn", first).filter(F.col("rn") == 1)
+    totals = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    survived = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("kept_fp"),
+    )
+    return totals.join(survived, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_fp", F.md5(F.lit(""))).alias("kept_fp"),
+    )
+
+
 # --- shingles & MinHash ------------------------------------------------------
 
 

@@ -150,6 +150,81 @@ def symbol_ratio(col: Column, ndigits: int = 4) -> Column:
     return F.round(F.length(stripped) / F.nullif(n, F.lit(0)).cast("double"), ndigits)
 
 
+# --- PII detection / redaction ------------------------------------------------
+#
+# Training-data pipelines scrub personally identifiable information before
+# a corpus ships (e.g. the C4 blocklist pass and BigScience/ROOTS PII
+# filtering). Regex class detection is the standard first line: emails,
+# phone numbers, IP addresses. All patterns below are valid in BOTH Java
+# regex (Spark) and RE2 (DuckDB) so oracle queries can replicate them
+# verbatim — keep it that way (no backrefs, no lookaround).
+
+#: pattern per PII class; replacement token is ``[<CLASS>]``
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+#: redaction order matters: emails first (an email's domain must not be
+#: half-eaten by a later pattern), then phones, then IPs
+PII_ORDER = ["email", "phone", "ipv4"]
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII class in ``col`` (pure Column, no shuffle)."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), 0))
+
+
+def redact_pii(col: Column, kinds: list[str] | None = None) -> Column:
+    """Replace every PII occurrence with its class token (``[EMAIL]`` …).
+
+    A chained ``regexp_replace`` — one JVM pass per class, fused into the
+    scan stage; at 100 TB this is the cheapest possible scrub (linear in
+    bytes, zero shuffle, codegen-compatible).
+    """
+    out = col
+    for kind in kinds or PII_ORDER:
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], f"[{kind.upper()}]"
+        )
+    return out
+
+
+# --- URL normalization --------------------------------------------------------
+#
+# URL-keyed dedup (one page fetched twice under trivially-different URLs)
+# needs canonical forms first: lowercase scheme/host, drop the fragment,
+# sort the query parameters. ``F.parse_url`` is the JVM-side parser
+# (java.net.URI under the hood) — stays in codegen.
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of a URL (NULL if unparseable)."""
+    return F.lower(F.parse_url(col, F.lit("HOST")))
+
+
+def url_normalize(col: Column) -> Column:
+    """Canonical URL: lowercase scheme+host, path kept case-sensitive,
+    fragment dropped, query parameters sorted bytewise.
+
+    ``https://Ex.COM/Path?b=2&a=1#x`` → ``https://ex.com/Path?a=1&b=2``.
+    Pure Column composition — parse once per part, no shuffle.
+    """
+    scheme = F.lower(F.parse_url(col, F.lit("PROTOCOL")))
+    host = url_host(col)
+    path = F.parse_url(col, F.lit("PATH"))
+    query = F.parse_url(col, F.lit("QUERY"))
+    sorted_query = F.array_join(F.sort_array(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.coalesce(path, F.lit("")),
+        F.coalesce(F.concat(F.lit("?"), sorted_query), F.lit("")),
+    )
+
+
 def normalized(col: Column) -> Column:
     """Canonical text form: lowercase, whitespace collapsed, trimmed."""
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))

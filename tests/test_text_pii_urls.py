@@ -1,0 +1,112 @@
+"""PII redaction, URL normalization, incremental dedup, and line-level
+dedup: semantic unit tests on hand-built corpora (the catalog queries
+cover the oracle cross-check; these pin the operator contracts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rapids_and_rivers_spark.operators import dedup as D
+from rapids_and_rivers_spark.operators import text as T
+
+
+def test_redact_pii_all_classes(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@sub.example.org now",),
+            ("call +47 555-123-4567 or 555 123 4567",),
+            ("host 192.168.1.42 and 10.0.0.1 up",),
+            ("clean text, nothing here",),
+        ],
+        "t string",
+    )
+    out = df.select(
+        T.redact_pii(F.col("t")).alias("r"),
+        T.pii_count(F.col("t"), "email").alias("e"),
+        T.pii_count(F.col("t"), "phone").alias("p"),
+        T.pii_count(F.col("t"), "ipv4").alias("i"),
+    ).collect()
+    assert out[0].r == "mail [EMAIL] now" and out[0].e == 1
+    # '+47 555-...' — the +47 prefix isn't part of the 3-3-4 shape; both
+    # dashed and spaced separators match
+    assert out[1].r == "call +47 [PHONE] or [PHONE]" and out[1].p == 2
+    assert out[2].r == "host [IPV4] and [IPV4] up" and out[2].i == 2
+    assert out[3].r == "clean text, nothing here"
+    assert (out[3].e, out[3].p, out[3].i) == (0, 0, 0)
+
+
+def test_redact_pii_order_email_before_phone(spark):
+    # an email whose local part looks phone-ish must be eaten by the
+    # email pass first, not half-redacted as a phone
+    df = spark.createDataFrame([("x 555-123-4567@example.com y",)], "t string")
+    assert df.select(T.redact_pii(F.col("t")).alias("r")).first().r == "x [EMAIL] y"
+
+
+def test_url_normalize_sorts_query_drops_fragment(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://Ex.COM/Path?b=2&a=1#frag",),
+            ("https://ex.com/Path?a=1&b=2",),
+            ("HTTP://Host.Net/x",),
+        ],
+        "u string",
+    )
+    rows = df.select(
+        T.url_normalize(F.col("u")).alias("n"), T.url_host(F.col("u")).alias("h")
+    ).collect()
+    # trivially-different forms canonicalize to the same URL
+    assert rows[0].n == rows[1].n == "https://ex.com/Path?a=1&b=2"
+    assert rows[0].h == "ex.com"
+    assert rows[2].n == "http://host.net/x" and rows[2].h == "host.net"
+
+
+def test_incremental_new_anti_joins_base(spark):
+    base = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "seen before"),   # dup vs base -> dropped
+            (11, "brand new"),
+            (12, "brand new"),     # within-batch dup -> merged, keeper 11
+            (13, "another new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.keep_id: r.n
+        for r in D.incremental_new(incoming, base).collect()
+    }
+    assert out == {11: 2, 13: 1}
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    # chunk=2 pseudo-lines; 'a b' appears in docs 1 and 2 -> doc 2 loses it
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "x y"),  # 'x y' first occurs at (2, pos 1) -> doc 3 empties
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in D.line_dedup(df, chunk=2).collect()}
+    # doc 1 keeps both lines (first occurrences); doc 2 drops 'a b'
+    # (first seen at (1, 0)) but keeps 'x y'; doc 3 drops 'x y' (first
+    # seen at (2, 1)) and reassembles to the empty string
+    assert (rows[1].n_chunks, rows[1].n_kept) == (2, 2)
+    assert (rows[2].n_chunks, rows[2].n_kept) == (2, 1)
+    assert (rows[3].n_chunks, rows[3].n_kept) == (1, 0)
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert rows[1].kept_fp == md5("a b c d")
+    assert rows[2].kept_fp == md5("x y")
+    assert rows[3].kept_fp == md5("")
+
+
+def test_line_dedup_partial_last_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    r = D.line_dedup(df, chunk=2).first()
+    # 3 chunks: 'a b', 'c d', 'e' (short tail kept as its own line)
+    assert r.n_chunks == 3 and r.n_kept == 3
