@@ -1,0 +1,200 @@
+"""HTTP ops layer (U8): liveness/readiness/metrics/pre-stop endpoints —
+KtorApplication.kt:26-139, PreStopHook.kt:17-67, RapidApplication.kt
+parity on the stdlib ``http.server`` (no extra dependencies).
+
+This is control-plane, not data-plane: the orchestrator (Kubernetes in
+the reference's deployment) probes ``/isalive`` and ``/isready``, scrapes
+``/metrics``, and calls ``/stop`` as the preStop hook before SIGTERM so
+the streaming query drains gracefully and commits its checkpoint before
+the pod dies. Endpoint semantics mirror the reference exactly:
+
+- ``/isalive``  → 200 ``ALIVE`` while the alive check passes, else 503.
+- ``/isready``  → 200 ``READY`` only after the application-started toggle
+  flips AND the ready check passes (KtorApplication.kt:105-112: the
+  toggle set on ApplicationStarted, cleared on ApplicationStopPreparing);
+  else 503.
+- ``/metrics``  → Prometheus text exposition of the engine's counters and
+  the ``on_packet_seconds`` timer snapshot.
+- ``/stop``     → flips readiness off, runs the pre-stop hook (stop the
+  query, wait for shutdown-complete up to 30 s — PreStopHook.kt:52-67),
+  then answers 200 ``OK``.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Mapping
+
+
+@dataclass(frozen=True)
+class OpsEndpoints:
+    """Endpoint paths (NaisEndpoints parity, KtorApplication.kt:19-32)."""
+
+    isalive: str = "/isalive"
+    isready: str = "/isready"
+    metrics: str = "/metrics"
+    pre_stop: str = "/stop"
+
+
+class PreStopHook:
+    """Graceful pre-stop protocol (PreStopHook.kt:17-67).
+
+    The reference registers as a status listener; ``onShutdownComplete``
+    signals a conflated channel and ``handlePreStopRequest`` stops the
+    rapid then waits up to 30 s for that signal. Python analog: a
+    ``threading.Event`` (latest-signal-wins, sender never blocks — the
+    CONFLATED-channel contract) set by the lifecycle listener's shutdown
+    callback.
+
+    ``stop`` is the engine-stop action, e.g.
+    ``lambda: StreamingRapid.stop_gracefully(query)``.
+    """
+
+    def __init__(self, stop: Callable[[], None], lifecycle_listener=None):
+        self._stop = stop
+        self._shutdown_complete = threading.Event()
+        if lifecycle_listener is not None:
+            lifecycle_listener.on_shutdown_callbacks.append(
+                self.on_shutdown_complete
+            )
+
+    def on_shutdown_complete(self) -> None:
+        """Status-listener signal: engine finished shutting down."""
+        self._shutdown_complete.set()
+
+    def handle_pre_stop(self, timeout: float = 30.0) -> bool:
+        """Stop the engine and wait for shutdown-complete; True if the
+        signal arrived within ``timeout`` (PreStopHook.kt:52-67)."""
+        self._stop()
+        return self._shutdown_complete.wait(timeout)
+
+
+def prometheus_text(
+    counters: Mapping[str, float] | None = None,
+    timers: Mapping[str, Mapping[str, float]] | None = None,
+) -> str:
+    """Minimal Prometheus text exposition: plain counters plus
+    ``PacketTimer.snapshot()``-shaped ``{label: {count, total_seconds}}``
+    timers rendered as ``*_count`` / ``*_seconds_sum`` pairs with a
+    ``listener`` label (the Micrometer timer exposition shape)."""
+    lines: list[str] = []
+    for name, value in sorted((counters or {}).items()):
+        lines.append(f"# TYPE {name} counter")
+        lines.append(f"{name} {value}")
+    if timers:
+        lines.append("# TYPE on_packet_seconds summary")
+        for label, t in sorted(timers.items()):
+            esc = label.replace("\\", "\\\\").replace('"', '\\"')
+            lines.append(f'on_packet_seconds_count{{listener="{esc}"}} {t["count"]}')
+            lines.append(
+                f'on_packet_seconds_sum{{listener="{esc}"}} {t["total_seconds"]}'
+            )
+    return "\n".join(lines) + "\n"
+
+
+class OpsServer:
+    """Threaded ops HTTP server. ``port=0`` binds an ephemeral port
+    (exposed as ``.port``); the server thread is a daemon, so it never
+    blocks interpreter exit. Wire readiness through a lifecycle listener
+    with :func:`attach_ops`, or call :meth:`mark_started` /
+    :meth:`mark_stop_preparing` directly."""
+
+    def __init__(
+        self,
+        alive_check: Callable[[], bool] = lambda: True,
+        ready_check: Callable[[], bool] = lambda: True,
+        metrics_provider: Callable[[], str] | None = None,
+        pre_stop: PreStopHook | Callable[[], None] | None = None,
+        port: int = 0,
+        endpoints: OpsEndpoints = OpsEndpoints(),
+    ):
+        self._alive_check = alive_check
+        self._ready_check = ready_check
+        self._metrics_provider = metrics_provider or (lambda: prometheus_text())
+        self._pre_stop = pre_stop
+        self._endpoints = endpoints
+        self._ready_toggle = threading.Event()
+        ops = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet: probes hit every few s
+                pass
+
+            def _respond(self, code: int, body: str, ctype="text/plain"):
+                data = body.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                e = ops._endpoints
+                if self.path == e.isalive:
+                    if not ops._alive_check():
+                        return self._respond(503, "NOT ALIVE")
+                    return self._respond(200, "ALIVE")
+                if self.path == e.isready:
+                    if not (ops._ready_toggle.is_set() and ops._ready_check()):
+                        return self._respond(503, "NOT READY")
+                    return self._respond(200, "READY")
+                if self.path == e.metrics:
+                    return self._respond(200, ops._metrics_provider())
+                if self.path == e.pre_stop:
+                    # KtorApplication.kt:118-137: raise stop-preparing
+                    # (readiness off) BEFORE running the hook, answer OK
+                    # only after the hook returns
+                    ops.mark_stop_preparing()
+                    hook = ops._pre_stop
+                    if hook is not None:
+                        if isinstance(hook, PreStopHook):
+                            hook.handle_pre_stop()
+                        else:
+                            hook()
+                    return self._respond(200, "OK")
+                return self._respond(404, "NOT FOUND")
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port: int = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def mark_started(self) -> None:
+        """ApplicationStarted → readiness toggle on."""
+        self._ready_toggle.set()
+
+    def mark_stop_preparing(self) -> None:
+        """ApplicationStopPreparing → readiness toggle off."""
+        self._ready_toggle.clear()
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def attach_ops(
+    lifecycle_listener,
+    query=None,
+    packet_timer=None,
+    pre_stop: PreStopHook | Callable[[], None] | None = None,
+    port: int = 0,
+) -> OpsServer:
+    """Wire an :class:`OpsServer` to a running query: readiness follows
+    the lifecycle listener's started/shutdown callbacks, liveness follows
+    ``query.isActive``, ``/metrics`` exposes the packet timer."""
+    alive = (lambda: bool(query.isActive)) if query is not None else (lambda: True)
+    metrics = (
+        (lambda: prometheus_text(timers=packet_timer.snapshot()))
+        if packet_timer is not None
+        else None
+    )
+    server = OpsServer(
+        alive_check=alive, metrics_provider=metrics, pre_stop=pre_stop, port=port
+    )
+    lifecycle_listener.on_ready_callbacks.append(server.mark_started)
+    lifecycle_listener.on_shutdown_callbacks.append(server.mark_stop_preparing)
+    return server

@@ -79,6 +79,8 @@ def run_packet_listeners(
         from rapids_and_rivers_spark.packet import Packet
         from rapids_and_rivers_spark.problems import MessageProblemsException
 
+        from rapids_and_rivers_spark.logcontext import record_diagnostics, with_mdc
+
         for pdf in batches:
             out_vals: list[str] = []
             out_keys: list[str | None] = []
@@ -95,16 +97,19 @@ def run_packet_listeners(
                         published.append((message, key_override))
 
                 ctx = _Ctx()
-                for i, fn in enumerate(listeners):
-                    if timer_pairs is None:
-                        fn(packet, ctx)
-                    else:
-                        t0 = _time.perf_counter()
-                        fn(packet, ctx)
-                        dt = _time.perf_counter() - t0
-                        count_acc, sec_acc = timer_pairs[i]
-                        count_acc.add(1)
-                        sec_acc.add(dt)
+                # record-scope MDC (KafkaRapid.kt:160-161): handler-side
+                # log lines carry per-record diagnostics
+                with with_mdc(record_diagnostics(value)):
+                    for i, fn in enumerate(listeners):
+                        if timer_pairs is None:
+                            fn(packet, ctx)
+                        else:
+                            t0 = _time.perf_counter()
+                            fn(packet, ctx)
+                            dt = _time.perf_counter() - t0
+                            count_acc, sec_acc = timer_pairs[i]
+                            count_acc.add(1)
+                            sec_acc.add(dt)
                 for message, key_override in published:
                     reply = (
                         message
@@ -223,7 +228,15 @@ class StreamingRapid(AbstractRapid):
 
     def process_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
         """One micro-batch through every river (also usable on batch DFs —
-        batch/stream duality)."""
+        batch/stream duality). The whole dispatch runs inside an MDC poll
+        scope (KafkaRapid.kt:183-187) so driver log lines carry the batch
+        diagnostics."""
+        from rapids_and_rivers_spark.logcontext import poll_diagnostics, with_mdc
+
+        with with_mdc(poll_diagnostics(batch_id)):
+            self._process_batch_inner(batch_df, batch_id)
+
+    def _process_batch_inner(self, batch_df: DataFrame, batch_id: int) -> None:
         self._current_batch_id = batch_id
         # tombstone skip (KafkaRapid.kt:162-163)
         msgs = batch_df.filter(F.col("value").isNotNull() & (F.length("value") > 0))

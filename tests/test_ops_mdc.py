@@ -1,0 +1,221 @@
+"""HTTP ops layer (U8: KtorApplication.kt probes + PreStopHook) and MDC
+log-context scoping (T10: MDC.kt, KafkaRapid.kt poll/record scopes)."""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import urllib.error
+import urllib.request
+
+from rapids_and_rivers_spark.logcontext import (
+    MdcFilter,
+    current_mdc,
+    with_mdc,
+)
+from rapids_and_rivers_spark.streaming.lifecycle import RapidLifecycleListener
+from rapids_and_rivers_spark.streaming.ops import (
+    OpsServer,
+    PreStopHook,
+    attach_ops,
+    prometheus_text,
+)
+
+
+def _get(port: int, path: str) -> tuple[int, str]:
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+# --- ops server ---------------------------------------------------------------
+
+
+def test_ops_probe_lifecycle():
+    srv = OpsServer()
+    try:
+        assert _get(srv.port, "/isalive") == (200, "ALIVE")
+        # readiness requires the started toggle (KtorApplication.kt:105-112)
+        assert _get(srv.port, "/isready")[0] == 503
+        srv.mark_started()
+        assert _get(srv.port, "/isready") == (200, "READY")
+        srv.mark_stop_preparing()
+        assert _get(srv.port, "/isready")[0] == 503
+        assert _get(srv.port, "/nope")[0] == 404
+    finally:
+        srv.close()
+
+
+def test_ops_alive_follows_check():
+    alive = {"v": True}
+    srv = OpsServer(alive_check=lambda: alive["v"])
+    try:
+        assert _get(srv.port, "/isalive")[0] == 200
+        alive["v"] = False
+        assert _get(srv.port, "/isalive")[0] == 503
+    finally:
+        srv.close()
+
+
+def test_pre_stop_runs_hook_and_drops_readiness():
+    stopped = threading.Event()
+    hook = PreStopHook(stop=stopped.set)
+    # engine signals shutdown-complete right after stop (normally wired
+    # through the lifecycle listener's shutdown callback)
+    orig_stop = hook._stop
+    hook._stop = lambda: (orig_stop(), hook.on_shutdown_complete())[0]
+    srv = OpsServer(pre_stop=hook)
+    try:
+        srv.mark_started()
+        assert _get(srv.port, "/isready")[0] == 200
+        code, body = _get(srv.port, "/stop")
+        assert (code, body) == (200, "OK")
+        assert stopped.is_set()
+        # stop-preparing raised BEFORE the hook: readiness now off
+        assert _get(srv.port, "/isready")[0] == 503
+    finally:
+        srv.close()
+
+
+def test_pre_stop_hook_timeout_when_no_signal():
+    hook = PreStopHook(stop=lambda: None)
+    assert hook.handle_pre_stop(timeout=0.05) is False
+    hook.on_shutdown_complete()
+    assert hook.handle_pre_stop(timeout=0.05) is True
+
+
+def test_metrics_exposition_shape():
+    text = prometheus_text(
+        counters={"messages_total": 7},
+        timers={"r/0:handler": {"count": 3, "total_seconds": 0.125}},
+    )
+    assert "# TYPE messages_total counter" in text
+    assert "messages_total 7" in text
+    assert 'on_packet_seconds_count{listener="r/0:handler"} 3' in text
+    assert 'on_packet_seconds_sum{listener="r/0:handler"} 0.125' in text
+
+
+class _Event:
+    def __init__(self, name, run_id):
+        self.name, self.runId = name, run_id
+
+
+def test_attach_ops_follows_lifecycle_listener():
+    events: list[str] = []
+    listener = RapidLifecycleListener(events.append, "app", "i-1")
+    srv = attach_ops(listener)
+    try:
+        assert _get(srv.port, "/isready")[0] == 503
+        listener.onQueryStarted(_Event("q", "r-1"))
+        assert _get(srv.port, "/isready")[0] == 200
+        listener.onQueryTerminated(_Event("q", "r-1"))
+        assert _get(srv.port, "/isready")[0] == 503
+        # the listener also published the four lifecycle events
+        names = [json.loads(e)["@event_name"] for e in events]
+        assert names == [
+            "application_up",
+            "application_ready",
+            "application_stop",
+            "application_down",
+        ]
+    finally:
+        srv.close()
+
+
+# --- MDC ----------------------------------------------------------------------
+
+
+def test_with_mdc_merges_and_restores():
+    assert current_mdc() == {}
+    with with_mdc(a="1"):
+        assert current_mdc() == {"a": "1"}
+        with with_mdc({"b": "2"}, a="override"):
+            assert current_mdc() == {"a": "override", "b": "2"}
+        # inner scope closed: ORIGINAL map restored (MDC.kt:12-16)
+        assert current_mdc() == {"a": "1"}
+    assert current_mdc() == {}
+
+
+def test_mdc_filter_stamps_log_records():
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    logger = logging.getLogger("test.mdc")
+    logger.setLevel(logging.INFO)
+    handler = Capture()
+    handler.addFilter(MdcFilter())
+    logger.addHandler(handler)
+    try:
+        with with_mdc(rapids_poll_id="p-1"):
+            logger.info("inside")
+        logger.info("outside")
+    finally:
+        logger.removeHandler(handler)
+    assert records[0].mdc == {"rapids_poll_id": "p-1"}
+    assert records[0].mdc_text == "rapids_poll_id=p-1"
+    assert records[1].mdc == {}
+
+
+def test_process_batch_runs_in_poll_scope(spark):
+    from rapids_and_rivers_spark.streaming.runtime import StreamingRapid
+
+    seen: dict = {}
+    rapid = StreamingRapid(spark, "app", "i-1")
+    rapid.on_raw_batch(lambda df: seen.update(current_mdc()))
+    batch = spark.createDataFrame(
+        [('{"@event_name": "x"}', None)], "value string, key string"
+    )
+    rapid.process_batch(batch, batch_id=42)
+    assert seen["rapids_batch_id"] == "42"
+    assert "rapids_poll_id" in seen and "rapids_poll_time" in seen
+    # scope closed after dispatch
+    assert current_mdc() == {}
+
+
+def test_packet_handlers_run_in_record_scope(spark, tmp_path):
+    """Executor-side record MDC: a handler reads its own context and
+    embeds it in the reply (the only executor->test channel)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import River
+    from rapids_and_rivers_spark.streaming.runtime import StreamingRapid
+
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    import os
+
+    os.makedirs(src)
+    with open(os.path.join(src, "m.jsonl"), "w") as f:
+        f.write(_json.dumps({"@event_name": "need"}) + "\n")
+
+    river = River("needs").validate(P.require_value("@event_name", "need"))
+
+    def handler(packet, context):
+        ctx = current_mdc()
+        packet["mdc_keys"] = sorted(ctx.keys())
+        context.publish(packet)
+
+    river.on_packet(handler)
+    rapid = (
+        StreamingRapid.from_text_files(spark, src, "app", "i-1")
+        .register(river)
+        .set_sink_parquet(out)
+    )
+    rapid.run_available(ckpt)
+    vals = [
+        _json.loads(r.value)
+        for r in spark.read.parquet(out).select(F.col("value")).collect()
+    ]
+    assert vals[0]["mdc_keys"] == [
+        "rapids_record_before_notify_time",
+        "rapids_record_bytes",
+        "rapids_record_id",
+    ]
