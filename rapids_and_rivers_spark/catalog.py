@@ -3539,3 +3539,71 @@ def dedup_lines(spark, sf_dir):
         F.length(F.trim("text")) > 0
     )
     return D.line_dedup(docs, col="text", id_col="doc_id", chunk=8)
+
+
+from rapids_and_rivers_spark.operators import sketch as K  # noqa: E402
+
+
+@register(
+    "sketch_kmv_distinct",
+    r"""
+    WITH hashed AS (
+      SELECT DISTINCT source,
+             CAST(list_aggregate(list_transform(range(1, 14),
+                 i -> (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1)
+                      * power(16, 13 - i)), 'sum') AS BIGINT) AS h
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      FROM hashed
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_seen,
+           max(CASE WHEN rk = 64 THEN h END) AS uk,
+           CASE WHEN max(CASE WHEN rk = 64 THEN h END) IS NOT NULL
+                THEN round(63.0 / (max(CASE WHEN rk = 64 THEN h END)
+                                   / 4503599627370496.0), 4)
+                ELSE CAST(count(*) AS DOUBLE) END AS estimate
+    FROM ranked WHERE rk <= 64
+    GROUP BY source
+    """,
+    doc="KMV (bottom-k) distinct-count sketch per source (operators/"
+    "sketch.py): k-th smallest 52-bit md5-prefix hash -> estimate "
+    "(k-1)/u_k, exact fallback below k. Deterministic by construction "
+    "(fixed hash, no RNG) so the DuckDB oracle reproduces the sketch "
+    "BIT-IDENTICALLY (uk compared as exact BIGINT) — unlike HLL "
+    "approx_count_distinct which is engine-private. Mergeable at 100 TB: "
+    "union = merge + re-truncate",
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return K.kmv_sketch(docs, ["source"], "text", k=64)
+
+
+@register(
+    "corpus_top_tokens",
+    r"""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+    doc="corpus-wide heavy hitters: token explode -> count -> top 50 with "
+    "deterministic (n DESC, token ASC) tiebreak. Spark plans the limit as "
+    "TakeOrdered (per-partition heap + driver merge of 50 rows — no "
+    "global sort materialization); the groupBy partial-aggregates "
+    "map-side so the shuffle carries one row per (partition, token)",
+)
+def corpus_top_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
