@@ -50,6 +50,45 @@ def test_windowed_aggregation_with_watermark(spark, tmp_path):
     assert rows == {(0, 3), (10, 2), (30, 1)}
 
 
+def test_sliding_window_aggregation_with_watermark(spark, tmp_path):
+    """Streaming dual of the window_sliding_agg catalog query: 30-minute
+    windows sliding every 15 — each event lands in exactly 2 windows."""
+    src = str(tmp_path / "in")
+    write_lines(
+        src,
+        [
+            json.dumps({"event_name": "click", "ts": f"2026-01-01T00:{m:02d}:00"})
+            for m in (0, 5, 20, 40)
+        ],
+    )
+    events = stream_json(spark, src, "event_name string, ts timestamp").withWatermark(
+        "ts", "30 minutes"
+    )
+    agg = events.groupBy(
+        F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_name"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.w.start.hour, r.w.start.minute, r.n)
+        for r in spark.sql("SELECT * FROM slide_agg").collect()
+    }
+    # ts 00:00,00:05 -> windows starting 23:45 & 00:00; 00:20 -> 00:00 &
+    # 00:15; 00:40 -> 00:15 & 00:30
+    assert rows == {
+        (23, 45, 2),
+        (0, 0, 3),
+        (0, 15, 2),
+        (0, 30, 1),
+    }
+
+
 def test_drop_duplicates_within_watermark(spark, tmp_path):
     src = str(tmp_path / "in")
     write_lines(
