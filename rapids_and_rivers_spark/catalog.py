@@ -3607,3 +3607,33 @@ def corpus_top_tokens(spark, sf_dir):
         .orderBy(F.desc("n"), "token")
         .limit(50)
     )
+
+
+@register(
+    "embedding_centroids",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS pos,
+             embedding
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(pos AS INT) AS pos,
+           CAST(sum(floor(CAST(embedding[CAST(pos + 1 AS BIGINT)] AS DOUBLE) * 1000)) AS BIGINT) AS qsum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ex
+    GROUP BY 1, 2
+    """,
+    doc="distributed per-label embedding centroid accumulation "
+    "(operators/similarity.py centroid_terms): posexplode + two-phase "
+    "agg; elements quantized floor(x*1000) so per-dim sums are exact "
+    "integers — partitioning/order/engine-invariant (naive float "
+    "centroids are not verifiable OR retry-stable). centroid[pos] = "
+    "qsum/(1000*n). Shuffle carries (group, dim) partials, never vectors",
+)
+def embedding_centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.centroid_terms(emb, "label", "embedding", scale=1000).select(
+        "label", F.col("pos").cast("int").alias("pos"), "qsum", "n"
+    )

@@ -38,6 +38,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def centroid_terms(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Distributed element-wise centroid accumulation:
+    ``(group, pos, qsum, n)`` with ``centroid[pos] ≈ qsum / (scale·n)``.
+
+    The vector column is position-exploded and summed per (group, dim) —
+    the classic distributed-centroid shape (posexplode → two-phase
+    partial aggregation; the shuffle carries one row per (partition,
+    group, dim), never raw vectors).
+
+    Elements are quantized to ``floor(x·scale)`` BEFORE summation so the
+    per-dimension sums are exact integers: the result is independent of
+    partitioning, accumulation order, and engine — float summation is
+    not (partial-agg order differs run to run), which is exactly what
+    makes naive float centroids unverifiable and retry-unstable. The
+    float→double cast and the double multiply are IEEE-exact in any
+    engine, so the floor is deterministic too. For the numeric centroid
+    itself (e.g. Lloyd iterations) see :func:`lloyd_codebook`, which
+    works in full float precision where bit-stability isn't required.
+    """
+    ex = df.select(
+        F.col(group_col), F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x")
+    )
+    return ex.groupBy(group_col, "pos").agg(
+        F.sum(F.floor(F.col("x") * scale)).cast("bigint").alias("qsum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
