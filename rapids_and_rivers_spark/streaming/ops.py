@@ -109,12 +109,19 @@ class OpsServer:
         pre_stop: PreStopHook | Callable[[], None] | None = None,
         port: int = 0,
         endpoints: OpsEndpoints = OpsEndpoints(),
+        modules: Mapping[str, Callable[[], tuple[int, str]]] | None = None,
     ):
+        """``modules`` is the custom-module injection surface
+        (RapidApplication.Builder.withKtorModule,
+        RapidApplicationComponentTest.kt custom-endpoint case): extra
+        ``{path: handler}`` routes where the handler returns
+        ``(status_code, body)``."""
         self._alive_check = alive_check
         self._ready_check = ready_check
         self._metrics_provider = metrics_provider or (lambda: prometheus_text())
         self._pre_stop = pre_stop
         self._endpoints = endpoints
+        self._modules = dict(modules or {})
         self._ready_toggle = threading.Event()
         ops = self
 
@@ -154,6 +161,10 @@ class OpsServer:
                         else:
                             hook()
                     return self._respond(200, "OK")
+                custom = ops._modules.get(self.path)
+                if custom is not None:
+                    code, body = custom()
+                    return self._respond(code, body)
                 return self._respond(404, "NOT FOUND")
 
         self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)

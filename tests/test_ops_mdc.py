@@ -87,6 +87,17 @@ def test_pre_stop_hook_timeout_when_no_signal():
     assert hook.handle_pre_stop(timeout=0.05) is True
 
 
+def test_custom_module_endpoint():
+    """Custom-module injection (RapidApplication.Builder.withKtorModule /
+    RapidApplicationComponentTest.kt custom-endpoint case)."""
+    srv = OpsServer(modules={"/custom": lambda: (200, "CUSTOM!")})
+    try:
+        assert _get(srv.port, "/custom") == (200, "CUSTOM!")
+        assert _get(srv.port, "/other")[0] == 404
+    finally:
+        srv.close()
+
+
 def test_metrics_exposition_shape():
     text = prometheus_text(
         counters={"messages_total": 7},
