@@ -3,6 +3,7 @@ streaming/) stream sources."""
 
 from rapids_and_rivers_spark.sources.ingest import (
     bucketed_table,
+    compact_parquet,
     read_jsonl,
     write_bucketed,
     write_partitioned,
@@ -15,6 +16,7 @@ __all__ = [
     "spread",
     "TABLES",
     "read_jsonl",
+    "compact_parquet",
     "write_partitioned",
     "write_bucketed",
     "bucketed_table",

@@ -105,3 +105,45 @@ def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a bucketed table back WITH its bucket metadata (a plain
     ``spark.read.parquet(path)`` would lose it and re-shuffle)."""
     return spark.table(table_name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_bytes: int = 128 << 20,
+    sort_within: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite ``src`` into ``dest`` with file
+    sizes near ``target_bytes``. Returns ``(files_before, files_after)``.
+
+    The small-files problem is a first-order 100 TB cost: streaming sinks
+    and fine-grained partitions produce thousands of KB-sized parquet
+    files, and every downstream scan then pays per-file open/footer
+    overhead and schedules tiny tasks. Compaction trades ONE write-side
+    shuffle for every future scan reading ~`target_bytes` splits.
+
+    Sizes come from the JVM Hadoop FileSystem (works for any supported
+    scheme, not just ``file:``). ``sort_within`` additionally clusters
+    rows within each output file (repartition + sortWithinPartitions) so
+    min/max footer stats become selective — the poor man's Z-order for
+    single-column predicates. ``dest`` must differ from ``src``: Spark
+    cannot safely overwrite an input path it is still reading.
+    """
+    if src.rstrip("/") == dest.rstrip("/"):
+        raise ValueError("compact into a different path, then swap atomically")
+    df = spark.read.parquet(src)
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(hpath)
+    total = summary.getLength()
+    files_before = len(df.inputFiles())
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    out = df.repartition(int(n_out))
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode("overwrite").parquet(dest)
+    files_after = len(spark.read.parquet(dest).inputFiles())
+    return files_before, files_after

@@ -83,3 +83,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_facts")
         spark.sql("DROP TABLE IF EXISTS b_dims")
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from rapids_and_rivers_spark.sources import compact_parquet
+
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.createDataFrame(
+        [(i, f"payload-{i}") for i in range(2000)], "id long, payload string"
+    )
+    df.repartition(40).write.parquet(src)
+    before, after = compact_parquet(
+        spark, src, dest, target_bytes=64 << 20, sort_within=["id"]
+    )
+    assert before == 40 and after == 1
+    out = spark.read.parquet(dest)
+    assert out.count() == 2000
+    assert sorted(r.id for r in out.collect()) == list(range(2000))
+
+
+def test_compact_parquet_refuses_in_place(spark, tmp_path):
+    from rapids_and_rivers_spark.sources import compact_parquet
+
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    with pytest.raises(ValueError):
+        compact_parquet(spark, p, p + "/")
