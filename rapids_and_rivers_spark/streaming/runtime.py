@@ -27,6 +27,7 @@ Handler execution model:
 from __future__ import annotations
 
 import uuid as _uuid
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -35,6 +36,43 @@ from rapids_and_rivers_spark.rapid import AbstractRapid
 from rapids_and_rivers_spark.river import ERRORS_COL, VARIANT_COL, VERDICT_COL, River, Verdict
 
 REPLY_SCHEMA = "value string, key string"
+
+#: metadata columns forwarded to packet listeners when the source carries
+#: them (the Kafka source always does; file/memory sources don't)
+META_COLS = ("topic", "partition", "offset", "timestamp")
+
+
+@dataclass(frozen=True)
+class MessageMetadata:
+    """MessageMetadata.kt:3-9 parity: the record coordinates handed to
+    every packet listener alongside the message. ``headers`` stays at the
+    source-DF level (binary map) — project it into the stream explicitly
+    if a listener needs it."""
+
+    topic: str | None = None
+    partition: int | None = None
+    offset: int | None = None
+    key: str | None = None
+    timestamp: object | None = None
+
+
+def _wants_metadata(fn) -> bool:
+    """True if the listener accepts a third (metadata) parameter —
+    RapidsConnection.kt:112 signature; two-arg listeners stay supported."""
+    import inspect
+
+    try:
+        params = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
+        ]
+    except (TypeError, ValueError):
+        return False
+    if any(p.kind == p.VAR_POSITIONAL for p in params):
+        return True
+    return len(params) >= 3
 
 
 def listener_label(river: River, fn, index: int) -> str:
@@ -70,6 +108,15 @@ def run_packet_listeners(
         if timer is not None
         else None
     )
+    # metadata plumbing (RapidsConnection.kt:112): listeners declaring a
+    # third parameter receive MessageMetadata built from whichever record
+    # coordinates the source carries (arity inspected ONCE, driver-side)
+    wants_meta = [_wants_metadata(fn) for fn in listeners]
+    meta_cols = (
+        [c for c in META_COLS if c in passing.columns]
+        if any(wants_meta)
+        else []
+    )
 
     def gen(batches):
         import time as _time
@@ -84,7 +131,13 @@ def run_packet_listeners(
         for pdf in batches:
             out_vals: list[str] = []
             out_keys: list[str | None] = []
-            for value, key in zip(pdf["value"], pdf["key"]):
+            meta_rows = (
+                list(zip(*(pdf[c] for c in meta_cols))) if meta_cols else None
+            )
+            for row_i, (value, key) in enumerate(zip(pdf["value"], pdf["key"])):
+                meta_vals = (
+                    dict(zip(meta_cols, meta_rows[row_i])) if meta_rows else {}
+                )
                 try:
                     packet = Packet(value, service_name=svc, instance_id=inst)
                 except MessageProblemsException:
@@ -97,15 +150,17 @@ def run_packet_listeners(
                         published.append((message, key_override))
 
                 ctx = _Ctx()
+                meta = MessageMetadata(key=key, **meta_vals) if any(wants_meta) else None
                 # record-scope MDC (KafkaRapid.kt:160-161): handler-side
                 # log lines carry per-record diagnostics
                 with with_mdc(record_diagnostics(value)):
                     for i, fn in enumerate(listeners):
+                        args = (packet, ctx, meta) if wants_meta[i] else (packet, ctx)
                         if timer_pairs is None:
-                            fn(packet, ctx)
+                            fn(*args)
                         else:
                             t0 = _time.perf_counter()
-                            fn(packet, ctx)
+                            fn(*args)
                             dt = _time.perf_counter() - t0
                             count_acc, sec_acc = timer_pairs[i]
                             count_acc.add(1)
@@ -121,7 +176,7 @@ def run_packet_listeners(
                     out_keys.append(key_override if key_override is not None else key)
             yield pd.DataFrame({"value": out_vals, "key": out_keys})
 
-    return passing.select("value", "key").mapInPandas(gen, REPLY_SCHEMA)
+    return passing.select("value", "key", *meta_cols).mapInPandas(gen, REPLY_SCHEMA)
 
 
 class StreamingRapid(AbstractRapid):

@@ -593,3 +593,71 @@ def test_multi_source_union_stream(spark, tmp_path):
     assert len(values) == 15
     assert sorted(v["order_id"] for v in values) == list(range(10)) + [100 + i for i in range(5)]
     assert {v["src"] for v in values} == {"rapid", "extra"}
+
+
+def test_packet_handlers_receive_message_metadata(spark, tmp_path):
+    """MessageMetadata parity (RapidsConnection.kt:112, MessageMetadata.kt
+    :3-9): a three-arg listener gets (packet, context, metadata) with the
+    record coordinates the source carries; two-arg listeners keep the
+    short signature."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    river = River("needs").validate(P.require_value("@event_name", "need"))
+
+    def handler(packet, context, metadata):
+        packet["meta_topic"] = metadata.topic
+        packet["meta_partition"] = int(metadata.partition)
+        packet["meta_offset"] = int(metadata.offset)
+        packet["meta_key"] = metadata.key
+        context.publish(packet)
+
+    river.on_packet(handler)
+    rapid = StreamingRapid(spark, "app", "i-1").register(river).set_sink_parquet(out)
+    batch = spark.createDataFrame(
+        [
+            (json.dumps({"@event_name": "need", "n": i}), f"k{i}", "rapid-topic", i % 2, 100 + i)
+            for i in range(4)
+        ],
+        "value string, key string, topic string, partition int, offset long",
+    )
+    rapid.process_batch(batch, batch_id=0)
+    values = sorted(
+        (json.loads(r.value) for r in spark.read.parquet(out).collect()),
+        key=lambda v: v["n"],
+    )
+    assert [v["meta_topic"] for v in values] == ["rapid-topic"] * 4
+    assert [v["meta_partition"] for v in values] == [0, 1, 0, 1]
+    assert [v["meta_offset"] for v in values] == [100, 101, 102, 103]
+    assert [v["meta_key"] for v in values] == ["k0", "k1", "k2", "k3"]
+
+
+def test_two_arg_handlers_without_metadata_columns(spark, tmp_path):
+    """File sources carry no record coordinates: two-arg handlers run
+    unchanged, and a three-arg handler gets None-field metadata."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    river = River("needs").validate(P.require_value("@event_name", "need"))
+
+    def short_handler(packet, context):
+        packet["short"] = True
+        context.publish(packet)
+
+    def meta_handler(packet, context, metadata):
+        packet["topic_is_none"] = metadata.topic is None
+        packet["key_carried"] = metadata.key
+        context.publish(packet)
+
+    river.on_packet(short_handler)
+    river.on_packet(meta_handler)
+    rapid = StreamingRapid(spark, "app", "i-1").register(river).set_sink_parquet(out)
+    batch = spark.createDataFrame(
+        [(json.dumps({"@event_name": "need"}), "key-9")], "value string, key string"
+    )
+    rapid.process_batch(batch, batch_id=0)
+    values = [json.loads(r.value) for r in spark.read.parquet(out).collect()]
+    # both listeners mutate the SAME packet (reference semantics: one
+    # JsonMessage instance through every listener) and each publish emits
+    # the final state — so both replies carry both handlers' fields
+    assert len(values) == 2
+    for v in values:
+        assert v["short"] is True
+        assert v["topic_is_none"] is True
+        assert v["key_carried"] == "key-9"
