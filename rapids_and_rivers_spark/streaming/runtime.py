@@ -39,21 +39,22 @@ REPLY_SCHEMA = "value string, key string"
 
 #: metadata columns forwarded to packet listeners when the source carries
 #: them (the Kafka source always does; file/memory sources don't)
-META_COLS = ("topic", "partition", "offset", "timestamp")
+META_COLS = ("topic", "partition", "offset", "timestamp", "headers")
 
 
 @dataclass(frozen=True)
 class MessageMetadata:
     """MessageMetadata.kt:3-9 parity: the record coordinates handed to
-    every packet listener alongside the message. ``headers`` stays at the
-    source-DF level (binary map) — project it into the stream explicitly
-    if a listener needs it."""
+    every packet listener alongside the message. ``headers`` is the
+    Kafka header list decoded to ``{key: bytes}`` (the reference's
+    ``Map<String, ByteArray>``); empty when the source carries none."""
 
     topic: str | None = None
     partition: int | None = None
     offset: int | None = None
     key: str | None = None
     timestamp: object | None = None
+    headers: dict | None = None
 
 
 def _wants_metadata(fn) -> bool:
@@ -138,6 +139,15 @@ def run_packet_listeners(
                 meta_vals = (
                     dict(zip(meta_cols, meta_rows[row_i])) if meta_rows else {}
                 )
+                hdrs = meta_vals.get("headers")
+                if hdrs is not None:
+                    # Kafka header array<struct<key,value>> -> {key: bytes}
+                    # (MessageMetadata.kt: Map<String, ByteArray>); a null
+                    # array arrives as None or NaN depending on Arrow path
+                    try:
+                        meta_vals["headers"] = {h["key"]: h["value"] for h in hdrs}
+                    except TypeError:
+                        meta_vals["headers"] = None
                 try:
                     packet = Packet(value, service_name=svc, instance_id=inst)
                 except MessageProblemsException:

@@ -661,3 +661,32 @@ def test_two_arg_handlers_without_metadata_columns(spark, tmp_path):
         assert v["short"] is True
         assert v["topic_is_none"] is True
         assert v["key_carried"] == "key-9"
+
+
+def test_metadata_headers_decoded_to_map(spark, tmp_path):
+    """Kafka-style header array decodes to {key: bytes} on the metadata
+    object (MessageMetadata.kt: Map<String, ByteArray>)."""
+    out = str(tmp_path / "out")
+    river = River("needs").validate(P.require_value("@event_name", "need"))
+
+    def handler(packet, context, metadata):
+        packet["hdr_trace"] = metadata.headers["trace-id"].decode()
+        packet["hdr_none"] = metadata.headers.get("absent") is None
+        context.publish(packet)
+
+    river.on_packet(handler)
+    rapid = StreamingRapid(spark, "app", "i-1").register(river).set_sink_parquet(out)
+    batch = spark.createDataFrame(
+        [
+            (
+                json.dumps({"@event_name": "need"}),
+                "k0",
+                [{"key": "trace-id", "value": b"abc-123"}],
+            )
+        ],
+        "value string, key string, headers array<struct<key:string,value:binary>>",
+    )
+    rapid.process_batch(batch, batch_id=0)
+    values = [json.loads(r.value) for r in spark.read.parquet(out).collect()]
+    assert values[0]["hdr_trace"] == "abc-123"
+    assert values[0]["hdr_none"] is True
