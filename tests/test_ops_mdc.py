@@ -230,3 +230,58 @@ def test_packet_handlers_run_in_record_scope(spark, tmp_path):
         "rapids_record_bytes",
         "rapids_record_id",
     ]
+
+
+def test_ops_stop_drains_real_streaming_query(spark, tmp_path):
+    """End-to-end U8→R10: a live processing-time query is stopped through
+    the HTTP /stop endpoint (PreStopHook → stop_gracefully); the in-flight
+    batch commits its checkpoint, and a restart redelivers nothing."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import River
+    from rapids_and_rivers_spark.streaming.runtime import StreamingRapid
+
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    import os
+
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"@event_name": "e", "n": i}) + "\n")
+
+    river = River("all").validate(P.require_value("@event_name", "e"))
+    river.respond(lambda passing: passing.select("value", "key"))
+    rapid = (
+        StreamingRapid.from_text_files(spark, src, "app", "i-1")
+        .register(river)
+        .set_sink_parquet(out)
+    )
+    query = rapid.start(ckpt, available_now=False, processing_time="1 second")
+    hook = PreStopHook(stop=lambda: StreamingRapid.stop_gracefully(query))
+    hook.on_shutdown_complete()  # stop_gracefully blocks until terminated
+    srv = OpsServer(pre_stop=hook)
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() == 5:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert _get(srv.port, "/stop") == (200, "OK")
+        assert not query.isActive
+    finally:
+        srv.close()
+    assert spark.read.parquet(out).count() == 5
+    # restart on the same checkpoint: nothing redelivered
+    rapid2 = (
+        StreamingRapid.from_text_files(spark, src, "app", "i-1")
+        .register(river)
+        .set_sink_parquet(out)
+    )
+    rapid2.run_available(ckpt)
+    assert spark.read.parquet(out).count() == 5
