@@ -1,0 +1,94 @@
+"""Property-based invariants (hypothesis): open-schema preservation and
+predicate/oracle agreement hold for ARBITRARY JSON — not just the
+example corpus. The reference pins behavior with exhaustive examples
+(JsonMessageTest.kt); these generalize the two invariants a bus cannot
+violate: (1) parse→serialize loses nothing, (2) the vectorized Column
+predicates agree with a plain-Python reference on any input."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+from rapids_and_rivers_spark.packet import Packet  # noqa: E402
+
+# JSON-safe scalars: no NaN/inf (not JSON), ints within i64 (Jackson/
+# Spark long range), text without surrogates
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40),
+)
+json_values = st.recursive(
+    scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=5),
+        st.dictionaries(st.text(min_size=1, max_size=12), inner, max_size=5),
+    ),
+    max_leaves=20,
+)
+json_objects = st.dictionaries(st.text(min_size=1, max_size=12), json_values, max_size=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(obj=json_objects)
+def test_packet_roundtrip_preserves_open_schema(obj):
+    """T1/T2: every undeclared field survives parse → mutate-nothing →
+    serialize bit-faithfully (modulo the envelope stamp keys)."""
+    packet = Packet(json.dumps(obj), stamp=False)
+    assert not packet.problems.has_errors()
+    out = json.loads(packet.to_json())
+    assert out == obj
+
+
+@settings(max_examples=200, deadline=None)
+@given(obj=json_objects)
+def test_packet_stamp_adds_only_envelope_keys(obj):
+    """The envelope stamp adds/bumps exactly @id/@opprettet/
+    system_read_count/system_participating_services and touches nothing
+    else (JsonMessage.kt:127-135)."""
+    for k in ("@id", "@opprettet", "system_read_count", "system_participating_services"):
+        obj.pop(k, None)
+    packet = Packet(json.dumps(obj), service_name="svc", instance_id="i-1")
+    out = json.loads(packet.to_json())
+    assert out["system_read_count"] == 0
+    assert out["@id"] and out["@opprettet"]
+    assert out["system_participating_services"][0]["service"] == "svc"
+    for k, v in obj.items():
+        assert out[k] == v or (
+            isinstance(v, float) and math.isclose(out[k], v)
+        )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    objs=st.lists(json_objects, min_size=1, max_size=6),
+    key=st.sampled_from(["a", "b", "k1", "missing"]),
+)
+def test_require_key_matches_python_reference(spark, objs, key):
+    """The Column-compiled require_key verdict agrees with the plain
+    definition (present and non-null) on arbitrary messages."""
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.functions import json_ops as J
+    from rapids_and_rivers_spark.functions import predicates as P
+
+    msgs = [json.dumps(o) for o in objs]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string").withColumn(
+        "v", J.parse(F.col("value"))
+    )
+    (rule,) = P.require_key(key)
+    got = [bool(r.ok) for r in df.select(rule.ok(F.col("v")).alias("ok")).collect()]
+    expected = [o.get(key) is not None for o in objs]
+    assert got == expected
