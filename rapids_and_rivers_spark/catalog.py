@@ -2913,20 +2913,32 @@ def dedup_clusters(spark, sf_dir):
     return D.duplicate_clusters(pairs)
 
 
-@register(
-    "dedup_minhash",
-    r"""
+
+def _shingle_cte(extra_cols: str = "") -> str:
+    """Shared word-3-gram shingle CTE for the dedup/decontamination
+    oracles (the SQL twin of operators/dedup.py shingled()): one
+    definition so a tokenization change cannot desynchronize one oracle
+    from the others. ``extra_cols`` carries additional document columns
+    (e.g. source) through both CTEs."""
+    cols = "doc_id" + (f", {extra_cols}" if extra_cols else "")
+    return rf"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+      SELECT {cols}, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
     ),
     sh AS (
-      SELECT doc_id,
+      SELECT {cols},
              CASE WHEN len(t) >= 3
                   THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                                       for i in range(1, len(t) - 1)])
                   ELSE [] END AS shingles
       FROM toks
-    ),
+    ),"""
+
+
+@register(
+    "dedup_minhash",
+    _shingle_cte() + r"""
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.shingles, b.shingles)) AS inter,
@@ -2966,19 +2978,7 @@ def dedup_simhash(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
-      FROM documents
-    ),
-    sh AS (
-      SELECT doc_id, source,
-             CASE WHEN len(t) >= 3
-                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                      for i in range(1, len(t) - 1)])
-                  ELSE [] END AS shingles
-      FROM toks
-    ),
+    _shingle_cte("source") + r"""
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.shingles, b.shingles)) AS inter,
@@ -3005,18 +3005,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @register(
     "dedup_keep_list",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
-    ),
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= 3
-                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                      for i in range(1, len(t) - 1)])
-                  ELSE [] END AS shingles
-      FROM toks
-    ),
+    _shingle_cte() + r"""
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -3165,18 +3154,7 @@ def gopher_quality_flags(spark, sf_dir):
 
 @register(
     "decontaminate_overlap",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
-    ),
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= 3
-                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                      for i in range(1, len(t) - 1)])
-                  ELSE [] END AS shingles
-      FROM toks
-    ),
+    _shingle_cte() + r"""
     bench AS (
       SELECT DISTINCT sh_val FROM sh, unnest(shingles) AS u(sh_val)
       WHERE doc_id % 97 = 0

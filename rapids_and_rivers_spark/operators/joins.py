@@ -223,11 +223,18 @@ def asof_join_sliced(
     # (2) per-slice last right payload (max over (__t, payload) of right
     # rows — same winner as the window's (__t, side, payload) order since
     # only right rows carry payloads), then per-key prefix over slices
+    # max_by keeps the ordering key free of the payload when the payload
+    # contains a non-orderable type (map) — mirroring _asof_prep's
+    # order_keys tiebreak skip, so map payloads work here exactly as in
+    # the plain variant
+    tiebreak = _PAYLOAD in prep.order_keys
+    last_order = (
+        F.struct(F.col("__t"), F.col(_PAYLOAD)) if tiebreak else F.col("__t")
+    )
     slice_last = (
         sliced.filter(F.col(_SIDE) == prep.r_side)
         .groupBy(by, "__slice")
-        .agg(F.max(F.struct(F.col("__t"), F.col(_PAYLOAD))).alias("__last"))
-        .select(by, "__slice", F.col("__last")[_PAYLOAD].alias("__slice_payload"))
+        .agg(F.max_by(F.col(_PAYLOAD), last_order).alias("__slice_payload"))
     )
     # spine of ALL (key, slice) groups present — a slice with no right
     # rows still inherits carry-in from earlier slices

@@ -46,9 +46,10 @@ def read_jsonl(
         inferred = spark.read.option("mode", "DROPMALFORMED").json(path).schema
         schema = ",".join(f"`{f.name}` {f.dataType.simpleString()}" for f in inferred)
     lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
-    # from_json in PERMISSIVE mode yields null-filled structs for corrupt
-    # input (never a NULL struct) — an embedded corrupt-record field is
-    # the reliable malformed marker
+    # from_json in PERMISSIVE mode yields null-filled structs (with the
+    # embedded corrupt-record field set) for malformed input — EXCEPT the
+    # JSON literal `null`, which yields a NULL struct; both are corrupt
+    # for a JSONL contract (one object per line), so route both
     full_schema = f"{schema}, {CORRUPT_COL} string"
     parsed = lines.select(
         F.col("value"),
@@ -56,12 +57,9 @@ def read_jsonl(
             "value", full_schema, {"columnNameOfCorruptRecord": CORRUPT_COL}
         ).alias("__row"),
     )
-    good = parsed.filter(F.col(f"__row.{CORRUPT_COL}").isNull()).select(
-        "__row.*"
-    ).drop(CORRUPT_COL)
-    bad = parsed.filter(F.col(f"__row.{CORRUPT_COL}").isNotNull()).select(
-        F.col("value").alias(CORRUPT_COL)
-    )
+    is_bad = F.col("__row").isNull() | F.col(f"__row.{CORRUPT_COL}").isNotNull()
+    good = parsed.filter(~is_bad).select("__row.*").drop(CORRUPT_COL)
+    bad = parsed.filter(is_bad).select(F.col("value").alias(CORRUPT_COL))
     return good, bad
 
 

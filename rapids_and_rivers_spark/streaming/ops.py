@@ -110,12 +110,17 @@ class OpsServer:
         port: int = 0,
         endpoints: OpsEndpoints = OpsEndpoints(),
         modules: Mapping[str, Callable[[], tuple[int, str]]] | None = None,
+        host: str = "0.0.0.0",
     ):
         """``modules`` is the custom-module injection surface
         (RapidApplication.Builder.withKtorModule,
         RapidApplicationComponentTest.kt custom-endpoint case): extra
         ``{path: handler}`` routes where the handler returns
-        ``(status_code, body)``."""
+        ``(status_code, body)``.
+
+        ``host`` defaults to all interfaces — Kubernetes probes connect
+        to the pod IP, not loopback (the reference's Ktor server binds
+        0.0.0.0 too); pass ``127.0.0.1`` to keep the server local."""
         self._alive_check = alive_check
         self._ready_check = ready_check
         self._metrics_provider = metrics_provider or (lambda: prometheus_text())
@@ -167,7 +172,7 @@ class OpsServer:
                     return self._respond(code, body)
                 return self._respond(404, "NOT FOUND")
 
-        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self._server = ThreadingHTTPServer((host, port), Handler)
         self.port: int = self._server.server_address[1]
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
@@ -208,4 +213,10 @@ def attach_ops(
     )
     lifecycle_listener.on_ready_callbacks.append(server.mark_started)
     lifecycle_listener.on_shutdown_callbacks.append(server.mark_stop_preparing)
+    # the listener bus delivers onQueryStarted asynchronously: if the
+    # query became ready BEFORE this wiring ran, the callback above will
+    # never fire — catch up from the listener's event log
+    events = getattr(lifecycle_listener, "events", [])
+    if "application_ready" in events and "application_stop" not in events:
+        server.mark_started()
     return server

@@ -24,6 +24,7 @@ def test_read_jsonl_routes_corrupt_lines(spark, tmp_path):
         "this is not json\n"
         '{"doc_id": 2, "text": "also good"}\n'
         '{"doc_id": 3, "text": unquoted}\n'
+        "null\n"
     )
     good, bad = read_jsonl(spark, str(p), schema="doc_id bigint, text string")
     assert sorted((r.doc_id, r.text) for r in good.collect()) == [
@@ -31,7 +32,9 @@ def test_read_jsonl_routes_corrupt_lines(spark, tmp_path):
         (2, "also good"),
     ]
     bad_lines = sorted(r._corrupt_record for r in bad.collect())
-    assert bad_lines == ["this is not json", '{"doc_id": 3, "text": unquoted}']
+    # the JSON literal `null` parses to a NULL struct, not an object —
+    # corrupt under the one-object-per-line contract, never a phantom row
+    assert bad_lines == ["null", "this is not json", '{"doc_id": 3, "text": unquoted}']
 
 
 def test_write_partitioned_prunes(spark, tmp_path):

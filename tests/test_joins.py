@@ -272,3 +272,20 @@ def test_range_join_rejects_bad_bounds(spark):
     with pytest.raises(ValueError):
         range_join(df, df.withColumnRenamed("t", "rt").withColumnRenamed("x", "y"),
                    "k", "t", "rt", 10.0, 0.0)
+
+
+def test_asof_join_sliced_supports_map_payload(spark):
+    """Map-typed right payloads skip the orderable tiebreak in the plain
+    variant; the sliced variant must accept them identically (max_by on
+    time alone) instead of failing to order a struct containing a map."""
+    sl = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00")], "k int, lt string"
+    ).withColumn("lt", F.col("lt").cast("timestamp_ntz"))
+    sr = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", {"a": "1"})],
+        "k int, rt string, rmap map<string,string>",
+    ).withColumn("rt", F.col("rt").cast("timestamp_ntz"))
+    for fn in (asof_join, asof_join_sliced):
+        kwargs = {"slice_seconds": 60} if fn is asof_join_sliced else {}
+        got = fn(sl, sr, "k", "lt", "rt", **kwargs).collect()
+        assert len(got) == 1 and got[0].rmap == {"a": "1"}

@@ -285,3 +285,25 @@ def test_ops_stop_drains_real_streaming_query(spark, tmp_path):
     )
     rapid2.run_available(ckpt)
     assert spark.read.parquet(out).count() == 5
+
+
+def test_attach_ops_catches_up_when_query_already_ready():
+    """The listener bus is asynchronous: if application_ready fired before
+    attach_ops wired the callback, the server must catch up from the
+    listener's event log instead of staying NOT READY forever."""
+    listener = RapidLifecycleListener(lambda e: None, "app", "i-1")
+    listener.onQueryStarted(_Event("q", "r-1"))  # ready BEFORE wiring
+    srv = attach_ops(listener)
+    try:
+        assert _get(srv.port, "/isready")[0] == 200
+    finally:
+        srv.close()
+    # already-terminated query: no catch-up to ready
+    listener2 = RapidLifecycleListener(lambda e: None, "app", "i-1")
+    listener2.onQueryStarted(_Event("q", "r-2"))
+    listener2.onQueryTerminated(_Event("q", "r-2"))
+    srv2 = attach_ops(listener2)
+    try:
+        assert _get(srv2.port, "/isready")[0] == 503
+    finally:
+        srv2.close()
