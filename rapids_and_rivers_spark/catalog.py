@@ -3615,3 +3615,96 @@ def embedding_centroids(spark, sf_dir):
     return S.centroid_terms(emb, "label", "embedding", scale=1000).select(
         "label", F.col("pos").cast("int").alias("pos"), "qsum", "n"
     )
+
+
+@register(
+    "split_train_val_test",
+    """
+    SELECT CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS b
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+    doc="deterministic train/val/test split (90/5/5) by content-hash "
+    "bucket — the leakage-safe split: a doc's assignment is a pure "
+    "function of its id, stable across runs, retries, engines, corpus "
+    "growth (new docs never move old ones between splits, unlike "
+    "randomSplit). Zero shuffle for the assignment itself; the rollup "
+    "here is one partial-agg shuffle for verification",
+)
+def split_train_val_test(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        docs.withColumn(
+            "split",
+            F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@register(
+    "pack_training_sequences",
+    r"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS seq_id,
+           CAST(cum_tokens - n_tokens - floor((cum_tokens - n_tokens) / 2048) * 2048
+                AS BIGINT) AS seq_offset
+    FROM cum
+    """,
+    doc="training sequence packing: docs concatenate (per source, in "
+    "deterministic doc_id order) into fixed 2048-token windows; each doc "
+    "gets its sequence id + token offset — the distributable, "
+    "order-stable alternative to greedy first-fit packing (which is "
+    "inherently sequential). One running-sum window per stratum (shuffle "
+    "on source; within-stratum prefix sums — at extreme per-stratum "
+    "cardinality, sub-partition by doc_id ranges and offset by "
+    "precomputed range totals)",
+)
+def pack_training_sequences(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    seq_len = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / seq_len).cast("long").alias("seq_id"),
+        (start - F.floor(start / seq_len) * seq_len).cast("long").alias("seq_offset"),
+    )
