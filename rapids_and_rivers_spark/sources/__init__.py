@@ -6,6 +6,7 @@ from rapids_and_rivers_spark.sources.ingest import (
     compact_parquet,
     read_jsonl,
     write_bucketed,
+    write_sorted,
     write_partitioned,
 )
 from rapids_and_rivers_spark.sources.tables import load_table, load_tables, spread, TABLES
@@ -19,5 +20,6 @@ __all__ = [
     "compact_parquet",
     "write_partitioned",
     "write_bucketed",
+    "write_sorted",
     "bucketed_table",
 ]

@@ -105,6 +105,33 @@ def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-ordered parquet output WITHOUT a single-task global sort.
+
+    ``repartitionByRange`` samples the sort keys and splits rows into
+    contiguous key ranges (one shuffle, all tasks parallel), then each
+    partition sorts locally — file k holds keys entirely before file k+1,
+    and parquet min/max footers become perfectly selective for range
+    predicates. An ``orderBy().write`` would plan the same thing, but
+    being explicit keeps the parallel-range intent visible and lets the
+    file count be pinned. This is the scale-safe way to ship "sorted
+    output" at 100 TB; a ``coalesce(1)`` or partition-less window sort is
+    the anti-pattern (single task, single file).
+    """
+    parts = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,

@@ -112,3 +112,26 @@ def test_compact_parquet_refuses_in_place(spark, tmp_path):
     spark.range(10).write.parquet(p)
     with pytest.raises(ValueError):
         compact_parquet(spark, p, p + "/")
+
+
+def test_write_sorted_range_partitioned_global_order(spark, tmp_path):
+    from rapids_and_rivers_spark.sources import write_sorted
+
+    out = str(tmp_path / "sorted")
+    df = spark.createDataFrame(
+        [((i * 7919) % 1000, i) for i in range(1000)], "k long, v long"
+    )
+    write_sorted(df, out, ["k"], num_files=4)
+    import glob
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    # global order across files: every key in file i precedes file i+1
+    ranges = []
+    for f in files:
+        ks = [r.k for r in spark.read.parquet(f).collect()]
+        assert ks == sorted(ks)  # sorted within file
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
