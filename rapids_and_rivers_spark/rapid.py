@@ -62,6 +62,27 @@ class AbstractRapid:
     def publish(self, message: str, key: str | None = None) -> None:
         raise NotImplementedError
 
+    def publish_many(
+        self, messages: list[str | tuple[str, str | None]]
+    ) -> tuple[list[tuple[int, str, str | None]], list[tuple[int, str, str | None, Exception]]]:
+        """Bulk publish (RapidsConnection.kt:9 —
+        ``publish(List<OutgoingMessage>) -> (sent, failed)``): best-effort
+        per message, never raises; each element is a body or a
+        ``(body, key)`` pair. Returns ``(sent, failed)`` with positions
+        preserved — ``failed`` entries carry the exception so the caller
+        can retry or dead-letter exactly the losers (the reference's
+        SentMessage/FailedMessage split)."""
+        sent: list[tuple[int, str, str | None]] = []
+        failed: list[tuple[int, str, str | None, Exception]] = []
+        for i, m in enumerate(messages):
+            body, key = m if isinstance(m, tuple) else (m, None)
+            try:
+                self.publish(body, key)
+                sent.append((i, body, key))
+            except Exception as exc:  # noqa: BLE001 — per-message isolation
+                failed.append((i, body, key, exc))
+        return sent, failed
+
 
 class TestRapid(AbstractRapid):
     """In-memory rapid for tests (TestRapid.kt:15-76).
