@@ -236,3 +236,41 @@ def test_stateful_rate_limit_on_batch_df(spark):
     out = rate_limit_by_key(df.select("k", "ts"), "k", "ts", interval_seconds=5)
     got = sorted(r.ts.isoformat() for r in out.collect())
     assert got == ["2026-01-01T00:00:00", "2026-01-01T00:00:09"]
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
+    """Append output mode: a window row is emitted exactly once, when the
+    watermark passes its end — open windows stay in state. (Complete mode
+    re-emits everything; append is what a parquet/Kafka sink needs.)"""
+    src = str(tmp_path / "in")
+    write_lines(
+        src,
+        [
+            json.dumps({"event_name": "click", "ts": "2026-01-01T00:01:00"}),
+            json.dumps({"event_name": "click", "ts": "2026-01-01T00:02:00"}),
+            # late-ish arrival inside the first window, then a big jump
+            # that pushes the watermark (5 min) beyond window [0,10)
+            json.dumps({"event_name": "click", "ts": "2026-01-01T00:03:00"}),
+            json.dumps({"event_name": "click", "ts": "2026-01-01T00:30:00"}),
+        ],
+    )
+    events = stream_json(spark, src, "event_name string, ts timestamp").withWatermark(
+        "ts", "5 minutes"
+    )
+    agg = events.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("append_win")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.w.start.minute, r.n) for r in spark.sql("SELECT * FROM append_win").collect()
+    }
+    # window [00:00,00:10) closed (watermark = 00:30-5min = 00:25 > 00:10)
+    # and emitted once with all 3 rows; [00:30,00:40) is still open -> absent
+    assert rows == {(0, 3)}
