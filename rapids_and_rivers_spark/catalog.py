@@ -3708,3 +3708,47 @@ def pack_training_sequences(spark, sf_dir):
         F.floor(start / seq_len).cast("long").alias("seq_id"),
         (start - F.floor(start / seq_len) * seq_len).cast("long").alias("seq_offset"),
     )
+
+
+#: deterministic demo weights for the hashed linear scorer (64 buckets,
+#: one-decimal grid) — identical literals in the Spark plan and the oracle
+_CLS_DIM = 64
+_CLS_WEIGHTS = [((i * 37) % 21 - 10) / 10.0 for i in range(_CLS_DIM)]
+
+
+@register(
+    "classifier_score_hashed",
+    rf"""
+    WITH w(weights) AS (
+      SELECT [CAST(((i * 37) % 21 - 10) AS DOUBLE) / 10.0
+              for i in range(0, {_CLS_DIM})]
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+           round(list_aggregate(list_transform(t,
+               tok -> weights[CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                                   % {_CLS_DIM} AS INT) + 1]),
+               'sum'), 4) + 0.0 AS score,
+           CAST(len(t) AS BIGINT) AS n_tokens
+    FROM toks, w
+    """,
+    doc="hashed linear-model inference (operators/text.py "
+    "hashed_linear_score): fasttext-style classifier scoring as pure "
+    "Column math — score = sum(weight[md5(token) mod 64]). Weights ship "
+    "as a plan literal (broadcast-of-KBs), scoring fuses into the scan "
+    "(zero shuffle, zero Python), and the per-row sequential fold is "
+    "bit-deterministic, so the oracle reproduces it exactly. The "
+    "at-scale path for models too big for a literal: broadcast join on "
+    "the bucket id",
+)
+def classifier_score_hashed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (T.hashed_linear_score(F.col("text"), _CLS_WEIGHTS) + F.lit(0.0)).alias(
+            "score"
+        ),  # + 0.0 folds IEEE -0.0 to 0.0 (signed-zero parity with the oracle)
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )

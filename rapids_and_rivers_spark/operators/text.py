@@ -150,6 +150,40 @@ def symbol_ratio(col: Column, ndigits: int = 4) -> Column:
     return F.round(F.length(stripped) / F.nullif(n, F.lit(0)).cast("double"), ndigits)
 
 
+# --- hashed linear scoring (classifier inference without UDFs) ----------------
+
+
+def token_hash_bucket(tok: Column, dim: int) -> Column:
+    """Deterministic feature bucket for a token: md5-prefix mod ``dim``.
+
+    md5 (not xxhash64) so the bucket function has an exact SQL twin in
+    any engine — the same determinism contract as the KMV sketch.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+
+
+def hashed_linear_score(col: Column, weights: list[float], ndigits: int = 4) -> Column:
+    """Linear model inference over hashed token features — the
+    fasttext-style quality-classifier scoring pass — as PURE Column math:
+    ``score = Σ_tokens weight[hash(token) mod D]``.
+
+    This is the shape for running a small trained model over 100 TB:
+    weights ship as an array literal in the plan (a broadcast of KBs),
+    scoring fuses into the scan (zero shuffle, zero Python), and the
+    per-row sequential fold is bit-deterministic. Larger models swap the
+    literal for a broadcast map-side join on the bucket id; only when the
+    model needs matrix math does this escalate to a Pandas UDF.
+    """
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = tokens(col)
+    per_tok = F.transform(
+        toks, lambda t: F.element_at(warr, (token_hash_bucket(t, len(weights)) + 1).cast("int"))
+    )
+    return F.round(
+        F.aggregate(per_tok, F.lit(0.0), lambda acc, x: acc + x), ndigits
+    )
+
+
 # --- PII detection / redaction ------------------------------------------------
 #
 # Training-data pipelines scrub personally identifiable information before
