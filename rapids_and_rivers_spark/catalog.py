@@ -3752,3 +3752,27 @@ def classifier_score_hashed(spark, sf_dir):
         ),  # + 0.0 folds IEEE -0.0 to 0.0 (signed-zero parity with the oracle)
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
+
+
+from rapids_and_rivers_spark.operators import fuzzy as FZ  # noqa: E402
+
+
+@register(
+    "fuzzy_name_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS n FROM part)
+    SELECT a.n AS s_a, b.n AS s_b,
+           CAST(levenshtein(a.n, b.n) AS INT) AS dist
+    FROM names a JOIN names b ON a.n < b.n
+    WHERE levenshtein(a.n, b.n) <= 1
+    """,
+    doc="approximate string-match join (operators/fuzzy.py symspell_join): "
+    "all part-name pairs within edit distance 1 via SymSpell 1-deletion "
+    "neighborhoods — explode to <=len+1 variants, equi-join on the "
+    "variant, exact-levenshtein verify. Candidates are O(sum-of-lengths) "
+    "join keys, never the O(n^2) cross product the (tiny-domain) oracle "
+    "uses; same bucket-then-verify shape as MinHash-LSH",
+)
+def fuzzy_name_match(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return FZ.symspell_join(part, "p_name", max_dist=1)

@@ -246,3 +246,36 @@ def test_skew_safe_agg_matches_plain_groupby(spark):
         ).collect()
     }
     assert got == {"hot": (500, 499.0), "cold": (7, 6.0)}
+
+
+def test_symspell_join_complete_vs_bruteforce(spark):
+    """SymSpell candidate generation must not MISS any distance-1 pair
+    (substitution, insertion, deletion, plus a distance-2 non-pair)."""
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.operators.fuzzy import symspell_join
+
+    words = ["cat", "bat", "cart", "ca", "dog", "dig", "", "a"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        (r.s_a, r.s_b, r.dist) for r in symspell_join(df, "w").collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(words), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == expected
