@@ -3776,3 +3776,30 @@ from rapids_and_rivers_spark.operators import fuzzy as FZ  # noqa: E402
 def fuzzy_name_match(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")
     return FZ.symspell_join(part, "p_name", max_dist=1)
+
+
+@register(
+    "median_value_by_type",
+    """
+    SELECT event_type,
+           round(median(value), 4) AS median_value,
+           round(quantile_cont(value, 0.9), 4) AS p90_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="EXACT per-group percentiles (median + p90) via Spark's "
+    "percentile() — linear interpolation, matching DuckDB "
+    "median/quantile_cont semantics. Exact percentile sorts within "
+    "group partitions (spill-safe, parallel across groups); the 100 TB "
+    "swap when exactness isn't required is approx_percentile "
+    "(t-digest-style, one pass, mergeable) — not oracle-comparable "
+    "cross-engine, which is WHY this entry pins the exact variant",
+)
+def median_value_by_type(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
