@@ -202,3 +202,71 @@ def test_recognized_key_counts(spark):
         for r in metrics.recognized_key_counts(river.evaluate(df), river).collect()
     }
     assert out == {"@event_name": 2, "a": 2, "b": 1}
+
+
+def test_observe_verdicts_streaming_progress_events(spark, tmp_path):
+    """Streaming half of the Micrometer parity: the same verdict counters
+    surface per micro-batch through QueryProgressEvent.observedMetrics —
+    the loop a metrics exporter scrapes in production."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql.streaming import listener as L
+
+    from rapids_and_rivers_spark.functions import json_ops as J
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import River
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "m.jsonl"), "w") as f:
+        f.write(json.dumps({"@event_name": "need"}) + "\n")
+        f.write(json.dumps({"@event_name": "other"}) + "\n")
+        f.write("garbage\n")
+
+    captured = []
+
+    class Capture(L.StreamingQueryListener):
+        def onQueryStarted(self, e):
+            pass
+
+        def onQueryProgress(self, e):
+            om = e.progress.observedMetrics
+            if "river_metrics" in om:
+                captured.append(om["river_metrics"])
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            pass
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        raw = spark.readStream.format("text").load(src)
+        parsed = raw.select(
+            F.col("value"), J.parse(F.col("value")).alias("__variant")
+        )
+        river = River("needs").validate(P.require_value("@event_name", "need"))
+        observed, name = observe_verdicts(river.evaluate(parsed))
+        assert name == "river_metrics"
+        q = (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        deadline = time.time() + 15
+        while not captured and time.time() < deadline:
+            time.sleep(0.2)  # listener bus is asynchronous
+    finally:
+        spark.streams.removeListener(listener)
+    assert captured, "no observedMetrics arrived on the listener bus"
+    m = captured[0]
+    assert m["messages"] == 3
+    assert m["passed"] == 1
+    assert m["validation_failed"] == 1
+    assert m["unparseable"] == 1
