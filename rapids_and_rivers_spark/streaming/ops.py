@@ -94,6 +94,59 @@ def prometheus_text(
     return "\n".join(lines) + "\n"
 
 
+class MetricsCollector:
+    """Accumulates ``observe_verdicts`` counters from the streaming
+    listener bus into a registry the ``/metrics`` endpoint scrapes —
+    the Micrometer-registry-to-endpoint loop of the reference
+    (KtorApplication.kt metrics route + River.kt counters).
+
+    Register with ``spark.streams.addListener(collector.listener())``;
+    totals are cumulative across micro-batches, keyed
+    ``<observation>_<counter>``.
+    """
+
+    def __init__(self, observation_names: list[str] | None = None):
+        self._names = set(observation_names or [])
+        self._lock = threading.Lock()
+        self.counters: dict[str, float] = {}
+
+    def record(self, observation: str, metrics: Mapping[str, float]) -> None:
+        with self._lock:
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    key = f"{observation}_{k}"
+                    self.counters[key] = self.counters.get(key, 0) + v
+
+    def snapshot(self) -> dict[str, float]:
+        with self._lock:
+            return dict(self.counters)
+
+    def listener(self):
+        """A StreamingQueryListener feeding this collector (imported
+        lazily so the module stays usable without an active session)."""
+        from pyspark.sql.streaming import listener as L
+
+        collector = self
+
+        class _Feed(L.StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                for name, row in (event.progress.observedMetrics or {}).items():
+                    if collector._names and name not in collector._names:
+                        continue
+                    collector.record(name, row.asDict())
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        return _Feed()
+
+
 class OpsServer:
     """Threaded ops HTTP server. ``port=0`` binds an ephemeral port
     (exposed as ``.port``); the server thread is a daemon, so it never
@@ -198,16 +251,19 @@ def attach_ops(
     packet_timer=None,
     pre_stop: PreStopHook | Callable[[], None] | None = None,
     port: int = 0,
+    metrics_collector: MetricsCollector | None = None,
 ) -> OpsServer:
     """Wire an :class:`OpsServer` to a running query: readiness follows
     the lifecycle listener's started/shutdown callbacks, liveness follows
-    ``query.isActive``, ``/metrics`` exposes the packet timer."""
+    ``query.isActive``, ``/metrics`` exposes the packet timer and any
+    :class:`MetricsCollector` counters."""
     alive = (lambda: bool(query.isActive)) if query is not None else (lambda: True)
-    metrics = (
-        (lambda: prometheus_text(timers=packet_timer.snapshot()))
-        if packet_timer is not None
-        else None
-    )
+    metrics = None
+    if packet_timer is not None or metrics_collector is not None:
+        metrics = lambda: prometheus_text(  # noqa: E731
+            counters=metrics_collector.snapshot() if metrics_collector else None,
+            timers=packet_timer.snapshot() if packet_timer else None,
+        )
     server = OpsServer(
         alive_check=alive, metrics_provider=metrics, pre_stop=pre_stop, port=port
     )

@@ -307,3 +307,59 @@ def test_attach_ops_catches_up_when_query_already_ready():
         assert _get(srv2.port, "/isready")[0] == 503
     finally:
         srv2.close()
+
+
+def test_metrics_collector_feeds_endpoint(spark, tmp_path):
+    """Full monitoring loop: river verdict counters -> observe() ->
+    listener bus -> MetricsCollector -> /metrics exposition (the
+    reference's Micrometer registry + Ktor metrics route, end to end)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.functions import json_ops as J
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.metrics import observe_verdicts
+    from rapids_and_rivers_spark.river import River
+    from rapids_and_rivers_spark.streaming.ops import MetricsCollector
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "m.jsonl"), "w") as f:
+        f.write(json.dumps({"@event_name": "need"}) + "\n")
+        f.write(json.dumps({"@event_name": "nope"}) + "\n")
+
+    collector = MetricsCollector()
+    feed = collector.listener()
+    spark.streams.addListener(feed)
+    try:
+        raw = spark.readStream.format("text").load(src)
+        parsed = raw.select(F.col("value"), J.parse(F.col("value")).alias("__variant"))
+        river = River("needs").validate(P.require_value("@event_name", "need"))
+        observed, _ = observe_verdicts(river.evaluate(parsed))
+        q = (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        deadline = time.time() + 15
+        while not collector.snapshot() and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(feed)
+    counters = collector.snapshot()
+    assert counters["river_metrics_messages"] == 2
+    assert counters["river_metrics_passed"] == 1
+    srv = OpsServer(
+        metrics_provider=lambda: prometheus_text(counters=collector.snapshot())
+    )
+    try:
+        code, body = _get(srv.port, "/metrics")
+        assert code == 200
+        assert "river_metrics_messages 2" in body
+        assert "river_metrics_passed 1" in body
+    finally:
+        srv.close()
