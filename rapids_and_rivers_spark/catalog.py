@@ -3803,3 +3803,22 @@ def median_value_by_type(spark, sf_dir):
         F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "dedup_clusters_star",
+    _REGISTRY["dedup_clusters"].oracle,
+    doc="same components as dedup_clusters, computed by alternating "
+    "large-star/small-star (operators/dedup.py duplicate_clusters_star, "
+    "Kiveris et al. SoCC 2014): converges in O(log^2) rounds regardless "
+    "of component DIAMETER — the production CC for graphs where "
+    "min-label propagation would need diameter rounds (a 1e6-node chain: "
+    "~20 star rounds vs 1e6 propagation rounds). Identical recursive-CTE "
+    "oracle; cheap count+hash-sum fingerprint detects convergence",
+)
+def dedup_clusters_star(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs(
+        emb, emb_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
+    )
+    return D.duplicate_clusters_star(pairs)

@@ -644,6 +644,93 @@ def duplicate_clusters(
     return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster"))
 
 
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the production-scale variant of
+    :func:`duplicate_clusters`.
+
+    Min-label propagation needs one round per graph DIAMETER; a 10⁶-node
+    chain needs 10⁶ rounds. The star alternation contracts components in
+    O(log²) rounds regardless of diameter:
+
+    - large-star (per node u over its symmetric neighborhood): attach
+      every neighbor LARGER than u to the neighborhood minimum;
+    - small-star (per node u over its smaller neighbors): attach them
+      and u itself to the minimum.
+
+    Both are one groupBy + one join over the edge list (2 shuffles per
+    half-round); edges only ever point larger→smaller, and at
+    convergence every node points directly at its component minimum.
+    Convergence is detected with a cheap fingerprint aggregate
+    (count + hash-sum of the edge set) instead of a set comparison.
+    Output matches :func:`duplicate_clusters`: ``(node, cluster)`` for
+    every id in ``pairs``, cluster = component minimum.
+    """
+    e0 = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = e0.localCheckpoint()
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # modular sum keeps the ANSI-mode long addition overflow-free
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        lmin = lmin.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        ls = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        smin = ls.groupBy("u").agg(F.min("v").alias("m"))
+        withm = ls.join(smin, "u")
+        ss = (
+            withm.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        fp = fingerprint(ss)
+        edges = ss
+        if fp == prev:
+            break
+        prev = fp
+    return nodes.join(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("cluster")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("cluster", "node").alias("cluster"))
+
+
 # --- embedding near-dup -------------------------------------------------------
 
 

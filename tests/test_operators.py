@@ -279,3 +279,33 @@ def test_symspell_join_complete_vs_bruteforce(spark):
         if lev(a, b) <= 1
     }
     assert got == expected
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star CC must produce the same components as
+    min-label propagation — on random graphs AND a long chain (the
+    diameter case star exists for: 40 rounds of propagation vs ~log)."""
+    import random
+
+    from rapids_and_rivers_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    rng = random.Random(11)
+    random_edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    chain = [(i, i + 1) for i in range(100, 140)]  # path graph, diameter 40
+    star_in = [(200, 200 + i) for i in range(1, 8)]
+    edges = [(a, b) for a, b in random_edges + chain + star_in if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    plain = {
+        (r.node, r.cluster) for r in duplicate_clusters(df, max_iter=60).collect()
+    }
+    star = {
+        (r.node, r.cluster) for r in duplicate_clusters_star(df).collect()
+    }
+    assert star == plain
+    # chain collapses to its minimum
+    assert all(c == 100 for (n, c) in star if 100 <= n <= 140)
