@@ -3822,3 +3822,63 @@ def dedup_clusters_star(spark, sf_dir):
         emb, emb_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
     )
     return D.duplicate_clusters_star(pairs)
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 < 9
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(text || CASE WHEN doc_id % 3 = 0 THEN ' v2' ELSE '' END) AS fp
+      FROM documents WHERE doc_id % 10 > 0
+    ),
+    diff AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.fp != n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM diff GROUP BY status
+    """,
+    doc="corpus snapshot diff: added/removed/changed/unchanged between "
+    "two versions by doc_id + content fingerprint (full outer join on "
+    "the id, md5 comparison for drift) — the bookkeeping pass an "
+    "incremental ingest runs before deciding what to reprocess. "
+    "Fingerprints shuffle once on doc_id; bodies never move. Version 2 "
+    "is derived deterministically in both engines (doc_id%3 docs get "
+    "edited text, %10==0 removed, %10==9 added)",
+)
+def snapshot_diff(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    old = docs.filter(d % 10 < 9).select("doc_id", F.md5("text").alias("fp"))
+    new = docs.filter(d % 10 > 0).select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(d % 3 == 0, F.lit(" v2")).otherwise(F.lit("")),
+            )
+        ).alias("fp"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    diff = o.join(n, "doc_id", "full_outer").select(
+        F.col("doc_id"),
+        F.when(F.col("o.fp").isNull(), "added")
+        .when(F.col("n.fp").isNull(), "removed")
+        .when(F.col("o.fp") != F.col("n.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
