@@ -3882,3 +3882,60 @@ def snapshot_diff(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "gap_filled_daily_counts",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(CAST(bounds.d0 AS TIMESTAMP),
+                                         CAST(bounds.d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day,
+             et.event_type
+      FROM bounds, (SELECT DISTINCT event_type FROM events) et
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(CAST(s.day AS DATE), '%Y-%m-%d') AS day,
+           s.event_type, coalesce(d.n, 0) AS n
+    FROM spine s LEFT JOIN daily d
+      ON CAST(s.day AS DATE) = d.day AND s.event_type = d.event_type
+    """,
+    doc="time-series densification (gap filling): a complete day x "
+    "event_type spine generated with sequence()/explode, left-joined to "
+    "the sparse daily counts so missing days surface as explicit zeros — "
+    "the pre-step every dashboard/moving-average needs. The spine is "
+    "days x types (tiny, broadcast); the facts aggregate map-side "
+    "before their one shuffle",
+)
+def gap_filled_daily_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )  # catalog convention: dates leave queries as ISO strings
+    )
