@@ -2202,10 +2202,7 @@ def sample_stratified_hash(spark, sf_dir):
     rates = spark.createDataFrame(
         [("src0", 30), ("src1", 50), ("src2", 80)], "source string, pct int"
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = T.token_hash_bucket(F.col("doc_id").cast("string"), 100)
     return (
         docs.join(F.broadcast(rates), "source", "left")
         .filter(bucket < F.coalesce(F.col("pct"), F.lit(100)))
@@ -3643,10 +3640,7 @@ def embedding_centroids(spark, sf_dir):
 )
 def split_train_val_test(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = T.token_hash_bucket(F.col("doc_id").cast("string"), 100)
     return (
         docs.withColumn(
             "split",
@@ -3691,8 +3685,6 @@ def split_train_val_test(spark, sf_dir):
     "precomputed range totals)",
 )
 def pack_training_sequences(spark, sf_dir):
-    from pyspark.sql import Window as W
-
     seq_len = 2048
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
@@ -3930,9 +3922,11 @@ def gap_filled_daily_counts(spark, sf_dir):
         .groupBy("day", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # build-left broadcast is unsupported for LEFT outer joins (the
+    # preserved side can't be the build side); the equivalent RIGHT outer
+    # with the spine broadcast keeps the join shuffle-free
     return (
-        F.broadcast(spine)
-        .join(daily, ["day", "event_type"], "left")
+        daily.join(F.broadcast(spine), ["day", "event_type"], "right")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "event_type",

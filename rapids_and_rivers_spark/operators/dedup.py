@@ -697,6 +697,7 @@ def duplicate_clusters_star(
         return (row["n"], row["h"])
 
     prev = None
+    converged = False
     for _ in range(max_iter):
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -722,8 +723,16 @@ def duplicate_clusters_star(
         fp = fingerprint(ss)
         edges = ss
         if fp == prev:
+            converged = True
             break
         prev = fp
+    if not converged:
+        # a non-star edge set would silently yield multi-row / wrong
+        # labels downstream; fail loudly instead (raise max_iter — the
+        # round count is O(log^2 n), so 25 covers any realistic graph)
+        raise RuntimeError(
+            f"star contraction did not converge within {max_iter} rounds"
+        )
     return nodes.join(
         edges.select(F.col("u").alias("node"), F.col("v").alias("cluster")),
         "node",

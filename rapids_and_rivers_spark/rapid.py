@@ -75,8 +75,9 @@ class AbstractRapid:
         sent: list[tuple[int, str, str | None]] = []
         failed: list[tuple[int, str, str | None, Exception]] = []
         for i, m in enumerate(messages):
-            body, key = m if isinstance(m, tuple) else (m, None)
+            body, key = None, None
             try:
+                body, key = m if isinstance(m, tuple) else (m, None)
                 self.publish(body, key)
                 sent.append((i, body, key))
             except Exception as exc:  # noqa: BLE001 — per-message isolation

@@ -124,9 +124,11 @@ def write_sorted(
     output" at 100 TB; a ``coalesce(1)`` or partition-less window sort is
     the anti-pattern (single task, single file).
     """
+    if num_files is not None and num_files <= 0:
+        raise ValueError(f"num_files must be positive, got {num_files}")
     parts = (
         df.repartitionByRange(num_files, *sort_cols)
-        if num_files
+        if num_files is not None
         else df.repartitionByRange(*sort_cols)
     )
     parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

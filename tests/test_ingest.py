@@ -135,3 +135,10 @@ def test_write_sorted_range_partitioned_global_order(spark, tmp_path):
             ranges.append((min(ks), max(ks)))
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_write_sorted_rejects_zero_files(spark, tmp_path):
+    from rapids_and_rivers_spark.sources import write_sorted
+
+    with pytest.raises(ValueError):
+        write_sorted(spark.range(5), str(tmp_path / "x"), ["id"], num_files=0)

@@ -58,3 +58,14 @@ def test_publish_many_on_test_rapid(spark):
     sent, failed = rapid.publish_many([json.dumps({"a": i}) for i in range(3)])
     assert len(sent) == 3 and failed == []
     assert rapid.inspector.size == 3
+
+
+def test_publish_many_never_raises_on_malformed_elements():
+    class Sink(AbstractRapid):
+        def publish(self, message, key=None):
+            pass
+
+    sent, failed = Sink().publish_many(["ok", ("body", "k", "extra"), "ok2"])
+    assert [i for i, _, _ in sent] == [0, 2]
+    assert len(failed) == 1 and failed[0][0] == 1
+    assert isinstance(failed[0][3], ValueError)

@@ -42,6 +42,8 @@ SCALAR_CROSS_OK = {
     "dedup_clusters",
     "pingpong",  # staleness clock = max event time, broadcast 1-row agg
     "text_quality_filter",  # p25 cutoff = broadcast 1-row percentile agg
+    "dedup_clusters_star",  # same neardup pair build as dedup_clusters
+    "gap_filled_daily_counts",  # day-spine x type-dim cross: bounded tiny
 }
 
 
