@@ -3933,3 +3933,62 @@ def gap_filled_daily_counts(spark, sf_dir):
             F.coalesce("n", F.lit(0)).alias("n"),
         )  # catalog convention: dates leave queries as ISO strings
     )
+
+
+@register(
+    "sample_weighted_tokens",
+    r"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, w,
+             list_min(list_transform(range(1, CAST(w + 1 AS BIGINT)),
+                 j -> CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                               || CAST(j AS VARCHAR)), 1, 13))
+                           AS BIGINT))) AS k
+      FROM sized WHERE w > 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, w, k,
+             row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, source, w, k FROM ranked WHERE rn <= 20
+    """,
+    doc="EXACT weighted sampling without replacement (Efraimidis-"
+    "Spirakis by integer race): each doc holds w=token-count lottery "
+    "tickets, ticket j's draw is the 52-bit md5(id:j) integer, the doc's "
+    "key is its minimum draw, and the per-source top-20 smallest keys "
+    "win — P(win) proportional to w, RNG-free, retry/partition-stable, "
+    "bit-identical cross-engine (integer compares, no pow/log). Per-doc "
+    "cost is O(w) hashes — fine for doc-length weights; for unbounded "
+    "weights the one-hash u^(1/w) form trades exact determinism for "
+    "O(1) (libm pow differs across engines in the last ulp)",
+)
+def sample_weighted_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    sized = docs.select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("w")
+    ).filter(F.col("w") > 0)
+    draws = F.transform(
+        F.sequence(F.lit(1), F.col("w")),
+        lambda j: F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), j.cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    keyed = sized.withColumn("k", F.array_min(draws))
+    rn = F.row_number().over(W.partitionBy("source").orderBy("k", "doc_id"))
+    return keyed.withColumn("rn", rn).filter(F.col("rn") <= 20).select(
+        "doc_id", "source", "w", "k"
+    )
