@@ -309,3 +309,53 @@ def test_star_cc_matches_label_propagation(spark):
     assert star == plain
     # chain collapses to its minimum
     assert all(c == 100 for (n, c) in star if 100 <= n <= 140)
+
+
+def test_minhash_signature_table_materialization_roundtrip(spark, tmp_path):
+    """The documented 100 TB pattern executed: the (id, shingles, sig)
+    base is MATERIALIZED to parquet once, and candidate banding + Jaccard
+    verification run from the saved table — identical pairs to the
+    in-memory persist() path (signatures are deterministic, so the table
+    is reusable across runs/pipelines)."""
+    from rapids_and_rivers_spark.operators.dedup import (
+        jaccard,
+        lsh_candidate_pairs,
+        minhash_lsh_pairs,
+        minhash_signature,
+        shingled,
+    )
+    from rapids_and_rivers_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    direct = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=32, bands=8, threshold=0.3
+        ).collect()
+    }
+
+    sig_path = str(tmp_path / "signatures")
+    base = shingled(docs, "text", "doc_id", n=3).withColumn(
+        "sig", minhash_signature(F.col("shingles"), 32)
+    )
+    base.write.parquet(sig_path)
+
+    saved = spark.read.parquet(sig_path)
+    candidates = lsh_candidate_pairs(saved, num_hashes=32, bands=8)
+    sh = saved.select("id", "shingles")
+    from_table = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in candidates.join(
+            sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    }
+    assert from_table == direct and len(direct) > 0
