@@ -3992,3 +3992,102 @@ def sample_weighted_tokens(spark, sf_dir):
     return keyed.withColumn("rn", rn).filter(F.col("rn") <= 20).select(
         "doc_id", "source", "w", "k"
     )
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, source, text, CAST(len(t) AS BIGINT) AS n_tokens
+      FROM toks
+      WHERE len(t) BETWEEN 5 AND 10000
+        AND CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+                 AS DOUBLE) / nullif(len(t), 0) BETWEEN 2 AND 10
+        AND length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+            / CAST(nullif(length(text), 0) AS DOUBLE) <= 0.1
+        AND len(list_filter(t, x -> x IN
+            ('the','a','an','of','and','to','in','is','it','for'))) > 0
+    ),
+    deduped AS (
+      SELECT doc_id, source, n_tokens
+      FROM (SELECT doc_id, source, n_tokens,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM quality)
+      WHERE rn = 1
+    ),
+    train AS (
+      SELECT doc_id, source, n_tokens
+      FROM deduped
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100 < 90
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+      FROM train
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(start_tok / 2048) AS BIGINT) AS seq_id
+    FROM packed
+    """,
+    doc="END-TO-END pretraining corpus pipeline as ONE composed Catalyst "
+    "plan: Gopher quality screen (scan-fused projection filter) -> exact "
+    "dedup keep-first (one shuffle on content fingerprint) -> "
+    "leakage-safe train split (pure hash function, no shuffle) -> "
+    "per-source sequence packing (one running-sum window). Four library "
+    "operators, zero materialization barriers between stages — Catalyst "
+    "fuses the filter+split into the scan side of the dedup shuffle, "
+    "which is how the composition would execute over 100 TB (the oracle "
+    "chains the identical CTEs)",
+)
+def pipeline_pretrain_corpus(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", "text", T.tokens(F.col("text")).alias("toks")
+    )
+    n_tokens = F.size("toks").cast("long")
+    mean_len = (
+        F.aggregate(F.col("toks"), F.lit(0), lambda a, t: a + F.length(t))
+        / F.nullif(F.size("toks"), F.lit(0))
+    ).cast("double")
+    quality = toked.filter(
+        n_tokens.between(5, 10000)
+        & mean_len.between(2, 10)
+        # unrounded ratio for the threshold compare (memory rule: never
+        # round a quotient used in a comparison) — both engines divide the
+        # same ints, so the IEEE result and the compare are identical
+        & (
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+            / F.nullif(F.length("text"), F.lit(0)).cast("double")
+            <= 0.1
+        )
+        & (F.size(F.filter(F.col("toks"), lambda t: t.isin(T.EN_STOPWORDS))) > 0)
+    ).select("doc_id", "source", "text", n_tokens.alias("n_tokens"))
+    keep_first = F.row_number().over(
+        W.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    deduped = (
+        quality.withColumn("rn", keep_first)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+    train = deduped.filter(
+        T.token_hash_bucket(F.col("doc_id").cast("string"), 100) < 90
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return train.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / 2048).cast("long").alias("seq_id"),
+    )
