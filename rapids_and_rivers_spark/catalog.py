@@ -4091,3 +4091,72 @@ def pipeline_pretrain_corpus(spark, sf_dir):
         "n_tokens",
         F.floor(start / 2048).cast("long").alias("seq_id"),
     )
+
+
+@register(
+    "split_leakage_check",
+    """
+    WITH seeded AS (
+      -- deterministic duplicate groups at every SF (the small corpora
+      -- have no natural exact dupes): every 97th doc collapses onto one
+      -- of three shared bodies
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 1
+                  THEN 'seeded duplicate body ' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM seeded
+    )
+    SELECT fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           (count(DISTINCT split) > 1) AS leaks,
+           min(doc_id) AS example_id
+    FROM assigned
+    GROUP BY fp
+    HAVING count(*) > 1
+    """,
+    doc="train/heldout LEAKAGE detector: id-hash splitting is stable "
+    "under corpus growth but cannot prevent duplicate TEXTS straddling "
+    "the split boundary — this surfaces every content fingerprint with "
+    "docs in more than one split (the pairs an eval-integrity gate must "
+    "dedup or quarantine; run AFTER dedup to confirm zero). One "
+    "partial-agg shuffle on the fingerprint",
+)
+def split_leakage_check(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    seeded_text = F.when(
+        F.col("doc_id") % 97 == 1,
+        F.concat(F.lit("seeded duplicate body "), (F.col("doc_id") % 3).cast("string")),
+    ).otherwise(F.col("text"))
+    assigned = docs.select(
+        "doc_id",
+        F.md5(seeded_text).alias("fp"),
+        F.when(
+            T.token_hash_bucket(F.col("doc_id").cast("string"), 100) < 90, "train"
+        )
+        .otherwise("heldout")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.min("doc_id").alias("example_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "fp",
+            "n_docs",
+            "n_splits",
+            (F.col("n_splits") > 1).alias("leaks"),
+            "example_id",
+        )
+    )
