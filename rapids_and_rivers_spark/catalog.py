@@ -4160,3 +4160,46 @@ def split_leakage_check(spark, sf_dir):
             "example_id",
         )
     )
+
+
+@register(
+    "simhash_signature_md5",
+    _shingle_cte() + r"""
+    hashed AS (
+      SELECT doc_id,
+             list_transform(shingles,
+                 s -> CAST(('0x' || substr(md5(s), 1, 13)) AS BIGINT)) AS hs
+      FROM sh WHERE len(shingles) > 0
+    )
+    SELECT doc_id,
+           CAST(list_aggregate(list_transform(range(0, 52),
+               b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1))
+                              > len(hs)
+                         THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END),
+               'sum') AS BIGINT) AS sig,
+           CAST(len(hs) AS BIGINT) AS n_shingles
+    FROM hashed
+    """,
+    doc="SimHash signature math under FULL value oracle: the identical "
+    "vectorized numpy bit-vote (operators/dedup.py simhash) runs over "
+    "md5-derived 52-bit shingle hashes, and DuckDB recomputes every "
+    "signature bit-for-bit (per-bit majority as SQL list ops). This "
+    "pins the exact arithmetic the production dedup_simhash path uses — "
+    "that path stays on JVM xxhash64 (faster, 64-bit) and is rows-only "
+    "ONLY because DuckDB lacks xxhash64, not because the math is "
+    "unverifiable",
+)
+def simhash_signature_md5(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    shingles = D.word_shingles(toks, n=3)
+    hashes = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long"),
+    )
+    base = docs.select("doc_id", hashes.alias("hs")).filter(F.size("hs") > 0)
+    return base.select(
+        "doc_id",
+        D.simhash(F.col("hs")).alias("sig"),
+        F.size("hs").cast("long").alias("n_shingles"),
+    )
