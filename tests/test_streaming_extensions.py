@@ -274,3 +274,75 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
     # window [00:00,00:10) closed (watermark = 00:30-5min = 00:25 > 00:10)
     # and emitted once with all 3 rows; [00:30,00:40) is still open -> absent
     assert rows == {(0, 3)}
+
+
+def test_sequence_by_key_state_survives_batches(spark, tmp_path):
+    """transformWithStateInPandas: per-key sequence numbers continue
+    across micro-batches from the checkpointed ValueState, and the batch
+    fallback (window) gives identical output."""
+    from rapids_and_rivers_spark.streaming.stateful import sequence_by_key
+
+    src = str(tmp_path / "in")
+    write_lines(
+        src,
+        [
+            json.dumps({"k": "a", "ts": "2026-01-01T00:00:00"}),
+            json.dumps({"k": "a", "ts": "2026-01-01T00:00:01"}),
+            json.dumps({"k": "b", "ts": "2026-01-01T00:00:02"}),
+        ],
+        name="a.txt",
+    )
+    write_lines(
+        src,
+        [
+            json.dumps({"k": "a", "ts": "2026-01-01T00:00:03"}),
+            json.dumps({"k": "b", "ts": "2026-01-01T00:00:04"}),
+        ],
+        name="b.txt",
+    )
+    import os
+
+    now = os.path.getmtime(os.path.join(src, "a.txt"))
+    os.utime(os.path.join(src, "a.txt"), (now - 100, now - 100))
+    os.utime(os.path.join(src, "b.txt"), (now + 100, now + 100))
+    events = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .select(F.from_json("value", "k string, ts timestamp").alias("m"))
+        .select("m.*")
+    )
+    seq = sequence_by_key(events, "k", "ts")
+    q = (
+        seq.writeStream.format("memory")
+        .queryName("seq_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.k, r.ts.isoformat(), r.seq)
+        for r in spark.sql("SELECT * FROM seq_out").collect()
+    }
+    expected = {
+        ("a", "2026-01-01T00:00:00", 0),
+        ("a", "2026-01-01T00:00:01", 1),
+        ("a", "2026-01-01T00:00:03", 2),  # continued from state in batch 2
+        ("b", "2026-01-01T00:00:02", 0),
+        ("b", "2026-01-01T00:00:04", 1),
+    }
+    assert got == expected
+    # batch duality: same rows via the window fallback
+    batch = spark.createDataFrame(
+        [("a", "2026-01-01T00:00:00"), ("a", "2026-01-01T00:00:01"),
+         ("a", "2026-01-01T00:00:03"), ("b", "2026-01-01T00:00:02"),
+         ("b", "2026-01-01T00:00:04")],
+        "k string, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    got_b = {
+        (r.k, r.ts.isoformat(), r.seq)
+        for r in sequence_by_key(batch, "k", "ts").collect()
+    }
+    assert got_b == expected
