@@ -4203,3 +4203,308 @@ def simhash_signature_md5(spark, sf_dir):
         D.simhash(F.col("hs")).alias("sig"),
         F.size("hs").cast("long").alias("n_shingles"),
     )
+
+
+from functools import reduce  # noqa: E402
+
+from rapids_and_rivers_spark.operators import bloomjoin as B  # noqa: E402
+
+
+@register(
+    "text_char_entropy",
+    r"""
+    WITH ch AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ''), c -> c != '')) AS c
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c
+    ),
+    tot AS (
+      SELECT doc_id, sum(cnt) AS n FROM freq GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CAST(t.n AS BIGINT) AS n_chars,
+           round(-sum((CAST(f.cnt AS DOUBLE) / t.n)
+                      * log2(CAST(f.cnt AS DOUBLE) / t.n)), 4) AS entropy
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id, t.n
+    """,
+    doc="character-level Shannon entropy per document "
+    "(operators/text.py char_entropy): corpus-quality signal — low "
+    "entropy = boilerplate/repeated-char junk, high = binary-ish noise. "
+    "Spark side is ONE Column expression per row (distinct chars -> "
+    "filter+size frequencies -> -sum p*log2 p), zero shuffle, fused into "
+    "the scan; the oracle recomputes via explode+groupBy, the formulation "
+    "the Spark side deliberately avoids (it would shuffle every character "
+    "of a 100 TB corpus)",
+)
+def text_char_entropy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # bind the char array to an attribute BEFORE the HOF lambdas (per-element
+    # re-evaluation pitfall)
+    bound = docs.select("doc_id", T.text_chars(F.col("text")).alias("__chars"))
+    return bound.select(
+        "doc_id",
+        F.size("__chars").cast("long").alias("n_chars"),
+        T.char_entropy(F.col("__chars")).alias("entropy"),
+    )
+
+
+@register(
+    "chunk_documents",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, tk,
+             unnest(range(1, greatest(len(tk), 1) + 1, 30)) AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 30 AS INT) AS chunk_idx,
+           CAST(start AS BIGINT) AS tok_start,
+           CAST(len(list_slice(tk, start, start + 39)) AS BIGINT) AS chunk_tokens,
+           array_to_string(list_slice(tk, start, start + 39), ' ') AS chunk_text
+    FROM starts
+    """,
+    doc="RAG-style overlapping token-window chunking with provenance "
+    "(operators/text.py chunk_documents): 40-token windows every 30 "
+    "tokens (10-token overlap), each chunk carrying (doc_id, chunk_idx, "
+    "tok_start) so retrieval hits trace back to source bytes. Tokenize "
+    "once, `sequence` the starts, one explode — pure Column ops, zero "
+    "shuffle, no UDF; output scales as n_tokens/stride rows per doc",
+)
+def chunk_documents_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, chunk_size=40, stride=30)
+
+
+@register(
+    "tfidf_keywords",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE length(token) >= 3 GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rk
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="per-document top-3 keywords by tf-idf: tf = per-(doc, token) "
+    "count, df = docs containing the token, idf = ln(N/df). Ranking is "
+    "INTEGER-only (tf DESC, df ASC, token) so it is bit-stable across "
+    "engines; the float tfidf is display output, rounded. Plan: two "
+    "keyed aggregations (token-partial map-side), one equi-join on "
+    "token, a 1-row broadcast for N, and a per-doc window — every "
+    "shuffle is on a key, nothing global",
+)
+def tfidf_keywords(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.length("token") >= 3)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size as a driver-side scalar literal (one count over parquet
+    # row-group stats) instead of a 1-row cross join — same sketch-class
+    # collect as the Bloom bitmap, and it keeps BroadcastNestedLoopJoin
+    # out of the plan
+    n_docs = float(docs.count())
+    ranked = (
+        tf.join(df_, "token")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 4),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), "token")
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= 3).select("doc_id", "token", "tf", "df", "tfidf")
+
+
+@register(
+    "scd2_user_state",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type != event_type
+    )
+    SELECT user_id, event_type AS state,
+           strftime(ts, '{ISO_FMT_DUCK}') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '{ISO_FMT_DUCK}') AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+    doc="SCD2 (slowly-changing-dimension type 2) state table built from "
+    "the event stream: each user's event_type transitions become "
+    "[valid_from, valid_to) validity intervals with an is_current flag — "
+    "the changelog-to-dimension merge every lakehouse ingest runs. Two "
+    "windows over ONE partitioning (user_id) = one shuffle; "
+    "(ts, event_id) tiebreak keeps lag/lead deterministic under "
+    "duplicate timestamps",
+)
+def scd2_user_state(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", ISO_FMT).alias("valid_from"),
+        F.date_format(nxt, ISO_FMT).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "bloom_prune_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="Bloom-filter runtime join pruning (operators/bloomjoin.py): a "
+    "word-chunked bitmap over the filtered dimension's keys becomes an "
+    "array literal in the probe plan — each fact row tests k=xxhash64 "
+    "bit positions (codegen arithmetic, zero shuffle, no false "
+    "negatives) and only possible matches pay the join; the equi-join "
+    "then removes false positives, so results are EXACT. This is "
+    "Spark's InjectRuntimeFilter made explicit — usable when the "
+    "optimizer won't fire it (saved filters, repeated probes, "
+    "non-broadcastable dims whose key-set still fits a few KB of bits)",
+)
+def bloom_prune_join(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    joined = B.bloom_filter_join(
+        orders,
+        cust.select("c_custkey"),
+        "o_custkey",
+        "c_custkey",
+        expected_items=max(cust.count(), 1),
+        fpp=0.01,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _zorder_bits_sql(x: str, y: str, bits: int = 16) -> str:
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+def _zorder_bits_col(x, y, bits: int = 16):
+    terms = [
+        F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        for i in range(bits)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+@register(
+    "zorder_cluster_stats",
+    f"""
+    WITH dims AS (
+      SELECT o_orderkey,
+             (o_custkey & 65535) AS x,
+             (date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) & 65535)
+               AS d
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, x, d,
+             ({_zorder_bits_sql('x', 'd')}) AS zval
+      FROM dims
+    )
+    SELECT CAST(zval >> 16 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS min_cust, CAST(max(x) AS BIGINT) AS max_cust,
+           CAST(min(d) AS BIGINT) AS min_day, CAST(max(d) AS BIGINT) AS max_day
+    FROM z GROUP BY zbucket ORDER BY zbucket
+    """,
+    doc="Z-order (Morton) multi-dimensional clustering key: interleave "
+    "the low 16 bits of customer key and order date (days since "
+    "1995-01-01), bucket by the high interleaved bits, report per-bucket "
+    "min/max of BOTH dims — every bucket is a bounded rectangle in "
+    "(customer, date) space, which is exactly the property that lets "
+    "parquet min/max stats skip files for predicates on EITHER column "
+    "after a zorder-clustered write (sources write_sorted on this key). "
+    "Pure bit arithmetic, codegen-fused; one keyed aggregation",
+)
+def zorder_cluster_stats(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    dims = orders.select(
+        (F.col("o_custkey").bitwiseAND(F.lit(65535))).alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .bitwiseAND(F.lit(65535))
+        .alias("d"),
+    )
+    z = dims.select("x", "d", _zorder_bits_col(F.col("x"), F.col("d")).alias("zval"))
+    return (
+        z.groupBy(F.shiftright("zval", 16).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").cast("long").alias("min_cust"),
+            F.max("x").cast("long").alias("max_cust"),
+            F.min("d").cast("long").alias("min_day"),
+            F.max("d").cast("long").alias("max_day"),
+        )
+        .orderBy("zbucket")
+    )

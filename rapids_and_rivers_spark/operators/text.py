@@ -267,3 +267,87 @@ def normalized(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalized(col))
+
+
+def chunk_starts(toks: Column, stride: int) -> Column:
+    """1-based chunk start offsets: 1, 1+stride, … ≤ len(tokens).
+
+    Empty/whitespace-only docs produce a single start (one empty chunk)
+    so no document silently disappears from the chunked corpus.
+    """
+    return F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_size: int = 40,
+    stride: int = 30,
+):
+    """RAG-style overlapping token-window chunking with provenance.
+
+    Splits each document into windows of ``chunk_size`` whitespace tokens
+    starting every ``stride`` tokens (``chunk_size - stride`` tokens of
+    overlap), keeping (doc id, chunk index, token span) so every chunk is
+    traceable to its source bytes. Tail chunks may be shorter than
+    ``chunk_size``; they are kept (a retrieval index wants document
+    tails too).
+
+    Scale shape: tokenize once per row, generate starts with
+    ``sequence``, one ``explode`` — output rows ≈ n_tokens/stride per
+    doc, all pure Column ops fused into the scan; zero shuffle, no UDF.
+    """
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError(f"chunk_size/stride must be positive, got {chunk_size}/{stride}")
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(chunk_starts(toks, stride)).alias("start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("start"), chunk_size)
+    return base.select(
+        F.col(id_col),
+        ((F.col("start") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.col("start").cast("long").alias("tok_start"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def text_chars(col: Column) -> Column:
+    """Character array of a string (empty-string artifacts of split dropped)."""
+    return F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+
+
+def char_entropy(chars: Column, ndigits: int = 4) -> Column:
+    """Character-level Shannon entropy (bits/char) as one Column expression.
+
+    ``chars`` MUST be an attribute-bound array column (select
+    :func:`text_chars` into a column first) — it is referenced inside
+    higher-order-function lambdas, and Catalyst re-evaluates non-attribute
+    expressions per element (the documented 30× pitfall,
+    operators/dedup.py module docstring).
+
+    Computes -Σ p·log2(p) from the frequency of each DISTINCT character
+    via filter+size — O(distinct·len) per row, fine for natural-language
+    alphabets (distinct ≈ 30-80), all JVM-side, zero shuffle (the
+    explode+groupBy(doc, char) formulation would shuffle every character
+    of the corpus).
+
+    Low entropy flags boilerplate/repeated-char junk; high entropy flags
+    binary-ish noise — a standard corpus-quality signal.
+    """
+    n = F.size(chars)
+    probs = F.transform(
+        F.array_distinct(chars),
+        lambda d: F.size(F.filter(chars, lambda c: c == d)) / n,
+    )
+    h = -F.aggregate(
+        probs,
+        F.lit(0.0),
+        lambda acc, p: acc + p * F.log2(p),
+    )
+    return F.when(n > 0, F.round(h, ndigits))
