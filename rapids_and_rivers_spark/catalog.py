@@ -4205,9 +4205,8 @@ def simhash_signature_md5(spark, sf_dir):
     )
 
 
-from functools import reduce  # noqa: E402
-
 from rapids_and_rivers_spark.operators import bloomjoin as B  # noqa: E402
+from rapids_and_rivers_spark.sources import morton_key  # noqa: E402
 
 
 @register(
@@ -4449,13 +4448,6 @@ def _zorder_bits_sql(x: str, y: str, bits: int = 16) -> str:
     return " + ".join(terms)
 
 
-def _zorder_bits_col(x, y, bits: int = 16):
-    terms = [
-        F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        for i in range(bits)
-    ]
-    return reduce(lambda a, b: a + b, terms)
 
 
 @register(
@@ -4496,7 +4488,9 @@ def zorder_cluster_stats(spark, sf_dir):
         .bitwiseAND(F.lit(65535))
         .alias("d"),
     )
-    z = dims.select("x", "d", _zorder_bits_col(F.col("x"), F.col("d")).alias("zval"))
+    z = dims.select(
+        "x", "d", morton_key([F.col("x"), F.col("d")], bits=16).alias("zval")
+    )
     return (
         z.groupBy(F.shiftright("zval", 16).cast("long").alias("zbucket"))
         .agg(

@@ -4,10 +4,12 @@ streaming/) stream sources."""
 from rapids_and_rivers_spark.sources.ingest import (
     bucketed_table,
     compact_parquet,
+    morton_key,
     read_jsonl,
     write_bucketed,
     write_sorted,
     write_partitioned,
+    write_zordered,
 )
 from rapids_and_rivers_spark.sources.tables import load_table, load_tables, spread, TABLES
 
@@ -21,5 +23,7 @@ __all__ = [
     "write_partitioned",
     "write_bucketed",
     "write_sorted",
+    "write_zordered",
+    "morton_key",
     "bucketed_table",
 ]

@@ -146,13 +146,13 @@ def test_char_entropy_skewed(spark):
 
 
 def test_zorder_interleave_known_values(spark):
-    from rapids_and_rivers_spark.catalog import _zorder_bits_col
+    from rapids_and_rivers_spark.sources import morton_key
 
     df = spark.createDataFrame(
         [(0, 0), (1, 0), (0, 1), (3, 5)], "x int, y int"
     )
     rows = df.select(
-        "x", "y", _zorder_bits_col(F.col("x"), F.col("y")).alias("z")
+        "x", "y", morton_key([F.col("x"), F.col("y")]).alias("z")
     ).collect()
     got = {(r["x"], r["y"]): r["z"] for r in rows}
     assert got[(0, 0)] == 0
@@ -160,3 +160,45 @@ def test_zorder_interleave_known_values(spark):
     assert got[(0, 1)] == 2  # y bits occupy odd positions
     # x=3 (0b11), y=5 (0b101): z = interleave -> 1*1 + 2*1 + 4*1 + 8*0 + 16*0 + 32*1
     assert got[(3, 5)] == 0b100111
+
+
+def test_write_zordered_bounds_both_dims(spark, tmp_path):
+    """Each z-ordered output file must be a bounded rectangle in BOTH
+    dimensions — the data-skipping property a single-column sort can't
+    give the second column."""
+    from rapids_and_rivers_spark.sources import write_zordered
+
+    n, side = 4096, 64  # uniform 64x64 grid
+    df = spark.range(n).select(
+        (F.col("id") % side).cast("int").alias("x"),
+        (F.col("id") / side).cast("int").alias("y"),
+    )
+    path = str(tmp_path / "zord")
+    write_zordered(df, path, ["x", "y"], bits=6, num_files=16)
+
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("rx"),
+            (F.max("y") - F.min("y")).alias("ry"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    assert len(per_file) == 16
+    assert sum(r["cnt"] for r in per_file) == n
+    # 16 files over a 64x64 Morton curve -> each file covers a 16x16
+    # quadrant (range 15); allow boundary slop from range-sampling splits
+    for r in per_file:
+        assert r["rx"] <= 32, f"x range {r['rx']} too wide"
+        assert r["ry"] <= 32, f"y range {r['ry']} too wide"
+
+
+def test_morton_key_validation(spark):
+    from rapids_and_rivers_spark.sources import morton_key
+
+    with pytest.raises(ValueError):
+        morton_key([])
+    with pytest.raises(ValueError):
+        morton_key([F.col("a"), F.col("b")], bits=32)  # 64 bits > 63
