@@ -89,7 +89,11 @@ def chunk_lines(toks: Column, chunk: int = 8) -> Column:
 
 
 def line_dedup(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id", chunk: int = 8
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 8,
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """C4-style corpus-wide duplicate-line removal over token-chunk
     pseudo-lines: every line keeps exactly its FIRST occurrence
@@ -99,22 +103,34 @@ def line_dedup(
     Returns ``(doc_id, n_chunks, n_kept, kept_fp)`` — original line
     count, surviving line count, md5 of the reassembled text.
 
-    Scale: explode is linear; first-occurrence selection is ONE shuffle
-    partitioned by line content (row_number over the line key — no global
-    sort); reassembly is one shuffle back on doc_id. Skewed boilerplate
-    lines concentrate in single partitions — for pathological hot lines,
-    pre-aggregate count per (chunk, doc) or salt the line key.
+    Scale / skew: first-occurrence selection is ``groupBy(line).min(
+    struct(doc_id, pos))`` — NOT a row_number window. The distinction is
+    load-bearing at 100 TB: a window over ``partitionBy(line)`` ships
+    every copy of a 10⁹-times-repeated boilerplate line to one task,
+    while min is algebraic, so map-side partial aggregation collapses the
+    hot line to one row per map task before any shuffle. For settings
+    where partial hash aggregation may degrade (e.g. it is disabled, or
+    falls back to sort-based with huge map-side cardinality),
+    ``salt_buckets > 0`` forces an explicit two-phase min: per
+    (line, salt) min, then global min per line — the reducer for the hot
+    line then sees at most ``salt_buckets`` rows by construction.
     """
-    from pyspark.sql import Window
-
     toks = F.split(F.trim(F.col(col)), r"\s+")
     exploded = df.select(
         F.col(id_col), F.posexplode(chunk_lines(toks, chunk)).alias("pos", "line")
     )
-    first = F.row_number().over(
-        Window.partitionBy("line").orderBy(id_col, "pos")
+    occ = F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))
+    if salt_buckets > 0:
+        per_salt = exploded.groupBy(
+            "line",
+            F.pmod(F.xxhash64(id_col, "pos"), F.lit(salt_buckets)).alias("salt"),
+        ).agg(occ.alias("m"))
+        firsts = per_salt.groupBy("line").agg(F.min("m").alias("m"))
+    else:
+        firsts = exploded.groupBy("line").agg(occ.alias("m"))
+    kept = firsts.select(
+        F.col("m.d").alias(id_col), F.col("m.p").alias("pos"), "line"
     )
-    kept = exploded.withColumn("rn", first).filter(F.col("rn") == 1)
     totals = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
     survived = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),

@@ -128,6 +128,36 @@ def synthetic_pixel(doc_id, y, x):
     )
 
 
+def encode_bmp_batch(doc_ids, width: int, height: int) -> list:
+    """Batch-vectorized synthetic-BMP encoder: one numpy broadcast builds
+    the pixel arrays AND the padded/flipped/BGR row buffers for the whole
+    Arrow batch at once; the only per-document Python work left is a
+    memcpy (``tobytes``) and a bytes concat. Byte-identical to calling
+    :func:`encode_bmp` on :func:`synthetic_pixel` per document (pinned by
+    a unit test) — this is the hot path, the scalar twins are the spec."""
+    import numpy as np
+
+    ids = np.asarray(doc_ids, dtype=np.int64).reshape(-1, 1, 1)
+    n = ids.shape[0]
+    yy, xx = np.mgrid[0:height, 0:width]
+    r, g, b = synthetic_pixel(ids, yy, xx)
+    px = np.stack([r, g, b], axis=-1).astype(np.uint8)  # (n, h, w, 3)
+    row_size = (width * 3 + 3) & ~3
+    rows = np.zeros((n, height, row_size), dtype=np.uint8)
+    # flip rows (bottom-up), RGB->BGR — same layout as encode_bmp
+    rows[:, :, : width * 3] = px[:, ::-1, :, ::-1].reshape(n, height, width * 3)
+    img_len = height * row_size
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", _BMP_PIXEL_OFFSET + img_len, 0, 0, _BMP_PIXEL_OFFSET)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_len, 2835, 2835, 0, 0
+        )
+    )
+    flat = rows.reshape(n, img_len)
+    return [header + flat[i].tobytes() for i in range(n)]
+
+
 def synthetic_bmp_corpus(
     df: DataFrame, id_col: str = "doc_id", width: int = 15, height: int = 9
 ) -> DataFrame:
@@ -143,16 +173,17 @@ def synthetic_bmp_corpus(
     ids = spread(df, id_col).select(F.col(id_col).cast("bigint").alias("doc_id"))
 
     def gen(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
-        yy, xx = np.mgrid[0:height, 0:width]
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                r, g, b = synthetic_pixel(int(doc_id), yy, xx)
-                payloads.append(encode_bmp(np.stack([r, g, b], axis=-1)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": encode_bmp_batch(
+                        pdf["doc_id"].to_numpy(), width, height
+                    ),
+                }
+            )
 
     media = ids.mapInPandas(gen, "doc_id bigint, payload binary")
     return media.select(
@@ -174,24 +205,76 @@ def extract_features(media: DataFrame, ndigits: int = 4) -> DataFrame:
     typed rows out; only the compact feature rows ever leave the executor.
     """
 
+    def _stats(px, np):
+        """(n, h, w, 3) float64 -> per-image channel means + max luma."""
+        means = px.mean(axis=(1, 2))  # (n, 3)
+        luma = (
+            0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        ).max(axis=(1, 2))
+        return means, luma
+
     def gen(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            out = {k: [] for k in
-                   ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "max_luma")}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = decode_bmp(payload).astype(np.float64)
-                luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-                out["doc_id"].append(doc_id)
-                out["height"].append(px.shape[0])
-                out["width"].append(px.shape[1])
-                out["mean_r"].append(round(float(px[..., 0].mean()), ndigits))
-                out["mean_g"].append(round(float(px[..., 1].mean()), ndigits))
-                out["mean_b"].append(round(float(px[..., 2].mean()), ndigits))
-                out["max_luma"].append(int(luma.max()))
-            yield pd.DataFrame(out)
+            payloads = pdf["payload"].tolist()
+            n = len(payloads)
+            if n == 0:
+                yield pd.DataFrame(
+                    {k: [] for k in ("doc_id", "width", "height", "mean_r",
+                                     "mean_g", "mean_b", "max_luma")}
+                )
+                continue
+            # fast path: homogeneous batch (same header prefix => same
+            # layout) decodes as ONE reshape over the concatenated buffer
+            # and reduces all images in a single vectorized pass; mixed
+            # batches fall back to the per-payload reference decoder
+            head = payloads[0][:_BMP_PIXEL_OFFSET]
+            size = len(payloads[0])
+            if all(len(p) == size and p[:_BMP_PIXEL_OFFSET] == head for p in payloads):
+                offset = int.from_bytes(head[10:14], "little")
+                w = int.from_bytes(head[18:22], "little", signed=True)
+                h_raw = int.from_bytes(head[22:26], "little", signed=True)
+                bpp = int.from_bytes(head[28:30], "little")
+                compression = int.from_bytes(head[30:34], "little")
+                top_down, h = h_raw < 0, abs(h_raw)
+                row_size = (w * 3 + 3) & ~3
+                if bpp != 24 or compression != 0 or size < offset + row_size * h:
+                    raise ValueError(
+                        f"unsupported BMP variant: bpp={bpp} compression={compression}"
+                    )
+                buf = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(n, size)
+                rows = buf[:, offset : offset + row_size * h].reshape(n, h, row_size)
+                px = rows[:, :, : w * 3].reshape(n, h, w, 3)[:, :, :, ::-1]
+                if not top_down:
+                    px = px[:, ::-1]
+                means, luma = _stats(px.astype(np.float64), np)
+                widths = np.full(n, w)
+                heights = np.full(n, h)
+            else:
+                imgs = [decode_bmp(p).astype(np.float64) for p in payloads]
+                heights = np.array([im.shape[0] for im in imgs])
+                widths = np.array([im.shape[1] for im in imgs])
+                means = np.array([im.mean(axis=(0, 1)) for im in imgs])
+                luma = np.array(
+                    [
+                        (0.299 * im[..., 0] + 0.587 * im[..., 1]
+                         + 0.114 * im[..., 2]).max()
+                        for im in imgs
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": widths.astype("int32"),
+                    "height": heights.astype("int32"),
+                    "mean_r": np.round(means[:, 0], ndigits),
+                    "mean_g": np.round(means[:, 1], ndigits),
+                    "mean_b": np.round(means[:, 2], ndigits),
+                    "max_luma": luma.astype("int64"),
+                }
+            )
 
     return media.mapInPandas(gen, PIXEL_FEATURE_SCHEMA)
 

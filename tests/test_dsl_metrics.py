@@ -179,6 +179,38 @@ def test_multimodal_pixel_features_end_to_end(spark):
         assert got.max_luma == int(luma.max())
 
 
+def test_encode_bmp_batch_matches_scalar_reference():
+    """The vectorized batch encoder (hot path) must be byte-identical to
+    encode_bmp(synthetic_pixel(...)) per document (the spec path)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:9, 0:15]
+    doc_ids = [0, 1, 7, 255, 100_000]
+    got = M.encode_bmp_batch(doc_ids, width=15, height=9)
+    for doc_id, payload in zip(doc_ids, got):
+        r, g, b = M.synthetic_pixel(doc_id, yy, xx)
+        assert payload == M.encode_bmp(np.stack([r, g, b], axis=-1))
+
+
+def test_extract_features_mixed_batch_fallback(spark):
+    """A batch mixing image dimensions skips the homogeneous fast path and
+    must produce the same stats through the per-payload decoder."""
+    import numpy as np
+
+    small = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
+    big = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    rows = [(1, bytearray(M.encode_bmp(small))), (2, bytearray(M.encode_bmp(big)))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary").coalesce(1)
+    got = {r.doc_id: r for r in M.extract_features(media).collect()}
+    assert (got[1].width, got[1].height) == (3, 2)
+    assert (got[2].width, got[2].height) == (5, 4)
+    for doc_id, px in ((1, small), (2, big)):
+        fpx = px.astype(np.float64)
+        assert got[doc_id].mean_r == round(float(fpx[..., 0].mean()), 4)
+        luma = 0.299 * fpx[..., 0] + 0.587 * fpx[..., 1] + 0.114 * fpx[..., 2]
+        assert got[doc_id].max_luma == int(luma.max())
+
+
 def test_recognized_key_counts(spark):
     """message_keys_counter parity: per-declared-key usage over passing packets."""
     import json

@@ -110,3 +110,34 @@ def test_line_dedup_partial_last_chunk(spark):
     r = D.line_dedup(df, chunk=2).first()
     # 3 chunks: 'a b', 'c d', 'e' (short tail kept as its own line)
     assert r.n_chunks == 3 and r.n_kept == 3
+
+
+def test_line_dedup_hot_line_skew(spark):
+    """One boilerplate line duplicated 1e5x across docs: the min-struct
+    partial agg (and the explicit salted two-phase) must stay within a
+    small time budget and keep exactly the first occurrence. Both paths
+    must agree row-for-row."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # every doc carries THE hot line; each doc also has a unique line
+        F.concat(F.lit("hot hot "), F.lit("u"), F.col("id").cast("string"),
+                 F.lit(" tail")).alias("text"),
+    )
+    start = time.perf_counter()
+    plain = {r.doc_id: r for r in D.line_dedup(df, chunk=2).collect()}
+    elapsed = time.perf_counter() - start
+    assert elapsed < 60, f"hot-line dedup took {elapsed:.1f}s"
+    # doc 0 keeps both its lines; every other doc loses 'hot hot' but
+    # keeps its unique tail line
+    assert (plain[0].n_chunks, plain[0].n_kept) == (2, 2)
+    assert (plain[1].n_chunks, plain[1].n_kept) == (2, 1)
+    assert (plain[n - 1].n_chunks, plain[n - 1].n_kept) == (2, 1)
+    salted = {r.doc_id: r for r in D.line_dedup(df, chunk=2, salt_buckets=8).collect()}
+    assert len(salted) == len(plain)
+    for doc_id in (0, 1, 7, n - 1):
+        assert salted[doc_id] == plain[doc_id]
