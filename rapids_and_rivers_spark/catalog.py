@@ -2850,6 +2850,36 @@ def sim_ann_ivf(spark, sf_dir):
 
 
 @register(
+    "sim_ann_ivf_codebook",
+    None,  # approximate by construction: driver records rows-only
+    doc="IVF ANN from a PRE-MATERIALIZED codebook stats table — the "
+    "100 TB mode (similarity.py build_codebook_table): the offline Lloyd "
+    "pass produces a (cell, centroid) table saved once; the query loads "
+    "n_cells rows (KB) and probes, never re-sampling the corpus. Same "
+    "recall floor as the inline path (>=0.70 pinned in "
+    "tests/test_ann_recall.py) because the codebook is identical",
+)
+def sim_ann_ivf_codebook(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    candidates = spread(
+        emb.filter(F.col("vec_id") >= 10), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    # offline step: stats table a production job would persist + reload
+    codebook_tbl = S.build_codebook_table(candidates, dim=64, n_cells=16)
+    codebook = S.codebook_from_table(codebook_tbl)
+    return S.ivf_topk(
+        queries, candidates, dim=64, k=5, n_cells=16, nprobe=4, codebook=codebook
+    )
+
+
+@register(
     "embedding_neardup",
     """
     SELECT a.vec_id AS id_a,

@@ -163,6 +163,48 @@ def lloyd_codebook(
     return [list(map(float, c)) for c in C]
 
 
+def build_codebook_table(
+    candidates: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    lloyd_iters: int = 4,
+    seed: int = 7,
+    sample_per_cell: int = 32,
+    cand_id: str = "neighbor_id",
+    emb_col: str = "c_emb",
+) -> DataFrame:
+    """OFFLINE codebook producer for the 100 TB IVF mode: one linear
+    hash-ordered TakeOrdered sample pass over the corpus (kilobytes
+    collected), spherical k-means on the driver, returned as a
+    ``(cell int, centroid array<double>)`` stats DataFrame meant to be
+    SAVED (parquet) and reused — the corpus pass happens once; every
+    later :func:`ivf_topk` call loads n_cells rows instead of re-sampling
+    a 100 TB table. Deterministic for fixed (seed, corpus).
+    """
+    sampled = (
+        candidates.select(cand_id, emb_col)
+        .orderBy(F.xxhash64(F.lit(seed), F.col(cand_id).cast("string")))
+        .limit(sample_per_cell * n_cells)
+        .collect()
+    )
+    cents = lloyd_codebook(
+        [list(r[emb_col]) for r in sampled], dim, n_cells, lloyd_iters, seed
+    )
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    )
+
+
+def codebook_from_table(codebook_df: DataFrame) -> list[list[float]]:
+    """Load a saved ``(cell, centroid)`` stats table back into the literal
+    codebook :func:`ivf_topk` expects. Collects n_cells rows (KB-scale,
+    by construction) ordered by cell id."""
+    return [
+        list(r["centroid"]) for r in codebook_df.orderBy("cell").collect()
+    ]
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

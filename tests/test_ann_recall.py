@@ -70,3 +70,102 @@ def test_ann_results_are_subsets_of_corpus(topk_sets):
     # every query returns at most k results and ids come from the corpus
     assert all(isinstance(q, int) and isinstance(n, int) for q, n in ivf | lsh)
     assert len(exact) > 0
+
+
+def test_ivf_codebook_table_roundtrip_recall(spark, topk_sets, tmp_path):
+    """The 100 TB path: codebook stats table materialized offline, saved
+    to parquet, loaded back, and passed to ivf_topk — recall must hold
+    the >=0.70 floor (identical codebook => identical candidates as the
+    inline Lloyd path)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    qs = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    path = str(tmp_path / "codebook")
+    S.build_codebook_table(cands, dim=dim, n_cells=16).write.parquet(path)
+    codebook = S.codebook_from_table(spark.read.parquet(path))
+    assert len(codebook) == 16 and all(len(c) == dim for c in codebook)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(qs, cands, dim, k=5, codebook=codebook).collect()
+    }
+    exact, _, _ = topk_sets
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.70, f"codebook-table IVF recall@5 regressed: {recall:.3f}"
+
+
+def test_lsh_candidate_count_is_sum_of_bucket_products(spark):
+    """Cost guard for the multi-table LSH join: the candidate-pair count
+    must equal sum over (table, bucket) of |Q_bucket| x |C_bucket| — the
+    structural guarantee that recall tuning can't silently reintroduce an
+    O(n^2) pair space. Also asserts the pair space is a small fraction of
+    the full cross product at the default parameters."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    n_planes, n_tables = 6, 4
+    qs = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+
+    def bucket_hist(df, emb_col):
+        rows = []
+        for t in range(n_tables):
+            hist = (
+                df.select(
+                    S.lsh_bucket(F.col(emb_col), dim, n_planes, seed=42 + t).alias(
+                        "bucket"
+                    )
+                )
+                .groupBy("bucket")
+                .count()
+                .collect()
+            )
+            rows.extend(((t, r["bucket"]), r["count"]) for r in hist)
+        return dict(rows)
+
+    qh, ch = bucket_hist(qs, "q_emb"), bucket_hist(cands, "c_emb")
+    expected_pairs = sum(n * ch.get(key, 0) for key, n in qh.items())
+
+    # actual pre-dedup join size, reconstructed with the same construction
+    # lsh_topk uses internally ((table, bucket) equi-join)
+    def tabled(df, emb_col, id_col):
+        return df.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            S.lsh_bucket(
+                                F.col(emb_col), dim, n_planes, seed=42 + t
+                            ).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(id_col, "tb.table", "tb.bucket")
+
+    actual_pairs = (
+        tabled(cands, "c_emb", "neighbor_id")
+        .join(tabled(qs, "q_emb", "query_id"), ["table", "bucket"])
+        .count()
+    )
+    assert actual_pairs == expected_pairs
+    n_q, n_c = qs.count(), cands.count()
+    # 4 tables x 64 buckets: the pair space must stay well under the
+    # cross product (n_tables / 2^n_planes = 6.25% expected on random data)
+    assert actual_pairs < 0.25 * n_q * n_c, (
+        f"LSH pair space {actual_pairs} too close to cross product {n_q * n_c}"
+    )
