@@ -1,0 +1,294 @@
+"""Streaming duals of the batch catalog operators (SURVEY.md §7.1).
+
+The reference is a streaming engine (KafkaRapid.kt:176-201 poll loop);
+this repo's design stance is that every batch operator has a streaming
+mode. Four duals live here:
+
+- :func:`scd2_stream` — slowly-changing-dimension type-2 interval
+  tracking as a keyed stateful operator (``applyInPandasWithState``):
+  the open interval per key survives micro-batch boundaries in the
+  checkpointed state store; output is an UPSERT changelog keyed by
+  (key, valid_from) — exactly what a lakehouse MERGE consumes.
+- :func:`tfidf_foreach_batch` / :func:`tfidf_from_stats` — tf-idf as an
+  incremental foreachBatch materialization: each micro-batch tokenizes
+  ONLY its new documents, appends per-doc term frequencies, and merges
+  token document-frequencies into a versioned stats table. The final
+  ranking derives from the compact stats tables — the corpus is never
+  re-tokenized.
+- :func:`bloom_prune_foreach_batch` — the Bloom-pruned join rebuilt per
+  micro-batch from the (small) dimension snapshot, so dimension churn is
+  picked up at batch granularity while the fact stream only pays the
+  pruned shuffle.
+- RAG chunking needs no dual: ``operators.text.chunk_documents`` is pure
+  Column expressions (tokenize + sequence + explode, zero shuffle), so
+  the SAME function runs unchanged on a streaming DataFrame —
+  tests/test_streaming_extensions.py pins that duality.
+
+Scale: SCD2 state is one (state, valid_from) pair per key — O(distinct
+keys); tf-idf's stats tables are O(vocab + docs·k) — both orders of
+magnitude smaller than the stream. The Bloom bitmap stays ≤ a few KB and
+is rebuilt per batch (a dim scan per trigger — acceptable when the dim
+is small, which is the precondition for Bloom pruning anyway).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: mirrors catalog.ISO_FMT so streaming output is comparable to the batch
+#: oracle rows byte-for-byte
+_ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+SCD2_OUTPUT_SCHEMA = (
+    "key string, state string, valid_from string, valid_to string, "
+    "is_current boolean"
+)
+_SCD2_STATE_SCHEMA = "state string, valid_from string"
+
+
+def _iso(ts) -> str:
+    # pandas.Timestamp.isoformat gives no microseconds when zero; the
+    # batch query (date_format ISO_FMT) always prints 6 digits
+    return pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%S.%f")
+
+
+def _scd2_walk(pdf: pd.DataFrame, open_state, open_from):
+    """Shared transition walk: (sorted records, open interval) ->
+    (closed interval rows, new open interval). Pure pandas, used by both
+    the streaming state handler and the batch fallback."""
+    out = []
+    for ts, state in zip(pdf["ts"], pdf["state"]):
+        if open_state is None:
+            open_state, open_from = state, _iso(ts)
+        elif state != open_state:
+            out.append((open_state, open_from, _iso(ts), False))
+            open_state, open_from = state, _iso(ts)
+    return out, open_state, open_from
+
+
+def scd2_stream(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """SCD2 as a keyed stateful streaming operator.
+
+    Emits an upsert changelog ``(key, state, valid_from, valid_to,
+    is_current)``: a row per interval whose status changed this batch —
+    newly CLOSED intervals (a later state arrived) and the current OPEN
+    interval. Downstream applies last-write-wins on (key, valid_from);
+    the test reduces the changelog exactly that way and matches the
+    batch ``scd2_user_state`` result.
+
+    Batch DataFrames take the identical walk through ``applyInPandas``
+    (batch/stream duality — same transition code, no state store).
+    Records are ordered by (ts, seq) within each key; ``seq_col`` breaks
+    duplicate-timestamp ties deterministically, mirroring the batch
+    query's (ts, event_id) ordering.
+
+    Cited parity: the reference keeps per-key mutable state across
+    messages only in PingPong.kt:29-35; SCD2 generalizes that pattern to
+    interval bookkeeping, state = one (state, valid_from) pair per key.
+    """
+    sort_cols = ["ts"] + (["seq"] if seq_col else [])
+    sel = [
+        F.col(key_col).cast("string").alias("key"),
+        F.col(state_col).cast("string").alias("state"),
+        F.col(ts_col).alias("ts"),
+    ] + ([F.col(seq_col).alias("seq")] if seq_col else [])
+    src = df.select(*sel)
+
+    if not df.isStreaming:
+
+        def batch_walk(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(sort_cols)
+            closed, st, frm = _scd2_walk(pdf, None, None)
+            rows = closed + ([(st, frm, None, True)] if st is not None else [])
+            return pd.DataFrame(
+                {
+                    "key": pdf["key"].iloc[0],
+                    "state": [r[0] for r in rows],
+                    "valid_from": [r[1] for r in rows],
+                    "valid_to": [r[2] for r in rows],
+                    "is_current": [r[3] for r in rows],
+                }
+            )
+
+        return src.groupBy("key").applyInPandas(batch_walk, SCD2_OUTPUT_SCHEMA)
+
+    def handler(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        open_state, open_from = state.get if state.exists else (None, None)
+        closed_all = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(sort_cols)
+            closed, open_state, open_from = _scd2_walk(pdf, open_state, open_from)
+            closed_all.extend(closed)
+        rows = closed_all + (
+            [(open_state, open_from, None, True)] if open_state is not None else []
+        )
+        if open_state is not None:
+            state.update((open_state, open_from))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "key": key[0],
+                    "state": [r[0] for r in rows],
+                    "valid_from": [r[1] for r in rows],
+                    "valid_to": [r[2] for r in rows],
+                    "is_current": [r[3] for r in rows],
+                }
+            )
+
+    return src.groupBy("key").applyInPandasWithState(
+        handler,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- incremental tf-idf ------------------------------------------------------
+
+
+def _latest_version(state_dir: str, name: str) -> str | None:
+    root = os.path.join(state_dir, name)
+    if not os.path.isdir(root):
+        return None
+    versions = sorted(
+        (d for d in os.listdir(root) if d.startswith("v")),
+        key=lambda d: int(d[1:]),
+    )
+    return os.path.join(root, versions[-1]) if versions else None
+
+
+def tfidf_foreach_batch(state_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """foreachBatch stage maintaining incremental tf-idf statistics.
+
+    Per micro-batch: tokenize ONLY the new documents, append their
+    ``(doc_id, token, tf)`` rows to the ``doc_tf`` table, and merge the
+    batch's token document-frequencies into ``token_df`` — written as an
+    epoch-versioned snapshot (``token_df/v{epoch}``) so the merge is an
+    atomic directory swap, never a read-modify-write of a live path, and
+    re-running an epoch after restart overwrites idempotently instead of
+    double-counting. ``n_docs`` accumulates the same way.
+
+    At 100 TB the win is that the heavy work (corpus tokenize+explode)
+    happens exactly once per document on arrival; the stats tables the
+    ranking needs are O(vocab) and O(docs·distinct-tokens-per-doc).
+    """
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        toks = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("token"),
+        ).filter(F.length("token") >= 3)
+        tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        tf.write.mode("append").parquet(os.path.join(state_dir, "doc_tf"))
+
+        batch_docs = batch_df.select(id_col).distinct().count()
+        batch_df_counts = tf.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        prev = _latest_version(state_dir, "token_df")
+        if prev is not None:
+            merged = (
+                spark.read.parquet(prev)
+                .unionByName(batch_df_counts)
+                .groupBy("token")
+                .agg(F.sum("df").alias("df"))
+            )
+        else:
+            merged = batch_df_counts
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "token_df", f"v{epoch_id}")
+        )
+        prev_n = _latest_version(state_dir, "n_docs")
+        n = batch_docs + (
+            spark.read.parquet(prev_n).first()["n"] if prev_n is not None else 0
+        )
+        spark.createDataFrame([(n,)], "n long").write.mode("overwrite").parquet(
+            os.path.join(state_dir, "n_docs", f"v{epoch_id}")
+        )
+
+    return stage
+
+
+def tfidf_from_stats(spark, state_dir: str, top_k: int = 3) -> DataFrame:
+    """Final tf-idf ranking from the incrementally-maintained stats tables
+    — identical formula/ordering to the batch ``tfidf_keywords`` catalog
+    query (tf DESC, df ASC, token tiebreak; integer-ordered so it is
+    bit-stable), but the corpus is never re-read."""
+    from pyspark.sql import Window as W
+
+    tf = spark.read.parquet(os.path.join(state_dir, "doc_tf"))
+    df_ = spark.read.parquet(_latest_version(state_dir, "token_df"))
+    n_docs = float(spark.read.parquet(_latest_version(state_dir, "n_docs")).first()["n"])
+    ranked = (
+        tf.join(df_, "token")
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 4)
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), "token")
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= top_k).select(
+        "doc_id", "token", "tf", "df", "tfidf"
+    )
+
+
+# --- per-micro-batch Bloom-pruned join ---------------------------------------
+
+
+def bloom_prune_foreach_batch(
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    out_dir: str,
+    *,
+    expected_items: int,
+    fpp: float = 0.01,
+    select: list[str] | None = None,
+):
+    """foreachBatch stage running the Bloom-pruned join per micro-batch.
+
+    The bitmap is rebuilt from the CURRENT dimension snapshot at every
+    trigger (operators/bloomjoin.py bloom_build — a few-KB word table
+    collected), so dimension updates take effect at batch granularity;
+    each fact micro-batch pays only the pruned join. Results append to
+    ``out_dir`` as parquet — at-least-once like every foreachBatch sink;
+    downstream dedups on a key or the sink is made idempotent by path.
+    """
+    from rapids_and_rivers_spark.operators import bloomjoin as B
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        joined = B.bloom_filter_join(
+            batch_df,
+            small,
+            big_key,
+            small_key,
+            expected_items=expected_items,
+            fpp=fpp,
+        )
+        out = joined.select(*select) if select else joined
+        out.write.mode("append").parquet(out_dir)
+
+    return stage

@@ -276,6 +276,242 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
     assert rows == {(0, 3)}
 
 
+def _two_batch_source(spark, src, batch1, batch2, schema):
+    """Text-file stream with two pinned micro-batches (mtime-ordered)."""
+    write_lines(src, batch1, name="a.txt")
+    write_lines(src, batch2, name="b.txt")
+    now = os.path.getmtime(os.path.join(src, "a.txt"))
+    os.utime(os.path.join(src, "a.txt"), (now - 100, now - 100))
+    os.utime(os.path.join(src, "b.txt"), (now + 100, now + 100))
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .select(F.from_json("value", schema).alias("m"))
+        .select("m.*")
+    )
+
+
+def test_scd2_stream_state_survives_batches(spark, tmp_path):
+    """Streaming dual of the scd2_user_state catalog query: the open
+    interval lives in the checkpointed state store across micro-batches;
+    the upsert changelog, reduced last-write-wins on (key, valid_from),
+    equals the batch result."""
+    from rapids_and_rivers_spark.streaming.duals import scd2_stream
+
+    schema = "user string, state string, ts timestamp, seq long"
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [
+            json.dumps({"user": "u1", "state": "browse", "ts": "2026-01-01T00:00:00", "seq": 1}),
+            json.dumps({"user": "u1", "state": "cart", "ts": "2026-01-01T00:05:00", "seq": 2}),
+            json.dumps({"user": "u2", "state": "browse", "ts": "2026-01-01T00:01:00", "seq": 3}),
+        ],
+        [
+            # u1: cart -> buy closes the cart interval opened in batch 1
+            json.dumps({"user": "u1", "state": "buy", "ts": "2026-01-01T00:10:00", "seq": 4}),
+            # u2: same state again -> NO new interval
+            json.dumps({"user": "u2", "state": "browse", "ts": "2026-01-01T00:11:00", "seq": 5}),
+        ],
+        schema,
+    )
+    out = scd2_stream(events, "user", "state", "ts", "seq")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last-write-wins upsert on (key, valid_from): a closed version
+    # supersedes the open one
+    merged = {}
+    for r in spark.sql("SELECT * FROM scd2_out").collect():
+        cur = merged.get((r.key, r.valid_from))
+        if cur is None or (cur.is_current and not r.is_current):
+            merged[(r.key, r.valid_from)] = r
+    got = {
+        (r.key, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in merged.values()
+    }
+    expected = {
+        ("u1", "browse", "2026-01-01T00:00:00.000000", "2026-01-01T00:05:00.000000", False),
+        ("u1", "cart", "2026-01-01T00:05:00.000000", "2026-01-01T00:10:00.000000", False),
+        ("u1", "buy", "2026-01-01T00:10:00.000000", None, True),
+        ("u2", "browse", "2026-01-01T00:01:00.000000", None, True),
+    }
+    assert got == expected
+    # batch/stream duality: the same operator on a plain DataFrame gives
+    # the same final dimension table directly
+    batch = spark.createDataFrame(
+        [
+            ("u1", "browse", "2026-01-01T00:00:00", 1),
+            ("u1", "cart", "2026-01-01T00:05:00", 2),
+            ("u2", "browse", "2026-01-01T00:01:00", 3),
+            ("u1", "buy", "2026-01-01T00:10:00", 4),
+            ("u2", "browse", "2026-01-01T00:11:00", 5),
+        ],
+        "user string, state string, raw string, seq long",
+    ).select("user", "state", F.col("raw").cast("timestamp").alias("ts"), "seq")
+    got_b = {
+        (r.key, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_stream(batch, "user", "state", "ts", "seq").collect()
+    }
+    assert got_b == expected
+
+
+def test_chunk_documents_runs_unchanged_on_stream(spark, tmp_path):
+    """RAG chunking is pure Column ops, so the BATCH function runs
+    unchanged on a streaming DataFrame and produces identical rows."""
+    from rapids_and_rivers_spark.operators.text import chunk_documents
+
+    docs = [
+        {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(10))},
+        {"doc_id": 2, "text": "a b c"},
+        {"doc_id": 3, "text": ""},
+    ]
+    src = str(tmp_path / "in")
+    write_lines(src, [json.dumps(d) for d in docs])
+    stream = stream_json(spark, src, "doc_id long, text string")
+    q = (
+        chunk_documents(stream, chunk_size=4, stride=3)
+        .writeStream.format("memory")
+        .queryName("chunks_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM chunks_out").collect()
+    }
+    batch = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
+    )
+    expected = {tuple(r) for r in chunk_documents(batch, chunk_size=4, stride=3).collect()}
+    assert got == expected and len(got) > 3
+
+
+def test_tfidf_foreach_batch_incremental(spark, tmp_path):
+    """Incremental tf-idf: two micro-batches maintain doc_tf/token_df/
+    n_docs stats tables via foreachBatch; the final ranking equals the
+    batch formula over the full corpus — without re-tokenizing it."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        tfidf_foreach_batch,
+        tfidf_from_stats,
+    )
+
+    b1 = [
+        {"doc_id": 1, "text": "spark streams data data"},
+        {"doc_id": 2, "text": "spark joins data"},
+    ]
+    b2 = [
+        {"doc_id": 3, "text": "streams window state state"},
+    ]
+    docs = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(d) for d in b1],
+        [json.dumps(d) for d in b2],
+        "doc_id long, text string",
+    )
+    state_dir = str(tmp_path / "stats")
+    q = (
+        docs.writeStream.foreachBatch(tfidf_foreach_batch(state_dir))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.token, r.tf, r.df, r.tfidf)
+        for r in tfidf_from_stats(spark, state_dir, top_k=3).collect()
+    }
+    # batch reference: identical formula over the full corpus
+    from pyspark.sql import Window as W
+
+    full = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in b1 + b2], "doc_id long, text string"
+    )
+    toks = full.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.length("token") >= 3)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tf.join(df_, "token")
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(3.0) / F.col("df")), 4))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), "token")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    expected = {
+        (r.doc_id, r.token, r.tf, r.df, r.tfidf)
+        for r in ranked.select("doc_id", "token", "tf", "df", "tfidf").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_bloom_prune_foreach_batch(spark, tmp_path):
+    """Per-micro-batch Bloom-pruned join: the bitmap is rebuilt from the
+    dim snapshot each trigger; the appended output over two fact batches
+    equals the batch bloom_filter_join over the full fact table."""
+    from rapids_and_rivers_spark.operators.bloomjoin import bloom_filter_join
+    from rapids_and_rivers_spark.streaming.duals import bloom_prune_foreach_batch
+
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (3, "BUILDING")], "custkey long, seg string"
+    )
+    b1 = [{"order_id": 10, "cust": 1}, {"order_id": 11, "cust": 2}]
+    b2 = [{"order_id": 12, "cust": 3}, {"order_id": 13, "cust": 4}]
+    facts = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(d) for d in b1],
+        [json.dumps(d) for d in b2],
+        "order_id long, cust long",
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        facts.writeStream.foreachBatch(
+            bloom_prune_foreach_batch(
+                dim,
+                "cust",
+                "custkey",
+                out_dir,
+                expected_items=10,
+                select=["order_id", "cust", "seg"],
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.order_id, r.cust, r.seg)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    full = spark.createDataFrame(
+        [(d["order_id"], d["cust"]) for d in b1 + b2], "order_id long, cust long"
+    )
+    expected = {
+        (r.order_id, r.cust, r.seg)
+        for r in bloom_filter_join(
+            full, dim, "cust", "custkey", expected_items=10
+        ).select("order_id", "cust", "seg").collect()
+    }
+    assert got == expected == {(10, 1, "BUILDING"), (12, 3, "BUILDING")}
+
+
 def test_sequence_by_key_state_survives_batches(spark, tmp_path):
     """transformWithStateInPandas: per-key sequence numbers continue
     across micro-batches from the checkpointed ValueState, and the batch
