@@ -62,6 +62,15 @@ def main() -> None:
         payload["streaming_error"] = str(exc).splitlines()[0][:200]
     if errors:
         payload["errors"] = errors
+    # persist the FULL per-query dict next to the stdout line: the driver's
+    # artifact keeps only a truncated tail of stdout, which made cross-round
+    # matched-pair comparisons impossible (ADVICE.md r2) — this file is the
+    # durable record
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps(payload))
     spark.stop()
 

@@ -89,6 +89,7 @@ def run_packet_listeners(
     service_name: str | None,
     instance_id: str | None,
     timer=None,
+    span_hook=None,
 ) -> DataFrame:
     """Execute Python packet handlers on the executors, returning replies.
 
@@ -100,12 +101,22 @@ def run_packet_listeners(
     listener call is timed executor-side (`on_packet_seconds` parity,
     River.kt:79-88) — accumulator pairs are materialized here, on the
     driver, before the closure ships.
+
+    ``span_hook`` is the tracing analog of the reference's
+    ``tracer.spanBuilder`` wrap around each listener (River.kt:74-76): a
+    picklable callable ``(river_name, listener_label, duration_seconds)``
+    invoked EXECUTOR-SIDE immediately after each listener call — in
+    production its body opens/closes an OTel span (or writes to any
+    tracing backend reachable from the executor); it must not assume
+    driver state.
     """
     listeners = river.listeners
     declared = list(river.declared_keys)
     svc, inst = service_name, instance_id
+    river_name = river.name
+    labels = [listener_label(river, fn, i) for i, fn in enumerate(listeners)]
     timer_pairs = (
-        [timer.pair(listener_label(river, fn, i)) for i, fn in enumerate(listeners)]
+        [timer.pair(label) for label in labels]
         if timer is not None
         else None
     )
@@ -166,15 +177,18 @@ def run_packet_listeners(
                 with with_mdc(record_diagnostics(value)):
                     for i, fn in enumerate(listeners):
                         args = (packet, ctx, meta) if wants_meta[i] else (packet, ctx)
-                        if timer_pairs is None:
+                        if timer_pairs is None and span_hook is None:
                             fn(*args)
                         else:
                             t0 = _time.perf_counter()
                             fn(*args)
                             dt = _time.perf_counter() - t0
-                            count_acc, sec_acc = timer_pairs[i]
-                            count_acc.add(1)
-                            sec_acc.add(dt)
+                            if timer_pairs is not None:
+                                count_acc, sec_acc = timer_pairs[i]
+                                count_acc.add(1)
+                                sec_acc.add(dt)
+                            if span_hook is not None:
+                                span_hook(river_name, labels[i], dt)
                 for message, key_override in published:
                     reply = (
                         message
@@ -210,6 +224,15 @@ class StreamingRapid(AbstractRapid):
         self._dlq: Callable[[DataFrame], None] | None = None
         self._raw_listeners: list[Callable[[DataFrame], None]] = []
         self.packet_timer = None
+        self.span_hook = None
+
+    def set_span_hook(self, fn) -> "StreamingRapid":
+        """Install the per-listener tracing hook (River.kt:74-76 analog):
+        ``fn(river_name, listener_label, duration_seconds)`` fires on the
+        executor after every packet-listener call. See
+        :func:`run_packet_listeners`."""
+        self.span_hook = fn
+        return self
 
     def enable_packet_timers(self):
         """Turn on per-listener wall-time metrics (on_packet_seconds parity,
@@ -330,6 +353,7 @@ class StreamingRapid(AbstractRapid):
                         self.service_name,
                         self.instance_id,
                         timer=self.packet_timer,
+                        span_hook=self.span_hook,
                     )
                 )
             if self._dlq is not None:

@@ -176,6 +176,54 @@ def test_python_packet_handlers_on_executors(spark, tmp_path):
     assert all(v["@forårsaket_av"]["event_name"] == "need" for v in values)
 
 
+def test_span_hook_fires_per_listener_call(spark, tmp_path):
+    """River.kt:74-76 tracing parity: the span hook fires executor-side
+    once per (listener, packet) with the river name, the stable listener
+    label, and a positive duration."""
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    spans_dir = tmp_path / "spans"
+    spans_dir.mkdir()
+    write_messages(
+        src,
+        [json.dumps({"@event_name": "need", "req": i}) for i in range(4)],
+    )
+    river = River("needs").validate(P.require_value("@event_name", "need"))
+
+    def solve(packet, context):
+        context.publish(packet)
+
+    def audit(packet, context):
+        pass
+
+    river.on_packet(solve)
+    river.on_packet(audit)
+    spans_path = str(spans_dir / "spans.log")
+
+    def span_hook(river_name, label, duration):
+        # executor-side sink stand-in: one short O_APPEND line per span
+        # (an OTel exporter call in production)
+        with open(spans_path, "a") as f:
+            f.write(f"{river_name}\t{label}\t{duration:.9f}\n")
+
+    rapid = (
+        StreamingRapid.from_text_files(spark, src, "app", "i-1")
+        .register(river)
+        .set_sink_parquet(out)
+        .set_span_hook(span_hook)
+    )
+    rapid.run_available(ckpt)
+    spans = [
+        line.split("\t") for line in open(spans_path).read().splitlines()
+    ]
+    assert len(spans) == 8  # 4 packets x 2 listeners
+    assert all(r == "needs" for r, _, _ in spans)
+    labels = {label for _, label, _ in spans}
+    assert labels == {"needs/0:solve", "needs/1:audit"}
+    assert all(float(d) >= 0 for _, _, d in spans)
+    # replies unaffected by tracing
+    assert len(read_parquet_values(spark, out)) == 4
+
+
 def test_pingpong_river_streaming(spark, tmp_path):
     src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
     write_messages(
