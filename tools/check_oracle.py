@@ -40,8 +40,15 @@ def normalize(df):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     spark = build_session("check_oracle")
 
     con = duckdb.connect()
@@ -62,30 +69,57 @@ def main():
             spark_df = fn(spark, sf_dir).toPandas()
         except Exception as exc:
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": str(exc).splitlines()[0][:300],
+            }
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(spark_df)} rows (no oracle — rows-only check)")
+            results[name] = {
+                "rows_match": len(spark_df) > 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(spark_df),
+                "oracle_rows": None, "err": None, "check": "rows_only",
+            }
             if len(spark_df) == 0:
+                failures.append(name)
+                results[name]["err"] = "zero rows from rows-only query"
                 print(f"WARN  {name}: zero rows")
             continue
         try:
             duck_df = con.execute(oracles[name]).df()
         except Exception as exc:
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(spark_df), "oracle_rows": None,
+                "err": "duckdb: " + str(exc).splitlines()[0][:300],
+            }
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
-        if s_cols != d_cols:
+        rec = {
+            "rows_match": len(spark_df) == len(duck_df),
+            "schema_match": s_cols == d_cols,
+            "hash_match": False,
+            "spark_rows": len(spark_df),
+            "oracle_rows": len(duck_df),
+            "err": None,
+        }
+        results[name] = rec
+        if not rec["schema_match"]:
             failures.append(name)
             print(f"FAIL  {name}: columns differ: spark={s_cols} duck={d_cols}")
             continue
-        if len(spark_df) != len(duck_df):
+        if not rec["rows_match"]:
             failures.append(name)
             print(f"FAIL  {name}: rowcount spark={len(spark_df)} duck={len(duck_df)}")
             continue
         s_rows, d_rows = normalize(spark_df), normalize(duck_df)
-        if s_rows != d_rows:
+        rec["hash_match"] = s_rows == d_rows
+        if not rec["hash_match"]:
             failures.append(name)
             diffs = [i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b][:3]
             print(f"FAIL  {name}: values differ at sorted rows {diffs}")
@@ -94,6 +128,13 @@ def main():
                 print(f"      duck : {d_rows[i]}")
             continue
         print(f"OK    {name}: {len(spark_df)} rows")
+
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+        print(f"\nwrote {len(results)} rows to {json_out}")
 
     print()
     if failures:
