@@ -2940,6 +2940,51 @@ def dedup_clusters(spark, sf_dir):
     return D.duplicate_clusters(pairs)
 
 
+@register(
+    "semantic_dedup",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM r JOIN edges e ON r.b = e.u
+      )
+      SELECT * FROM r
+    ),
+    clusters AS (
+      SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    )
+    SELECT e.vec_id,
+           coalesce(c.cluster, e.vec_id) AS rep_id,
+           coalesce(c.cluster, e.vec_id) = e.vec_id AS is_kept
+    FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
+    """,
+    doc="SemDeDup (Abbas et al. 2023): blocked embedding-cosine near-dup "
+    "pairs -> large-star/small-star components -> every document mapped "
+    "to its cluster representative (min id) with an is_kept flag — the "
+    "keep-list a pretraining corpus prune applies. Pair space bounded by "
+    "the blocking key; components diameter-independent; full recursive-"
+    "CTE oracle",
+)
+def semantic_dedup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(
+        emb, emb_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
+    )
+
+
 
 def _shingle_cte(extra_cols: str = "") -> str:
     """Shared word-3-gram shingle CTE for the dedup/decontamination

@@ -759,6 +759,43 @@ def duplicate_clusters_star(
 # --- embedding near-dup -------------------------------------------------------
 
 
+def semantic_dedup(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): map EVERY document to the representative of its
+    semantic-duplicate cluster and flag which copy survives.
+
+    Composition of the two scale-safe pieces already in this module:
+    blocked cosine near-dup pairs (:func:`embedding_neardup_pairs` —
+    the pair space is bounded by the blocking key: cluster/label/LSH
+    bucket/IVF cell) resolved into components by large-star/small-star
+    (:func:`duplicate_clusters_star`, diameter-independent), keeper =
+    component minimum id. Documents with no semantic duplicate keep
+    themselves.
+
+    Output: ``(id, rep_id, is_kept)`` for every input document — the
+    keep-list join every pretraining corpus prune applies.
+    """
+    pairs = embedding_neardup_pairs(
+        df, emb_col=emb_col, id_col=id_col, block_col=block_col,
+        threshold=threshold,
+    )
+    clusters = duplicate_clusters_star(pairs)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(
+        clusters.select(F.col("node").alias("id"), "cluster"), "id", "left"
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce("cluster", "id").alias("rep_id"),
+        (F.coalesce("cluster", F.col("id")) == F.col("id")).alias("is_kept"),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     emb_col: str = "embedding",

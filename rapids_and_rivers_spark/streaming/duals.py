@@ -158,6 +158,64 @@ def scd2_stream(
     )
 
 
+def first_seen_stream(
+    df: DataFrame, key_col: str, order_col: str
+) -> DataFrame:
+    """Streaming exact deduplication: emit a record the FIRST time its
+    key (typically a content fingerprint, e.g. ``md5(text)``) appears
+    across the WHOLE stream; every later occurrence is dropped — the
+    streaming dual of the batch ``dedup_exact`` / ``incremental_new``
+    operators (operators/dedup.py:33-67), for corpora that arrive as a
+    stream instead of a snapshot.
+
+    Unlike ``dropDuplicatesWithinWatermark``, the suppression horizon is
+    unbounded: state is one boolean per distinct key in the checkpointed
+    state store (O(distinct keys), hash-partitioned across executors),
+    which is exactly the footprint of the batch anti-join's build side.
+    Within a batch, ties resolve by ``order_col``; across batches,
+    arrival order wins (at-least-once replay of a batch re-emits the
+    same first row — idempotent downstream).
+
+    Batch DataFrames take the identical semantics via groupBy-min (the
+    algebraic, skew-proof shape — see :func:`~rapids_and_rivers_spark.
+    operators.dedup.line_dedup` for why min beats row_number here).
+    """
+    out_schema = df.schema
+
+    if not df.isStreaming:
+        cols = [c for c in df.columns if c != key_col]
+        firsts = df.groupBy(key_col).agg(
+            F.min(F.struct(order_col, *[c for c in cols if c != order_col])).alias(
+                "m"
+            )
+        )
+        return firsts.select(
+            key_col, *[F.col(f"m.{c}") for c in cols]
+        ).select(*df.columns)
+
+    def handler(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            head = pdf.sort_values(order_col).head(1)
+            if first is None or head[order_col].iloc[0] < first[order_col].iloc[0]:
+                first = head
+        if first is not None:
+            state.update((True,))
+            yield first
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- incremental tf-idf ------------------------------------------------------
 
 

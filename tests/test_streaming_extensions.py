@@ -460,6 +460,54 @@ def test_tfidf_foreach_batch_incremental(spark, tmp_path):
     assert got == expected and len(got) > 0
 
 
+def test_first_seen_stream_dedups_across_batches(spark, tmp_path):
+    """Streaming exact dedup: a fingerprint first seen in batch 1 is
+    suppressed when it reappears in batch 2 (state survives the
+    micro-batch boundary); the batch twin returns the same first rows."""
+    from rapids_and_rivers_spark.streaming.duals import first_seen_stream
+
+    schema = "fp string, doc_id long, ts timestamp"
+    rows_b1 = [
+        {"fp": "A", "doc_id": 1, "ts": "2026-01-01T00:00:01"},
+        {"fp": "A", "doc_id": 2, "ts": "2026-01-01T00:00:00"},  # earlier in SAME batch wins
+        {"fp": "B", "doc_id": 3, "ts": "2026-01-01T00:00:02"},
+    ]
+    rows_b2 = [
+        {"fp": "A", "doc_id": 4, "ts": "2026-01-01T00:00:03"},  # dup across batches
+        {"fp": "C", "doc_id": 5, "ts": "2026-01-01T00:00:04"},
+    ]
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in rows_b1],
+        [json.dumps(r) for r in rows_b2],
+        schema,
+    )
+    out = first_seen_stream(events, "fp", "ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.fp, r.doc_id) for r in spark.sql("SELECT fp, doc_id FROM first_seen").collect()
+    }
+    assert got == {("A", 2), ("B", 3), ("C", 5)}
+    # batch twin on the union of both batches: 'first' = min ts per fp
+    batch = spark.createDataFrame(
+        [(r["fp"], r["doc_id"], r["ts"]) for r in rows_b1 + rows_b2],
+        "fp string, doc_id long, raw string",
+    ).select("fp", "doc_id", F.col("raw").cast("timestamp").alias("ts"))
+    got_b = {
+        (r.fp, r.doc_id) for r in first_seen_stream(batch, "fp", "ts").collect()
+    }
+    assert got_b == got
+
+
 def test_bloom_prune_foreach_batch(spark, tmp_path):
     """Per-micro-batch Bloom-pruned join: the bitmap is rebuilt from the
     dim snapshot each trigger; the appended output over two fact batches
