@@ -4417,6 +4417,116 @@ def tfidf_keywords(spark, sf_dir):
     return ranked.filter(F.col("rk") <= 3).select("doc_id", "token", "tf", "df", "tfidf")
 
 
+from rapids_and_rivers_spark.operators import retrieval as R  # noqa: E402
+
+
+@register(
+    "inverted_index_postings",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT token, doc_id, count(*) AS tf
+      FROM toks WHERE len(token) > 0
+      GROUP BY token, doc_id
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings
+    FROM tf GROUP BY token
+    """,
+    doc="inverted index (token -> document frequency, total term count, "
+    "capped sorted posting list) — the lexical-retrieval backbone "
+    "(operators/retrieval.py). One explode + one token-keyed groupBy "
+    "with map-side partial agg; slice caps stop-word posting rows",
+)
+def inverted_index_postings(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return R.inverted_postings(docs, max_postings=20)
+
+
+@register(
+    "bm25_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    toks_f AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks_f GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    av AS (SELECT avg(dl) AS a FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks_f
+      WHERE token IN ('spark', 'window', 'batch')
+      GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+    SELECT tf.doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           round(sum(
+             ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / av.a))
+           ), 4) AS score
+    FROM tf
+    JOIN dfq USING (token)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats CROSS JOIN av
+    GROUP BY tf.doc_id
+    """,
+    doc="Okapi BM25 (k1=1.2, b=0.75, Lucene-style non-negative idf) of "
+    "every document against a fixed query term set; corpus stats (N, "
+    "avgdl, df) computed distributed, scoring join pre-filtered to the "
+    "query vocabulary so its input is tiny at any corpus size",
+)
+def bm25_search(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bm25_scores(docs, ["spark", "window", "batch"])
+
+
+@register(
+    "bigram_lm_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    db AS (
+      SELECT doc_id,
+             unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+      FROM toks
+    ),
+    c2 AS (SELECT bigram, count(*) AS c2 FROM db GROUP BY bigram),
+    c1 AS (
+      SELECT token, count(*) AS c1
+      FROM (SELECT unnest(t) AS token FROM toks)
+      WHERE len(token) > 0 GROUP BY token
+    ),
+    lm AS (
+      SELECT bigram, ln(c2.c2 / CAST(c1.c1 AS DOUBLE)) AS lp
+      FROM c2 JOIN c1 ON string_split(bigram, ' ')[1] = c1.token
+    )
+    SELECT db.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 4) AS avg_logprob
+    FROM db JOIN lm USING (bigram)
+    GROUP BY db.doc_id
+    """,
+    doc="corpus-trained bigram LM score per document (average "
+    "ln P(w_i|w_{i-1}), MLE counts) — the perplexity-style quality "
+    "filter of CCNet-class pipelines; swap the count tables for an "
+    "external LM's tables in production. Two token-keyed aggs build the "
+    "LM, one equi-join on the bigram key scores the corpus",
+)
+def bigram_lm_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bigram_logprob(docs)
+
+
 @register(
     "scd2_user_state",
     f"""

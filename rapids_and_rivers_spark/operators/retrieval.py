@@ -1,0 +1,176 @@
+"""Retrieval & language-model quality operators over the document corpus.
+
+Three components a training-data pipeline runs next to dedup/quality:
+
+- :func:`inverted_postings` — the inverted index (token → document
+  posting list + document frequency): the backbone of lexical retrieval
+  and of decontamination-by-term lookups.
+- :func:`bm25_scores` — Okapi BM25 scoring of documents against a query
+  term set using corpus statistics (df, avgdl) computed distributed.
+- :func:`bigram_logprob` — corpus-trained bigram language-model score
+  per document (average log P(w_i | w_{i-1})) — the perplexity-style
+  quality filter of CCNet/Gopher pipelines, here with the corpus itself
+  as the LM training set (swap the count tables for an external LM's
+  tables in production).
+
+Scale shapes: everything is tokenize-once + explode + keyed aggregation
+(map-side partial aggs on token keys); the only joins are equi-joins on
+token (bigram), and the corpus-level scalars (N, avgdl) collapse to
+1-row literals — no global sorts, no UDFs, no driver-side loops.
+Posting lists are emitted as sorted comma-joined strings capped at
+``max_postings`` (a real index shards them; the cap keeps any one row
+bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def doc_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, token) — lowercase whitespace tokens with position."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "token"),
+    ).filter(F.length("token") > 0)
+
+
+def inverted_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 20,
+    min_df: int = 1,
+) -> DataFrame:
+    """Inverted index: per token, document frequency, total term count,
+    and the first ``max_postings`` doc ids (sorted) as a comma-joined
+    string (string form keeps the value engine-comparable; a production
+    index keeps the array and shards it).
+
+    One explode + one groupBy(token) — the partial agg collapses each
+    map task's postings before the shuffle; `slice` bounds the row size
+    so a stop-word's posting list cannot blow up a task.
+    """
+    tf = (
+        doc_tokens(df, text_col, id_col)
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_postings),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Okapi BM25 (Robertson & Zaragoza 2009) of every document against a
+    fixed query term set; returns (doc_id, n_hits, score) for documents
+    matching at least one term.
+
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1) — the Lucene-style
+    non-negative variant. N and avgdl collapse to driver scalars (two
+    1-row aggregates over row-group stats / the token table), df comes
+    from one token-keyed aggregation, and scoring is an equi-join of the
+    per-doc tf rows of the query terms only (the scan is pre-filtered to
+    the query vocabulary, so the join side is tiny at any corpus size).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = doc_tokens(df, text_col, id_col)
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = df.count()
+    avgdl = doclen.agg(F.avg("dl")).first()[0]
+    qt = [t.lower() for t in query_terms]
+    tf = (
+        toks.filter(F.col("token").isin(qt))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .join(doclen, "doc_id")
+        .withColumn(
+            "term_score",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.sum("term_score"), ndigits).alias("score"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Corpus-trained bigram LM score per document: the average
+    ln P(w_i | w_{i-1}) with MLE probabilities from the corpus's own
+    bigram/unigram counts — the perplexity-filter shape (CCNet trains
+    KenLM on a reference corpus; the count-table join below is identical
+    with external tables substituted).
+
+    Returns (doc_id, n_bigrams, avg_logprob) for documents with ≥ 1
+    bigram. Two token-keyed aggregations build the LM; scoring is one
+    equi-join on the bigram key + one per-doc aggregation. MLE on the
+    training corpus itself never hits unseen bigrams, so no smoothing
+    term is needed for this in-corpus variant.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # consecutive pairs via zip_with on the array and its tail — stays a
+    # Column expression, no posexplode self-join
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    doc_bigrams = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bigram")
+    )
+    bigram_counts = doc_bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    unigram_counts = (
+        doc_tokens(df, text_col, id_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    # P(w2|w1) = c(w1 w2) / c(w1); the trailing token of each doc also
+    # counts in c1, matching the plain MLE convention
+    lm = bigram_counts.join(
+        unigram_counts.withColumnRenamed("token", "w1"),
+        F.split(F.col("bigram"), " ")[0] == F.col("w1"),
+    ).select("bigram", (F.log(F.col("c2") / F.col("c1"))).alias("lp"))
+    return (
+        doc_bigrams.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), ndigits).alias("avg_logprob"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Hand-computed checks for the retrieval/LM-quality operators
+(operators/retrieval.py) — the DuckDB oracles cover the corpus-scale
+cross-engine match; these pin the math on a corpus small enough to
+verify by hand."""
+
+import math
+
+import pytest
+
+from rapids_and_rivers_spark.operators import retrieval as R
+
+
+@pytest.fixture()
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark spark window"),
+            (2, "window batch"),
+            (3, "other words here"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_inverted_postings(spark, tiny_docs):
+    rows = {r.token: r for r in R.inverted_postings(tiny_docs).collect()}
+    assert rows["spark"].df == 1 and rows["spark"].total_tf == 2
+    assert rows["window"].df == 2 and rows["window"].postings == "1,2"
+    assert rows["batch"].postings == "2"
+    # cap: posting string never exceeds max_postings entries
+    capped = R.inverted_postings(tiny_docs, max_postings=1).collect()
+    assert all(len(r.postings.split(",")) <= 1 for r in capped)
+
+
+def test_bm25_scores_by_hand(spark, tiny_docs):
+    got = {r.doc_id: r for r in R.bm25_scores(tiny_docs, ["spark", "batch"]).collect()}
+    assert set(got) == {1, 2}  # doc 3 matches no term
+    n, avgdl = 3.0, (3 + 2 + 3) / 3.0
+    k1, b = 1.2, 0.75
+
+    def bm25(tf, df, dl):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1].n_hits == 1
+    assert got[1].score == pytest.approx(round(bm25(2, 1, 3), 4), abs=1e-4)
+    assert got[2].score == pytest.approx(round(bm25(1, 1, 2), 4), abs=1e-4)
+
+
+def test_bigram_logprob_by_hand(spark):
+    # corpus: "a b a b" + "a b" => bigrams: (a b)x3, (b a)x1
+    # unigrams: a x3, b x3
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in R.bigram_logprob(df).collect()}
+    lp_ab = math.log(3 / 3)  # P(b|a) = c(a b)/c(a) = 3/3
+    lp_ba = math.log(1 / 3)  # P(a|b) = 1/3
+    assert got[1].n_bigrams == 3
+    assert got[1].avg_logprob == pytest.approx(
+        round((2 * lp_ab + lp_ba) / 3, 4), abs=1e-4
+    )
+    assert got[2].n_bigrams == 1
+    assert got[2].avg_logprob == pytest.approx(round(lp_ab, 4), abs=1e-4)
+
+
+def test_single_token_and_empty_docs_are_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    assert {r.doc_id for r in R.bigram_logprob(df).collect()} == {3}
+    with pytest.raises(ValueError, match="non-empty"):
+        R.bm25_scores(df, [])
