@@ -4421,6 +4421,52 @@ from rapids_and_rivers_spark.operators import retrieval as R  # noqa: E402
 
 
 @register(
+    "heavy_hitters_cms",
+    r"""
+    WITH toks AS (
+      SELECT t.token FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+      ) t WHERE len(t.token) > 0
+    ),
+    tf AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY token),
+    cells AS (
+      SELECT r.range AS row,
+             CAST(('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || token), 1, 13))
+                  AS BIGINT) % 256 AS col,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks CROSS JOIN range(4) r
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT tf.token, tf.exact_n, r.range AS row,
+             CAST(('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || tf.token), 1, 13))
+                  AS BIGINT) % 256 AS col
+      FROM tf CROSS JOIN range(4) r
+    )
+    SELECT p.token, p.exact_n, CAST(min(c.cnt) AS BIGINT) AS est
+    FROM probes p JOIN cells c ON p.row = c.row AND p.col = c.col
+    GROUP BY p.token, p.exact_n
+    """,
+    doc="count-min sketch frequency estimation (operators/sketch.py "
+    "cms_build/cms_estimate, Cormode & Muthukrishnan 2005): depth x "
+    "width counter table built with ONE keyed groupBy (<= 1024 rows "
+    "whatever the corpus size, mergeable by cell-wise sum — the "
+    "executor/day-merge property), point queries = min over hash rows; "
+    "est >= exact always (one-sided error, test-pinned). md5-derived "
+    "52-bit cell hash keeps the sketch bit-identical cross-engine, so "
+    "the oracle rebuilds every counter and estimate exactly",
+)
+def heavy_hitters_cms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = R.doc_tokens(docs).select("token")
+    sketch = K.cms_build(toks, "token", width=256, depth=4)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = K.cms_estimate(exact.select("token"), sketch, "token", width=256, depth=4)
+    return exact.join(est, "token").select("token", "exact_n", "est")
+
+
+@register(
     "inverted_index_postings",
     r"""
     WITH toks AS (

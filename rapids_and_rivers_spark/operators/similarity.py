@@ -205,6 +205,26 @@ def codebook_from_table(codebook_df: DataFrame) -> list[list[float]]:
     ]
 
 
+def assign_cells(
+    df: DataFrame, codebook: list[list[float]], emb_col: str = "c_emb"
+) -> DataFrame:
+    """Add the IVF ``cell`` column: 1-based argmax-dot coarse-centroid
+    assignment against the literal codebook (ties -> first). Pure Column
+    expressions fused into the scan — the building block shared by
+    :func:`ivf_topk` and the streaming inverted-file ingest."""
+    scores = F.array(
+        *[dot(F.col(emb_col), F.array(*[F.lit(x) for x in p])) for p in codebook]
+    )
+    return (
+        df.withColumn("__scores", scores)
+        .withColumn(
+            "cell",
+            F.array_position(F.col("__scores"), F.array_max(F.col("__scores"))),
+        )
+        .drop("__scores")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -265,10 +285,9 @@ def ivf_topk(
         )
 
     # candidates: argmax cell (array_position is 1-based; ties -> first)
-    c = candidates.withColumn("__scores", scores_of(F.col("c_emb")))
-    c = c.withColumn(
-        "cell", F.array_position(F.col("__scores"), F.array_max(F.col("__scores")))
-    ).drop("__scores").withColumn("c_nrm", norm(F.col("c_emb")))
+    c = assign_cells(candidates, cents, emb_col="c_emb").withColumn(
+        "c_nrm", norm(F.col("c_emb"))
+    )
 
     # queries: probe the nprobe best cells (scores bound to an attribute
     # BEFORE the transform — HOF lambdas re-evaluate outer expressions)

@@ -1,4 +1,5 @@
-"""Distinct-count sketching: KMV (k minimum values) over md5 hashes.
+"""Mergeable sketches over md5-derived hashes: KMV distinct-count and
+count-min frequency estimation.
 
 The KMV / bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al., "On
 Synopses for Distinct-Value Estimation Under Multiset Operations",
@@ -85,4 +86,83 @@ def kmv_sketch(
             .otherwise(F.col("n_seen").cast("double"))
             .alias("estimate"),
         )
+    )
+
+
+# --- count-min sketch --------------------------------------------------------
+
+
+def cms_position(key: Column, row: int, width: int) -> Column:
+    """Deterministic cell column for hash row ``row``: 52-bit md5-derived
+    hash of ``row:key`` mod width — same cross-engine determinism
+    contract as :func:`kmv_hash` (DuckDB recomputes it bit-identically)."""
+    return F.pmod(
+        kmv_hash(F.concat_ws(":", F.lit(str(row)), key)), F.lit(width)
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a sparse
+    ``(row, col, cnt)`` cell table of ``depth × width`` counters.
+
+    One explode (depth cells per input row) + one keyed groupBy with
+    map-side partial agg — the sketch is ≤ depth·width rows regardless
+    of input size, and MERGEABLE: summing two corpora's cell tables
+    yields exactly the whole-corpus sketch (pinned by test), which is
+    how 1000 executors / N days of stream combine without raw keys.
+    """
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    cms_position(F.col(key_col), i, width).alias("col"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("cell")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.select(cells, w.cast("long").alias("w"))
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch for each key row: ``est = min over rows of
+    cnt[row][h_row(key)]`` — never an underestimate (CMS one-sided error
+    guarantee, pinned by test). The join is an equi-join of |keys|·depth
+    probe rows against the ≤ depth·width-row sketch (broadcastable)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        cms_position(F.col(key_col), i, width).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )

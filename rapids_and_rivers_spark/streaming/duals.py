@@ -313,6 +313,29 @@ def tfidf_from_stats(spark, state_dir: str, top_k: int = 3) -> DataFrame:
     )
 
 
+# --- streaming IVF inverted-file ingest --------------------------------------
+
+
+def ivf_ingest_foreach_batch(codebook: list, out_dir: str, emb_col: str = "c_emb"):
+    """foreachBatch stage streaming new embeddings into an IVF inverted
+    file: each micro-batch assigns coarse cells from the FIXED
+    pre-materialized codebook (operators/similarity.py assign_cells /
+    build_codebook_table — the offline Lloyd pass) and appends
+    cell-partitioned parquet. The index grows at batch granularity;
+    ``ivf_topk`` with the same codebook over the read-back table returns
+    identical results to batch indexing, and a probe of ``nprobe`` cells
+    is a partition-pruned read (`cell=` directories), never a full scan
+    of the accumulated corpus.
+    """
+    from rapids_and_rivers_spark.operators.similarity import assign_cells
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        assigned = assign_cells(batch_df, codebook, emb_col=emb_col)
+        assigned.write.mode("append").partitionBy("cell").parquet(out_dir)
+
+    return stage
+
+
 # --- per-micro-batch Bloom-pruned join ---------------------------------------
 
 

@@ -36,3 +36,62 @@ def test_kmv_partitioning_invariant(spark):
     a = kmv_sketch(df.repartition(1), ["g"], "v", k=64).collect()
     b = kmv_sketch(df.repartition(17, F.col("v")), ["g"], "v", k=64).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- count-min sketch --------------------------------------------------------
+
+
+def _skewed_keys(spark):
+    rows = [("hot",)] * 500 + [(f"k{i}",) for i in range(200)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_never_underestimates(spark):
+    from rapids_and_rivers_spark.operators.sketch import cms_build, cms_estimate
+
+    df = _skewed_keys(spark)
+    # deliberately tiny width => collisions guaranteed; one-sided error
+    # must still hold for every key
+    sketch = cms_build(df, "k", width=16, depth=3)
+    exact = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {
+        r.k: r.est
+        for r in cms_estimate(
+            df.select("k").distinct(), sketch, "k", width=16, depth=3
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # the heavy hitter dominates its row cells => estimate stays close
+    assert est["hot"] >= 500
+
+
+def test_cms_merge_equals_whole(spark):
+    """Cell-wise SUM of two halves' sketches == the whole corpus sketch —
+    the mergeability that lets executors/days combine without raw keys."""
+    from rapids_and_rivers_spark.operators.sketch import cms_build
+
+    df = _skewed_keys(spark).withColumn("half", F.monotonically_increasing_id() % 2)
+    whole = cms_build(df, "k", width=32, depth=4)
+    parts = [
+        cms_build(df.filter(F.col("half") == i), "k", width=32, depth=4)
+        for i in (0, 1)
+    ]
+    merged = (
+        parts[0].unionByName(parts[1]).groupBy("row", "col").agg(
+            F.sum("cnt").alias("cnt")
+        )
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_estimate_missing_key_is_zero_or_collision(spark):
+    from rapids_and_rivers_spark.operators.sketch import cms_build, cms_estimate
+
+    df = _skewed_keys(spark)
+    sketch = cms_build(df, "k", width=1024, depth=4)
+    unseen = spark.createDataFrame([("never-seen",)], "k string")
+    (row,) = cms_estimate(unseen, sketch, "k", width=1024, depth=4).collect()
+    # wide sketch, 201 distinct keys: the unseen key's 4 cells are almost
+    # surely collision-free in at least one row
+    assert row.est == 0

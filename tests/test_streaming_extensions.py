@@ -460,6 +460,79 @@ def test_tfidf_foreach_batch_incremental(spark, tmp_path):
     assert got == expected and len(got) > 0
 
 
+def test_ivf_ingest_foreach_batch(spark, tmp_path):
+    """Streaming inverted-file build: embeddings arriving over two
+    micro-batches land cell-partitioned; cell assignment matches the
+    batch path, probes are partition-pruned reads, and ivf_topk over the
+    read-back index equals ivf_topk over the batch-assembled corpus."""
+    import os as _os
+
+    from rapids_and_rivers_spark.operators import similarity as S
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.streaming.duals import ivf_ingest_foreach_batch
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    codebook = S.codebook_from_table(S.build_codebook_table(cands, dim=dim, n_cells=8))
+
+    # stream the same vectors in two batches as JSON lines
+    rows = cands.collect()
+    mid = len(rows) // 2
+    def enc(r):
+        return json.dumps({"neighbor_id": r.neighbor_id, "c_emb": list(r.c_emb)})
+    stream = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [enc(r) for r in rows[:mid]],
+        [enc(r) for r in rows[mid:]],
+        "neighbor_id long, c_emb array<double>",
+    )
+    out_dir = str(tmp_path / "ivf")
+    q = (
+        stream.writeStream.foreachBatch(
+            ivf_ingest_foreach_batch(codebook, out_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # cell-partitioned layout on disk
+    assert any(d.startswith("cell=") for d in _os.listdir(out_dir))
+    index = spark.read.parquet(out_dir)
+    assert index.count() == len(rows)
+    # assignment identical to the batch path
+    batch_cells = {
+        r.neighbor_id: r.cell
+        for r in S.assign_cells(cands, codebook).collect()
+    }
+    got_cells = {r.neighbor_id: r.cell for r in index.collect()}
+    assert got_cells == batch_cells
+    # queries over the streamed index == queries over the batch corpus
+    qs = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    from_index = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(
+            qs, index.select("neighbor_id", "c_emb"), dim,
+            k=5, n_cells=8, codebook=codebook,
+        ).collect()
+    }
+    from_batch = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(
+            qs, cands, dim, k=5, n_cells=8, codebook=codebook
+        ).collect()
+    }
+    assert from_index == from_batch
+
+
 def test_first_seen_stream_dedups_across_batches(spark, tmp_path):
     """Streaming exact dedup: a fingerprint first seen in batch 1 is
     suppressed when it reappears in batch 2 (state survives the
