@@ -4467,6 +4467,104 @@ def heavy_hitters_cms(spark, sf_dir):
 
 
 @register(
+    "ngram_novelty",
+    _shingle_cte() + r"""
+    ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ),
+    sdf AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
+    SELECT ex.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN sdf.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN sdf.df = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS novelty
+    FROM ex JOIN sdf USING (s)
+    GROUP BY ex.doc_id
+    """,
+    doc="n-gram novelty score: fraction of a document's distinct word "
+    "3-gram shingles that are UNIQUE corpus-wide — high novelty = "
+    "original text, low = boilerplate/template (the inverse signal of "
+    "the dedup family, same shingle definition). One explode + one "
+    "shingle-keyed agg + one equi-join back; reuses the module-shared "
+    "shingle CTE so tokenization cannot desynchronize from the dedup "
+    "oracles",
+)
+def ngram_novelty(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", D.word_shingles(toks, n=3).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    ex = base.select("doc_id", F.explode("sh").alias("s"))
+    sdf = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    novel = (F.col("df") == 1).cast("int")
+    return (
+        ex.join(sdf, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) / F.count(F.lit(1)), 4).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "source_keywords",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE len(token) >= 3
+      GROUP BY source, token
+    ),
+    dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n FROM documents),
+    ranked AS (
+      SELECT tf.source, tf.token, tf.tf, dfc.df,
+             round(tf.tf * ln(ns.n / dfc.df), 4) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.source
+               ORDER BY tf.tf DESC, dfc.df ASC, tf.token
+             ) AS rk
+      FROM tf JOIN dfc USING (token) CROSS JOIN ns
+    )
+    SELECT source, token, tf, df, tfidf FROM ranked WHERE rk <= 3
+    """,
+    doc="per-SOURCE tf-idf keywords (top-3): the corpus-mix monitoring "
+    "view a multi-source ingest wants (what does each source actually "
+    "contribute?). Same integer-stable ranking contract as "
+    "tfidf_keywords (tf DESC, df ASC, token) — bit-stable across "
+    "engines; source count collapses to a 1-row broadcast literal",
+)
+def source_keywords(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.length("token") >= 3)
+    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_sources = float(docs.select("source").distinct().count())
+    ranked = (
+        tf.join(dfc, "token")
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.lit(n_sources) / F.col("df")), 4)
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.desc("tf"), F.asc("df"), "token")
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= 3).select("source", "token", "tf", "df", "tfidf")
+
+
+@register(
     "inverted_index_postings",
     r"""
     WITH toks AS (
