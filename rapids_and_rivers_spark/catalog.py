@@ -4610,6 +4610,59 @@ def source_keywords(spark, sf_dir):
 
 
 @register(
+    "source_mix_temperature",
+    r"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                      t -> len(t) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per_src),
+    raw AS (
+      SELECT source, n_docs, n_tokens, n_tokens / tot.total AS p_raw
+      FROM per_src CROSS JOIN tot
+    ),
+    z AS (SELECT sum(power(p_raw, 1.0 / 0.7)) AS z FROM raw)
+    SELECT source, n_docs, n_tokens,
+           round(p_raw, 6) AS p_raw,
+           round(power(p_raw, 1.0 / 0.7) / z.z, 6) AS p_temp,
+           round((power(p_raw, 1.0 / 0.7) / z.z) / p_raw, 4) AS boost
+    FROM raw CROSS JOIN z
+    """,
+    doc="temperature-based multi-source sampling weights (tau=0.7, the "
+    "multilingual-LM mix design: p_i^(1/tau) renormalized — upweights "
+    "tail sources, downweights the head): per source, raw token share, "
+    "tempered share, boost factor. Token counts via size(split) per row "
+    "(no explode — counting needs no shingle rows), two whitelisted "
+    "1-row scalar crosses for the corpus total and partition function",
+)
+def source_mix_temperature(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_toks = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    per_src = docs.select("source", n_toks.alias("nt")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("double").alias("total"))
+    raw = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "p_raw", F.col("n_tokens") / F.col("total")
+    )
+    z = raw.agg(F.sum(F.pow("p_raw", F.lit(1.0 / 0.7))).alias("z"))
+    tempered = F.pow("p_raw", F.lit(1.0 / 0.7)) / F.col("z")
+    return raw.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(tempered, 6).alias("p_temp"),
+        F.round(tempered / F.col("p_raw"), 4).alias("boost"),
+    )
+
+
+@register(
     "inverted_index_postings",
     r"""
     WITH toks AS (
