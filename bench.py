@@ -60,6 +60,10 @@ def main() -> None:
         payload["streaming_msgs_per_sec"] = streaming_throughput(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         payload["streaming_error"] = str(exc).splitlines()[0][:200]
+    try:
+        payload["streaming_scd2_rows_per_sec"] = scd2_stream_throughput(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        payload["streaming_scd2_error"] = str(exc).splitlines()[0][:200]
     if errors:
         payload["errors"] = errors
     # persist the FULL per-query dict next to the stdout line: the driver's
@@ -124,6 +128,51 @@ def streaming_throughput(spark, sf_dir: str) -> float:
         rapid.run_available(f"{workdir}/ckpt")
         elapsed = time.perf_counter() - start
         return round(n_msgs / elapsed, 1)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def scd2_stream_throughput(spark, sf_dir: str) -> float:
+    """Rows/sec through the stateful streaming SCD2 dual
+    (applyInPandasWithState): the events table streamed as one
+    availableNow pass -> per-user open-interval state -> upsert
+    changelog to a noop-equivalent memory sink. Measures the state-store
+    + Arrow-grouped-pandas path the batch catalog numbers never touch.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.streaming.duals import scd2_stream
+
+    workdir = tempfile.mkdtemp(prefix="rars_scd2_bench_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        n_rows = ev.count()
+        ev.write.mode("overwrite").parquet(f"{workdir}/in")
+        stream = spark.readStream.schema(
+            "user_id bigint, event_type string, ts timestamp, event_id bigint"
+        ).parquet(f"{workdir}/in")
+        out = scd2_stream(stream, "user_id", "event_type", "ts", "event_id")
+        name = f"scd2_bench_{uuid.uuid4().hex[:8]}"
+        start = time.perf_counter()
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{workdir}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - start
+        spark.sql(f"SELECT count(*) FROM {name}").collect()
+        return round(n_rows / elapsed, 1)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

@@ -2692,6 +2692,49 @@ def text_langid(spark, sf_dir):
 
 
 @register(
+    "langid_confusion",
+    r"""
+    WITH toks AS (
+      SELECT lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    scores AS (
+      SELECT lang,
+             len(list_filter(t, x -> x IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(t, x -> x IN ('der','und','die','das','ist'))) AS s_de,
+             len(list_filter(t, x -> x IN ('el','la','los','que','de'))) AS s_es,
+             len(list_filter(t, x -> x IN ('le','les','des','et','est'))) AS s_fr
+      FROM toks
+    ),
+    pred AS (
+      SELECT lang AS label,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted
+      FROM scores
+    )
+    SELECT label, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY label, predicted
+    """,
+    doc="language-id CONFUSION MATRIX: predicted (marker-argmax heuristic, "
+    "same formula as text_langid) vs the labeled lang column — the "
+    "classifier-evaluation view a corpus-quality pipeline keeps next to "
+    "the classifier itself. One narrow projection + one keyed agg over "
+    "a <=16-cell result",
+)
+def langid_confusion(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("label"),
+            T.lang_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "text_token_bpe",
     r"""
     SELECT doc_id,
@@ -4607,6 +4650,68 @@ def source_keywords(spark, sf_dir):
         )
     )
     return ranked.filter(F.col("rk") <= 3).select("source", "token", "tf", "df", "tfidf")
+
+
+@register(
+    "packing_efficiency",
+    r"""
+    WITH per_doc AS (
+      SELECT len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             t -> len(t) > 0)) AS n_toks
+      FROM documents
+    ),
+    lens AS (SELECT unnest([512, 1024, 2048]) AS seq_len),
+    stats AS (
+      SELECT seq_len,
+             CAST(sum(CAST(ceil(n_toks / CAST(seq_len AS DOUBLE)) AS BIGINT))
+               AS BIGINT) AS naive_bins,
+             CAST(ceil(sum(n_toks) / CAST(seq_len AS DOUBLE)) AS BIGINT)
+               AS packed_bins,
+             CAST(sum(n_toks) AS BIGINT) AS total_tokens
+      FROM per_doc CROSS JOIN lens
+      GROUP BY seq_len
+    )
+    SELECT seq_len, total_tokens, naive_bins, packed_bins,
+           round(1.0 - total_tokens / (naive_bins * CAST(seq_len AS DOUBLE)), 4)
+             AS naive_padding_frac,
+           round(1.0 - total_tokens / (packed_bins * CAST(seq_len AS DOUBLE)), 4)
+             AS packed_padding_frac
+    FROM stats
+    """,
+    doc="sequence-packing efficiency report: for candidate context "
+    "lengths, the padding fraction of one-doc-per-bin batching vs dense "
+    "packing (the win pack_training_sequences realizes). Per-row token "
+    "counts (size of split, no explode) crossed with a 3-row literal "
+    "length dim — one agg, output is 3 rows whatever the corpus size",
+)
+def packing_efficiency(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_toks = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    lens = spark.createDataFrame([(512,), (1024,), (2048,)], "seq_len int")
+    per_doc = docs.select(n_toks.alias("n_toks"))
+    seq_d = F.col("seq_len").cast("double")
+    stats = (
+        per_doc.crossJoin(F.broadcast(lens))
+        .groupBy("seq_len")
+        .agg(
+            F.sum(F.ceil(F.col("n_toks") / seq_d)).cast("bigint").alias("naive_bins"),
+            F.ceil(F.sum("n_toks") / seq_d).cast("bigint").alias("packed_bins"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        )
+    )
+    return stats.select(
+        "seq_len",
+        "total_tokens",
+        "naive_bins",
+        "packed_bins",
+        F.round(
+            1.0 - F.col("total_tokens") / (F.col("naive_bins") * seq_d), 4
+        ).alias("naive_padding_frac"),
+        F.round(
+            1.0 - F.col("total_tokens") / (F.col("packed_bins") * seq_d), 4
+        ).alias("packed_padding_frac"),
+    )
 
 
 @register(
