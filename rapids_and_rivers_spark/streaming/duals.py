@@ -313,6 +313,106 @@ def tfidf_from_stats(spark, state_dir: str, top_k: int = 3) -> DataFrame:
     )
 
 
+def zscore_stream(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    threshold: float = 3.0,
+    min_prior: int = 10,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Online per-key z-score anomaly detection: each record is scored
+    against the running mean/population-variance of the records that
+    came BEFORE it (Welford's algorithm), flagged when ``|z| >=
+    threshold`` and at least ``min_prior`` observations exist — the
+    monitoring primitive for event-value streams.
+
+    State per key is three doubles (count, mean, M2) in the checkpointed
+    state store; scoring is strictly prefix-causal, so a record never
+    sees its own or later values (no leakage, replay-stable given stable
+    batch boundaries). Batch DataFrames compute the IDENTICAL prefix
+    semantics with an expanding window (avg/var_pop over
+    unboundedPreceding..-1 ordered by ts) — the duality test pins the
+    two paths to the same z values.
+    """
+    out_schema = (
+        f"key string, ts timestamp, value double, n_prior bigint, "
+        f"z double, is_anomaly boolean"
+    )
+    src = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+
+    if not df.isStreaming:
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy("key")
+            .orderBy("ts")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        n_prior = F.count("value").over(w)
+        mean = F.avg("value").over(w)
+        var = F.var_pop("value").over(w)
+        z = F.when(
+            (n_prior >= min_prior) & (var > 0),
+            F.round((F.col("value") - mean) / F.sqrt(var), ndigits),
+        )
+        return src.select(
+            "key", "ts", "value",
+            n_prior.cast("bigint").alias("n_prior"),
+            z.alias("z"),
+            F.coalesce(F.abs(z) >= threshold, F.lit(False)).alias("is_anomaly"),
+        )
+
+    def handler(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0.0, 0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            zs, flags, priors = [], [], []
+            for v in pdf["value"]:
+                var = m2 / n if n > 0 else 0.0
+                if n >= min_prior and var > 0:
+                    z = round((v - mean) / math.sqrt(var), ndigits)
+                    zs.append(z)
+                    flags.append(abs(z) >= threshold)
+                else:
+                    zs.append(None)
+                    flags.append(False)
+                priors.append(int(n))
+                # Welford update AFTER scoring: strictly prefix-causal
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+            yield pd.DataFrame(
+                {
+                    "key": key[0],
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "n_prior": priors,
+                    "z": pd.array(zs, dtype="Float64"),
+                    "is_anomaly": flags,
+                }
+            )
+        state.update((float(n), float(mean), float(m2)))
+
+    return src.groupBy("key").applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType="n double, mean double, m2 double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- streaming IVF inverted-file ingest --------------------------------------
 
 

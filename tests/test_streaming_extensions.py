@@ -460,6 +460,59 @@ def test_tfidf_foreach_batch_incremental(spark, tmp_path):
     assert got == expected and len(got) > 0
 
 
+def test_zscore_stream_matches_batch_prefix_semantics(spark, tmp_path):
+    """Online z-score: Welford state continues across micro-batches and
+    matches the batch expanding-window formulation exactly; the injected
+    outlier (and only it) is flagged."""
+    from rapids_and_rivers_spark.streaming.duals import zscore_stream
+
+    base = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 10.0, 10.3]
+    vals_b1 = base[:6]
+    vals_b2 = base[6:] + [500.0, 10.1]  # outlier after >= 10 priors
+    def rows(vals, t0):
+        return [
+            json.dumps({"k": "m1", "v": v, "ts": f"2026-01-01T00:{t0+i:02d}:00"})
+            for i, v in enumerate(vals)
+        ]
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        rows(vals_b1, 0),
+        rows(vals_b2, 6),
+        "k string, v double, ts timestamp",
+    )
+    out = zscore_stream(events, "k", "v", "ts", threshold=3.0, min_prior=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("zscore_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.ts.isoformat(): (r.n_prior, r.z, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM zscore_out").collect()
+    }
+    assert len(got) == len(vals_b1) + len(vals_b2)
+    # exactly one anomaly: the 500.0 at minute 11 (11 priors)
+    anomalies = [ts for ts, (_, _, flag) in got.items() if flag]
+    assert anomalies == ["2026-01-01T00:11:00"]
+    assert got["2026-01-01T00:11:00"][0] == 11
+    # batch duality: identical z values from the expanding window
+    all_rows = [("m1", v, f"2026-01-01T00:{i:02d}:00") for i, v in
+                enumerate(vals_b1 + vals_b2)]
+    batch = spark.createDataFrame(all_rows, "k string, v double, raw string").select(
+        "k", "v", F.col("raw").cast("timestamp").alias("ts")
+    )
+    got_b = {
+        r.ts.isoformat(): (r.n_prior, r.z, r.is_anomaly)
+        for r in zscore_stream(batch, "k", "v", "ts", threshold=3.0, min_prior=10).collect()
+    }
+    assert got_b == got
+
+
 def test_ivf_ingest_foreach_batch(spark, tmp_path):
     """Streaming inverted-file build: embeddings arriving over two
     micro-batches land cell-partitioned; cell assignment matches the
