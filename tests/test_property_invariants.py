@@ -92,3 +92,73 @@ def test_require_key_matches_python_reference(spark, objs, key):
     got = [bool(r.ok) for r in df.select(rule.ok(F.col("v")).alias("ok")).collect()]
     expected = [o.get(key) is not None for o in objs]
     assert got == expected
+
+
+# --- sketch / retrieval invariants on arbitrary corpora -----------------------
+
+corpus_keys = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=1, max_size=60
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(keys=corpus_keys)
+def test_cms_one_sided_error_on_arbitrary_keys(spark, keys):
+    """CMS never underestimates, for ANY key multiset — even with a
+    4-cell-wide sketch where everything collides."""
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string").coalesce(2)
+    sketch = cms_build(df, "k", width=4, depth=2)
+    exact = {
+        r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = {
+        r.k: r.est
+        for r in cms_estimate(
+            df.select("k").distinct(), sketch, "k", width=4, depth=2
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # total mass bound: every row estimate <= total insertions
+    assert all(est[k] <= len(keys) for k in exact)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=30), min_size=1, max_size=12
+    )
+)
+def test_retrieval_invariants_on_arbitrary_corpora(spark, texts):
+    """Inverted-index df equals the distinct-doc count per token, and the
+    MLE bigram LM never yields a positive log-prob — for arbitrary
+    whitespace corpora including empty and single-token docs."""
+    from rapids_and_rivers_spark.operators import retrieval as R
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    postings = R.inverted_postings(df).collect()
+    # reference token sets computed in plain Python
+    doc_tokens = {
+        i: [w for w in t.strip().lower().split() if w] for i, t in enumerate(texts)
+    }
+    for row in postings:
+        docs_with = {i for i, toks in doc_tokens.items() if row.token in toks}
+        assert row.df == len(docs_with)
+        assert set(map(int, row.postings.split(","))) <= docs_with
+    lm = R.bigram_logprob(df).collect()
+    assert all(r.avg_logprob <= 0.0 for r in lm)
+    assert all(r.n_bigrams >= 1 for r in lm)

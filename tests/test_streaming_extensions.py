@@ -634,6 +634,63 @@ def test_first_seen_stream_dedups_across_batches(spark, tmp_path):
     assert got_b == got
 
 
+def test_first_seen_state_survives_query_restart(spark, tmp_path):
+    """Stronger than cross-batch: the state store must survive a full
+    query STOP and a brand-new query instance on the same checkpoint —
+    the Kubernetes pod-restart scenario. A fingerprint seen before the
+    restart stays suppressed after it."""
+    from rapids_and_rivers_spark.streaming.duals import first_seen_stream
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    schema = "fp string, doc_id long, ts timestamp"
+
+    def run_pass():
+        events = (
+            spark.readStream.format("text")
+            .load(src)
+            .select(F.from_json("value", schema).alias("m"))
+            .select("m.*")
+        )
+        # parquet sink: the memory sink does not support checkpoint
+        # recovery, which is the point of this test
+        q = (
+            first_seen_stream(events, "fp", "ts")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_lines(
+        src,
+        [
+            json.dumps({"fp": "A", "doc_id": 1, "ts": "2026-01-01T00:00:00"}),
+            json.dumps({"fp": "B", "doc_id": 2, "ts": "2026-01-01T00:00:01"}),
+        ],
+        name="a.txt",
+    )
+    run_pass()  # first query instance: emits A(1), B(2), then STOPS
+    write_lines(
+        src,
+        [
+            json.dumps({"fp": "A", "doc_id": 3, "ts": "2026-01-01T00:00:02"}),
+            json.dumps({"fp": "C", "doc_id": 4, "ts": "2026-01-01T00:00:03"}),
+        ],
+        name="b.txt",
+    )
+    run_pass()  # NEW query instance, same checkpoint: A must stay suppressed
+    got = {
+        (r.fp, r.doc_id)
+        for r in spark.read.parquet(out_dir).select("fp", "doc_id").collect()
+    }
+    assert got == {("A", 1), ("B", 2), ("C", 4)}
+
+
 def test_bloom_prune_foreach_batch(spark, tmp_path):
     """Per-micro-batch Bloom-pruned join: the bitmap is rebuilt from the
     dim snapshot each trigger; the appended output over two fact batches
