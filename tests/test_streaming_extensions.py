@@ -634,6 +634,67 @@ def test_first_seen_stream_dedups_across_batches(spark, tmp_path):
     assert got_b == got
 
 
+def test_streaming_pretrain_ingest_composition(spark, tmp_path):
+    """SURVEY §7.1 duality at PIPELINE level: quality screen (stateless
+    Column exprs run unchanged on the stream) -> first_seen_stream exact
+    dedup on the content fingerprint (stateful, cross-batch) -> RAG
+    chunking (stateless) — the streaming ingest counterpart of the batch
+    pipeline_pretrain_corpus composition, checked against the same
+    stages composed in batch over the union of both micro-batches."""
+    from rapids_and_rivers_spark.operators.text import chunk_documents
+    from rapids_and_rivers_spark.streaming.duals import first_seen_stream
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": "x"},  # too short -> quality-dropped
+        {"doc_id": 3, "text": good + " extended version here"},
+    ]
+    b2 = [
+        {"doc_id": 4, "text": good},  # exact dup of doc 1 -> dedup-dropped
+        {"doc_id": 5, "text": "the slow green turtle walks under the warm sun today"},
+    ]
+    docs = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(d) for d in b1],
+        [json.dumps(d) for d in b2],
+        "doc_id long, text string",
+    )
+
+    def stages(df):
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        quality = df.filter(F.size(toks) >= 5).withColumn("fp", F.md5("text"))
+        deduped = first_seen_stream(
+            quality.select("fp", "doc_id", "text"), "fp", "doc_id"
+        )
+        return chunk_documents(deduped, chunk_size=6, stride=4)
+
+    q = (
+        stages(docs)
+        .writeStream.format("memory")
+        .queryName("ingest_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in spark.sql("SELECT * FROM ingest_out").collect()
+    }
+    batch = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in b1 + b2], "doc_id long, text string"
+    )
+    expected = {
+        (r.doc_id, r.chunk_idx, r.chunk_text) for r in stages(batch).collect()
+    }
+    assert got == expected
+    surviving_docs = {d for d, _, _ in got}
+    assert surviving_docs == {1, 3, 5}  # 2 quality-dropped, 4 dedup-dropped
+
+
 def test_first_seen_state_survives_query_restart(spark, tmp_path):
     """Stronger than cross-batch: the state store must survive a full
     query STOP and a brand-new query instance on the same checkpoint —
