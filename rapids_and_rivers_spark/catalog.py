@@ -4661,6 +4661,53 @@ def source_keywords(spark, sf_dir):
 
 
 @register(
+    "event_zscore_outliers",
+    f"""
+    WITH scored AS (
+      SELECT event_type AS key,
+             strftime(ts, '{ISO_FMT_DUCK}') AS event_ts,
+             CAST(value AS DOUBLE) AS value,
+             CAST(count(value) OVER pw AS BIGINT) AS n_prior,
+             avg(value) OVER pw AS mean,
+             var_pop(value) OVER pw AS var
+      FROM events
+      WINDOW pw AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT key, event_ts, value, n_prior,
+           CASE WHEN n_prior >= 10 AND var > 0
+                THEN round((value - mean) / sqrt(var), 4) END AS z,
+           coalesce(abs(CASE WHEN n_prior >= 10 AND var > 0
+                             THEN round((value - mean) / sqrt(var), 4) END) >= 3.0,
+                    FALSE) AS is_anomaly
+    FROM scored
+    """,
+    doc="online per-key z-score outlier detection, batch mode of the "
+    "stateful streaming dual (streaming/duals.py zscore_stream): each "
+    "event scored against the expanding mean/var_pop of its event_type's "
+    "PRIOR records ((ts, event_id)-ordered so the prefix is total) — "
+    "prefix-causal, no leakage, identical semantics to the Welford state "
+    "path (duality test). One keyed window, full value oracle",
+)
+def event_zscore_outliers(spark, sf_dir):
+    from rapids_and_rivers_spark.streaming.duals import zscore_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    out = zscore_stream(
+        ev, "event_type", "value", "ts", threshold=3.0, min_prior=10,
+        seq_col="event_id",
+    )
+    return out.select(
+        "key",
+        F.date_format("ts", ISO_FMT).alias("event_ts"),
+        "value",
+        "n_prior",
+        "z",
+        "is_anomaly",
+    )
+
+
+@register(
     "packing_efficiency",
     r"""
     WITH per_doc AS (

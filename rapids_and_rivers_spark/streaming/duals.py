@@ -321,6 +321,7 @@ def zscore_stream(
     threshold: float = 3.0,
     min_prior: int = 10,
     ndigits: int = 4,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Online per-key z-score anomaly detection: each record is scored
     against the running mean/population-variance of the records that
@@ -334,16 +335,20 @@ def zscore_stream(
     batch boundaries). Batch DataFrames compute the IDENTICAL prefix
     semantics with an expanding window (avg/var_pop over
     unboundedPreceding..-1 ordered by ts) — the duality test pins the
-    two paths to the same z values.
+    two paths to the same z values. ``seq_col`` breaks duplicate-
+    timestamp ties so the prefix order (and thus every z) is total and
+    deterministic — required when an oracle re-derives the values.
     """
     out_schema = (
         f"key string, ts timestamp, value double, n_prior bigint, "
         f"z double, is_anomaly boolean"
     )
+    sort_cols = ["ts"] + (["seq"] if seq_col else [])
     src = df.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("value"),
+        *([F.col(seq_col).alias("seq")] if seq_col else []),
     )
 
     if not df.isStreaming:
@@ -351,7 +356,7 @@ def zscore_stream(
 
         w = (
             W.partitionBy("key")
-            .orderBy("ts")
+            .orderBy(*sort_cols)
             .rowsBetween(W.unboundedPreceding, -1)
         )
         n_prior = F.count("value").over(w)
@@ -375,7 +380,7 @@ def zscore_stream(
 
         n, mean, m2 = state.get if state.exists else (0.0, 0.0, 0.0)
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+            pdf = pdf.sort_values(sort_cols)
             zs, flags, priors = [], [], []
             for v in pdf["value"]:
                 var = m2 / n if n > 0 else 0.0
