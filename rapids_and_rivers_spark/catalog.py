@@ -3381,6 +3381,40 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_resize",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             (y.range * 9) // 5 AS sy,
+             (x.range * 15) // 8 AS sx
+      FROM documents d, range(5) y, range(8) x
+    )
+    SELECT doc_id, 8 AS width, 5 AS height,
+           round(avg((doc_id * 7  + sy * 5 + sx * 3)  % 256), 4) AS mean_r,
+           round(avg((doc_id * 11 + sy * 2 + sx * 13) % 256), 4) AS mean_g,
+           round(avg((doc_id * 17 + sy * 3 + sx * 7)  % 256), 4) AS mean_b,
+           CAST(floor(max(0.299 * ((doc_id * 7  + sy * 5 + sx * 3)  % 256)
+                        + 0.587 * ((doc_id * 11 + sy * 2 + sx * 13) % 256)
+                        + 0.114 * ((doc_id * 17 + sy * 3 + sx * 7)  % 256))) AS INT)
+             AS max_luma
+    FROM px GROUP BY doc_id
+    """,
+    doc="image RESIZE in the multimodal pipeline: 15x9 synthetic BMPs "
+    "nearest-neighbor resized to 8x5 executor-side (decode -> index map "
+    "-> re-encode, operators/multimodal.py resize_images) then decoded "
+    "AGAIN by extract_features — the oracle recomputes the resized "
+    "stats from the closed-form pixel function at the mapped "
+    "coordinates, so the whole double decode/encode chain must be "
+    "byte-correct. Production codecs/filters swap into the same "
+    "mapInPandas body",
+)
+def multimodal_resize(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthetic_bmp_corpus(docs, id_col="doc_id", width=15, height=9)
+    return M.extract_features(M.resize_images(media, new_w=8, new_h=5))
+
+
+@register(
     "multimodal_byte_stats",
     """
     SELECT doc_id,

@@ -279,6 +279,57 @@ def extract_features(media: DataFrame, ndigits: int = 4) -> DataFrame:
     return media.mapInPandas(gen, PIXEL_FEATURE_SCHEMA)
 
 
+def resize_nn(px, new_h: int, new_w: int):
+    """Nearest-neighbor resize of an (h, w, 3) array: output pixel (y, x)
+    samples source (floor(y*h/new_h), floor(x*w/new_w)) — the standard
+    NN index map, shared with the SQL oracle's closed form."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    return px[ys[:, None], xs[None, :], :]
+
+
+def resize_images(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
+    """Resize every BMP payload to (new_h, new_w) by nearest neighbor,
+    re-encoding as BMP — media table in, media table out, so resize
+    composes with :func:`extract_features` / :func:`sample_frames` in
+    the same pipeline shape. Decode + index-map + re-encode run
+    executor-side per Arrow batch; bytes never cross the driver.
+
+    Production codecs (JPEG/PNG, bilinear/Lanczos) swap into the same
+    mapInPandas body; the plumbing — schema, batching, partitioning —
+    is the deliverable, and the NN map keeps an exact closed-form oracle
+    over the synthetic corpus (the resized stats are recomputed in SQL
+    from the mapped coordinates, so the whole decode→resize→encode→
+    decode chain must be byte-correct to pass).
+    """
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_bmp(resize_nn(decode_bmp(p), new_h, new_w))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    out = media.select("doc_id", "payload").mapInPandas(
+        gen, "doc_id bigint, payload binary"
+    )
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/bmp").alias("mime"),
+            F.lit("resized").alias("source"),
+            F.length("payload").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def byte_features(media: DataFrame) -> DataFrame:
     """Byte-level feature extraction for OPAQUE payloads (no decodable
     format): length, first byte, checksum, mime passthrough — the same

@@ -211,6 +211,40 @@ def test_extract_features_mixed_batch_fallback(spark):
         assert got[doc_id].max_luma == int(luma.max())
 
 
+def test_resize_nn_known_values():
+    """Nearest-neighbor resize: hand-checked index map on a 4x4 ramp."""
+    import numpy as np
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    out = M.resize_nn(px, 2, 2)
+    # ys = xs = [0, 2] -> corners of the even grid
+    np.testing.assert_array_equal(out[0, 0], px[0, 0])
+    np.testing.assert_array_equal(out[0, 1], px[0, 2])
+    np.testing.assert_array_equal(out[1, 0], px[2, 0])
+    np.testing.assert_array_equal(out[1, 1], px[2, 2])
+    # upscale: every source pixel appears, dims correct
+    up = M.resize_nn(px, 8, 6)
+    assert up.shape == (8, 6, 3)
+
+
+def test_resize_images_roundtrip(spark):
+    """decode -> resize -> encode -> decode: output dims and exact NN
+    pixels survive the BMP re-encode (padding re-done for the new
+    width)."""
+    import numpy as np
+
+    df = spark.createDataFrame([(3,), (9,)], "doc_id long")
+    media = M.synthetic_bmp_corpus(df, width=15, height=9)
+    resized = {r.doc_id: bytes(r.payload) for r in M.resize_images(media, 8, 5).collect()}
+    yy, xx = np.mgrid[0:9, 0:15]
+    for doc_id in (3, 9):
+        r, g, b = M.synthetic_pixel(doc_id, yy, xx)
+        src = np.stack([r, g, b], axis=-1).astype(np.uint8)
+        np.testing.assert_array_equal(
+            M.decode_bmp(resized[doc_id]), M.resize_nn(src, 5, 8)
+        )
+
+
 def test_recognized_key_counts(spark):
     """message_keys_counter parity: per-declared-key usage over passing packets."""
     import json
