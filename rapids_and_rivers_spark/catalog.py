@@ -4224,13 +4224,20 @@ def pipeline_pretrain_corpus(spark, sf_dir):
         )
         & (F.size(F.filter(F.col("toks"), lambda t: t.isin(T.EN_STOPWORDS))) > 0)
     ).select("doc_id", "source", "text", n_tokens.alias("n_tokens"))
-    keep_first = F.row_number().over(
-        W.partitionBy(F.md5("text")).orderBy("doc_id")
-    )
+    # exact dedup by content fingerprint via algebraic groupBy-min, NOT a
+    # row_number window over md5(text): min partial-aggregates map-side,
+    # so a boilerplate body duplicated 10^9 times collapses per map task
+    # instead of landing on one window task (same skew fix as line_dedup;
+    # keeper = min doc_id, identical to the oracle's row_number semantics
+    # because doc_id is unique)
     deduped = (
-        quality.withColumn("rn", keep_first)
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "source", "n_tokens")
+        quality.groupBy(F.md5("text").alias("__fp"))
+        .agg(F.min(F.struct("doc_id", "source", "n_tokens")).alias("m"))
+        .select(
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.source").alias("source"),
+            F.col("m.n_tokens").alias("n_tokens"),
+        )
     )
     train = deduped.filter(
         T.token_hash_bucket(F.col("doc_id").cast("string"), 100) < 90
