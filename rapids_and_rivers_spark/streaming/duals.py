@@ -441,6 +441,120 @@ def ivf_ingest_foreach_batch(codebook: list, out_dir: str, emb_col: str = "c_emb
     return stage
 
 
+def minhash_index_foreach_batch(
+    index_dir: str,
+    pairs_dir: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    ndigits: int = 4,
+):
+    """Streaming near-duplicate ingest: an incrementally-growing
+    MinHash-LSH index (the streaming dual of ``minhash_lsh_pairs``).
+
+    Per micro-batch, ONLY the new documents pay shingling + signature
+    cost; their band hashes and shingle sets append to the accumulated
+    index (parquet, band-partitioned join key), candidates come from
+    joining the NEW bands against the accumulated bands (new-old and
+    new-new — old-old pairs were found in earlier batches and are never
+    recomputed, which is the incremental win), and Jaccard verification
+    runs on candidates only. Verified pairs append to ``pairs_dir``; the
+    union over all batches equals the batch operator's output on the
+    full corpus (pinned by test).
+
+    At 100 TB the index tables are the persistent artifact: per-day
+    ingest touches |new| signatures and |new ⋈ index| candidates, never
+    the historical corpus.
+    """
+    from rapids_and_rivers_spark.operators.dedup import (
+        jaccard,
+        minhash_signature,
+        shingled,
+    )
+
+    rows_per_band = num_hashes // bands
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = (
+            shingled(batch_df, col, id_col, n=shingle_n)
+            .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+            .persist()
+        )
+        banded = base.filter(F.col("sig").isNotNull()).select(
+            "id",
+            F.explode_outer(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col("sig")[i]
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ]
+                            ).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "bb.band", "bb.band_hash")
+        # append new docs to the index FIRST so the candidate join sees
+        # new-new pairs too (old-old pairs never recompute)
+        banded.write.mode("append").parquet(os.path.join(index_dir, "bands"))
+        base.select("id", "shingles").write.mode("append").parquet(
+            os.path.join(index_dir, "shingles")
+        )
+        all_bands = spark.read.parquet(os.path.join(index_dir, "bands"))
+        cand = (
+            all_bands.alias("l")
+            .join(
+                banded.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_hash") == F.col("r.band_hash"))
+                & (F.col("l.id") != F.col("r.id")),
+            )
+            .select(
+                F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+                F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        shingle_tbl = spark.read.parquet(os.path.join(index_dir, "shingles"))
+        verified = (
+            cand.join(
+                shingle_tbl.select(
+                    F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+                ),
+                "id_a",
+            )
+            .join(
+                shingle_tbl.select(
+                    F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), ndigits).alias(
+                    "jaccard"
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        verified.write.mode("append").parquet(pairs_dir)
+        base.unpersist()
+
+    return stage
+
+
 # --- per-micro-batch Bloom-pruned join ---------------------------------------
 
 

@@ -634,6 +634,58 @@ def test_first_seen_stream_dedups_across_batches(spark, tmp_path):
     assert got_b == got
 
 
+def test_minhash_index_foreach_batch_incremental(spark, tmp_path):
+    """Incremental LSH near-dup index: docs streamed over two batches;
+    only new docs pay signature cost, candidates come from new-vs-index
+    joins, and the union of per-batch verified pairs equals the batch
+    minhash_lsh_pairs output on the full corpus — including the
+    cross-batch pair (doc 1 in batch 1 ~ doc 20 in batch 2)."""
+    from rapids_and_rivers_spark.operators.dedup import minhash_lsh_pairs
+    from rapids_and_rivers_spark.streaming.duals import minhash_index_foreach_batch
+
+    body = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b1 = [
+        {"doc_id": 1, "text": body},
+        {"doc_id": 2, "text": body.replace("lazy", "sleepy")},  # near-dup of 1
+        {"doc_id": 3, "text": "completely different words about spark windows and state stores here"},
+    ]
+    b2 = [
+        {"doc_id": 20, "text": body.replace("today", "tonight")},  # near-dup of 1/2, CROSS-batch
+        {"doc_id": 21, "text": "another unrelated document mentioning joins shuffles and partitions only"},
+    ]
+    docs = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(d) for d in b1],
+        [json.dumps(d) for d in b2],
+        "doc_id long, text string",
+    )
+    index_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    q = (
+        docs.writeStream.foreachBatch(
+            minhash_index_foreach_batch(index_dir, pairs_dir, threshold=0.3)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    full = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in b1 + b2], "doc_id long, text string"
+    )
+    expected = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(full, threshold=0.3).collect()
+    }
+    assert got == expected
+    # the cross-batch discovery actually happened
+    assert any(a < 20 <= b or a >= 20 > b for a, b, _ in got)
+
+
 def test_streaming_pretrain_ingest_composition(spark, tmp_path):
     """SURVEY §7.1 duality at PIPELINE level: quality screen (stateless
     Column exprs run unchanged on the stream) -> first_seen_stream exact
