@@ -176,6 +176,29 @@ def test_python_packet_handlers_on_executors(spark, tmp_path):
     assert all(v["@forårsaket_av"]["event_name"] == "need" for v in values)
 
 
+def test_listener_exception_crash_stops_the_query(spark, tmp_path):
+    """Crash-stop parity (S7, KafkaRapid.kt consume loop): an exception
+    escaping a packet listener FAILS the streaming query — errors are
+    never silently swallowed; the supervisor (k8s) restarts from the
+    checkpoint. (Validation failures route to the DLQ; exceptions are
+    bugs and must crash.)"""
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    write_messages(src, [json.dumps({"@event_name": "need", "req": 1})])
+    river = River("needs").validate(P.require_value("@event_name", "need"))
+
+    def exploding(packet, context):
+        raise RuntimeError("listener bug")
+
+    river.on_packet(exploding)
+    rapid = (
+        StreamingRapid.from_text_files(spark, src, "app", "i-1")
+        .register(river)
+        .set_sink_parquet(out)
+    )
+    with pytest.raises(Exception, match="listener bug"):
+        rapid.run_available(ckpt)
+
+
 def test_span_hook_fires_per_listener_call(spark, tmp_path):
     """River.kt:74-76 tracing parity: the span hook fires executor-side
     once per (listener, packet) with the river name, the stable listener

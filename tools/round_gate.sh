@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# One-command pre-round-end gate: every check the judge reproduces, in
+# dependency order, failing fast. Run from the repo root; artifacts
+# (CORRECTNESS_local_r3.json via --json, BENCH_full.json via bench.py)
+# land at HEAD so the evidence chain is committable.
+#
+# Usage: tools/round_gate.sh [sf_dir]    (default /root/testdata/sf0.01)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.01}"
+
+echo "== 1/5 pytest =="
+python -m pytest tests/ -q
+
+echo "== 2/5 oracle gate ($SF) =="
+python tools/check_oracle.py "$SF" --json CORRECTNESS_local_r3.json
+
+echo "== 3/5 plan audit =="
+python tools/explain_audit.py /root/testdata/sf0.001
+
+echo "== 4/5 partitioning determinism =="
+python tools/determinism_check.py "$SF"
+
+echo "== 5/5 bench (sf0.1 -> BENCH_full.json) =="
+python bench.py
+
+echo "ROUND GATE: all green"
