@@ -3029,6 +3029,61 @@ def semantic_dedup(spark, sf_dir):
 
 
 
+@register(
+    "dedup_cluster_sizes",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM r JOIN edges e ON r.b = e.u
+      )
+      SELECT * FROM r
+    ),
+    clusters AS (
+      SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    ),
+    sizes AS (
+      SELECT cluster, count(*) AS sz FROM clusters GROUP BY cluster
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+    doc="duplicate-cluster SIZE distribution — the corpus-health report a "
+    "dedup pass ends with (how much is duplicated, and in what shape: "
+    "many pairs vs few giant templates). Two keyed aggs over the "
+    "(node, cluster) table; a heavy tail here is the early warning for "
+    "hot-key trouble downstream",
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs(
+        emb, emb_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
+    )
+    clusters = D.duplicate_clusters_star(pairs)
+    sizes = clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    ).select(
+        F.col("sz").cast("bigint").alias("cluster_size"), "n_clusters", "n_docs"
+    )
+
+
 def _shingle_cte(extra_cols: str = "") -> str:
     """Shared word-3-gram shingle CTE for the dedup/decontamination
     oracles (the SQL twin of operators/dedup.py shingled()): one
