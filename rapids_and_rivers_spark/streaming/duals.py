@@ -313,6 +313,81 @@ def tfidf_from_stats(spark, state_dir: str, top_k: int = 3) -> DataFrame:
     )
 
 
+def kmv_distinct_stream(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Running per-key distinct-count estimate on a stream: the KMV
+    bottom-k sketch (operators/sketch.py) lives in the checkpointed state
+    store — state per key is at most k longs regardless of how many
+    values stream past, and each micro-batch emits the key's refreshed
+    ``(n_seen, uk, estimate)`` row (update semantics, last row per key
+    wins downstream).
+
+    The merge step IS the KMV merge (union bottom-k sets, re-truncate),
+    so per-batch work is O(|batch| + k log k) per key and the estimate
+    after any batch equals the batch :func:`~rapids_and_rivers_spark.
+    operators.sketch.kmv_sketch` over everything seen so far — pinned by
+    the duality test. Hashing (md5 52-bit) runs JVM-side BEFORE the
+    stateful operator; only 8-byte hashes reach Python.
+    """
+    from rapids_and_rivers_spark.operators.sketch import KMV_DOMAIN, kmv_hash
+
+    out_schema = "key string, n_seen bigint, uk bigint, estimate double"
+    src = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        kmv_hash(F.col(value_col).cast("string")).alias("h"),
+    )
+
+    if not df.isStreaming:
+        from rapids_and_rivers_spark.operators.sketch import kmv_sketch
+
+        return kmv_sketch(
+            df.select(
+                F.col(key_col).cast("string").alias("key"),
+                F.col(value_col).cast("string").alias("v"),
+            ),
+            ["key"],
+            "v",
+            k=k,
+        ).select("key", "n_seen", "uk", "estimate")
+
+    def handler(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (held,) = state.get if state.exists else ([],)
+        seen = set(held or [])
+        for pdf in pdfs:
+            seen.update(int(h) for h in pdf["h"])
+        bottom = sorted(seen)[:k]
+        state.update((bottom,))
+        n_seen = len(bottom)
+        uk = bottom[k - 1] if n_seen == k else None
+        est = (
+            round((k - 1) / (uk / KMV_DOMAIN), 4)
+            if uk is not None
+            else float(n_seen)
+        )
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [n_seen],
+                "uk": pd.array([uk], dtype="Int64"),
+                "estimate": [est],
+            }
+        )
+
+    return src.groupBy("key").applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType="hashes array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def zscore_stream(
     df: DataFrame,
     key_col: str,

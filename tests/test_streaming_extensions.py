@@ -686,6 +686,57 @@ def test_minhash_index_foreach_batch_incremental(spark, tmp_path):
     assert any(a < 20 <= b or a >= 20 > b for a, b, _ in got)
 
 
+def test_kmv_distinct_stream_matches_batch_sketch(spark, tmp_path):
+    """Streaming KMV: the bottom-k state merges across micro-batches and
+    the final estimate equals the batch kmv_sketch over everything seen
+    — both in the exact-fallback regime (< k distinct) and the sketched
+    regime (> k distinct)."""
+    from rapids_and_rivers_spark.streaming.duals import kmv_distinct_stream
+
+    b1 = [{"k": "small", "v": f"s{i}"} for i in range(10)] + [
+        {"k": "big", "v": f"b{i}"} for i in range(80)
+    ]
+    # batch 2 repeats some values (distinct semantics) and adds new ones
+    b2 = [{"k": "small", "v": f"s{i}"} for i in range(5, 15)] + [
+        {"k": "big", "v": f"b{i}"} for i in range(60, 140)
+    ]
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in b1],
+        [json.dumps(r) for r in b2],
+        "k string, v string",
+    )
+    out = kmv_distinct_stream(events, "k", "v", k=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmv_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: take the LAST row per key (batch 2's refresh)
+    rows = spark.sql("SELECT * FROM kmv_out").collect()
+    final = {}
+    for r in rows:
+        final[r.key] = (r.n_seen, r.uk, r.estimate)
+    batch = spark.createDataFrame(
+        [(r["k"], r["v"]) for r in b1 + b2], "k string, v string"
+    )
+    expected = {
+        r.key: (r.n_seen, r.uk, r.estimate)
+        for r in kmv_distinct_stream(batch, "k", "v", k=64).collect()
+    }
+    assert final == expected
+    # 'small' has 15 distinct (< k): exact fallback
+    assert final["small"] == (15, None, 15.0)
+    # 'big' has 140 distinct (> k): sketched estimate within KMV error band
+    n_seen, uk, est = final["big"]
+    assert n_seen == 64 and uk is not None and 140 * 0.6 < est < 140 * 1.4
+
+
 def test_streaming_pretrain_ingest_composition(spark, tmp_path):
     """SURVEY §7.1 duality at PIPELINE level: quality screen (stateless
     Column exprs run unchanged on the stream) -> first_seen_stream exact
