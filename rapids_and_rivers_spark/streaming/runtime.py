@@ -381,6 +381,34 @@ class StreamingRapid(AbstractRapid):
             if len(self._rivers) > 1:
                 parsed.unpersist()
 
+    def replay_dlq(
+        self, spark: SparkSession, dlq_path: str, river_name: str | None = None
+    ) -> int:
+        """Re-dispatch dead-letter messages through the registered
+        (presumably fixed) rivers and return how many were replayed.
+
+        Reads the DLQ parquet written by :meth:`set_dlq_parquet`,
+        optionally filtered to the river that rejected them, and runs
+        one batch dispatch over the original ``(value, key)`` pairs —
+        batch/stream duality means full streaming semantics apply:
+        verdicts re-evaluate, listeners/responders fire, replies hit the
+        sink, and still-failing messages route to THIS rapid's DLQ.
+        Point :meth:`set_dlq_parquet` at a fresh path before replaying,
+        or survivors of the replay append next to their originals.
+
+        This is the operational other half of the reference's error
+        channel: the reference logs rejections (River.kt onError) and
+        leaves replay to the operator; here the DLQ is a table and
+        replay is one call.
+        """
+        df = spark.read.parquet(dlq_path)
+        if river_name is not None:
+            df = df.filter(F.col("river") == river_name)
+        n = df.count()
+        if n:
+            self.process_batch(df.select("value", "key"), batch_id=-1)
+        return n
+
     # -- lifecycle -------------------------------------------------------------
 
     def start(

@@ -176,6 +176,60 @@ def test_python_packet_handlers_on_executors(spark, tmp_path):
     assert all(v["@forårsaket_av"]["event_name"] == "need" for v in values)
 
 
+def test_dlq_replay_after_fix(spark, tmp_path):
+    """Operational error-channel closure: messages rejected into the DLQ
+    are replayed through a FIXED river with one call — newly-passing
+    messages produce replies; still-broken ones land in the replay
+    rapid's own DLQ."""
+    src = str(tmp_path / "in")
+    out1, dlq1, ck1 = (str(tmp_path / p) for p in ("out1", "dlq1", "ck1"))
+    write_messages(
+        src,
+        [
+            json.dumps({"@event_name": "order", "amount": 5}),
+            # rejected by v1 (missing 'amount'), fine for v2
+            json.dumps({"@event_name": "order", "amt": 7}),
+            # broken for both versions
+            json.dumps({"@event_name": "other"}),
+        ],
+    )
+    strict = River("orders").validate(
+        P.require_value("@event_name", "order"), P.require_key("amount")
+    )
+    strict.respond(
+        lambda p: p.select(F.lit('{"ok":1}').alias("value"), F.col("key"))
+    )
+    rapid1 = (
+        StreamingRapid.from_text_files(spark, src, "app", "i-1")
+        .register(strict)
+        .set_sink_parquet(out1)
+        .set_dlq_parquet(dlq1)
+    )
+    rapid1.run_available(ck1)
+    assert len(read_parquet_values(spark, out1)) == 1  # only the valid order
+    assert spark.read.parquet(dlq1).count() == 2
+
+    # the FIX: accept amt as an alternative; replay the dead letters
+    out2, dlq2 = str(tmp_path / "out2"), str(tmp_path / "dlq2")
+    fixed = River("orders").validate(
+        P.require_value("@event_name", "order"), P.require_key("amt")
+    )
+    fixed.respond(
+        lambda p: p.select(F.lit('{"ok":1}').alias("value"), F.col("key"))
+    )
+    rapid2 = (
+        StreamingRapid(spark, "app", "i-2")
+        .register(fixed)
+        .set_sink_parquet(out2)
+        .set_dlq_parquet(dlq2)
+    )
+    replayed = rapid2.replay_dlq(spark, dlq1, river_name="orders")
+    assert replayed == 2
+    assert len(read_parquet_values(spark, out2)) == 1  # the amt=7 order now passes
+    still_dead = spark.read.parquet(dlq2)
+    assert still_dead.count() == 1  # the 'other' message remains dead
+
+
 def test_listener_exception_crash_stops_the_query(spark, tmp_path):
     """Crash-stop parity (S7, KafkaRapid.kt consume loop): an exception
     escaping a packet listener FAILS the streaming query — errors are
