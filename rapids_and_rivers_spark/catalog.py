@@ -3030,6 +3030,97 @@ def semantic_dedup(spark, sf_dir):
 
 
 @register(
+    "rolling_7d_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+           round(avg(revenue) OVER (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
+             AS avg_7d,
+           CAST(count(*) OVER (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS days_in_window
+    FROM daily
+    """,
+    doc="trailing 7-day moving average of daily revenue — the RANGE-frame "
+    "(event-time interval) window over a pre-aggregated day table: the "
+    "heavy groupBy collapses the fact table to one row per day FIRST, so "
+    "the single-partition ordered window runs over O(days) rows, never "
+    "the raw orders (the safe shape for time-frame windows at 100 TB)",
+)
+def rolling_7d_revenue(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = (
+        W.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.round(F.avg("revenue").over(w), 2).alias("avg_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("days_in_window"),
+    )
+
+
+@register(
+    "revenue_pareto",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT sum(revenue) AS t FROM per_cust),
+    ranked AS (
+      SELECT o_custkey, revenue,
+             row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rk,
+             sum(revenue) OVER (ORDER BY revenue DESC, o_custkey) AS cum
+      FROM per_cust
+    )
+    SELECT rk, o_custkey, revenue,
+           round(cum / tot.t, 6) AS cum_share,
+           (round(cum / tot.t, 6) <= 0.8) AS in_top80
+    FROM ranked CROSS JOIN tot
+    WHERE rk <= 100
+    """,
+    doc="Pareto (80/20) revenue concentration: customers ranked by "
+    "revenue with cumulative share and a top-80% flag (first 100 ranks). "
+    "The global sort runs over the PRE-AGGREGATED per-customer rollup "
+    "(|customers| rows, not |orders|), and the corpus total is a driver "
+    "scalar literal — the only full-order window in the catalog and it "
+    "is deliberately on the smallest possible table",
+)
+def revenue_pareto(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    total = float(per_cust.agg(F.sum("revenue")).first()[0])
+    w = W.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    cum_share = F.round(
+        F.sum("revenue").over(w.rowsBetween(W.unboundedPreceding, 0))
+        / F.lit(total),
+        6,
+    )
+    return (
+        per_cust.select(
+            F.row_number().over(w).alias("rk"),
+            "o_custkey",
+            "revenue",
+            cum_share.alias("cum_share"),
+            (cum_share <= 0.8).alias("in_top80"),
+        )
+        .filter(F.col("rk") <= 100)
+    )
+
+
+@register(
     "kmv_daily_distinct",
     """
     WITH hashed AS (

@@ -46,6 +46,15 @@ SCALAR_CROSS_OK = {
     "gap_filled_daily_counts",  # day-spine x type-dim cross: bounded tiny
 }
 
+# queries whose GLOBAL window is deliberate: it runs over a PRE-AGGREGATED
+# table whose size is corpus-independent (O(days) / O(customers)), never
+# the raw input — unlike the quality_deciles anti-pattern this whitelist
+# exists to catch. Justification lives in each entry's doc string.
+GLOBAL_WINDOW_OK = {
+    "rolling_7d_revenue",  # time-RANGE frame over the daily rollup
+    "revenue_pareto",  # cumulative-share ranking over per-customer rollup
+}
+
 
 def audit_plan(name: str, plan: str) -> tuple[list[str], dict[str, int]]:
     flags: list[str] = []
@@ -65,8 +74,9 @@ def audit_plan(name: str, plan: str) -> tuple[list[str], dict[str, int]]:
     # partition-less Window: Window over a child Sort fed by an
     # Exchange SinglePartition = a single-task global sort of the whole
     # input — the quality_deciles anti-pattern; must not regress
-    if re.search(
-        r"Window .*\n[^\n]*Sort .*\n[^\n]*Exchange SinglePartition", plan
+    if (
+        re.search(r"Window .*\n[^\n]*Sort .*\n[^\n]*Exchange SinglePartition", plan)
+        and name not in GLOBAL_WINDOW_OK
     ):
         flags.append("partition-less Window (global single-task sort)")
     return flags, stats
