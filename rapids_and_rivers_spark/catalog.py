@@ -99,6 +99,28 @@ def events_rapid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-BMP media table, persisted once per (session, sf_dir).
+
+    Like :func:`events_rapid`, the BMP corpus is query INPUT — in a real
+    deployment the media bytes already exist in object storage; generating
+    them is corpus construction, not the decode/resize work the multimodal
+    queries measure. The bench warms this cache outside the timed loop
+    (VERDICT r3 task 7) so ``multimodal_features``/``multimodal_resize``
+    time the byte-parsing path only.
+    """
+    from rapids_and_rivers_spark.operators import multimodal as _M
+
+    cache_key = f"media:{id(spark)}:{sf_dir}"
+    cached = _RAPID_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    df = _M.synthetic_bmp_corpus(docs, id_col="doc_id", width=15, height=9).persist()
+    _RAPID_CACHE[cache_key] = df
+    return df
+
+
 def _build_events_rapid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rapid is per-row JSON construction over every event: spread an
     # under-partitioned local scan so the build uses all cores
@@ -3091,10 +3113,12 @@ def rolling_7d_revenue(spark, sf_dir):
     """,
     doc="Pareto (80/20) revenue concentration: customers ranked by "
     "revenue with cumulative share and a top-80% flag (first 100 ranks). "
-    "The global sort runs over the PRE-AGGREGATED per-customer rollup "
-    "(|customers| rows, not |orders|), and the corpus total is a driver "
-    "scalar literal — the only full-order window in the catalog and it "
-    "is deliberately on the smallest possible table",
+    "The top-100 is taken BEFORE the cumulative window (cum-share at "
+    "rank k depends only on rows ranked <= k, so limiting first is "
+    "semantics-preserving): the plan is a parallel TakeOrderedAndProject "
+    "over the per-customer rollup, and the single-partition window sort "
+    "sees exactly 100 rows regardless of corpus size. The corpus total "
+    "is a driver scalar literal",
 )
 def revenue_pareto(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
@@ -3102,21 +3126,23 @@ def revenue_pareto(spark, sf_dir):
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
     total = float(per_cust.agg(F.sum("revenue")).first()[0])
+    # Top-k BEFORE the window: cum-share at rank k only aggregates rows
+    # with rank <= k, so restricting the window's input to the top 100
+    # (same order key) yields identical output while the global sort
+    # becomes a distributed TakeOrderedAndProject of 100 rows.
+    top = per_cust.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(100)
     w = W.orderBy(F.desc("revenue"), F.asc("o_custkey"))
     cum_share = F.round(
         F.sum("revenue").over(w.rowsBetween(W.unboundedPreceding, 0))
         / F.lit(total),
         6,
     )
-    return (
-        per_cust.select(
-            F.row_number().over(w).alias("rk"),
-            "o_custkey",
-            "revenue",
-            cum_share.alias("cum_share"),
-            (cum_share <= 0.8).alias("in_top80"),
-        )
-        .filter(F.col("rk") <= 100)
+    return top.select(
+        F.row_number().over(w).alias("rk"),
+        "o_custkey",
+        "revenue",
+        cum_share.alias("cum_share"),
+        (cum_share <= 0.8).alias("in_top80"),
     )
 
 
@@ -3570,8 +3596,7 @@ from rapids_and_rivers_spark.operators import multimodal as M  # noqa: E402
     "same plan shape",
 )
 def multimodal_features(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    media = M.synthetic_bmp_corpus(docs, id_col="doc_id", width=15, height=9)
+    media = media_corpus(spark, sf_dir)
     return M.extract_features(media)
 
 
@@ -3604,8 +3629,7 @@ def multimodal_features(spark, sf_dir):
     "mapInPandas body",
 )
 def multimodal_resize(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    media = M.synthetic_bmp_corpus(docs, id_col="doc_id", width=15, height=9)
+    media = media_corpus(spark, sf_dir)
     return M.extract_features(M.resize_images(media, new_w=8, new_h=5))
 
 

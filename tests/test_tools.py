@@ -1,0 +1,264 @@
+"""Regression tests for the tools/ gate scripts themselves.
+
+The round's correctness + scale evidence rests on tools/explain_audit.py,
+tools/check_oracle.py and tools/bench_compare.py — these tests pin their
+behavior on synthetic inputs, including the deliberately-bad cases the
+gates exist to catch (VERDICT r3 task 9).
+"""
+
+import json
+import math
+import os
+import sys
+import textwrap
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import explain_audit  # noqa: E402
+import check_oracle  # noqa: E402
+import bench_compare  # noqa: E402
+
+
+# ---------------------------------------------------------------- plans
+
+def plan(s: str) -> str:
+    return textwrap.dedent(s).strip("\n")
+
+
+GOOD_TIME_AGG_PLAN = plan(
+    """
+    Project [day#12, revenue#6, avg#30]
+    +- Window [avg(revenue#6) windowspecdefinition(day#12 ASC) AS avg#30], [day#12 ASC]
+       +- *(4) Sort [day#12 ASC NULLS FIRST], false, 0
+          +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+             +- *(3) HashAggregate(keys=[day#12], functions=[sum(price#3)], output=[day#12, revenue#6])
+                +- Exchange hashpartitioning(day#12, 32), ENSURE_REQUIREMENTS, [plan_id=5]
+                   +- *(1) HashAggregate(keys=[day#12], functions=[partial_sum(price#3)], output=[day#12, sum#22])
+                      +- *(1) Project [cast(ts#45 as date) AS day#12, price#3]
+                         +- FileScan parquet [ts#45,price#3]
+    """
+)
+
+GOOD_LIMIT_PLAN = plan(
+    """
+    Project [rk#30, o_custkey#1L, revenue#6]
+    +- Window [row_number() windowspecdefinition(revenue#6 DESC) AS rk#30], [revenue#6 DESC]
+       +- *(2) Sort [revenue#6 DESC NULLS LAST], false, 0
+          +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+             +- TakeOrderedAndProject(limit=100, orderBy=[revenue#6 DESC], output=[o_custkey#1L,revenue#6])
+                +- *(1) HashAggregate(keys=[o_custkey#1L], functions=[sum(price#3)])
+                   +- FileScan parquet [o_custkey#1L,price#3]
+    """
+)
+
+BAD_UNBOUNDED_AGG_PLAN = plan(
+    """
+    Project [rk#30, o_custkey#1L, revenue#6]
+    +- Window [row_number() windowspecdefinition(revenue#6 DESC) AS rk#30], [revenue#6 DESC]
+       +- *(2) Sort [revenue#6 DESC NULLS LAST], false, 0
+          +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+             +- *(1) HashAggregate(keys=[o_custkey#1L], functions=[sum(price#3)], output=[o_custkey#1L, revenue#6])
+                +- FileScan parquet [o_custkey#1L,price#3]
+    """
+)
+
+BAD_RAW_SCAN_PLAN = plan(
+    """
+    Window [ntile(10) windowspecdefinition(score#4 ASC) AS decile#9], [score#4 ASC]
+    +- *(1) Sort [score#4 ASC NULLS FIRST], false, 0
+       +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]
+          +- FileScan parquet [doc_id#1,score#4]
+    """
+)
+
+PARTITIONED_WINDOW_PLAN = plan(
+    """
+    Window [row_number() windowspecdefinition(k#1, v#2 DESC) AS rk#9], [k#1], [v#2 DESC]
+    +- *(1) Sort [k#1 ASC, v#2 DESC], false, 0
+       +- Exchange hashpartitioning(k#1, 32), ENSURE_REQUIREMENTS, [plan_id=3]
+          +- FileScan parquet [k#1,v#2]
+    """
+)
+
+
+class TestGlobalWindowBounded:
+    def test_time_trunc_aggregate_input_is_bounded(self):
+        assert explain_audit.global_window_bounded(GOOD_TIME_AGG_PLAN)
+
+    def test_constant_limit_input_is_bounded(self):
+        assert explain_audit.global_window_bounded(GOOD_LIMIT_PLAN)
+
+    def test_unbounded_key_aggregate_is_flagged(self):
+        assert not explain_audit.global_window_bounded(BAD_UNBOUNDED_AGG_PLAN)
+
+    def test_raw_scan_input_is_flagged(self):
+        assert not explain_audit.global_window_bounded(BAD_RAW_SCAN_PLAN)
+
+    def test_partitioned_window_is_not_the_pattern(self):
+        assert explain_audit.global_window_bounded(PARTITIONED_WINDOW_PLAN)
+
+    def test_single_partition_exchange_without_window_ok(self):
+        p = plan(
+            """
+            CollectLimit 1
+            +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]
+               +- FileScan parquet [a#1]
+            """
+        )
+        assert explain_audit.global_window_bounded(p)
+
+    def test_audit_plan_flags_bad_global_window(self):
+        flags, _ = explain_audit.audit_plan("anything", BAD_UNBOUNDED_AGG_PLAN)
+        assert any("partition-less Window" in f for f in flags)
+
+    def test_audit_plan_accepts_good_global_window_without_whitelist(self):
+        # the r3 name-whitelist is gone: acceptance is structural
+        assert not hasattr(explain_audit, "GLOBAL_WINDOW_OK")
+        flags, _ = explain_audit.audit_plan("any_name_at_all", GOOD_TIME_AGG_PLAN)
+        assert flags == []
+
+
+class TestAuditPlanFlags:
+    def test_batch_eval_python_flagged(self):
+        p = "Project [x#1]\n+- BatchEvalPython [f(x#1)]\n   +- FileScan parquet [x#1]"
+        flags, _ = explain_audit.audit_plan("q", p)
+        assert any("BatchEvalPython" in f for f in flags)
+
+    def test_arrow_eval_python_not_flagged(self):
+        p = "Project [x#1]\n+- ArrowEvalPython [f(x#1)]\n   +- FileScan parquet [x#1]"
+        flags, _ = explain_audit.audit_plan("q", p)
+        assert flags == []
+
+    def test_cartesian_flagged_unless_whitelisted(self):
+        p = "CartesianProduct\n:- FileScan parquet [a#1]\n+- FileScan parquet [b#2]"
+        flags, _ = explain_audit.audit_plan("not_whitelisted", p)
+        assert "CartesianProduct" in flags
+        name = next(iter(explain_audit.SCALAR_CROSS_OK))
+        flags, _ = explain_audit.audit_plan(name, p)
+        assert "CartesianProduct" not in flags
+
+    def test_stats_counts(self):
+        p = (
+            "*(2) Project [a#1]\n"
+            "+- Exchange hashpartitioning(a#1, 32)\n"
+            "   +- BroadcastExchange HashedRelationBroadcastMode\n"
+            "      +- *(1) FileScan parquet [a#1]"
+        )
+        _, stats = explain_audit.audit_plan("q", p)
+        assert stats == {"shuffles": 1, "broadcasts": 1, "scans": 1, "codegen_spans": 2}
+
+
+class TestLiveAuditOnSession(object):
+    """End-to-end: the auditor's verdict on real Spark plans."""
+
+    def test_unpartitioned_window_over_raw_input_flagged(self, spark):
+        from pyspark.sql import functions as F, Window
+
+        df = spark.range(1000).withColumn(
+            "rk", F.row_number().over(Window.orderBy("id"))
+        )
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert not explain_audit.global_window_bounded(p)
+
+    def test_unpartitioned_window_after_limit_ok(self, spark):
+        from pyspark.sql import functions as F, Window
+
+        df = (
+            spark.range(1000)
+            .orderBy(F.desc("id"))
+            .limit(10)
+            .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("id"))))
+        )
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert explain_audit.global_window_bounded(p)
+
+    def test_unpartitioned_window_over_date_rollup_ok(self, spark):
+        from pyspark.sql import functions as F, Window
+
+        df = (
+            spark.range(1000)
+            .withColumn("ts", F.timestamp_seconds(F.col("id") * 3600))
+            .withColumn("day", F.col("ts").cast("date"))
+            .groupBy("day")
+            .agg(F.count("*").alias("n"))
+            .withColumn(
+                "cum", F.sum("n").over(Window.orderBy("day").rowsBetween(-6, 0))
+            )
+        )
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert explain_audit.global_window_bounded(p)
+
+
+# ------------------------------------------------------------ check_oracle
+
+class TestNormalize:
+    def test_null_and_nan_canonicalized(self):
+        df = pd.DataFrame({"a": [None, float("nan")], "b": [1.0, 2.0]})
+        rows = check_oracle.normalize(df)
+        assert rows == [("NULL", "1.000000"), ("NULL", "2.000000")]
+
+    def test_column_order_insensitive(self):
+        d1 = pd.DataFrame({"x": [1], "y": ["a"]})
+        d2 = pd.DataFrame({"y": ["a"], "x": [1]})
+        assert check_oracle.normalize(d1) == check_oracle.normalize(d2)
+
+    def test_row_order_insensitive(self):
+        d1 = pd.DataFrame({"x": [2, 1]})
+        d2 = pd.DataFrame({"x": [1, 2]})
+        assert check_oracle.normalize(d1) == check_oracle.normalize(d2)
+
+    def test_float_rounding_to_6_places(self):
+        d1 = pd.DataFrame({"x": [0.123456]})
+        d2 = pd.DataFrame({"x": [0.123459]})
+        # differ past the 6th decimal -> distinct canonical forms
+        assert check_oracle.normalize(d1) != check_oracle.normalize(d2)
+        d3 = pd.DataFrame({"x": [0.12345600001]})
+        d4 = pd.DataFrame({"x": [0.123456]})
+        assert check_oracle.normalize(d3) == check_oracle.normalize(d4)
+
+    def test_value_mismatch_detected(self):
+        d1 = pd.DataFrame({"x": [1, 2, 3]})
+        d2 = pd.DataFrame({"x": [1, 2, 4]})
+        assert check_oracle.normalize(d1) != check_oracle.normalize(d2)
+
+
+# ----------------------------------------------------------- bench_compare
+
+class TestBenchCompare:
+    def test_load_full_dict(self, tmp_path):
+        p = tmp_path / "b.json"
+        p.write_text(json.dumps({"queries": {"q1": 1.5, "q2": 2.0}}))
+        assert bench_compare.load_queries(str(p)) == {"q1": 1.5, "q2": 2.0}
+
+    def test_load_parsed_fallback(self, tmp_path):
+        p = tmp_path / "b.json"
+        p.write_text(json.dumps({"parsed": {"queries": {"q1": 3.0}}}))
+        assert bench_compare.load_queries(str(p)) == {"q1": 3.0}
+
+    def test_load_tail_regex_fallback_drops_non_query_keys(self, tmp_path):
+        p = tmp_path / "b.json"
+        tail = '{"metric": "total", "value": 9.9, "sf": 0.1, "queries": {"q1": 1.25, "q2": 0.5}}'
+        p.write_text(json.dumps({"tail": tail}))
+        q = bench_compare.load_queries(str(p))
+        assert q == {"q1": 1.25, "q2": 0.5}
+
+    def test_median_entries_preferred_when_present(self, tmp_path):
+        # BENCH_full.json (r4+) carries per-query medians; load_queries
+        # must prefer them over single-pass numbers for comparisons
+        p = tmp_path / "b.json"
+        p.write_text(
+            json.dumps(
+                {
+                    "queries": {"q1": 9.0},
+                    "queries_median": {"q1": 1.0},
+                }
+            )
+        )
+        assert bench_compare.load_queries(str(p)) == {"q1": 1.0}

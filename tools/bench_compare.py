@@ -21,6 +21,10 @@ import sys
 def load_queries(path: str) -> dict[str, float]:
     with open(path) as f:
         data = json.load(f)
+    # r4+ artifacts carry per-query medians-of-N — the load-robust number
+    # (VERDICT r3 "What's wrong" #3); prefer them over single-pass times
+    if isinstance(data.get("queries_median"), dict):
+        return {k: float(v) for k, v in data["queries_median"].items()}
     if isinstance(data.get("queries"), dict):
         return {k: float(v) for k, v in data["queries"].items()}
     parsed = data.get("parsed")

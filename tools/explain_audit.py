@@ -46,14 +46,129 @@ SCALAR_CROSS_OK = {
     "gap_filled_daily_counts",  # day-spine x type-dim cross: bounded tiny
 }
 
-# queries whose GLOBAL window is deliberate: it runs over a PRE-AGGREGATED
-# table whose size is corpus-independent (O(days) / O(customers)), never
-# the raw input — unlike the quality_deciles anti-pattern this whitelist
-# exists to catch. Justification lives in each entry's doc string.
-GLOBAL_WINDOW_OK = {
-    "rolling_7d_revenue",  # time-RANGE frame over the daily rollup
-    "revenue_pareto",  # cumulative-share ranking over per-customer rollup
-}
+# Time-truncation expressions that bound an aggregate's group count by
+# O(days)/O(months) rather than O(rows): a global window over such a
+# rollup stays a constant-size single-task sort at any corpus size.
+_TIME_TRUNC = re.compile(
+    r"date_format\(|date_trunc\(|\btrunc\(|as date\)|"
+    r"\bwindow\(|\byear\(|\bmonth\(|\bweekofyear\(",
+    re.IGNORECASE,
+)
+# AQE / codegen wrapper nodes that sit between the "real" operators in a
+# plan string — transparent for both the up-walk and the down-walk
+_WRAPPER = re.compile(
+    r"^(ShuffleQueryStage|ResultQueryStage|AQEShuffleRead|InputAdapter|"
+    r"WholeStageCodegen|TableCacheQueryStage|InMemoryTableScan)\b"
+)
+_AGG_NODE = re.compile(r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[([^\]]*)\]")
+_PASSTHROUGH = re.compile(
+    r"^(Project|Filter|ColumnarToRow|InputAdapter|Coalesce|"
+    r"AQEShuffleRead|ShuffleQueryStage|ResultQueryStage|Exchange|Sort|"
+    r"WholeStageCodegen|TableCacheQueryStage|InMemoryTableScan|"
+    r"InMemoryRelation)\b"
+)
+
+
+def _node_text(line: str) -> str:
+    """Strip tree markers (+- :- | spaces) and codegen '*(N) ' prefixes."""
+    s = re.sub(r"^[\s+:|-]*", "", line)
+    return re.sub(r"^\*\(\d+\)\s*", "", s)
+
+
+def _node_depth(line: str) -> int:
+    m = re.search(r"[\w*=]", line)
+    return m.start() if m else len(line)
+
+
+def _subtree_lines(lines: list[str], idx: int) -> list[str]:
+    """Lines strictly below lines[idx] in its plan subtree (deeper indent)."""
+    d = _node_depth(lines[idx])
+    out = []
+    for line in lines[idx + 1:]:
+        if line.strip() and _node_depth(line) <= d and not line.lstrip().startswith("=="):
+            break
+        out.append(line)
+    return out
+
+
+def global_window_bounded(plan: str) -> bool:
+    """Structural check for every partition-less Window in a physical plan.
+
+    A `Window <- Sort <- Exchange SinglePartition` chain is a single-task
+    global sort of its input. It is acceptable ONLY if that input is
+    provably bounded, i.e. the exchange's subtree (skipping Project/Filter
+    wrappers) is rooted at either:
+
+    - a constant limit (`GlobalLimit` / `TakeOrderedAndProject` /
+      `LocalLimit`) — top-k before the window; or
+    - an Aggregate whose grouping keys are time-truncations
+      (date_trunc / cast-to-date / date_format / window / year / month) —
+      group count is O(days), corpus-independent. The trunc may appear
+      directly in `keys=[...]` or in the Project that defines the key
+      attribute (`... AS day#12`) anywhere below the aggregate.
+
+    Anything else (e.g. an aggregate keyed by an unbounded id, or a raw
+    scan) is the quality_deciles anti-pattern and must be flagged.
+    """
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # only exchanges feeding a Sort under a Window are the anti-pattern;
+        # walk UP: nearest shallower ancestors must be Sort then Window.
+        d = _node_depth(line)
+        ancestors = []
+        for j in range(i - 1, -1, -1):
+            dj = _node_depth(lines[j])
+            if lines[j].strip() and dj < d:
+                text = _node_text(lines[j])
+                d = dj
+                if _WRAPPER.match(text):
+                    continue  # AQE wrappers are transparent
+                ancestors.append(text)
+            if len(ancestors) >= 3:
+                break
+        if not (
+            ancestors
+            and ancestors[0].startswith("Sort")
+            and any(a.startswith(("Window", "WindowGroupLimit")) for a in ancestors[1:])
+        ):
+            continue
+        sub = _subtree_lines(lines, i)
+        # walk the direct-child chain through pass-through nodes to the
+        # first "real" operator under the exchange
+        bounded = False
+        for k, child in enumerate(sub):
+            if not child.strip():
+                continue
+            text = _node_text(child)
+            if re.match(r"^(GlobalLimit|LocalLimit|TakeOrderedAndProject)\b", text):
+                bounded = True
+                break
+            m = _AGG_NODE.match(text)
+            if m:
+                keys = m.group(2)
+                if _TIME_TRUNC.search(keys):
+                    bounded = True
+                    break
+                # keys are attribute refs: find their defining expression
+                # (`<trunc-expr> AS day#12`) anywhere below the aggregate
+                attrs = re.findall(r"(\w+#\d+)", keys)
+                below = "\n".join(_subtree_lines(sub, k))
+                bounded = bool(attrs) and all(
+                    any(
+                        _TIME_TRUNC.search(below[max(0, dm.start() - 200):dm.start()])
+                        for dm in re.finditer(re.escape(f"AS {a}"), below)
+                    )
+                    for a in attrs
+                )
+                break
+            if _PASSTHROUGH.match(text):
+                continue
+            break  # raw scan / join / anything unbounded
+        if not bounded:
+            return False
+    return True
 
 
 def audit_plan(name: str, plan: str) -> tuple[list[str], dict[str, int]]:
@@ -73,12 +188,12 @@ def audit_plan(name: str, plan: str) -> tuple[list[str], dict[str, int]]:
         flags.append("row-at-a-time Python UDF (BatchEvalPython)")
     # partition-less Window: Window over a child Sort fed by an
     # Exchange SinglePartition = a single-task global sort of the whole
-    # input — the quality_deciles anti-pattern; must not regress
-    if (
-        re.search(r"Window .*\n[^\n]*Sort .*\n[^\n]*Exchange SinglePartition", plan)
-        and name not in GLOBAL_WINDOW_OK
-    ):
-        flags.append("partition-less Window (global single-task sort)")
+    # input — the quality_deciles anti-pattern; must not regress.
+    # Structural check (no name whitelist): the global sort is accepted
+    # only if its input is provably bounded (constant limit below, or a
+    # time-trunc-keyed aggregate) — see global_window_bounded().
+    if not global_window_bounded(plan):
+        flags.append("partition-less Window over unbounded input (global single-task sort)")
     return flags, stats
 
 
