@@ -58,6 +58,35 @@ def _iso(ts) -> str:
     return pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%S.%f")
 
 
+def _round_half_up(x: float, ndigits: int) -> float:
+    """HALF_UP rounding matching Spark's ``F.round`` on doubles.
+
+    The streaming pandas handlers must round exactly like their batch
+    duals or the pinned batch/stream duality breaks on exact .5 ties
+    (Python ``round`` is banker's half-even; Spark's is HALF_UP on the
+    double's shortest decimal representation — ``repr(x)`` mirrors
+    ``Double.toString``). ADVICE r3.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-ndigits), rounding=ROUND_HALF_UP)
+    )
+
+
+def read_epoch_table(spark, path: str) -> DataFrame:
+    """Read a table written as per-epoch subdirectories (``e{N}/``).
+
+    The foreachBatch stages write every output under an epoch-versioned
+    subdir with ``mode('overwrite')`` so at-least-once epoch replay is
+    idempotent (a replayed epoch overwrites its own directory instead of
+    double-appending — ADVICE r3). This helper is the matching reader:
+    plain ``spark.read.parquet(dir)`` does not descend into non-partition
+    subdirs, so it sets ``recursiveFileLookup``.
+    """
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
 def _scd2_walk(pdf: pd.DataFrame, open_state, open_from):
     """Shared transition walk: (sorted records, open interval) ->
     (closed interval rows, new open interval). Pure pandas, used by both
@@ -219,12 +248,29 @@ def first_seen_stream(
 # --- incremental tf-idf ------------------------------------------------------
 
 
-def _latest_version(state_dir: str, name: str) -> str | None:
+def _latest_version(
+    state_dir: str, name: str, before_epoch: int | None = None
+) -> str | None:
+    """Latest ``v{N}`` snapshot dir, optionally restricted to N strictly
+    below ``before_epoch``.
+
+    foreachBatch is at-least-once: when epoch E replays after a
+    mid-stage crash, E's OWN partially-written snapshot may already be
+    on disk — reading it back as "previous" state would double-count
+    (ADVICE r3). Stages therefore pass ``before_epoch=E`` so the merge
+    base is always a snapshot from a fully-committed earlier epoch.
+    """
     root = os.path.join(state_dir, name)
     if not os.path.isdir(root):
         return None
     versions = sorted(
-        (d for d in os.listdir(root) if d.startswith("v")),
+        (
+            d
+            for d in os.listdir(root)
+            if d.startswith("v")
+            and d[1:].isdigit()
+            and (before_epoch is None or int(d[1:]) < before_epoch)
+        ),
         key=lambda d: int(d[1:]),
     )
     return os.path.join(root, versions[-1]) if versions else None
@@ -234,13 +280,19 @@ def tfidf_foreach_batch(state_dir: str, text_col: str = "text",
                         id_col: str = "doc_id"):
     """foreachBatch stage maintaining incremental tf-idf statistics.
 
-    Per micro-batch: tokenize ONLY the new documents, append their
-    ``(doc_id, token, tf)`` rows to the ``doc_tf`` table, and merge the
-    batch's token document-frequencies into ``token_df`` — written as an
-    epoch-versioned snapshot (``token_df/v{epoch}``) so the merge is an
-    atomic directory swap, never a read-modify-write of a live path, and
-    re-running an epoch after restart overwrites idempotently instead of
-    double-counting. ``n_docs`` accumulates the same way.
+    Per micro-batch: tokenize ONLY the new documents, write their
+    ``(doc_id, token, tf)`` rows under an epoch-versioned ``doc_tf``
+    subdir, and merge the batch's token document-frequencies into
+    ``token_df`` — written as an epoch-versioned snapshot
+    (``token_df/v{epoch}``) so the merge is an atomic directory swap,
+    never a read-modify-write of a live path. ``n_docs`` accumulates the
+    same way.
+
+    Restart idempotency (foreachBatch is at-least-once, ADVICE r3): every
+    write for epoch E lands under E's own subdir with ``overwrite``, and
+    the merge base is the latest snapshot with version strictly BELOW E —
+    so replaying E after a mid-stage crash rewrites exactly E's outputs
+    and never double-counts a term frequency or document.
 
     At 100 TB the win is that the heavy work (corpus tokenize+explode)
     happens exactly once per document on arrival; the stats tables the
@@ -256,13 +308,15 @@ def tfidf_foreach_batch(state_dir: str, text_col: str = "text",
             ).alias("token"),
         ).filter(F.length("token") >= 3)
         tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-        tf.write.mode("append").parquet(os.path.join(state_dir, "doc_tf"))
+        tf.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "doc_tf", f"v{epoch_id}")
+        )
 
         batch_docs = batch_df.select(id_col).distinct().count()
         batch_df_counts = tf.groupBy("token").agg(
             F.count(F.lit(1)).alias("df")
         )
-        prev = _latest_version(state_dir, "token_df")
+        prev = _latest_version(state_dir, "token_df", before_epoch=epoch_id)
         if prev is not None:
             merged = (
                 spark.read.parquet(prev)
@@ -275,7 +329,7 @@ def tfidf_foreach_batch(state_dir: str, text_col: str = "text",
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, "token_df", f"v{epoch_id}")
         )
-        prev_n = _latest_version(state_dir, "n_docs")
+        prev_n = _latest_version(state_dir, "n_docs", before_epoch=epoch_id)
         n = batch_docs + (
             spark.read.parquet(prev_n).first()["n"] if prev_n is not None else 0
         )
@@ -293,7 +347,7 @@ def tfidf_from_stats(spark, state_dir: str, top_k: int = 3) -> DataFrame:
     bit-stable), but the corpus is never re-read."""
     from pyspark.sql import Window as W
 
-    tf = spark.read.parquet(os.path.join(state_dir, "doc_tf"))
+    tf = read_epoch_table(spark, os.path.join(state_dir, "doc_tf"))
     df_ = spark.read.parquet(_latest_version(state_dir, "token_df"))
     n_docs = float(spark.read.parquet(_latest_version(state_dir, "n_docs")).first()["n"])
     ranked = (
@@ -366,7 +420,7 @@ def kmv_distinct_stream(
         n_seen = len(bottom)
         uk = bottom[k - 1] if n_seen == k else None
         est = (
-            round((k - 1) / (uk / KMV_DOMAIN), 4)
+            _round_half_up((k - 1) / (uk / KMV_DOMAIN), 4)
             if uk is not None
             else float(n_seen)
         )
@@ -460,7 +514,7 @@ def zscore_stream(
             for v in pdf["value"]:
                 var = m2 / n if n > 0 else 0.0
                 if n >= min_prior and var > 0:
-                    z = round((v - mean) / math.sqrt(var), ndigits)
+                    z = _round_half_up((v - mean) / math.sqrt(var), ndigits)
                     zs.append(z)
                     flags.append(abs(z) >= threshold)
                 else:
@@ -506,12 +560,25 @@ def ivf_ingest_foreach_batch(codebook: list, out_dir: str, emb_col: str = "c_emb
     identical results to batch indexing, and a probe of ``nprobe`` cells
     is a partition-pruned read (`cell=` directories), never a full scan
     of the accumulated corpus.
+
+    Restart idempotency (ADVICE r3 pattern): rows carry their epoch and
+    the write is a DYNAMIC partition overwrite of ``(epoch, cell)`` — a
+    replayed epoch rewrites exactly its own partitions, never appending
+    duplicates, while ``cell=`` pruning keeps working for probes (the
+    extra ``epoch`` partition level is transparent to readers).
     """
     from rapids_and_rivers_spark.operators.similarity import assign_cells
 
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
-        assigned = assign_cells(batch_df, codebook, emb_col=emb_col)
-        assigned.write.mode("append").partitionBy("cell").parquet(out_dir)
+        assigned = assign_cells(batch_df, codebook, emb_col=emb_col).withColumn(
+            "epoch", F.lit(int(epoch_id))
+        )
+        (
+            assigned.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "cell")
+            .parquet(out_dir)
+        )
 
     return stage
 
@@ -536,9 +603,16 @@ def minhash_index_foreach_batch(
     joining the NEW bands against the accumulated bands (new-old and
     new-new — old-old pairs were found in earlier batches and are never
     recomputed, which is the incremental win), and Jaccard verification
-    runs on candidates only. Verified pairs append to ``pairs_dir``; the
+    runs on candidates only. Verified pairs land in ``pairs_dir``; the
     union over all batches equals the batch operator's output on the
     full corpus (pinned by test).
+
+    Restart idempotency (ADVICE r3): bands, shingles and pairs are all
+    written under per-epoch subdirs (``v{epoch}``) with ``overwrite`` —
+    an at-least-once epoch replay rewrites its own directories instead
+    of appending duplicate band rows (which would multiply candidates
+    and verified-pair rows). Read the accumulated tables back with
+    :func:`read_epoch_table`.
 
     At 100 TB the index tables are the persistent artifact: per-day
     ingest touches |new| signatures and |new ⋈ index| candidates, never
@@ -580,13 +654,16 @@ def minhash_index_foreach_batch(
                 )
             ).alias("bb"),
         ).select("id", "bb.band", "bb.band_hash")
-        # append new docs to the index FIRST so the candidate join sees
-        # new-new pairs too (old-old pairs never recompute)
-        banded.write.mode("append").parquet(os.path.join(index_dir, "bands"))
-        base.select("id", "shingles").write.mode("append").parquet(
-            os.path.join(index_dir, "shingles")
+        # write new docs to the index FIRST so the candidate join sees
+        # new-new pairs too (old-old pairs never recompute); per-epoch
+        # subdir + overwrite = idempotent under epoch replay
+        banded.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "bands", f"v{epoch_id}")
         )
-        all_bands = spark.read.parquet(os.path.join(index_dir, "bands"))
+        base.select("id", "shingles").write.mode("overwrite").parquet(
+            os.path.join(index_dir, "shingles", f"v{epoch_id}")
+        )
+        all_bands = read_epoch_table(spark, os.path.join(index_dir, "bands"))
         cand = (
             all_bands.alias("l")
             .join(
@@ -601,7 +678,7 @@ def minhash_index_foreach_batch(
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-        shingle_tbl = spark.read.parquet(os.path.join(index_dir, "shingles"))
+        shingle_tbl = read_epoch_table(spark, os.path.join(index_dir, "shingles"))
         verified = (
             cand.join(
                 shingle_tbl.select(
@@ -624,7 +701,9 @@ def minhash_index_foreach_batch(
             )
             .filter(F.col("jaccard") >= threshold)
         )
-        verified.write.mode("append").parquet(pairs_dir)
+        verified.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"v{epoch_id}")
+        )
         base.unpersist()
 
     return stage

@@ -554,8 +554,15 @@ def test_ivf_ingest_foreach_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    # cell-partitioned layout on disk
-    assert any(d.startswith("cell=") for d in _os.listdir(out_dir))
+    # (epoch, cell)-partitioned layout on disk: cell pruning still works,
+    # epoch level makes replay a dynamic partition overwrite (idempotent)
+    epoch_dirs = [d for d in _os.listdir(out_dir) if d.startswith("epoch=")]
+    assert epoch_dirs
+    assert any(
+        c.startswith("cell=")
+        for d in epoch_dirs
+        for c in _os.listdir(_os.path.join(out_dir, d))
+    )
     index = spark.read.parquet(out_dir)
     assert index.count() == len(rows)
     # assignment identical to the batch path
@@ -670,9 +677,11 @@ def test_minhash_index_foreach_batch_incremental(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
+    from rapids_and_rivers_spark.streaming.duals import read_epoch_table
+
     got = {
         (r.id_a, r.id_b, r.jaccard)
-        for r in spark.read.parquet(pairs_dir).collect()
+        for r in read_epoch_table(spark, pairs_dir).collect()
     }
     full = spark.createDataFrame(
         [(d["doc_id"], d["text"]) for d in b1 + b2], "doc_id long, text string"
@@ -977,3 +986,77 @@ def test_sequence_by_key_state_survives_batches(spark, tmp_path):
         for r in sequence_by_key(batch, "k", "ts").collect()
     }
     assert got_b == expected
+
+
+def test_tfidf_foreach_batch_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch after a crash
+    must not double-append term frequencies or double-count df/n_docs.
+    Drives the stage function directly with a repeated epoch id — the
+    exact contract Structured Streaming gives foreachBatch (ADVICE r3)."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        tfidf_foreach_batch,
+        tfidf_from_stats,
+    )
+
+    state_dir = str(tmp_path / "stats")
+    stage = tfidf_foreach_batch(state_dir)
+    b1 = spark.createDataFrame(
+        [(1, "spark streams data data"), (2, "spark joins data")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "streams window state state")], "doc_id long, text string"
+    )
+    stage(b1, 0)
+    stage(b2, 1)
+    once = {
+        (r.doc_id, r.token, r.tf, r.df, r.tfidf)
+        for r in tfidf_from_stats(spark, state_dir, top_k=3).collect()
+    }
+    # crash-replay of epoch 1 (same batch, same epoch id)
+    stage(b2, 1)
+    replayed = {
+        (r.doc_id, r.token, r.tf, r.df, r.tfidf)
+        for r in tfidf_from_stats(spark, state_dir, top_k=3).collect()
+    }
+    assert replayed == once
+    # n_docs did not double-count doc 3
+    from rapids_and_rivers_spark.streaming.duals import _latest_version
+
+    n = spark.read.parquet(_latest_version(state_dir, "n_docs")).first()["n"]
+    assert n == 3
+
+
+def test_minhash_index_foreach_batch_epoch_replay_is_idempotent(spark, tmp_path):
+    """Replaying an epoch must not append duplicate band/shingle rows
+    (which would multiply candidates and verified pairs) — per-epoch
+    overwrite makes the index and pairs tables replay-stable (ADVICE r3)."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        minhash_index_foreach_batch,
+        read_epoch_table,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog near the river bank today"
+    index_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    stage = minhash_index_foreach_batch(index_dir, pairs_dir, threshold=0.3)
+    b1 = spark.createDataFrame(
+        [(1, body), (2, body.replace("lazy", "sleepy"))], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(20, body.replace("today", "tonight"))], "doc_id long, text string"
+    )
+    stage(b1, 0)
+    stage(b2, 1)
+    pairs_once = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in read_epoch_table(spark, pairs_dir).collect()
+    )
+    bands_once = read_epoch_table(spark, f"{index_dir}/bands").count()
+    # crash-replay of epoch 1
+    stage(b2, 1)
+    pairs_replayed = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in read_epoch_table(spark, pairs_dir).collect()
+    )
+    assert pairs_replayed == pairs_once  # no multiplied pair rows
+    assert read_epoch_table(spark, f"{index_dir}/bands").count() == bands_once
