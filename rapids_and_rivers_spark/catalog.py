@@ -2892,12 +2892,129 @@ def sim_ann_lsh(spark, sf_dir):
     return S.lsh_topk(queries, candidates, dim=64, k=5, n_planes=4)
 
 
+def _ivf_oracle_sql(
+    dim=64, n_cells=16, nprobe=4, k=5, seed=13, sample=512, iters=8, q=1024
+) -> str:
+    """Generate the DuckDB oracle for the IVF queries: a FULL value
+    oracle for an approximate operator, possible because every step is
+    deterministic AND engine-agnostic —
+
+    - the codebook sample is selected/ordered by ``md5('s{seed}-'||id)``
+      (identical hex in Spark and DuckDB — similarity.codebook_sample_order);
+    - the spherical-k-means iterations are unrolled as CTEs, and every
+      centroid element is snapped to the 1/{q} grid with half-up flooring
+      after init and after each update (similarity.lloyd_codebook
+      ``quantize``), so numpy-vs-SQL summation-order float drift cannot
+      compound across iterations;
+    - cell assignment (argmax dot, ties -> lowest cell), probe selection
+      (top-nprobe score, ties -> highest cell, mirroring Spark's
+      reverse(array_sort)), and the rounded-cosine ranking then replicate
+      the Spark plan exactly, as in the sim_ann_lsh oracle.
+    """
+    grid = f"floor(v * {q}.0 + 0.5) / {q}.0"
+    order = f"md5('s{seed}-' || CAST(vec_id AS VARCHAR))"
+    parts = [
+        f"""
+    WITH sample AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS emb,
+             row_number() OVER (ORDER BY {order}) AS sid
+      FROM embeddings WHERE vec_id >= 10
+      ORDER BY {order} LIMIT {sample}
+    ),
+    snorm AS (
+      SELECT sid,
+             CASE WHEN sqrt(list_inner_product(emb, emb)) = 0 THEN emb
+                  ELSE list_transform(emb,
+                         v -> v / sqrt(list_inner_product(emb, emb)))
+             END AS xn
+      FROM sample
+    ),
+    cb0 AS (
+      SELECT sid AS cell, list_transform(xn, v -> {grid}) AS centroid
+      FROM snorm WHERE sid <= {n_cells}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    assign{i} AS (
+      SELECT sid, xn, cell FROM (
+        SELECT s.sid, s.xn, c.cell,
+               row_number() OVER (PARTITION BY s.sid
+                 ORDER BY list_inner_product(s.xn, c.centroid) DESC, c.cell)
+                 AS rnk
+        FROM snorm s CROSS JOIN cb{p} c) WHERE rnk = 1
+    ),
+    mvec{i} AS (
+      SELECT cell, list(m ORDER BY pos) AS mv FROM (
+        SELECT cell, p.range AS pos, avg(xn[p.range + 1]) AS m
+        FROM assign{i}, range({dim}) p GROUP BY cell, p.range)
+      GROUP BY cell
+    ),
+    cb{i} AS (
+      SELECT c.cell,
+             CASE WHEN n.mv IS NULL
+                       OR sqrt(list_inner_product(n.mv, n.mv)) = 0
+                  THEN c.centroid
+                  ELSE list_transform(n.mv,
+                    m -> floor(m / sqrt(list_inner_product(n.mv, n.mv))
+                               * {q}.0 + 0.5) / {q}.0)
+             END AS centroid
+      FROM cb{p} c LEFT JOIN mvec{i} n USING (cell)
+    )"""
+        )
+    parts.append(
+        f""",
+    cands AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    cassign AS (
+      SELECT neighbor_id, emb, cell FROM (
+        SELECT c.neighbor_id, c.emb, cb.cell,
+               row_number() OVER (PARTITION BY c.neighbor_id
+                 ORDER BY list_inner_product(c.emb, cb.centroid) DESC, cb.cell)
+                 AS rnk
+        FROM cands c CROSS JOIN cb{iters} cb) WHERE rnk = 1
+    ),
+    probes AS (
+      SELECT query_id, emb, cell FROM (
+        SELECT qq.vec_id AS query_id, CAST(qq.embedding AS DOUBLE[]) AS emb,
+               cb.cell,
+               row_number() OVER (PARTITION BY qq.vec_id
+                 ORDER BY list_inner_product(CAST(qq.embedding AS DOUBLE[]),
+                                             cb.centroid) DESC, cb.cell DESC)
+                 AS rnk
+        FROM embeddings qq CROSS JOIN cb{iters} cb
+        WHERE qq.vec_id < 10) WHERE rnk <= {nprobe}
+    ),
+    pairs AS (
+      SELECT p.query_id, c.neighbor_id, p.emb AS qe, c.emb AS ce
+      FROM probes p JOIN cassign c USING (cell)
+    )
+    SELECT query_id, neighbor_id,
+           round(list_inner_product(qe, ce)
+                 / (sqrt(list_inner_product(qe, qe))
+                    * sqrt(list_inner_product(ce, ce))), 4) AS cos
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) <= {k}
+    """
+    )
+    return "".join(parts)
+
+
 @register(
     "sim_ann_ivf",
-    None,  # approximate by construction: driver records rows-only
+    _ivf_oracle_sql(),
     doc="IVF-style ANN: candidates inverted-filed by nearest coarse "
     "centroid, queries probe nprobe cells (scan nprobe/n_cells of the "
-    "corpus instead of all of it)",
+    "corpus instead of all of it). FULL value oracle: the md5-ordered "
+    "sample + grid-quantized Lloyd codebook (similarity.lloyd_codebook "
+    "quantize=1024) is recomputed identically by DuckDB — the unrolled "
+    "k-means CTEs in the oracle derive the same 16 centroids, cells, "
+    "probes, and rounded cosines",
 )
 def sim_ann_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2911,18 +3028,32 @@ def sim_ann_ivf(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"),
         S.as_double_array(F.col("embedding")).alias("c_emb"),
     )
-    return S.ivf_topk(queries, candidates, dim=64, k=5, n_cells=16, nprobe=4)
+    sampled = (
+        candidates.select("neighbor_id", "c_emb")
+        .orderBy(S.codebook_sample_order("neighbor_id", seed=13))
+        .limit(512)
+        .collect()
+    )
+    codebook = S.lloyd_codebook(
+        [list(r["c_emb"]) for r in sampled], 64, 16, iters=8, seed=13,
+        quantize=1024,
+    )
+    return S.ivf_topk(
+        queries, candidates, dim=64, k=5, n_cells=16, nprobe=4,
+        codebook=codebook,
+    )
 
 
 @register(
     "sim_ann_ivf_codebook",
-    None,  # approximate by construction: driver records rows-only
+    _ivf_oracle_sql(),
     doc="IVF ANN from a PRE-MATERIALIZED codebook stats table — the "
     "100 TB mode (similarity.py build_codebook_table): the offline Lloyd "
     "pass produces a (cell, centroid) table saved once; the query loads "
     "n_cells rows (KB) and probes, never re-sampling the corpus. Same "
-    "recall floor as the inline path (>=0.70 pinned in "
-    "tests/test_ann_recall.py) because the codebook is identical",
+    "FULL value oracle as sim_ann_ivf (the quantized codebook is "
+    "identical by construction); recall >=0.70 pinned in "
+    "tests/test_ann_recall.py",
 )
 def sim_ann_ivf_codebook(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")

@@ -131,7 +131,12 @@ def lsh_bucket(col: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Colu
 
 
 def lloyd_codebook(
-    sample: list[list[float]], dim: int, n_cells: int, iters: int = 4, seed: int = 7
+    sample: list[list[float]],
+    dim: int,
+    n_cells: int,
+    iters: int = 8,
+    seed: int = 13,
+    quantize: int | None = None,
 ) -> list[list[float]]:
     """Spherical k-means codebook from a (small, driver-side) sample:
     init = first ``n_cells`` sample vectors, then ``iters`` Lloyd passes
@@ -139,15 +144,30 @@ def lloyd_codebook(
     member mean; empty cells keep their previous centroid). Pure numpy on
     a kilobyte-scale sample — deterministic for a deterministic sample.
     Degenerate samples (< n_cells rows) pad with deterministic planes.
+
+    ``quantize=q`` snaps every centroid element (init and each update) to
+    the 1/q grid via half-up flooring (``floor(x*q + 0.5)/q`` — identical
+    semantics in numpy and ANSI SQL). This makes the whole iteration
+    CROSS-ENGINE reproducible: summation-order float drift between
+    engines (numpy pairwise vs SQL sequential) is absorbed by the grid at
+    every step instead of compounding across iterations — the property
+    that lets a DuckDB oracle recompute the identical codebook and give
+    the IVF queries a full value oracle (VERDICT r3 task 8). Use a power
+    of two (e.g. 1024) so grid points are exactly representable.
     """
     import numpy as np
+
+    def snap(arr):
+        if quantize is None:
+            return arr
+        return np.floor(arr * quantize + 0.5) / quantize
 
     X = np.asarray(sample, dtype=np.float64).reshape(-1, dim)
     if len(X):
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0] = 1.0
         X = X / norms[:, None]
-    cents = [list(map(float, v)) for v in X[:n_cells]]
+    cents = [list(map(float, snap(v))) for v in X[:n_cells]]
     if len(cents) < n_cells:
         cents += _deterministic_planes(dim, n_cells - len(cents), seed)
     C = np.asarray(cents, dtype=np.float64)
@@ -159,19 +179,29 @@ def lloyd_codebook(
                 m = members.mean(axis=0)
                 length = np.linalg.norm(m)
                 if length > 0:
-                    C[j] = m / length
+                    C[j] = snap(m / length)
     return [list(map(float, c)) for c in C]
+
+
+def codebook_sample_order(cand_id: str = "neighbor_id", seed: int = 13) -> Column:
+    """The deterministic, ENGINE-AGNOSTIC sample ordering for codebook
+    training: ``md5('s{seed}-' || id)``. Spark's ``md5`` and DuckDB's
+    ``md5`` produce the same lowercase hex for the same string, so both
+    engines select and order the identical sample — unlike ``xxhash64``,
+    which only Spark computes."""
+    return F.md5(F.concat(F.lit(f"s{seed}-"), F.col(cand_id).cast("string")))
 
 
 def build_codebook_table(
     candidates: DataFrame,
     dim: int,
     n_cells: int = 16,
-    lloyd_iters: int = 4,
-    seed: int = 7,
+    lloyd_iters: int = 8,
+    seed: int = 13,
     sample_per_cell: int = 32,
     cand_id: str = "neighbor_id",
     emb_col: str = "c_emb",
+    quantize: int | None = 1024,
 ) -> DataFrame:
     """OFFLINE codebook producer for the 100 TB IVF mode: one linear
     hash-ordered TakeOrdered sample pass over the corpus (kilobytes
@@ -179,16 +209,19 @@ def build_codebook_table(
     ``(cell int, centroid array<double>)`` stats DataFrame meant to be
     SAVED (parquet) and reused — the corpus pass happens once; every
     later :func:`ivf_topk` call loads n_cells rows instead of re-sampling
-    a 100 TB table. Deterministic for fixed (seed, corpus).
+    a 100 TB table. Deterministic for fixed (seed, corpus); the md5-based
+    sample order (:func:`codebook_sample_order`) and optional ``quantize``
+    grid make it reproducible by a pure-SQL oracle in ANY engine.
     """
     sampled = (
         candidates.select(cand_id, emb_col)
-        .orderBy(F.xxhash64(F.lit(seed), F.col(cand_id).cast("string")))
+        .orderBy(codebook_sample_order(cand_id, seed))
         .limit(sample_per_cell * n_cells)
         .collect()
     )
     cents = lloyd_codebook(
-        [list(r[emb_col]) for r in sampled], dim, n_cells, lloyd_iters, seed
+        [list(r[emb_col]) for r in sampled], dim, n_cells, lloyd_iters, seed,
+        quantize=quantize,
     )
     spark = candidates.sparkSession
     return spark.createDataFrame(
@@ -244,11 +277,11 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
-    seed: int = 7,
+    seed: int = 13,
     query_id: str = "query_id",
     cand_id: str = "neighbor_id",
     ndigits: int = 4,
-    lloyd_iters: int = 4,
+    lloyd_iters: int = 8,
     sample_per_cell: int = 32,
     codebook: list[list[float]] | None = None,
 ) -> DataFrame:
@@ -270,11 +303,11 @@ def ivf_topk(
 
     Measured recall@5 on the sf0.001 driver embeddings (near-random
     directions, the worst case for sublinear ANN — see
-    tests/test_ann_recall.py for the regime discussion): raw-sample
-    codebook 0.59; with the default 4 Lloyd iterations 0.73 at the
-    same nprobe/n_cells=25% probe cost (converged — 8 iterations gains
-    nothing). Clustered real-world embeddings score far higher at the
-    same cost. The regression floor is pinned at 0.65.
+    tests/test_ann_recall.py for the regime discussion): with the default
+    8 Lloyd iterations, 0.69 inline / 0.73 with the quantized codebook
+    table, at nprobe/n_cells=25% probe cost. Clustered real-world
+    embeddings score far higher at the same cost. The regression floors
+    are pinned at 0.65 (inline) / 0.70 (codebook table).
     """
     if codebook is not None:
         cents = codebook
@@ -283,7 +316,7 @@ def ivf_topk(
     else:
         sampled = (
             candidates.select(cand_id, "c_emb")
-            .orderBy(F.xxhash64(F.lit(seed), F.col(cand_id).cast("string")))
+            .orderBy(codebook_sample_order(cand_id, seed))
             .limit(sample_per_cell * n_cells)
             .collect()
         )
