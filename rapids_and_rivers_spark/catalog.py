@@ -3435,12 +3435,57 @@ def dedup_minhash(spark, sf_dir):
 
 @register(
     "dedup_simhash",
-    None,  # xxhash64-based signature: rows-only
-    doc="SimHash near-dup pairs, hamming<=8, pigeonhole chunk candidates",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))),
+                                '\s+') AS ts
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(ts,
+                 t -> CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT)) AS hs
+      FROM toks WHERE len(ts) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(list_aggregate(list_transform(range(0, 52),
+                 b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1))
+                                > len(hs)
+                           THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END),
+                 'sum') AS BIGINT) AS sig
+      FROM hashed
+    ),
+    chunked AS (
+      SELECT doc_id, sig, c.range AS chunk,
+             (sig >> (c.range * 13)) & 8191 AS chunk_val
+      FROM sig, range(4) c
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sa, b.sig AS sb
+      FROM chunked a
+      JOIN chunked b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+    """,
+    doc="SimHash near-dup pairs, hamming<=8, pigeonhole chunk candidates. "
+    "FULL value oracle (graduated from rows-only in r4): the md5_52 hash "
+    "mode derives 52-bit signatures from per-token md5 hashes both "
+    "engines compute identically, so DuckDB rebuilds every signature "
+    "bit, chunk bucket, candidate pair, and hamming distance. The "
+    "operator's default stays JVM xxhash64 for raw speed; the twin "
+    "simhash_signature_md5 query pins the same bit-vote arithmetic on "
+    "shingle input",
 )
 def dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, col="text", id_col="doc_id", max_hamming=8)
+    return D.simhash_pairs(
+        docs, col="text", id_col="doc_id", max_hamming=8, hash_mode="md5_52"
+    )
 
 
 @register(

@@ -545,24 +545,42 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Candidate generation by the pigeonhole principle: split the 64-bit
+    Candidate generation by the pigeonhole principle: split the
     signature into ``chunks`` pieces; any pair within ``max_hamming``
     must agree on at least one whole chunk when ``max_hamming < chunks``
     — so candidates come from equi-joins on (chunk_index, chunk_value),
     never a cross product. With ``max_hamming >= chunks`` recall is
     approximate (pairs whose differing bits spread across every chunk are
     missed); raise ``chunks`` for exact recall at higher distances.
+
+    ``hash_mode`` selects the per-token hash: ``"xxhash64"`` (default —
+    JVM-side, fastest, 64-bit signatures) or ``"md5_52"`` (bottom 52 bits
+    of md5 — slower, but computable bit-for-bit by ANY engine, which is
+    what lets the dedup_simhash catalog query carry a FULL DuckDB value
+    oracle: both engines derive identical signatures, chunk buckets,
+    candidates, and hamming distances).
     """
-    width = 64 // chunks
+    if hash_mode == "md5_52":
+        nbits = 52
+        token_hash = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 13), 16, 10
+        ).cast("long")
+    elif hash_mode == "xxhash64":
+        nbits = 64
+        token_hash = lambda t: F.xxhash64(t)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+    width = nbits // chunks
     mask = (1 << width) - 1
     toked = spread(df, id_col).select(
         F.col(id_col).alias("id"), tokens(normalized(F.col(col))).alias("toks")
     )
     hashed = toked.select(
-        "id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("hashes")
+        "id", F.transform(F.col("toks"), token_hash).alias("hashes")
     )
     base = hashed.select("id", simhash(F.col("hashes")).alias("sig"))
     # explode_outer: the chunk array is never empty, and plain explode's
