@@ -1,19 +1,20 @@
 #!/usr/bin/env bash
 # One-command pre-round-end gate: every check the judge reproduces, in
 # dependency order, failing fast. Run from the repo root; artifacts
-# (CORRECTNESS_local_r3.json via --json, BENCH_full.json via bench.py)
+# (CORRECTNESS_local_r{N}.json via --json, BENCH_full.json via bench.py)
 # land at HEAD so the evidence chain is committable.
 #
 # Usage: tools/round_gate.sh [sf_dir]    (default /root/testdata/sf0.01)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
+ROUND="${ROUND:-4}"
 
 echo "== 1/5 pytest =="
 python -m pytest tests/ -q
 
 echo "== 2/5 oracle gate ($SF) =="
-python tools/check_oracle.py "$SF" --json CORRECTNESS_local_r3.json
+python tools/check_oracle.py "$SF" --json "CORRECTNESS_local_r${ROUND}.json"
 
 echo "== 3/5 plan audit =="
 python tools/explain_audit.py /root/testdata/sf0.001
