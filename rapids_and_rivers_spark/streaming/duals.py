@@ -926,3 +926,70 @@ def decontaminate_foreach_batch(
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{epoch_id}"))
 
     return stage
+
+
+# --- streaming fuzzy-match (SymSpell) index -----------------------------------
+
+
+def symspell_index_foreach_batch(
+    index_dir: str,
+    pairs_dir: str,
+    col: str = "name",
+    max_dist: int = 1,
+):
+    """Streaming fuzzy-match ingest: an incrementally-growing SymSpell
+    deletion-neighborhood index — the streaming dual of the batch
+    ``symspell_join`` (operators/fuzzy.py), completing the incremental-
+    index family (MinHash-LSH, SemDeDup, and now edit-distance).
+
+    Per micro-batch, ONLY the new distinct strings pay variant-explosion
+    cost; their deletion variants join the ACCUMULATED variant index on
+    the variant key (new-old + new-new candidates; old-old pairs were
+    found in earlier epochs and never recompute), and the exact
+    ``levenshtein`` verify runs on candidates only. The union of
+    per-epoch verified pairs (dedup on the pair key downstream — a value
+    re-arriving in a later batch re-derives its pairs) equals
+    ``symspell_join`` over everything ingested, pinned by test.
+
+    Per-epoch overwrite writes (``variants/v{E}``, ``pairs/v{E}``) make
+    at-least-once epoch replay idempotent; read back with
+    :func:`read_epoch_table`.
+    """
+    from rapids_and_rivers_spark.operators.fuzzy import deletion_variants
+
+    if max_dist != 1:
+        raise ValueError("1-deletion neighborhoods verify edit distance 1 only")
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vals = (
+            batch_df.select(F.col(col).alias("s"))
+            .where(F.col("s").isNotNull())
+            .distinct()
+        )
+        ex = vals.select("s", F.explode(deletion_variants(F.col("s"))).alias("v"))
+        ex.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "variants", f"v{epoch_id}")
+        )
+        all_var = read_epoch_table(spark, os.path.join(index_dir, "variants"))
+        new_var = spark.read.parquet(
+            os.path.join(index_dir, "variants", f"v{epoch_id}")
+        )
+        cand = (
+            all_var.alias("x")
+            .join(new_var.alias("y"), "v")
+            .select(
+                F.least(F.col("x.s"), F.col("y.s")).alias("s_a"),
+                F.greatest(F.col("x.s"), F.col("y.s")).alias("s_b"),
+            )
+            .filter(F.col("s_a") < F.col("s_b"))
+            .distinct()
+        )
+        verified = cand.withColumn(
+            "dist", F.levenshtein("s_a", "s_b").cast("int")
+        ).filter(F.col("dist") <= max_dist)
+        verified.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"v{epoch_id}")
+        )
+
+    return stage

@@ -1225,3 +1225,82 @@ def test_decontaminate_foreach_batch_matches_batch_gate(spark, tmp_path):
     assert got == expected and len(got) == len(rows)
     # the gate actually flags something at sf0.001 (bench docs overlap)
     assert any(c for *_, c in got) or all(not c for *_, c in got)
+
+
+def test_symspell_index_foreach_batch_matches_batch_join(spark, tmp_path):
+    """Streaming SymSpell fuzzy index: strings over two micro-batches;
+    cross-batch edit-distance-1 pairs found via the accumulated variant
+    index; union of per-epoch pairs equals the batch symspell_join."""
+    from rapids_and_rivers_spark.operators.fuzzy import symspell_join
+    from rapids_and_rivers_spark.streaming.duals import (
+        read_epoch_table,
+        symspell_index_foreach_batch,
+    )
+
+    b1 = ["anderson", "andersen", "smith", "jonson"]
+    b2 = ["johnson", "smyth", "anderssen", "baker"]  # johnson~jonson cross-batch
+    stream = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps({"name": s}) for s in b1],
+        [json.dumps({"name": s}) for s in b2],
+        "name string",
+    )
+    index_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    q = (
+        stream.writeStream.foreachBatch(
+            symspell_index_foreach_batch(index_dir, pairs_dir, col="name")
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.s_a, r.s_b, r.dist)
+        for r in read_epoch_table(spark, pairs_dir)
+        .dropDuplicates(["s_a", "s_b"])
+        .collect()
+    }
+    full = spark.createDataFrame([(s,) for s in b1 + b2], "name string")
+    expected = {
+        (r.s_a, r.s_b, r.dist) for r in symspell_join(full, "name").collect()
+    }
+    assert got == expected
+    assert ("johnson", "jonson") in {(a, b) for a, b, _ in got} or (
+        "jonson",
+        "johnson",
+    ) in {(a, b) for a, b, _ in got}  # the cross-batch pair was found
+
+
+def test_symspell_index_epoch_replay_is_idempotent(spark, tmp_path):
+    from rapids_and_rivers_spark.streaming.duals import (
+        read_epoch_table,
+        symspell_index_foreach_batch,
+    )
+
+    index_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    stage = symspell_index_foreach_batch(index_dir, pairs_dir, col="name")
+    b1 = spark.createDataFrame([("smith",), ("smyth",)], "name string")
+    b2 = spark.createDataFrame([("smithe",), ("baker",)], "name string")
+    stage(b1, 0)
+    stage(b2, 1)
+    once = sorted(
+        (r.s_a, r.s_b, r.dist)
+        for r in read_epoch_table(spark, pairs_dir)
+        .dropDuplicates(["s_a", "s_b"])
+        .collect()
+    )
+    n_var = read_epoch_table(spark, f"{index_dir}/variants").count()
+    stage(b2, 1)  # crash-replay
+    replayed = sorted(
+        (r.s_a, r.s_b, r.dist)
+        for r in read_epoch_table(spark, pairs_dir)
+        .dropDuplicates(["s_a", "s_b"])
+        .collect()
+    )
+    assert replayed == once
+    assert read_epoch_table(spark, f"{index_dir}/variants").count() == n_var
+    # smith~smyth (epoch 0), smith~smithe + smyth? dist2 no: expected pairs
+    assert ("smith", "smithe") in {(a, b) for a, b, _ in once}
+    assert ("smith", "smyth") in {(a, b) for a, b, _ in once}
