@@ -169,3 +169,25 @@ def test_lsh_candidate_count_is_sum_of_bucket_products(spark):
     assert actual_pairs < 0.25 * n_q * n_c, (
         f"LSH pair space {actual_pairs} too close to cross product {n_q * n_c}"
     )
+
+
+def test_semdedup_candidate_count_is_sum_of_block_products(spark):
+    """Cost guard for the SemDeDup block join (batch embedding_neardup_pairs
+    and the streaming semdedup_foreach_batch index share this shape): the
+    pre-threshold candidate-pair count must equal sum over blocks of
+    C(|block|, 2) — the structural guarantee that the pair space is
+    bounded by the blocking key, never |corpus|^2."""
+    from rapids_and_rivers_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        S.as_double_array(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    sizes = {r["label"]: r["count"] for r in emb.groupBy("label").count().collect()}
+    expected = sum(n * (n - 1) // 2 for n in sizes.values())
+    total = emb.count()
+    # threshold=-1 accepts every candidate: the output IS the candidate set
+    got = embedding_neardup_pairs(emb, threshold=-1.0).count()
+    assert got == expected
+    assert expected < total * (total - 1) // 2  # strictly below cross product
