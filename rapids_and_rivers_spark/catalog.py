@@ -3516,6 +3516,50 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_shared_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, pos, md5(array_to_string(ts[pos : pos + 5], ' ')) AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 4)) AS pos)
+    ),
+    anch AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, pa - pb AS d, pa, pb,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                     ORDER BY pa) AS grp
+      FROM anch
+    )
+    SELECT id_a, id_b,
+           CAST(min(pa) AS BIGINT) AS a_start,
+           CAST(min(pb) AS BIGINT) AS b_start,
+           CAST(count(*) + 5 AS BIGINT) AS span_tokens
+    FROM runs GROUP BY id_a, id_b, d, grp
+    HAVING count(*) + 5 >= 7
+    """,
+    doc="exact shared-SUBSTRING spans between documents (Lee et al. 2021 "
+    "arXiv:2107.06499 substring dedup, the capability shingle-SET "
+    "similarity cannot express): k=6-gram anchors equi-joined on an md5 "
+    "key, chained along the pos_a - pos_b diagonal via gaps-and-islands "
+    "into maximal verbatim runs >= 7 tokens. FULL value oracle: DuckDB "
+    "rebuilds every anchor, diagonal, run boundary and span length. At "
+    "scale the only shuffles are the gram-hash join and the per-"
+    "(pair,diagonal) window; a common_gram_cap bounds boilerplate "
+    "anchor blowup (uncapped here for exactness)",
+)
+def dedup_shared_spans(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shared_span_runs(
+        docs, col="text", id_col="doc_id", k=6, min_span=7
+    )
+
+
+@register(
     "dedup_keep_list",
     _shingle_cte() + r"""
     pairs AS (

@@ -852,3 +852,103 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# --- exact shared-substring spans (Lee et al. 2021) ---------------------------
+
+
+def shared_span_runs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+    min_span: int = 7,
+    common_gram_cap: int | None = None,
+) -> DataFrame:
+    """Exact shared-SUBSTRING detection between documents: for every doc
+    pair, the maximal runs of tokens that appear verbatim in both — the
+    operator behind "dedup exact substrings >= 50 tokens" from Lee et
+    al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499), which shingle-SET similarity (MinHash /
+    Jaccard) cannot express: a 50-token verbatim quote inside two
+    otherwise-different documents barely moves Jaccard but is exactly
+    what substring dedup must find.
+
+    Distributed construction (no suffix arrays): hash every k-token
+    gram with its position, equi-join grams across documents (8-byte
+    md5-prefix key) into anchors ``(id_a, id_b, pos_a, pos_b)``, then
+    chain anchors along the DIAGONAL ``d = pos_a - pos_b`` — consecutive
+    anchor positions on one diagonal are one contiguous shared run
+    (the gaps-and-islands trick: group key ``pos_a - row_number()``).
+    A run of ``c`` consecutive anchors is a shared span of ``c + k - 1``
+    tokens; runs shorter than ``min_span`` are dropped.
+
+    Scale notes: the only shuffles are the gram-hash equi-join and the
+    per-(pair, diagonal) window — both keyed, never |corpus|² (a pair
+    appears only if it shares a k-gram). Boilerplate k-grams shared by
+    thousands of docs quadratically inflate the anchor join;
+    ``common_gram_cap`` drops grams whose document frequency exceeds the
+    cap BEFORE the join (the standard recall trade — a span composed
+    ONLY of ultra-common grams is then missed; Lee et al. pipelines do
+    the same). Output: ``(id_a, id_b, a_start, b_start, span_tokens)``,
+    positions 1-based.
+    """
+    toked = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(col)), r"\s+").alias("ts"),
+    )
+    n_grams = F.size("ts") - F.lit(k - 1)
+    gram_structs = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(F.col("ts"), i, k), " ")).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    grams = toked.select("id", F.explode(gram_structs).alias("pg")).select(
+        "id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g")
+    )
+    if common_gram_cap is not None:
+        rare = grams.groupBy("g").agg(
+            F.count_distinct("id").alias("gdf")
+        ).filter(F.col("gdf") <= common_gram_cap)
+        grams = grams.join(rare.select("g"), "g")
+    anchors = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    d = (F.col("pa") - F.col("pb")).alias("d")
+    w = W.partitionBy("id_a", "id_b", "d").orderBy("pa")
+    runs = anchors.select("id_a", "id_b", d, "pa", "pb").withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("id_a", "id_b", "d", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("a_start").cast("bigint").alias("a_start"),
+            F.col("b_start").cast("bigint").alias("b_start"),
+            F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        )
+    )

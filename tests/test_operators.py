@@ -359,3 +359,54 @@ def test_minhash_signature_table_materialization_roundtrip(spark, tmp_path):
         .collect()
     }
     assert from_table == direct and len(direct) > 0
+
+
+def test_shared_span_runs_finds_maximal_verbatim_spans(spark):
+    """Constructed docs: a 9-token verbatim quote shared by docs 1 and 2
+    is reported as ONE maximal run (not several overlapping k-gram hits);
+    a gap splits runs; docs shorter than k produce no grams; unrelated
+    docs produce no rows."""
+    from rapids_and_rivers_spark.operators.dedup import shared_span_runs
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {quote} trailing bits"),
+            (2, f"{quote} completely different ending text now"),
+            # doc 3 shares two SEPARATE 6-token pieces with doc 1 -> if
+            # they were adjacent they'd merge; the gap must split them
+            (3, "intro words here alpha beta gamma GAP epsilon zeta eta theta iota trailing"),
+            (4, "totally unrelated content with no overlap whatsoever at all ok"),
+            (5, "tiny doc"),  # shorter than k: no grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.id_a, r.id_b): (r.a_start, r.b_start, r.span_tokens)
+        for r in shared_span_runs(docs, k=6, min_span=6).collect()
+    }
+    # docs 1&2: the quote is 9 tokens; doc1 has 3 tokens before it
+    assert rows[(1, 2)] == (4, 1, 9)
+    # docs 4,5 appear in no pair
+    assert all(4 not in p and 5 not in p for p in rows)
+    # doc3's two fragments are < 6 anchors each after the gap: with k=6
+    # neither 'intro words here alpha beta gamma' (one anchor, span 6)
+    # nor the 5-token tail piece qualifies beyond its own anchor run;
+    # the shared 6-token prefix with doc 1 IS one exact anchor
+    assert rows.get((1, 3), (None, None, None))[2] in (6, None)
+
+
+def test_shared_span_runs_common_gram_cap_drops_boilerplate(spark):
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.operators.dedup import shared_span_runs
+
+    boiler = "subscribe to our newsletter for updates every single day"
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} says {boiler}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    uncapped = shared_span_runs(docs, k=6, min_span=6).count()
+    capped = shared_span_runs(docs, k=6, min_span=6, common_gram_cap=2).count()
+    assert uncapped == 10  # all C(5,2) pairs share the boilerplate span
+    assert capped == 0  # grams in >2 docs dropped before the join
