@@ -993,3 +993,104 @@ def symspell_index_foreach_batch(
         )
 
     return stage
+
+
+# --- streaming shared-substring (span) index ----------------------------------
+
+
+def spans_index_foreach_batch(
+    index_dir: str,
+    runs_dir: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+    min_span: int = 7,
+):
+    """Streaming exact shared-substring ingest: an incrementally-growing
+    k-gram anchor index — the streaming dual of the batch
+    ``shared_span_runs`` (operators/dedup.py, Lee et al. 2021 substring
+    dedup), same incremental-index shape as MinHash-LSH / SemDeDup /
+    SymSpell.
+
+    Per micro-batch, ONLY the new documents pay gram-hashing cost; their
+    positioned grams join the ACCUMULATED gram index (new-old + new-new
+    anchors; old-old pairs were fully resolved in earlier epochs), and
+    the diagonal gaps-and-islands chaining runs per batch. Every maximal
+    run for a pair is computed wholly in the epoch its LATER document
+    arrives, so the union of per-epoch runs equals the batch operator on
+    everything ingested (dedup on the run key downstream — a re-arriving
+    document re-derives its runs). Pinned by test.
+
+    Per-epoch overwrite writes (``grams/v{E}``, ``runs/v{E}``) make
+    at-least-once epoch replay idempotent; read back with
+    :func:`read_epoch_table`.
+    """
+    from pyspark.sql import Window as W
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        toked = batch_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.split(F.trim(F.col(col)), r"\s+").alias("ts"),
+        )
+        n_grams = F.size("ts") - F.lit(k - 1)
+        gram_structs = F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice(F.col("ts"), i, k), " ")).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+        grams = toked.select("id", F.explode(gram_structs).alias("pg")).select(
+            "id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g")
+        )
+        grams.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "grams", f"v{epoch_id}")
+        )
+        all_grams = read_epoch_table(spark, os.path.join(index_dir, "grams"))
+        new = spark.read.parquet(os.path.join(index_dir, "grams", f"v{epoch_id}"))
+        anchors = (
+            all_grams.alias("l")
+            .join(
+                new.alias("r"),
+                (F.col("l.g") == F.col("r.g")) & (F.col("l.id") != F.col("r.id")),
+            )
+            .select(
+                F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+                F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+                F.when(F.col("l.id") < F.col("r.id"), F.col("l.pos"))
+                .otherwise(F.col("r.pos"))
+                .alias("pa"),
+                F.when(F.col("l.id") < F.col("r.id"), F.col("r.pos"))
+                .otherwise(F.col("l.pos"))
+                .alias("pb"),
+            )
+            .dropDuplicates(["id_a", "id_b", "pa", "pb"])
+        )
+        w = W.partitionBy("id_a", "id_b", "d").orderBy("pa")
+        runs = (
+            anchors.withColumn("d", F.col("pa") - F.col("pb"))
+            .withColumn("grp", F.col("pa") - F.row_number().over(w))
+            .groupBy("id_a", "id_b", "d", "grp")
+            .agg(
+                F.min("pa").alias("a_start"),
+                F.min("pb").alias("b_start"),
+                (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_tokens"),
+            )
+            .filter(F.col("span_tokens") >= min_span)
+            .select(
+                "id_a",
+                "id_b",
+                F.col("a_start").cast("bigint").alias("a_start"),
+                F.col("b_start").cast("bigint").alias("b_start"),
+                F.col("span_tokens").cast("bigint").alias("span_tokens"),
+            )
+        )
+        runs.write.mode("overwrite").parquet(
+            os.path.join(runs_dir, f"v{epoch_id}")
+        )
+
+    return stage

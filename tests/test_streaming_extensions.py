@@ -1304,3 +1304,83 @@ def test_symspell_index_epoch_replay_is_idempotent(spark, tmp_path):
     # smith~smyth (epoch 0), smith~smithe + smyth? dist2 no: expected pairs
     assert ("smith", "smithe") in {(a, b) for a, b, _ in once}
     assert ("smith", "smyth") in {(a, b) for a, b, _ in once}
+
+
+def test_spans_index_foreach_batch_matches_batch_operator(spark, tmp_path):
+    """Streaming shared-substring index: docs over two micro-batches; the
+    cross-batch verbatim quote is found via the accumulated gram index;
+    union of per-epoch runs equals the batch shared_span_runs output."""
+    from rapids_and_rivers_spark.operators.dedup import shared_span_runs
+    from rapids_and_rivers_spark.streaming.duals import (
+        read_epoch_table,
+        spans_index_foreach_batch,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota"
+    b1 = [
+        {"doc_id": 1, "text": f"intro words here {quote} trailing bits"},
+        {"doc_id": 2, "text": "unrelated first batch content entirely different words"},
+    ]
+    b2 = [
+        {"doc_id": 10, "text": f"{quote} completely new ending text"},  # cross-batch
+        {"doc_id": 11, "text": "more unrelated filler that matches nothing else"},
+    ]
+    stream = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(d) for d in b1],
+        [json.dumps(d) for d in b2],
+        "doc_id long, text string",
+    )
+    index_dir, runs_dir = str(tmp_path / "idx"), str(tmp_path / "runs")
+    q = (
+        stream.writeStream.foreachBatch(
+            spans_index_foreach_batch(index_dir, runs_dir, k=6, min_span=7)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.id_a, r.id_b, r.a_start, r.b_start, r.span_tokens)
+        for r in read_epoch_table(spark, runs_dir)
+        .dropDuplicates(["id_a", "id_b", "a_start", "b_start"])
+        .collect()
+    }
+    full = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in b1 + b2], "doc_id long, text string"
+    )
+    expected = {
+        (r.id_a, r.id_b, r.a_start, r.b_start, r.span_tokens)
+        for r in shared_span_runs(full, k=6, min_span=7).collect()
+    }
+    assert got == expected
+    assert (1, 10, 4, 1, 9) in got  # the cross-batch quote, maximal run
+
+
+def test_spans_index_epoch_replay_is_idempotent(spark, tmp_path):
+    from rapids_and_rivers_spark.streaming.duals import (
+        read_epoch_table,
+        spans_index_foreach_batch,
+    )
+
+    quote = "one two three four five six seven eight"
+    index_dir, runs_dir = str(tmp_path / "idx"), str(tmp_path / "runs")
+    stage = spans_index_foreach_batch(index_dir, runs_dir, k=6, min_span=7)
+    b1 = spark.createDataFrame([(1, f"prefix {quote}")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(2, f"{quote} suffix")], "doc_id long, text string")
+    stage(b1, 0)
+    stage(b2, 1)
+    once = sorted(
+        (r.id_a, r.id_b, r.a_start, r.b_start, r.span_tokens)
+        for r in read_epoch_table(spark, runs_dir).collect()
+    )
+    n_grams = read_epoch_table(spark, f"{index_dir}/grams").count()
+    stage(b2, 1)  # crash-replay
+    replayed = sorted(
+        (r.id_a, r.id_b, r.a_start, r.b_start, r.span_tokens)
+        for r in read_epoch_table(spark, runs_dir).collect()
+    )
+    assert replayed == once and len(once) == 1
+    assert read_epoch_table(spark, f"{index_dir}/grams").count() == n_grams
