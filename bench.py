@@ -50,7 +50,9 @@ def main() -> None:
     catalog.events_rapid(spark, sf_dir).count()
     catalog.media_corpus(spark, sf_dir).count()
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # N >= 3 so the median actually rejects one externally-loaded outlier
+    # (median of 2 is their mean — half the swing still leaks through)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     load_start = os.getloadavg()
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -64,14 +66,19 @@ def main() -> None:
                 # collecting results to the driver
                 df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # one broken query must not kill the bench
+                # record the error but NEVER fold a failed run's elapsed
+                # time into the timing stats — a fast failure would
+                # masquerade as a speedup in the median
                 errors[name] = str(exc).splitlines()[0][:200]
-                runs[name].append(round(time.perf_counter() - start, 3))
                 break
             runs[name].append(round(time.perf_counter() - start, 3))
     load_end = os.getloadavg()
 
-    medians = {n: round(statistics.median(t), 3) for n, t in runs.items()}
-    mins = {n: round(min(t), 3) for n, t in runs.items()}
+    # queries with zero successful runs appear only in `errors`
+    medians = {
+        n: round(statistics.median(t), 3) for n, t in runs.items() if t
+    }
+    mins = {n: round(min(t), 3) for n, t in runs.items() if t}
     total = round(sum(medians.values()), 3)
     payload = {
         "metric": "catalog_total_runtime",

@@ -2906,11 +2906,22 @@ def _ivf_oracle_sql(
       after init and after each update (similarity.lloyd_codebook
       ``quantize``), so numpy-vs-SQL summation-order float drift cannot
       compound across iterations;
-    - cell assignment (argmax dot, ties -> lowest cell), probe selection
-      (top-nprobe score, ties -> highest cell, mirroring Spark's
-      reverse(array_sort)), and the rounded-cosine ranking then replicate
-      the Spark plan exactly, as in the sim_ann_lsh oracle.
+    - every dot used for an argmax or probe ordering is snapped to the
+      shared ranking grid (``floor(dot * SCORE_GRID + 0.5)`` —
+      similarity.snap_scores/snap_dot_col) in BOTH engines, so
+      within-drift near-ties resolve by the explicit cell-id tiebreak
+      identically instead of flipping with the engine's summation order;
+    - cell assignment (argmax snapped dot, ties -> lowest cell), probe
+      selection (top-nprobe snapped score, ties -> highest cell,
+      mirroring Spark's reverse(array_sort)), and the rounded-cosine
+      ranking then replicate the Spark plan exactly, as in the
+      sim_ann_lsh oracle.
     """
+    from rapids_and_rivers_spark.operators.similarity import SCORE_GRID
+
+    def snap(expr: str) -> str:
+        return f"floor(({expr}) * {SCORE_GRID}.0 + 0.5)"
+
     grid = f"floor(v * {q}.0 + 0.5) / {q}.0"
     order = f"md5('s{seed}-' || CAST(vec_id AS VARCHAR))"
     parts = [
@@ -2942,8 +2953,8 @@ def _ivf_oracle_sql(
       SELECT sid, xn, cell FROM (
         SELECT s.sid, s.xn, c.cell,
                row_number() OVER (PARTITION BY s.sid
-                 ORDER BY list_inner_product(s.xn, c.centroid) DESC, c.cell)
-                 AS rnk
+                 ORDER BY {snap("list_inner_product(s.xn, c.centroid)")} DESC,
+                          c.cell) AS rnk
         FROM snorm s CROSS JOIN cb{p} c) WHERE rnk = 1
     ),
     mvec{i} AS (
@@ -2974,8 +2985,8 @@ def _ivf_oracle_sql(
       SELECT neighbor_id, emb, cell FROM (
         SELECT c.neighbor_id, c.emb, cb.cell,
                row_number() OVER (PARTITION BY c.neighbor_id
-                 ORDER BY list_inner_product(c.emb, cb.centroid) DESC, cb.cell)
-                 AS rnk
+                 ORDER BY {snap("list_inner_product(c.emb, cb.centroid)")} DESC,
+                          cb.cell) AS rnk
         FROM cands c CROSS JOIN cb{iters} cb) WHERE rnk = 1
     ),
     probes AS (
@@ -2983,9 +2994,8 @@ def _ivf_oracle_sql(
         SELECT qq.vec_id AS query_id, CAST(qq.embedding AS DOUBLE[]) AS emb,
                cb.cell,
                row_number() OVER (PARTITION BY qq.vec_id
-                 ORDER BY list_inner_product(CAST(qq.embedding AS DOUBLE[]),
-                                             cb.centroid) DESC, cb.cell DESC)
-                 AS rnk
+                 ORDER BY {snap("list_inner_product(CAST(qq.embedding AS DOUBLE[]), cb.centroid)")} DESC,
+                          cb.cell DESC) AS rnk
         FROM embeddings qq CROSS JOIN cb{iters} cb
         WHERE qq.vec_id < 10) WHERE rnk <= {nprobe}
     ),

@@ -827,14 +827,7 @@ def embedding_neardup_pairs(
     Blocking on ``block_col`` (cluster/label/LSH bucket) bounds the pair
     space; pass None for full pairwise (test scale only).
     """
-    # norms are per-ROW quantities: compute them once before the join
-    # instead of per PAIR inside cosine (saves 2 of 3 O(dim) array passes
-    # per pair; formula stays dot/(na*nb) so rounding matches the oracle)
-    base = spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.col(emb_col).cast("array<double>").alias("emb"),
-        (F.col(block_col) if block_col else F.lit(0)).alias("block"),
-    ).withColumn("nrm", norm(F.col("emb")))
+    base = neardup_base(spread(df, id_col), emb_col, id_col, block_col)
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(
@@ -844,13 +837,36 @@ def embedding_neardup_pairs(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(
-                dot(F.col("l.emb"), F.col("r.emb"))
-                / (F.col("l.nrm") * F.col("r.nrm")),
-                ndigits,
-            ).alias("cos"),
+            cosine_pair_expr(ndigits).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def neardup_base(
+    df: DataFrame, emb_col: str, id_col: str, block_col: str | None
+) -> DataFrame:
+    """``(id, emb, block, nrm)``: the normalized-pair-join input shared by
+    batch :func:`embedding_neardup_pairs`/:func:`semantic_dedup` and the
+    streaming ``semdedup_foreach_batch`` index — the batch/stream duality
+    depends on both sides using THIS construction. Norms are per-ROW
+    quantities computed once before the join instead of per PAIR inside
+    cosine (saves 2 of 3 O(dim) array passes per pair); the id/block
+    casts stabilize the schema across parquet round-trips."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+        (F.col(block_col) if block_col else F.lit(0)).cast("string").alias("block"),
+    ).withColumn("nrm", norm(F.col("emb")))
+
+
+def cosine_pair_expr(ndigits: int = 4) -> Column:
+    """Rounded pair cosine over two :func:`neardup_base` sides aliased
+    ``l`` and ``r`` — formula stays dot/(na*nb) so rounding matches the
+    DuckDB oracles."""
+    return F.round(
+        dot(F.col("l.emb"), F.col("r.emb")) / (F.col("l.nrm") * F.col("r.nrm")),
+        ndigits,
     )
 
 
@@ -893,24 +909,7 @@ def shared_span_runs(
     the same). Output: ``(id_a, id_b, a_start, b_start, span_tokens)``,
     positions 1-based.
     """
-    toked = spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(col)), r"\s+").alias("ts"),
-    )
-    n_grams = F.size("ts") - F.lit(k - 1)
-    gram_structs = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.array_join(F.slice(F.col("ts"), i, k), " ")).alias("g"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
-    grams = toked.select("id", F.explode(gram_structs).alias("pg")).select(
-        "id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g")
-    )
+    grams = positioned_grams(spread(df, id_col), col, id_col, k)
     if common_gram_cap is not None:
         rare = grams.groupBy("g").agg(
             F.count_distinct("id").alias("gdf")
@@ -929,6 +928,41 @@ def shared_span_runs(
             F.col("b.pos").alias("pb"),
         )
     )
+    return runs_from_anchors(anchors, k, min_span)
+
+
+def positioned_grams(
+    df: DataFrame, col: str, id_col: str, k: int
+) -> DataFrame:
+    """``(id, pos, g)``: the md5 hash of every k-token gram with its
+    1-based position. Shared by :func:`shared_span_runs` and the
+    streaming ``spans_index_foreach_batch`` — the batch/stream span
+    duality depends on both sides using THIS gram construction."""
+    toked = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.split(F.trim(F.col(col)), r"\s+").alias("ts"),
+    )
+    n_grams = F.size("ts") - F.lit(k - 1)
+    gram_structs = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(F.col("ts"), i, k), " ")).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    return toked.select("id", F.explode(gram_structs).alias("pg")).select(
+        "id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g")
+    )
+
+
+def runs_from_anchors(anchors: DataFrame, k: int, min_span: int) -> DataFrame:
+    """Chain ``(id_a, id_b, pa, pb)`` k-gram anchors into maximal shared
+    runs along the ``pa - pb`` diagonal (gaps-and-islands: group key
+    ``pa - row_number()``); a run of c anchors spans ``c + k - 1``
+    tokens. Shared by the batch and streaming span operators."""
     from pyspark.sql import Window as W
 
     d = (F.col("pa") - F.col("pb")).alias("d")

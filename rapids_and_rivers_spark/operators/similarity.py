@@ -172,7 +172,9 @@ def lloyd_codebook(
         cents += _deterministic_planes(dim, n_cells - len(cents), seed)
     C = np.asarray(cents, dtype=np.float64)
     for _ in range(iters if len(X) else 0):
-        assign = (X @ C.T).argmax(axis=1)
+        # assignment dots snapped to the shared grid (SCORE_GRID) so the
+        # SQL oracle's unrolled iterations assign identically
+        assign = snap_scores(X @ C.T).argmax(axis=1)
         for j in range(n_cells):
             members = X[assign == j]
             if len(members):
@@ -238,21 +240,44 @@ def codebook_from_table(codebook_df: DataFrame) -> list[list[float]]:
     ]
 
 
+#: grid for comparison/ranking dot products in the IVF path: every dot
+#: used for an argmax or a probe ordering is snapped to floor(x*GRID+0.5)
+#: before comparing, in numpy, Spark Column AND the DuckDB oracle, so a
+#: near-tie within cross-engine summation-order drift (BLAS pairwise vs
+#: sequential folds, ~1e-15) resolves by the EXPLICIT deterministic
+#: tiebreak (cell id) identically everywhere instead of flipping with
+#: the engine. 1e6 is coarse enough that drift almost never straddles a
+#: grid boundary and fine enough that real score gaps stay resolved.
+SCORE_GRID = 1_000_000
+
+
+def snap_scores(arr):
+    """numpy side of the ranking-dot snap (see :data:`SCORE_GRID`)."""
+    import numpy as np
+
+    return np.floor(arr * SCORE_GRID + 0.5)
+
+
+def snap_dot_col(c: Column) -> Column:
+    """Spark Column side of the ranking-dot snap (see :data:`SCORE_GRID`)."""
+    return F.floor(c * F.lit(float(SCORE_GRID)) + F.lit(0.5)).cast("long")
+
+
 def assign_cells(
     df: DataFrame, codebook: list[list[float]], emb_col: str = "c_emb"
 ) -> DataFrame:
     """Add the IVF ``cell`` column: 1-based argmax-dot coarse-centroid
-    assignment against the codebook (ties -> first). The building block
-    shared by :func:`ivf_topk` and the streaming inverted-file ingest.
+    assignment against the codebook (dots snapped to :data:`SCORE_GRID`,
+    ties -> first/lowest cell). The building block shared by
+    :func:`ivf_topk`, the streaming inverted-file ingest, and — via the
+    identical snap in SQL — the full-value DuckDB oracle of the
+    sim_ann_ivf queries.
 
     Vectorized as one Arrow-batched numpy matmul per batch — the
     HOF-expression formulation (an ``aggregate`` fold per cell per row)
     evaluates interpreted outside whole-stage codegen, measured ~10x
     slower at 2k x 16 x 64. Only the embedding column crosses the Arrow
-    boundary; the codebook rides in the closure (KB-scale). Cell ids are
-    internal (rows-only oracle), so numpy's pairwise summation replacing
-    the fold's strict left-to-right order is fine — both sides of every
-    batch/stream comparison use THIS function.
+    boundary; the codebook rides in the closure (KB-scale).
     """
     import numpy as np
     import pandas as pd
@@ -265,7 +290,7 @@ def assign_cells(
         if not len(v):
             return pd.Series([], dtype="int32")
         X = np.vstack(v.to_numpy())
-        return pd.Series((X @ C).argmax(axis=1) + 1, dtype="int32")
+        return pd.Series(snap_scores(X @ C).argmax(axis=1) + 1, dtype="int32")
 
     return df.withColumn("cell", _cell(F.col(emb_col)).cast("long"))
 
@@ -325,8 +350,13 @@ def ivf_topk(
         )
 
     def scores_of(col: Column) -> Column:
+        # probe-ranking dots snapped to the shared grid (SCORE_GRID) so
+        # probe selection matches assign_cells and the SQL oracle exactly
         return F.array(
-            *[dot(col, F.array(*[F.lit(x) for x in p])) for p in cents]
+            *[
+                snap_dot_col(dot(col, F.array(*[F.lit(x) for x in p])))
+                for p in cents
+            ]
         )
 
     # candidates: argmax cell (array_position is 1-based; ties -> first)

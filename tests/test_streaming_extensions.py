@@ -1223,8 +1223,9 @@ def test_decontaminate_foreach_batch_matches_batch_gate(spark, tmp_path):
         for r in contamination_check(corpus, bench, threshold=0.5).collect()
     }
     assert got == expected and len(got) == len(rows)
-    # the gate actually flags something at sf0.001 (bench docs overlap)
-    assert any(c for *_, c in got) or all(not c for *_, c in got)
+    # the gate actually measured overlap: common 3-gram shingles between
+    # corpus and bench docs exist at sf0.001, so some doc must have hits
+    assert any(n_hit > 0 for _, _, n_hit, _, _ in got)
 
 
 def test_symspell_index_foreach_batch_matches_batch_join(spark, tmp_path):

@@ -262,3 +262,24 @@ class TestBenchCompare:
             )
         )
         assert bench_compare.load_queries(str(p)) == {"q1": 1.0}
+
+
+WGL_PARTIAL_PLAN = plan(
+    """
+    Project [k#1, v#2, rk#9]
+    +- Window [row_number() windowspecdefinition(v#2 DESC) AS rk#9], [v#2 DESC]
+       +- WindowGroupLimit [v#2 DESC], row_number(), 10, Final
+          +- *(2) Sort [v#2 DESC NULLS LAST], false, 0
+             +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+                +- WindowGroupLimit [v#2 DESC], row_number(), 10, Partial
+                   +- *(1) Sort [v#2 DESC NULLS LAST], false, 0
+                      +- FileScan parquet [k#1,v#2]
+    """
+)
+
+
+class TestWindowGroupLimitBounded:
+    def test_wgl_partial_under_exchange_is_bounded(self):
+        # rank-pushdown keeps <= k rows per upstream partition before the
+        # single-partition exchange: bounded, must not flag
+        assert explain_audit.global_window_bounded(WGL_PARTIAL_PLAN)

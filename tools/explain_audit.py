@@ -142,7 +142,13 @@ def global_window_bounded(plan: str) -> bool:
             if not child.strip():
                 continue
             text = _node_text(child)
-            if re.match(r"^(GlobalLimit|LocalLimit|TakeOrderedAndProject)\b", text):
+            # WindowGroupLimit(Partial) under the exchange keeps <= k rows
+            # per upstream partition (rank-pushdown), so the single
+            # partition sees at most k * parallelism rows — bounded
+            if re.match(
+                r"^(GlobalLimit|LocalLimit|TakeOrderedAndProject|WindowGroupLimit)\b",
+                text,
+            ):
                 bounded = True
                 break
             m = _AGG_NODE.match(text)
