@@ -4159,6 +4159,69 @@ def sketch_kmv_distinct(spark, sf_dir):
 
 
 @register(
+    "hll_user_distinct",
+    r"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    reg AS (
+      SELECT event_type, h & 63 AS bucket,
+             max(CASE WHEN (h >> 6) = 0 THEN 47
+                      ELSE 47 - length(bin(h >> 6)) END) AS m_j
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(power(CAST(2.0 AS DOUBLE), -m_j)) AS sum_present,
+             count(*) AS n_registers
+      FROM reg GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, n_registers,
+             CAST(0.709 AS DOUBLE) * 64 * 64
+               / (sum_present + (64 - n_registers)) AS raw,
+             64 - n_registers AS zeros
+      FROM agg
+    )
+    SELECT e.event_type,
+           CAST(e.n_registers AS BIGINT) AS n_registers,
+           round(CASE WHEN e.raw <= 160.0 AND e.zeros > 0
+                      THEN 64.0 * ln(64.0 / e.zeros)
+                      ELSE e.raw END, 2) AS hll_estimate,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+    FROM est e
+    JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1) x
+      USING (event_type)
+    """,
+    doc="HyperLogLog distinct users per event_type (operators/sketch.py "
+    "hll_registers/hll_estimate, Flajolet et al. 2007) under a FULL "
+    "value oracle: the md5-derived 52-bit hash makes every register — "
+    "and therefore the estimate — recomputable bit-for-bit by DuckDB "
+    "(rho via integer bit-length, exact-binary-fraction register sum; "
+    "see hll_estimate's determinism note), unlike the engine-private "
+    "approx_count_distinct HLL++. exact_distinct rides along so the "
+    "row itself exhibits the ~1.04/sqrt(64)=13% error envelope (also "
+    "pinned in tests/test_sketch.py). Scale: the shuffle carries one "
+    "row per (group, bucket) — <=64 rows per group, mergeable by max",
+)
+def hll_user_distinct(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    regs = K.hll_registers(base, ["event_type"], "uid", p=6)
+    est = K.hll_estimate(regs, ["event_type"], p=6)
+    exact = base.groupBy("event_type").agg(
+        F.countDistinct("uid").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+@register(
     "corpus_top_tokens",
     r"""
     SELECT token, CAST(count(*) AS BIGINT) AS n

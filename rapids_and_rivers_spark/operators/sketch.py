@@ -166,3 +166,81 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """Per-group HyperLogLog register table ``(group…, bucket, m_j)``
+    (Flajolet et al. 2007) over the same deterministic 52-bit md5 hash
+    as :func:`kmv_hash` — so unlike Spark's ``approx_count_distinct``
+    (xxhash64-based HLL++, opaque binary sketch) the registers are
+    recomputable bit-for-bit by ANY engine, including the DuckDB oracle.
+
+    bucket = low ``p`` bits; rho = leading-zero count of the remaining
+    ``52-p`` bits + 1 (computed with integer/string ops — ``length(bin(w))``
+    is the bit length — no floating log, no engine drift). The register
+    table is ≤ 2^p rows per group and MERGEABLE by ``max`` per bucket
+    (union of corpora = elementwise register max — pinned by test), the
+    property that lets 1000 executors / N days of stream combine
+    per-partition sketches of 8·2^p bytes instead of raw keys.
+    """
+    m = 1 << p
+    wbits = 52 - p
+    h = kmv_hash(F.col(value_col))
+    w = F.shiftrightunsigned(h, p)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int = 6,
+) -> DataFrame:
+    """Collapse a register table into ``(group…, n_registers, hll_estimate)``.
+
+    ``E = alpha_m * m^2 / (sum_j 2^-M_j)`` with the standard small-range
+    linear-counting correction ``E <= 2.5m and V>0 -> m*ln(m/V)``
+    (V = empty registers). Determinism note: every ``2^-M_j`` term is an
+    exact binary fraction and the whole sum spans ≤ 52 bits of mantissa,
+    so the sum is EXACT (order-independent) in IEEE-754 — both engines
+    take the same correction branch and divide the same numbers; the only
+    libm call (ln, in the sparse branch) is guarded by ``round(…, 2)``.
+    One groupBy of an ≤ 2^p-rows-per-group table — negligible at any scale.
+    """
+    m = 1 << p
+    alpha = 0.709 if m == 64 else 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sum_present"),
+        F.count(F.lit(1)).alias("n_registers"),
+    )
+    zeros = F.lit(m) - F.col("n_registers")
+    sum_inv = F.col("sum_present") + zeros.cast("double")
+    raw = F.lit(alpha) * F.lit(m) * F.lit(m) / sum_inv
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.col("n_registers").cast("long").alias("n_registers"),
+        F.round(est, 2).alias("hll_estimate"),
+    )

@@ -95,3 +95,49 @@ def test_cms_estimate_missing_key_is_zero_or_collision(spark):
     # wide sketch, 201 distinct keys: the unseen key's 4 cells are almost
     # surely collision-free in at least one row
     assert row.est == 0
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+
+def test_hll_estimate_within_band(spark):
+    from rapids_and_rivers_spark.operators.sketch import hll_estimate, hll_registers
+
+    df = _corpus(spark)
+    regs = hll_registers(df, ["g"], "v", p=6)
+    rows = {r.g: r for r in hll_estimate(regs, ["g"], p=6).collect()}
+    # rsd for m=64 is 1.04/8 = 13%; allow 3 sigma
+    assert 2000 * 0.6 < rows["big"].hll_estimate < 2000 * 1.4
+    # small group lands in the linear-counting branch: near-exact
+    assert 10 * 0.5 <= rows["small"].hll_estimate <= 10 * 1.5
+    assert rows["big"].n_registers <= 64
+
+
+def test_hll_registers_merge_equals_whole(spark):
+    """Union of corpora == elementwise register max (mergeability)."""
+    from rapids_and_rivers_spark.operators.sketch import hll_registers
+
+    df = _corpus(spark)
+    half_a = df.filter(F.crc32(F.col("v")) % 2 == 0)
+    half_b = df.filter(F.crc32(F.col("v")) % 2 == 1)
+    merged = (
+        hll_registers(half_a, ["g"], "v", p=6)
+        .unionByName(hll_registers(half_b, ["g"], "v", p=6))
+        .groupBy("g", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    whole = hll_registers(df, ["g"], "v", p=6)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_partitioning_invariant(spark):
+    from rapids_and_rivers_spark.operators.sketch import hll_estimate, hll_registers
+
+    df = _corpus(spark)
+    a = hll_estimate(hll_registers(df.repartition(1), ["g"], "v"), ["g"]).collect()
+    b = hll_estimate(
+        hll_registers(df.repartition(17, F.col("v")), ["g"], "v"), ["g"]
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
