@@ -3526,6 +3526,41 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "ssjoin_prefix",
+    _shingle_cte() + r"""
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) AS sa, len(b.shingles) AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+    )
+    SELECT id_a, id_b,
+           round(inter / CAST(sa + sb - inter AS DOUBLE), 4) AS jaccard
+    FROM pairs
+    WHERE round(inter / CAST(sa + sb - inter AS DOUBLE), 4) >= 0.5
+    """,
+    doc="blocking-free exact set-similarity self-join by prefix "
+    "filtering (operators/dedup.py prefix_filter_pairs; Chaudhuri "
+    "ICDE'06 / Bayardo WWW'07): docs index only their "
+    "sz-ceil(t*sz)+1 globally-RAREST shingles, any J>=t pair "
+    "provably shares a prefix shingle, and exact Jaccard runs on "
+    "candidates only. FULL value oracle: prefix filtering is "
+    "lossless, so DuckDB's brute-force all-pairs form must produce "
+    "the identical pair set. Complements dedup_ngram_jaccard (which "
+    "bounds hot shingles by source-blocking): here frequent shingles "
+    "never generate candidates at all — the 100 TB-safe shape when "
+    "no natural blocking key exists. Candidate-count guard pinned in "
+    "tests/test_operators.py",
+)
+def ssjoin_prefix(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_filter_pairs(
+        docs, col="text", id_col="doc_id", shingle_n=3, threshold=0.5
+    )
+
+
+@register(
     "dedup_shared_spans",
     r"""
     WITH toks AS (

@@ -20,7 +20,7 @@ to a named column before any ``transform``/``aggregate`` touches them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from rapids_and_rivers_spark.operators.similarity import dot, norm
 from rapids_and_rivers_spark.operators.text import normalized, tokens
@@ -435,6 +435,79 @@ def ngram_jaccard_pairs(
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Exact all-pairs set-similarity join by PREFIX FILTERING (Chaudhuri
+    et al., "A Primitive Operator for Similarity Joins", ICDE 2006;
+    Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW 2007).
+
+    Unlike :func:`ngram_jaccard_pairs` (which needs a blocking column to
+    bound hot shingles), this is blocking-free and still exact: order
+    each doc's shingles by ascending global document frequency (rarest
+    first, shingle tie-break) and index only the first
+    ``sz - ceil(threshold*sz) + 1`` of them. Any pair with
+    ``J >= threshold`` must intersect in >= ``ceil(threshold*sz)``
+    shingles, so by pigeonhole it shares at least one PREFIX shingle —
+    candidates come from an equi-join on prefix postings whose lists
+    are, by construction, the rarest (shortest) in the corpus; frequent
+    shingles never generate pairs. Verification computes exact Jaccard
+    on candidates only (two array joins + ``array_intersect``).
+
+    Scale shape: df-count (one partial-agg shuffle on the shingle), a
+    per-doc rank window (keyed on id — never global), the prefix
+    equi-join (8-byte-ish keys, rare-token lists), and a candidate-keyed
+    verify. ``threshold=0.5`` keeps ``ceil`` on exactly-representable
+    doubles, so the prefix length is engine-invariant.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b — identical to the
+    brute-force all-pairs Jaccard filter (pinned by test and by the
+    catalog query's full-value DuckDB oracle, which recomputes the
+    brute-force form).
+    """
+    toked = spread(df, id_col).select(
+        F.col(id_col).alias("id"), tokens(normalized(F.col(col))).alias("toks")
+    )
+    sized = (
+        toked.select("id", word_shingles(F.col("toks"), shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sz", F.size("sh"))
+    )
+    post = sized.select("id", "sz", F.explode_outer("sh").alias("t")).filter(
+        F.col("t").isNotNull()
+    )
+    dfreq = post.groupBy("t").agg(F.count(F.lit(1)).alias("dfr"))
+    w = Window.partitionBy("id").orderBy("dfr", "t")
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+    prefix = (
+        post.join(dfreq, "t")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("id", "t")
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
+        l.join(r, (F.col("l.t") == F.col("r.t")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    a = sized.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sized.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), ndigits))
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 

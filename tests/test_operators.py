@@ -410,3 +410,90 @@ def test_shared_span_runs_common_gram_cap_drops_boilerplate(spark):
     capped = shared_span_runs(docs, k=6, min_span=6, common_gram_cap=2).count()
     assert uncapped == 10  # all C(5,2) pairs share the boilerplate span
     assert capped == 0  # grams in >2 docs dropped before the join
+
+
+# --- prefix-filter set-similarity join --------------------------------------
+
+
+def _pf_corpus(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",   # 0
+        "the quick brown fox jumps over the lazy dog today",   # 1: exact dup of 0
+        "the quick brown fox jumps over the lazy dog tonight",  # 2: near dup of 0
+        "completely different words about spark catalyst engines",  # 3
+        "tiny doc",                                            # 4: < n tokens
+        "another unrelated sentence mentioning training data pipelines",  # 5
+    ]
+    return docs_df(spark, texts)
+
+
+def test_prefix_filter_equals_brute_force(spark):
+    """Prefix filtering is lossless: output == all-pairs Jaccard filter."""
+    df = _pf_corpus(spark)
+    got = sorted(
+        map(tuple, D.prefix_filter_pairs(df, threshold=0.5).collect())
+    )
+    # brute force over string shingles
+    from itertools import combinations
+
+    rows = df.collect()
+    sh = {}
+    for r in rows:
+        toks = r.text.lower().split()
+        sh[r.doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    want = []
+    for a, b in combinations(sorted(sh), 2):
+        if not sh[a] or not sh[b]:
+            continue
+        inter = len(sh[a] & sh[b])
+        j = round(inter / len(sh[a] | sh[b]), 4)
+        if j >= 0.5:
+            want.append((a, b, j))
+    assert got == sorted(want)
+    # the exact dup pair and the near dup pair are both present
+    ids = {(a, b) for a, b, _ in got}
+    assert (0, 1) in ids and (0, 2) in ids and (1, 2) in ids
+
+
+def test_prefix_filter_candidate_space_is_pruned(spark):
+    """The prefix posting join generates strictly fewer candidate pairs
+    than the full inverted index: frequent shingles never reach the
+    join. Pinned as sum-of-C(list,2) over posting lists (the structural
+    sub-quadratic guard, same technique as the LSH cost test)."""
+    df = _pf_corpus(spark)
+    toked = df.select(
+        F.col("doc_id").alias("id"),
+        T.tokens(T.normalized(F.col("text"))).alias("toks"),
+    )
+    sized = (
+        toked.select("id", D.word_shingles(F.col("toks"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sz", F.size("sh"))
+    )
+    post = sized.select("id", "sz", F.explode("sh").alias("t"))
+    full_space = (
+        post.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+        .collect()[0]["p"]
+    )
+    dfreq = post.groupBy("t").agg(F.count(F.lit(1)).alias("dfr"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id").orderBy("dfr", "t")
+    plen = F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")).cast("int") + 1
+    prefix = (
+        post.join(dfreq, "t")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= plen)
+    )
+    prefix_space = (
+        prefix.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert prefix_space < full_space
+    assert prefix_space > 0  # the dup pairs still collide in the prefix
