@@ -21,7 +21,7 @@ edit distance. Generalizes to distance k with k-deletion neighborhoods
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def deletion_variants(col: Column) -> Column:
@@ -69,3 +69,78 @@ def symspell_join(
     return cand.withColumn(
         "dist", F.levenshtein("s_a", "s_b").cast("int")
     ).filter(F.col("dist") <= max_dist)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    block_chars: int = 8,
+    key_chars: int = 80,
+    window: int = 2,
+    max_distance: int = 10,
+) -> DataFrame:
+    """Sorted-neighborhood method (Hernández & Stolfo, SIGMOD 1995):
+    candidate pairs are rows within ``window`` positions of each other
+    in a sort order, verified with exact ``levenshtein``.
+
+    The complementary blocking strategy to deletion neighborhoods
+    (:func:`symspell_join`, distance-bounded) and LSH (similarity-
+    bounded): SNM catches near-dups whose edits cluster AFTER a shared
+    prefix — typical of boilerplate-prefixed or template text — at
+    O(n·window) candidates, independent of any distance bound.
+
+    Scale shape: the sort is WITHIN blocks of the first ``block_chars``
+    normalized characters (Window partitioned by block — a keyed
+    shuffle, never a global single-partition sort; the classic
+    multi-pass SNM with a second sort key is a second call with a
+    different ``block_chars``/key). ``lead()`` over the block window
+    generates each rank's next ``window`` neighbors without a
+    self-join; levenshtein runs on ``key_chars``-char prefixes so the
+    verify cost is bounded per pair regardless of document length.
+
+    Output: (id_a, id_b, lev) — pairs with prefix edit distance
+    ``<= max_distance``, id order = sort order (a before b).
+    """
+    norm = F.lower(F.trim(F.col(col)))
+    base = (
+        df.filter(norm != "")
+        .select(
+            F.col(id_col).alias("id"),
+            norm.alias("norm_key"),
+            F.substring(norm, 1, block_chars).alias("blk"),
+        )
+        .withColumn("pfx", F.substring(F.col("norm_key"), 1, key_chars))
+    )
+    w = Window.partitionBy("blk").orderBy("norm_key", "id")
+    neighbors = base.select(
+        "id",
+        "pfx",
+        *[F.lead("id", i).over(w).alias(f"nid_{i}") for i in range(1, window + 1)],
+        *[F.lead("pfx", i).over(w).alias(f"npfx_{i}") for i in range(1, window + 1)],
+    )
+    pairs = neighbors.select(
+        "id",
+        "pfx",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"nid_{i}").alias("id_b"),
+                        F.col(f"npfx_{i}").alias("pfx_b"),
+                    )
+                    for i in range(1, window + 1)
+                ]
+            )
+        ).alias("nb"),
+    ).filter(F.col("nb.id_b").isNotNull())
+    lev = F.levenshtein(F.col("pfx"), F.col("nb.pfx_b"))
+    return (
+        pairs.withColumn("lev", lev)
+        .filter(F.col("lev") <= max_distance)
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("nb.id_b").alias("id_b"),
+            F.col("lev").cast("long").alias("lev"),
+        )
+    )

@@ -497,3 +497,57 @@ def test_prefix_filter_candidate_space_is_pruned(spark):
     )
     assert prefix_space < full_space
     assert prefix_space > 0  # the dup pairs still collide in the prefix
+
+
+# --- sorted-neighborhood dedup ----------------------------------------------
+
+
+def test_sorted_neighborhood_finds_suffix_edits(spark):
+    """Pairs whose edits come AFTER a shared prefix are caught; window
+    semantics (rank distance <= window) and the levenshtein bound hold."""
+    from rapids_and_rivers_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    texts = [
+        "template header alpha ends with tail one",      # 0
+        "template header alpha ends with tail two",      # 1: suffix edit of 0
+        "template header alpha ends with other words",   # 2: bigger suffix edit
+        "zzz totally unrelated document body here",      # 3
+    ]
+    df = docs_df(spark, texts)
+    got = {
+        (r.id_a, r.id_b): r.lev
+        for r in sorted_neighborhood_pairs(
+            df, "text", "doc_id", block_chars=8, key_chars=80,
+            window=2, max_distance=10,
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 3  # one->two is 3 edits
+    # doc 3 is in its own block: never paired
+    assert not any(3 in p for p in got)
+    # every reported pair respects the bound
+    assert all(v <= 10 for v in got.values())
+
+
+def test_sorted_neighborhood_window_is_rank_bounded(spark):
+    """With window=1 only adjacent-in-sort pairs appear; widening the
+    window can only add pairs (monotone candidate growth)."""
+    from rapids_and_rivers_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    texts = [
+        "prefix aaaa", "prefix aaab", "prefix aaac", "prefix aaad",
+    ]
+    df = docs_df(spark, texts)
+    w1 = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "text", "doc_id", window=1, max_distance=5
+        ).collect()
+    }
+    w3 = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "text", "doc_id", window=3, max_distance=5
+        ).collect()
+    }
+    assert w1 == {(0, 1), (1, 2), (2, 3)}
+    assert w1 < w3 and (0, 3) in w3
