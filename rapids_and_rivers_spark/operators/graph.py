@@ -1,0 +1,88 @@
+"""Iterative graph analytics over edge DataFrames: fixed-iteration
+PageRank (power method).
+
+Why fixed-iteration: a convergence loop needs a driver-side norm check
+per round (an action); a FIXED iteration count keeps the whole
+computation one lazy plan, makes the result bit-deterministic in shape
+(the driver's oracle can unroll the same number of rounds in SQL), and
+is how production rank jobs actually run (k passes per day over the
+crawl graph, warm-started from yesterday's ranks). The per-iteration
+cost is one equi-join (ranks ⋈ edges on src) + one keyed aggregation
+(contributions by dst) — both partitioned on node keys, no global
+structure anywhere. Edges are normalized (weight / out-weight) ONCE and
+cached; at 100 TB the edge table is the big operand and re-deriving it
+per iteration would dominate, so the normalize-then-iterate split is the
+load-bearing design choice.
+
+Companion to the connected-components operators in
+:mod:`rapids_and_rivers_spark.operators.dedup` (min-label + star
+contraction): CC answers "which docs are the same"; PageRank answers
+"which nodes matter" — quality/centrality propagation over crawl-link
+or purchase graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    num_nodes: int | None = None,
+) -> DataFrame:
+    """Weighted PageRank after ``iters`` power-method rounds:
+    ``pr'(v) = (1-d)/N + d * Σ_{u→v} (w_uv / out_w(u)) * pr(u)``.
+
+    ``edges`` is a DIRECTED edge list; for an undirected graph pass both
+    orientations (which also guarantees no dangling nodes — every node
+    then has out-edges; nodes missing from the contribution sum still
+    get teleport mass via the left join). N (node count) is ONE scalar:
+    pass ``num_nodes`` if the caller already knows it, else it is
+    counted once up front — a bounded driver-side collect of a single
+    long, the same class as the bloom-bitmap/codebook collects the plan
+    auditor whitelists. (A 1-row broadcast-join alternative constant-
+    folds into a BroadcastNestedLoopJoin, which the auditor rejects.)
+
+    Determinism: initial rank 1/N, teleport (1-d)/N and the damping
+    factor are all plain IEEE double ops an oracle engine reproduces;
+    the only engine-sensitive part is contribution-sum ORDER (float
+    addition is non-associative), which drifts at ~1e-15 relative per
+    round — callers compare ranks rounded (the catalog query rounds
+    ``pr*N`` to 4 digits).
+
+    Output: (node, pr) — raw probabilities summing to ~1.
+    """
+    both = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    out_w = both.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm = (
+        both.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .persist()
+    )
+    nodes = norm.select(F.col("src").alias("node")).distinct()
+    n = float(num_nodes if num_nodes is not None else nodes.count())
+    d = F.lit(damping)
+    teleport = (F.lit(1.0) - d) / F.lit(n)
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            norm.join(ranks, norm["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("pr")).alias("c"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (teleport + d * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
+        )
+    return ranks

@@ -551,3 +551,48 @@ def test_sorted_neighborhood_window_is_rank_bounded(spark):
     }
     assert w1 == {(0, 1), (1, 2), (2, 3)}
     assert w1 < w3 and (0, 3) in w3
+
+
+# --- pagerank ----------------------------------------------------------------
+
+
+def test_pagerank_star_hub_dominates(spark):
+    """Undirected star: the hub outranks every leaf; probability mass
+    is conserved (ranks sum to 1)."""
+    from rapids_and_rivers_spark.operators.graph import pagerank
+
+    leaves = [f"leaf{i}" for i in range(5)]
+    e = [("hub", l, 1.0) for l in leaves] + [(l, "hub", 1.0) for l in leaves]
+    edges = spark.createDataFrame(e, "src string, dst string, weight double")
+    ranks = {r.node: r.pr for r in pagerank(edges, iters=5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert all(ranks["hub"] > ranks[l] for l in leaves)
+    # leaves are symmetric -> identical ranks
+    assert len({round(ranks[l], 12) for l in leaves}) == 1
+
+
+def test_pagerank_ring_is_uniform(spark):
+    """A symmetric ring is rank-uniform at every iteration count."""
+    from rapids_and_rivers_spark.operators.graph import pagerank
+
+    n = 6
+    e = []
+    for i in range(n):
+        j = (i + 1) % n
+        e += [(f"v{i}", f"v{j}", 1.0), (f"v{j}", f"v{i}", 1.0)]
+    edges = spark.createDataFrame(e, "src string, dst string, weight double")
+    ranks = [r.pr for r in pagerank(edges, iters=3).collect()]
+    assert len(ranks) == n
+    assert max(ranks) - min(ranks) < 1e-12
+    assert abs(sum(ranks) - 1.0) < 1e-9
+
+
+def test_pagerank_weight_bias(spark):
+    """Heavier in-edges pull rank: b receives 3x the weight c does from
+    the same source -> pr(b) > pr(c)."""
+    from rapids_and_rivers_spark.operators.graph import pagerank
+
+    e = [("a", "b", 3.0), ("b", "a", 3.0), ("a", "c", 1.0), ("c", "a", 1.0)]
+    edges = spark.createDataFrame(e, "src string, dst string, weight double")
+    ranks = {r.node: r.pr for r in pagerank(edges, iters=4).collect()}
+    assert ranks["b"] > ranks["c"]
