@@ -171,6 +171,49 @@ def cms_estimate(
 # --- HyperLogLog -------------------------------------------------------------
 
 
+def hll_bucket_rho(col: Column, p: int = 6) -> tuple[Column, Column]:
+    """The per-row HLL observation as JVM Column expressions:
+    ``(bucket, rho)`` — low ``p`` hash bits select the register, rho is
+    the leading-zero count of the remaining ``52-p`` bits plus one,
+    computed with integer/string ops (``length(bin(w))`` is the bit
+    length — no floating log, no engine drift). Shared by the batch
+    register builder and the streaming state handler so both paths hash
+    identically."""
+    m = 1 << p
+    wbits = 52 - p
+    h = kmv_hash(col)
+    w = F.shiftrightunsigned(h, p)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return h.bitwiseAND(F.lit(m - 1)), rho.cast("int")
+
+
+def hll_estimate_py(registers: list[int], p: int = 6) -> tuple[int, float]:
+    """Driver/Python twin of :func:`hll_estimate` for the streaming state
+    handler: identical constants, identical IEEE ops (the 2^-M sum is
+    exact, see hll_estimate), half-up rounding to match ``F.round``.
+    Input is the DENSE register array (zeros included); returns
+    ``(n_registers, estimate)``."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    m = 1 << p
+    alpha = 0.709 if m == 64 else 0.7213 / (1.0 + 1.079 / m)
+    present = [r for r in registers if r > 0]
+    zeros = m - len(present)
+    sum_inv = sum(2.0 ** -r for r in present) + float(zeros)
+    raw = alpha * m * m / sum_inv
+    if raw <= 2.5 * m and zeros > 0:
+        est = float(m) * math.log(float(m) / zeros)
+    else:
+        est = raw
+    rounded = float(
+        Decimal(repr(est)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    )
+    return len(present), rounded
+
+
 def hll_registers(
     df: DataFrame,
     group_cols: list[str],
@@ -191,20 +234,10 @@ def hll_registers(
     property that lets 1000 executors / N days of stream combine
     per-partition sketches of 8·2^p bytes instead of raw keys.
     """
-    m = 1 << p
-    wbits = 52 - p
-    h = kmv_hash(F.col(value_col))
-    w = F.shiftrightunsigned(h, p)
-    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
-        F.lit(wbits + 1) - F.length(F.bin(w))
-    )
+    bucket, rho = hll_bucket_rho(F.col(value_col), p)
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(
-            *group_cols,
-            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
-            rho.cast("int").alias("rho"),
-        )
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )

@@ -445,6 +445,87 @@ def kmv_distinct_stream(
     )
 
 
+def hll_distinct_stream(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """Running per-key HyperLogLog distinct estimate on a stream: the
+    dense 2^p-register array (operators/sketch.py) lives in the
+    checkpointed state store — 2^p ints per key FOREVER, regardless of
+    stream length, vs the KMV dual's k longs (HLL trades the KMV's
+    small-range exactness for a strictly bounded, elementwise-max-
+    mergeable state vector).
+
+    The merge step IS the HLL merge (register-wise max), so the
+    estimate after any batch equals the batch
+    :func:`~rapids_and_rivers_spark.operators.sketch.hll_estimate` over
+    everything seen so far — pinned by the duality test. Hashing,
+    bucket, and rho are JVM Column expressions
+    (:func:`~rapids_and_rivers_spark.operators.sketch.hll_bucket_rho`)
+    evaluated BEFORE the stateful operator; only two small ints per row
+    reach Python, and the estimate math
+    (:func:`~rapids_and_rivers_spark.operators.sketch.hll_estimate_py`)
+    walks the identical IEEE path as the batch/oracle form, half-up
+    rounded.
+    """
+    from rapids_and_rivers_spark.operators.sketch import (
+        hll_bucket_rho,
+        hll_estimate_py,
+    )
+
+    m = 1 << p
+    out_schema = "key string, n_registers bigint, hll_estimate double"
+
+    if not df.isStreaming:
+        from rapids_and_rivers_spark.operators.sketch import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        base = df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).cast("string").alias("v"),
+        )
+        return hll_estimate(hll_registers(base, ["key"], "v", p=p), ["key"], p=p)
+
+    bucket, rho = hll_bucket_rho(F.col(value_col).cast("string"), p)
+    src = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        bucket.alias("bucket"),
+        rho.alias("rho"),
+    )
+
+    def handler(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (held,) = state.get if state.exists else ([0] * m,)
+        regs = list(held)
+        for pdf in pdfs:
+            for b, r in zip(pdf["bucket"], pdf["rho"]):
+                b = int(b)
+                if int(r) > regs[b]:
+                    regs[b] = int(r)
+        state.update((regs,))
+        n_registers, est = hll_estimate_py(regs, p=p)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_registers": [n_registers],
+                "hll_estimate": [est],
+            }
+        )
+
+    return src.groupBy("key").applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType="registers array<int>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def zscore_stream(
     df: DataFrame,
     key_col: str,

@@ -1385,3 +1385,51 @@ def test_spans_index_epoch_replay_is_idempotent(spark, tmp_path):
     )
     assert replayed == once and len(once) == 1
     assert read_epoch_table(spark, f"{index_dir}/grams").count() == n_grams
+
+
+def test_hll_distinct_stream_matches_batch_sketch(spark, tmp_path):
+    """Streaming HLL: the dense register state max-merges across
+    micro-batches and the final estimate equals the batch
+    hll_registers+hll_estimate over everything seen — in both the
+    linear-counting (small) and raw-estimator (big) regimes."""
+    from rapids_and_rivers_spark.streaming.duals import hll_distinct_stream
+
+    b1 = [{"k": "small", "v": f"s{i}"} for i in range(8)] + [
+        {"k": "big", "v": f"b{i}"} for i in range(900)
+    ]
+    b2 = [{"k": "small", "v": f"s{i}"} for i in range(4, 12)] + [
+        {"k": "big", "v": f"b{i}"} for i in range(600, 1500)
+    ]
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in b1],
+        [json.dumps(r) for r in b2],
+        "k string, v string",
+    )
+    out = hll_distinct_stream(events, "k", "v", p=6)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM hll_out").collect()
+    final = {}
+    for r in rows:
+        final[r.key] = (r.n_registers, r.hll_estimate)
+    batch = spark.createDataFrame(
+        [(r["k"], r["v"]) for r in b1 + b2], "k string, v string"
+    )
+    expected = {
+        r.key: (r.n_registers, r.hll_estimate)
+        for r in hll_distinct_stream(batch, "k", "v", p=6).collect()
+    }
+    assert final == expected
+    # 'small': 12 distinct -> linear counting keeps it near-exact
+    assert 6 <= final["small"][1] <= 18
+    # 'big': 1500 distinct -> raw estimator within the 3-sigma band
+    assert 1500 * 0.6 < final["big"][1] < 1500 * 1.4
