@@ -5610,6 +5610,75 @@ def bm25_search(spark, sf_dir):
 
 
 @register(
+    "rrf_search_fusion",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    toks_f AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks_f GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    av AS (SELECT avg(dl) AS a FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks_f
+      WHERE token IN ('spark', 'window', 'batch')
+      GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    bm25 AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / av.a))
+             ), 4) AS score
+      FROM tf
+      JOIN dfq USING (token)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats CROSS JOIN av
+      GROUP BY tf.doc_id
+    ),
+    ql AS (
+      SELECT t.doc_id,
+             round(count(*) / CAST(dl.dl AS DOUBLE), 4) AS score
+      FROM toks_f t JOIN dl ON t.doc_id = dl.doc_id
+      WHERE t.token IN ('spark', 'window', 'batch')
+      GROUP BY t.doc_id, dl.dl
+    ),
+    rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM bm25 QUALIFY rk <= 50),
+    rq AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM ql QUALIFY rk <= 50),
+    u AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rk) AS c FROM rb
+          UNION ALL
+          SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rk) AS c FROM rq)
+    SELECT doc_id, round(sum(c), 6) AS rrf_score,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="reciprocal-rank fusion (operators/retrieval.py rrf_fuse; "
+    "Cormack et al. SIGIR'09) of two retrieval lists over the same "
+    "fixed query — Okapi BM25 and smoothing-free query-likelihood — "
+    "rrf(d)=sum 1/(60+rank). Ranks derive from PRE-ROUNDED scores "
+    "(libm-drift-proof compares) and each list is top-50-cut BEFORE "
+    "its rank window, so the partition-less row_number runs over a "
+    "bounded TakeOrderedAndProject input (the structural shape the "
+    "plan auditor accepts). FULL value oracle: DuckDB rebuilds both "
+    "rankers, both rank lists, and the fused sum",
+)
+def rrf_search_fusion(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "window", "batch"]
+    bm25 = R.bm25_scores(docs, terms).select("doc_id", "score")
+    ql = R.ql_scores(docs, terms)
+    fused = R.rrf_fuse([bm25, ql], id_col="doc_id", k=60, depth=50)
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
+
+
+@register(
     "bigram_lm_score",
     r"""
     WITH toks AS (

@@ -24,7 +24,7 @@ bounded).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def doc_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -173,4 +173,93 @@ def bigram_logprob(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg("lp"), ndigits).alias("avg_logprob"),
         )
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+    depth: int = 50,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    ``rrf(d) = Σ_lists 1/(k + rank_list(d))`` over each ranker's top
+    ``depth`` results — the standard score-free way to combine lexical
+    (BM25) and secondary (QL / dense) retrieval lists, robust to
+    incomparable score scales.
+
+    Scale shape: each ranking is cut to its top ``depth`` FIRST with
+    ``orderBy(...).limit(depth)`` — Spark plans that as a parallel
+    per-partition heap + driver merge (TakeOrderedAndProject), so the
+    partition-less row_number window that assigns ranks runs over a
+    BOUNDED ``depth``-row input (the shape the repo's plan auditor
+    accepts structurally; an unbounded global window is the flagged
+    anti-pattern). The fused groupBy touches ≤ lists·depth rows.
+
+    Determinism: callers must pass PRE-ROUNDED scores (e.g. bm25_scores'
+    round-4 output) — ranks derive from (score DESC, id) compares, and
+    raw libm-drifting floats could swap near-ties across engines. With
+    ≤ 2 lists the contribution sum is a single IEEE addition
+    (commutative — aggregation order cannot matter); more lists ride on
+    round(…, 6).
+
+    Output: (id, rrf_score, n_lists), one row per doc appearing in any
+    top-``depth`` list.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = []
+    for r in rankings:
+        top = (
+            r.select(id_col, score_col)
+            .orderBy(F.desc(score_col), id_col)
+            .limit(depth)
+        )
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        parts.append(
+            top.select(
+                id_col,
+                (F.lit(1.0) / (F.lit(float(k)) + F.row_number().over(w))).alias(
+                    "contrib"
+                ),
+            )
+        )
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p)
+    return fused.groupBy(id_col).agg(
+        F.round(F.sum("contrib"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+
+
+def ql_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Maximum-likelihood query-likelihood score: the fraction of a
+    document's tokens that are query terms, ``Σ_t tf(t,d) / |d|`` — the
+    smoothing-free LM baseline (Ponte & Croft, SIGIR 1998 family). Kept
+    deliberately un-BM25-like as the second opinion for
+    :func:`rrf_fuse`; exact rational arithmetic (int/int in doubles)
+    plus round-4 makes it bit-stable cross-engine. Same pre-filtered
+    scale shape as :func:`bm25_scores`: only query-vocabulary postings
+    ever reach the join."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = doc_tokens(df, text_col, id_col)
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qt = [t.lower() for t in query_terms]
+    hits = (
+        toks.filter(F.col("token").isin(qt))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    return hits.join(doclen, "doc_id").select(
+        "doc_id",
+        F.round(F.col("qtf") / F.col("dl").cast("double"), ndigits).alias("score"),
     )

@@ -71,3 +71,50 @@ def test_single_token_and_empty_docs_are_excluded(spark):
     assert {r.doc_id for r in R.bigram_logprob(df).collect()} == {3}
     with pytest.raises(ValueError, match="non-empty"):
         R.bm25_scores(df, [])
+
+
+# --- reciprocal-rank fusion --------------------------------------------------
+
+
+def test_rrf_fuse_agreement_wins(spark):
+    """A doc ranked top by BOTH lists outscores docs top in only one:
+    1/(k+1)+1/(k+2) > 1/(k+1) for any k."""
+    from rapids_and_rivers_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (1, 0.5), (4, 0.1)], "doc_id long, score double"
+    )
+    rows = {r.doc_id: r for r in rrf_fuse([a, b], k=60).collect()}
+    # docs 1 and 2 appear in both lists
+    assert rows[1].n_lists == 2 and rows[2].n_lists == 2
+    assert rows[3].n_lists == 1 and rows[4].n_lists == 1
+    # 1: ranks (1,2); 2: ranks (2,1) -> identical fused score
+    assert rows[1].rrf_score == rows[2].rrf_score
+    assert rows[1].rrf_score > rows[3].rrf_score
+    expected = round(1 / 61 + 1 / 62, 6)
+    assert rows[1].rrf_score == expected
+
+
+def test_rrf_fuse_depth_cuts_lists(spark):
+    """Docs below the depth cutoff never contribute."""
+    from rapids_and_rivers_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], "doc_id long, score double"
+    )
+    out = {r.doc_id for r in rrf_fuse([a], depth=3).collect()}
+    assert out == {0, 1, 2}
+
+
+def test_ql_scores_fraction(spark):
+    from rapids_and_rivers_spark.operators.retrieval import ql_scores
+
+    df = spark.createDataFrame(
+        [(1, "spark spark other word"), (2, "nothing relevant here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.score for r in ql_scores(df, ["spark"]).collect()}
+    assert rows == {1: 0.5}
