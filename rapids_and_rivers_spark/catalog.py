@@ -5610,6 +5610,70 @@ def bm25_search(spark, sf_dir):
 
 
 @register(
+    "dsir_importance",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, lang, token FROM toks WHERE len(token) > 0),
+    post AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(token), 1, 13)) AS BIGINT) % 1024
+               AS bucket
+      FROM tf
+    ),
+    raw_c AS (SELECT bucket, count(*) AS raw_c FROM post GROUP BY 1),
+    tgt_c AS (SELECT bucket, count(*) AS tgt_c FROM post
+              WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS raw_total,
+                   CAST(count(*) FILTER (lang = 'en') AS DOUBLE) AS tgt_total
+            FROM post),
+    lr AS (
+      SELECT r.bucket,
+             ln((coalesce(t.tgt_c, 0) + 1.0) / (tot.tgt_total + 1024))
+           - ln((r.raw_c + 1.0) / (tot.raw_total + 1024)) AS lr
+      FROM raw_c r LEFT JOIN tgt_c t USING (bucket) CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT p.doc_id, p.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(l.lr), 4) AS dsir_score
+      FROM post p JOIN lr l USING (bucket)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_tokens, dsir_score
+    FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 30
+    """,
+    doc="DSIR importance weights (operators/selection.py dsir_scores; "
+    "Xie et al. NeurIPS'23): every doc's per-token average "
+    "log-ratio ln(p_target/p_raw) over md5-hashed unigram buckets "
+    "(B=1024, add-1 smoothing), target = lang='en'. The two "
+    "distributions are ONE bucket-keyed agg each; the KB-sized ratio "
+    "table broadcasts to the scoring join, so selection cost is a "
+    "single postings pass at any corpus size. Top-30 by ROUNDED score "
+    "(rank-stable across libm ln drift, which sits ~1e-14 below the "
+    "rounding). FULL value oracle: DuckDB rebuilds buckets, both "
+    "distributions, and every ratio. Honest caveat: this synthetic "
+    "corpus draws every lang label from ONE shared vocabulary, so "
+    "scores correctly hover near 0 ('nothing to upweight') — the "
+    "operator reporting no signal where none exists; actual "
+    "discrimination (target-vocab docs strictly outrank off-vocab, "
+    "mixed docs in between, length-invariance) is pinned in "
+    "tests/test_operators.py on a corpus whose target DOES differ",
+)
+def dsir_importance(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import selection as SEL
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = SEL.dsir_scores(
+        docs, F.col("lang") == "en", extra_cols=["lang"], buckets=1024
+    )
+    return out.orderBy(F.desc("dsir_score"), "doc_id").limit(30)
+
+
+@register(
     "rrf_search_fusion",
     r"""
     WITH toks AS (

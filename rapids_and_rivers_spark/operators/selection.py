@@ -1,0 +1,99 @@
+"""Training-data selection: DSIR-style hashed n-gram importance weights.
+
+DSIR (Xie et al., "Data Selection for Language Models via Importance
+Resampling", NeurIPS 2023) scores every raw-pool document by how much
+more likely its features are under a TARGET distribution (the data you
+want more of — a benchmark, a trusted domain) than under the RAW pool
+distribution: ``log w(d) = Σ_features ln(p_target(f) / p_raw(f))`` with
+features hashed into a fixed bucket space so both distributions are
+dense count vectors, then resamples by weight.
+
+Scale design: the two distributions are ONE bucket-keyed aggregation
+each over token postings (the bucket space is a constant — here 1024 —
+so the per-bucket log-ratio table is KB-sized and BROADCAST to the
+scoring join no matter how large the corpus is). Scoring is one
+broadcast hash join postings→ratios plus a per-doc average — no
+pairwise anything, no driver data path beyond two scalar totals (the
+same bounded-collect class as bm25_scores' N/avgdl).
+
+Determinism: buckets come from the 52-bit md5 hash
+(:func:`~rapids_and_rivers_spark.operators.sketch.kmv_hash` — DuckDB
+recomputes them bit-identically); add-1 smoothing keeps every ratio
+finite; ``ln`` drift across libms is ~1 ulp per call and the per-doc
+AVERAGE is rounded to 4 digits, far above the ~1e-14 accumulated error,
+and ranking downstream must order by the ROUNDED score (see
+rrf_search_fusion's rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rapids_and_rivers_spark.operators.sketch import kmv_hash
+from rapids_and_rivers_spark.operators.text import tokens
+
+
+def dsir_scores(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+    buckets: int = 1024,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-document DSIR importance score over hashed unigram features.
+
+    ``is_target`` marks the rows defining the target distribution (they
+    are still scored — a sane scorer ranks them high, which the catalog
+    query's test asserts). Output: ``(id[, extra…], n_tokens,
+    dsir_score)`` where dsir_score is the rounded per-token average
+    log-ratio ``avg_t ln(p_target(bucket(t)) / p_raw(bucket(t)))`` —
+    length-normalized so long documents aren't favored.
+    """
+    keep = [F.col(c) for c in (extra_cols or [])]
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        *keep,
+        is_target.alias("is_tgt"),
+        F.explode_outer(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token").isNotNull() & (F.length("token") > 0))
+    post = toked.withColumn(
+        "bucket", F.pmod(kmv_hash(F.col("token")), F.lit(buckets))
+    )
+    raw_counts = post.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_c"))
+    tgt_counts = (
+        post.filter(F.col("is_tgt"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tgt_c"))
+    )
+    # two bounded scalars (bm25_scores precedent), then a KB-scale ratio
+    # table broadcast to the postings join
+    raw_total = post.count()
+    tgt_total = post.filter(F.col("is_tgt")).count()
+    ratios = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tgt_c"), F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(tgt_total + buckets))
+                )
+                - F.log(
+                    (F.col("raw_c") + F.lit(1.0))
+                    / F.lit(float(raw_total + buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    scored = post.join(F.broadcast(ratios), "bucket")
+    group = ["id"] + [c for c in (extra_cols or [])]
+    return (
+        scored.groupBy(*group)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("lr"), ndigits).alias("dsir_score"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -596,3 +596,48 @@ def test_pagerank_weight_bias(spark):
     edges = spark.createDataFrame(e, "src string, dst string, weight double")
     ranks = {r.node: r.pr for r in pagerank(edges, iters=4).collect()}
     assert ranks["b"] > ranks["c"]
+
+
+# --- DSIR importance selection ----------------------------------------------
+
+
+def test_dsir_ranks_target_like_docs_high(spark):
+    """Docs drawn from the target vocabulary score above docs from a
+    disjoint vocabulary; target rows themselves rank on top."""
+    from rapids_and_rivers_spark.operators.selection import dsir_scores
+
+    tgt = [f"alpha beta gamma delta epsilon tok{i}" for i in range(6)]
+    off = [f"zebra yak xylo walrus vulture not{i}" for i in range(6)]
+    mixed = ["alpha beta gamma zebra yak xylo"]
+    rows = (
+        [(i, t, True) for i, t in enumerate(tgt)]
+        + [(100 + i, t, False) for i, t in enumerate(off)]
+        + [(200, mixed[0], False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    from pyspark.sql import functions as F
+
+    out = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores(df, F.col("tgt"), buckets=256).collect()
+    }
+    tgt_scores = [out[i] for i in range(6)]
+    off_scores = [out[100 + i] for i in range(6)]
+    assert min(tgt_scores) > max(off_scores)
+    # the half-and-half doc sits strictly between
+    assert max(off_scores) < out[200] < min(tgt_scores)
+
+
+def test_dsir_length_normalized(spark):
+    """Repeating a doc's text doesn't change its per-token average."""
+    from rapids_and_rivers_spark.operators.selection import dsir_scores
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [(1, base, True), (2, base + " " + base, True)],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = {r.doc_id: r for r in dsir_scores(df, F.col("tgt")).collect()}
+    assert out[1].dsir_score == out[2].dsir_score
+    assert out[2].n_tokens == 2 * out[1].n_tokens
