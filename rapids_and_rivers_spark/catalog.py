@@ -5610,6 +5610,79 @@ def bm25_search(spark, sf_dir):
 
 
 @register(
+    "communities_purchase_graph",
+    r"""
+    WITH e0 AS (
+      SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT src, dst, w FROM e0
+          UNION ALL
+          SELECT dst AS src, src AS dst, w FROM e0),
+    l0 AS (SELECT DISTINCT src AS node FROM e),
+    l0l AS (SELECT node, node AS label FROM l0),
+    n1 AS (SELECT e.dst AS node, l.label, sum(e.w) AS wsum
+           FROM e JOIN l0l l ON e.src = l.node GROUP BY 1, 2),
+    l1 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY wsum DESC, label) AS rk
+             FROM n1) WHERE rk = 1),
+    n2 AS (SELECT e.dst AS node, l.label, sum(e.w) AS wsum
+           FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+    l2 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY wsum DESC, label) AS rk
+             FROM n2) WHERE rk = 1)
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+           min(node) AS min_node
+    FROM l2 GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT 50
+    """,
+    doc="community detection on the purchase graph by SYNCHRONOUS "
+    "weighted label propagation (operators/graph.py label_propagation; "
+    "Raghavan et al. 2007), 2 rounds, max-incident-weight adoption "
+    "with smaller-label tie-break. The async textbook LPA is "
+    "order-dependent (unreproducible on a cluster); this variant is "
+    "partition/retry/engine-invariant — integer edge weights make "
+    "every neighbor sum EXACT in doubles, so the FULL DuckDB oracle "
+    "reproduces every adoption decision bit-for-bit with no rounding "
+    "anywhere. Per round: node-keyed join + (node,label) agg + "
+    "per-node rank window. Output: top-50 communities by size",
+)
+def communities_purchase_graph(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    labels = G.label_propagation(edges, iters=2)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(50)
+    )
+
+
+@register(
     "dsir_importance",
     r"""
     WITH toks AS (

@@ -23,7 +23,7 @@ or purchase graphs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pagerank(
@@ -86,3 +86,55 @@ def pagerank(
             (teleport + d * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan, Albert & Kumara
+    2007) with DETERMINISTIC tie-breaks: every node starts as its own
+    label; each round, every node adopts the label carrying the maximum
+    total incident edge weight among its neighbors, ties broken toward
+    the lexicographically smaller label. Fixed ``iters`` rounds (see the
+    module docstring for why fixed-iteration).
+
+    Asynchronous LPA (the common formulation) is order-dependent and
+    therefore unreproducible on a cluster; the synchronous + total-order
+    tie-break variant here is partition-, retry-, and engine-invariant —
+    with integer edge weights the neighbor sums are EXACT in doubles, so
+    an oracle engine reproduces every adoption decision bit-for-bit (no
+    rounding anywhere).
+
+    Per round: one node-keyed equi-join (labels ⋈ edges) + one
+    (node, label)-keyed agg + one per-node rank window — all partitioned
+    on node keys. Pass both orientations for undirected graphs.
+
+    Output: (node, label) after ``iters`` rounds.
+    """
+    both = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
+    ).persist()
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iters):
+        nb = (
+            both.join(labels, both["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("nd"), "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        w_rank = Window.partitionBy("nd").orderBy(F.desc("wsum"), "label")
+        labels = (
+            nb.withColumn("rk", F.row_number().over(w_rank))
+            .filter(F.col("rk") == 1)
+            .select(F.col("nd").alias("node"), "label")
+        )
+    return labels

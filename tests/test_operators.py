@@ -641,3 +641,53 @@ def test_dsir_length_normalized(spark):
     out = {r.doc_id: r for r in dsir_scores(df, F.col("tgt")).collect()}
     assert out[1].dsir_score == out[2].dsir_score
     assert out[2].n_tokens == 2 * out[1].n_tokens
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two dense cliques joined by one weak bridge resolve into two
+    communities labeled by their smallest member."""
+    from rapids_and_rivers_spark.operators.graph import label_propagation
+
+    def clique(names, w):
+        e = []
+        for a in names:
+            for b in names:
+                if a != b:
+                    e.append((a, b, w))
+        return e
+
+    e = clique(["a1", "a2", "a3"], 5.0) + clique(["b1", "b2", "b3"], 5.0)
+    e += [("a1", "b1", 1.0), ("b1", "a1", 1.0)]  # weak bridge
+    edges = spark.createDataFrame(e, "src string, dst string, weight double")
+    labels = {r.node: r.label for r in label_propagation(edges, iters=3).collect()}
+    assert labels["a2"] == labels["a3"] == labels["a1"]
+    assert labels["b2"] == labels["b3"] == labels["b1"]
+    assert labels["a1"] != labels["b1"]
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    """Equal-weight neighbors: the smaller label wins deterministically."""
+    from rapids_and_rivers_spark.operators.graph import label_propagation
+
+    e = [("m", "a", 1.0), ("m", "z", 1.0), ("a", "m", 1.0), ("z", "m", 1.0)]
+    edges = spark.createDataFrame(e, "src string, dst string, weight double")
+    labels = {r.node: r.label for r in label_propagation(edges, iters=1).collect()}
+    # m sees labels {a, z} at equal weight -> adopts 'a'
+    assert labels["m"] == "a"
+
+
+def test_label_propagation_partitioning_invariant(spark):
+    from rapids_and_rivers_spark.operators.graph import label_propagation
+    from pyspark.sql import functions as F
+
+    e = [(f"v{i}", f"v{(i+1) % 7}", float(1 + i % 3)) for i in range(7)]
+    e += [(d, s, w) for s, d, w in e]
+    edges = spark.createDataFrame(e, "src string, dst string, weight double")
+    a = sorted(map(tuple, label_propagation(edges.repartition(1), iters=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(edges.repartition(13, F.col("dst")), iters=2).collect(),
+        )
+    )
+    assert a == b
