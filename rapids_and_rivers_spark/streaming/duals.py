@@ -1146,3 +1146,47 @@ def spans_index_foreach_batch(
         )
 
     return stage
+
+
+def cms_stream(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Streaming count-min sketch: the running cell table
+    ``(row, col, cnt)`` maintained by Spark's NATIVE streaming
+    aggregation — no custom state handler at all, because a CMS is just
+    a sum keyed by (row, col) and sums are what the built-in stateful
+    agg does best (state bounded at depth*width rows total, partial
+    aggregation map-side, update-mode emission).
+
+    This is the dual's degenerate-in-a-good-way case: where KMV/HLL
+    need applyInPandasWithState to hold sketch vectors, the CMS merge
+    (cell-wise +) IS streaming aggregation, so the whole operator stays
+    JVM-side whole-stage-codegen. The cell table after any micro-batch
+    equals the batch :func:`~rapids_and_rivers_spark.operators.sketch.
+    cms_build` over everything seen — pinned by the duality test —
+    and point queries go through the same
+    :func:`~rapids_and_rivers_spark.operators.sketch.cms_estimate`.
+    """
+    from rapids_and_rivers_spark.operators.sketch import cms_position
+
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    cms_position(F.col(key_col), i, width).alias("col"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("cell")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.select(cells, w.cast("long").alias("w"))
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.sum("w").alias("cnt"))
+    )

@@ -1433,3 +1433,51 @@ def test_hll_distinct_stream_matches_batch_sketch(spark, tmp_path):
     assert 6 <= final["small"][1] <= 18
     # 'big': 1500 distinct -> raw estimator within the 3-sigma band
     assert 1500 * 0.6 < final["big"][1] < 1500 * 1.4
+
+
+def test_cms_stream_matches_batch_sketch(spark, tmp_path):
+    """Streaming CMS: native streaming aggregation keyed by (row, col);
+    the cell table after both micro-batches equals the batch cms_build
+    over everything seen, and point estimates keep the one-sided
+    guarantee through cms_estimate."""
+    from rapids_and_rivers_spark.operators.sketch import cms_build, cms_estimate
+    from rapids_and_rivers_spark.streaming.duals import cms_stream
+
+    b1 = [{"k": "hot"}] * 60 + [{"k": f"k{i}"} for i in range(30)]
+    b2 = [{"k": "hot"}] * 40 + [{"k": f"k{i}"} for i in range(20, 50)]
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in b1],
+        [json.dumps(r) for r in b2],
+        "k string",
+    )
+    out = cms_stream(events, "k", width=64, depth=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {}
+    for r in spark.sql("SELECT * FROM cms_out").collect():
+        final[(r.row, r.col)] = r.cnt  # update mode: last write per cell wins
+    batch = spark.createDataFrame([(r["k"],) for r in b1 + b2], "k string")
+    expected = {
+        (r.row, r.col): r.cnt
+        for r in cms_build(batch, "k", width=64, depth=4).collect()
+    }
+    assert final == expected
+    # the streamed sketch answers point queries with the CMS guarantee
+    sketch = spark.createDataFrame(
+        [(rc[0], rc[1], c) for rc, c in final.items()], "row int, col int, cnt long"
+    )
+    keys = spark.createDataFrame([("hot",), ("k25",), ("absent",)], "k string")
+    est = {
+        r.k: r.est
+        for r in cms_estimate(keys, sketch, "k", width=64, depth=4).collect()
+    }
+    assert est["hot"] >= 100 and est["k25"] >= 2
