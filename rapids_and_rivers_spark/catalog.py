@@ -2160,6 +2160,58 @@ def events_value_percentiles(spark, sf_dir):
 
 
 @register(
+    "quantiles_hash_sampled",
+    """
+    WITH s AS (
+      SELECT event_type, value,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10 = 0 AS in_sample
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (in_sample) AS BIGINT) AS n_sampled,
+           round(quantile_cont(value, 0.5) FILTER (in_sample), 4)
+             AS p50_sampled,
+           round(quantile_cont(value, 0.5), 4) AS p50_exact,
+           round(quantile_cont(value, 0.9) FILTER (in_sample), 4)
+             AS p90_sampled,
+           round(quantile_cont(value, 0.9), 4) AS p90_exact
+    FROM s
+    GROUP BY event_type
+    """,
+    doc="percentiles from a DETERMINISTIC 10% hash sample (md5(event_id) "
+    "mod 10) next to the exact values — the third quantile strategy at "
+    "100 TB besides exact (sort-per-group) and approx_percentile "
+    "(t-digest, not oracle-comparable): the sample is REPRODUCIBLE "
+    "(hash, not rand — retry/partition/engine-stable, so this query "
+    "carries a FULL value oracle where a Bernoulli sample could not), "
+    "tunable, and composable with any downstream exact aggregate. The "
+    "row exhibits the sampling error envelope directly; the ~sqrt(10)x "
+    "input reduction hits the per-group sort, which is the term that "
+    "dominates exact quantiles at scale",
+)
+def quantiles_hash_sampled(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    in_sample = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+        == 0
+    )
+    base = ev.select("event_type", "value", in_sample.alias("in_sample"))
+    sampled_val = F.when(F.col("in_sample"), F.col("value"))
+    return base.groupBy("event_type").agg(
+        F.count(sampled_val).cast("long").alias("n_sampled"),
+        F.round(F.expr("percentile(CASE WHEN in_sample THEN value END, 0.5)"), 4)
+        .alias("p50_sampled"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(CASE WHEN in_sample THEN value END, 0.9)"), 4)
+        .alias("p90_sampled"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90_exact"),
+    )
+
+
+@register(
     "text_quality_filter",
     r"""
     WITH toks AS (
