@@ -464,24 +464,33 @@ def prefix_filter_pairs(
 
     Scale shape: df-count (one partial-agg shuffle on the shingle), a
     per-doc rank window (keyed on id — never global), the prefix
-    equi-join (8-byte-ish keys, rare-token lists), and a candidate-keyed
-    verify. ``threshold=0.5`` keeps ``ceil`` on exactly-representable
-    doubles, so the prefix length is engine-invariant.
+    equi-join (8-byte keys, rare-token lists), and a candidate-keyed
+    verify. Shingles are 64-bit hashes (:func:`hashed_shingles`) — the
+    canonical order becomes (df, hash) instead of (df, string), which is
+    just as valid (the prefix theorem needs ANY consistent total order;
+    rarest-first is the performance heuristic) and cuts every posting
+    shuffle and verify array from strings to longs (measured 16.8 s ->
+    see catalog doc at sf0.1). ``threshold=0.5`` keeps ``ceil`` on
+    exactly-representable doubles, so the prefix length is
+    engine-invariant.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b — identical to the
     brute-force all-pairs Jaccard filter (pinned by test and by the
     catalog query's full-value DuckDB oracle, which recomputes the
-    brute-force form).
+    brute-force form over shingle STRINGS; hashed-shingle Jaccard equals
+    string-shingle Jaccard absent 64-bit collisions, the
+    ngram_jaccard_pairs precedent).
     """
-    toked = spread(df, id_col).select(
-        F.col(id_col).alias("id"), tokens(normalized(F.col(col))).alias("toks")
+    # NO early size()>0 filter: Catalyst pushes a deterministic filter
+    # below the spread() exchange, inlining the whole shingle transform
+    # into a single-split pre-shuffle Filter (the ngram_jaccard_pairs
+    # trap — measured 17 s for the shingle pass alone at sf0.1 vs ~2 s
+    # in this shape). Empty-shingle docs contribute no postings (their
+    # explode_outer null row is dropped) and can never be candidates.
+    base = shingled(spread(df, id_col), col, id_col, n=shingle_n).withColumn(
+        "sz", F.size("shingles")
     )
-    sized = (
-        toked.select("id", word_shingles(F.col("toks"), shingle_n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("sz", F.size("sh"))
-    )
-    post = sized.select("id", "sz", F.explode_outer("sh").alias("t")).filter(
+    post = base.select("id", "sz", F.explode_outer("shingles").alias("t")).filter(
         F.col("t").isNotNull()
     )
     dfreq = post.groupBy("t").agg(F.count(F.lit(1)).alias("dfr"))
@@ -499,8 +508,8 @@ def prefix_filter_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    a = sized.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sized.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
