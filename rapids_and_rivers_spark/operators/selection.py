@@ -16,6 +16,12 @@ broadcast hash join postings→ratios plus a per-doc average — no
 pairwise anything, no driver data path beyond two scalar totals (the
 same bounded-collect class as bm25_scores' N/avgdl).
 
+The build/score split (:func:`dsir_ratio_table` /
+:func:`dsir_score_with`) exists for the streaming ingest gate: the
+ratio table is FROZEN from an offline pool and applied per micro-batch
+(streaming/duals.dsir_gate_foreach_batch) — the deployment shape of
+importance-weighted ingest.
+
 Determinism: buckets come from the 52-bit md5 hash
 (:func:`~rapids_and_rivers_spark.operators.sketch.kmv_hash` — DuckDB
 recomputes them bit-identically); add-1 smoothing keeps every ratio
@@ -31,6 +37,97 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from rapids_and_rivers_spark.operators.sketch import kmv_hash
 from rapids_and_rivers_spark.operators.text import tokens
+
+
+def _postings(
+    df: DataFrame,
+    text_col: str,
+    buckets: int,
+    id_col: str | None = None,
+    extra_cols: list[str] | None = None,
+    is_target: Column | None = None,
+) -> DataFrame:
+    keep = [F.col(c) for c in (extra_cols or [])]
+    if id_col is not None:
+        keep = [F.col(id_col).alias("id")] + keep
+    if is_target is not None:
+        keep.append(is_target.alias("is_tgt"))
+    toked = df.select(
+        *keep, F.explode_outer(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token").isNotNull() & (F.length("token") > 0))
+    return toked.withColumn(
+        "bucket", F.pmod(kmv_hash(F.col("token")), F.lit(buckets))
+    )
+
+
+def dsir_ratio_table(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> tuple[DataFrame, float]:
+    """Offline half of DSIR: the per-bucket log-ratio table
+    ``(bucket, lr)`` (≤ ``buckets`` rows — KB-sized, broadcastable) plus
+    the DEFAULT log-ratio for buckets never seen in the offline pool
+    (both smoothed counts at 1 — what a frozen-table gate must apply to
+    novel tokens). Two bounded scalar collects for the totals."""
+    post = _postings(df, text_col, buckets, is_target=is_target)
+    raw_counts = post.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_c"))
+    tgt_counts = (
+        post.filter(F.col("is_tgt"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tgt_c"))
+    )
+    raw_total = post.count()
+    tgt_total = post.filter(F.col("is_tgt")).count()
+    import math
+
+    default_lr = math.log(1.0 / float(tgt_total + buckets)) - math.log(
+        1.0 / float(raw_total + buckets)
+    )
+    ratios = raw_counts.join(tgt_counts, "bucket", "left").select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce(F.col("tgt_c"), F.lit(0)) + F.lit(1.0))
+                / F.lit(float(tgt_total + buckets))
+            )
+            - F.log(
+                (F.col("raw_c") + F.lit(1.0)) / F.lit(float(raw_total + buckets))
+            )
+        ).alias("lr"),
+    )
+    return ratios, default_lr
+
+
+def dsir_score_with(
+    df: DataFrame,
+    ratios: DataFrame,
+    default_lr: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+    buckets: int = 1024,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Online half of DSIR: score documents against a PRE-BUILT ratio
+    table (broadcast join on the bucket; buckets absent from the table —
+    tokens never seen offline — take ``default_lr``). Works identically
+    on batch and per-micro-batch DataFrames: one postings pass, one
+    per-doc average."""
+    post = _postings(df, text_col, buckets, id_col=id_col, extra_cols=extra_cols)
+    scored = post.join(F.broadcast(ratios), "bucket", "left").withColumn(
+        "lr", F.coalesce(F.col("lr"), F.lit(default_lr))
+    )
+    group = ["id"] + [c for c in (extra_cols or [])]
+    return (
+        scored.groupBy(*group)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("lr"), ndigits).alias("dsir_score"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
 
 
 def dsir_scores(
@@ -49,51 +146,21 @@ def dsir_scores(
     query's test asserts). Output: ``(id[, extra…], n_tokens,
     dsir_score)`` where dsir_score is the rounded per-token average
     log-ratio ``avg_t ln(p_target(bucket(t)) / p_raw(bucket(t)))`` —
-    length-normalized so long documents aren't favored.
+    length-normalized so long documents aren't favored. Composition of
+    :func:`dsir_ratio_table` over ``df`` itself and
+    :func:`dsir_score_with` (the default-lr path is unreachable here:
+    every scored bucket is in the table by construction).
     """
-    keep = [F.col(c) for c in (extra_cols or [])]
-    toked = df.select(
-        F.col(id_col).alias("id"),
-        *keep,
-        is_target.alias("is_tgt"),
-        F.explode_outer(tokens(F.col(text_col))).alias("token"),
-    ).filter(F.col("token").isNotNull() & (F.length("token") > 0))
-    post = toked.withColumn(
-        "bucket", F.pmod(kmv_hash(F.col("token")), F.lit(buckets))
+    ratios, default_lr = dsir_ratio_table(
+        df, is_target, text_col=text_col, buckets=buckets
     )
-    raw_counts = post.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_c"))
-    tgt_counts = (
-        post.filter(F.col("is_tgt"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tgt_c"))
-    )
-    # two bounded scalars (bm25_scores precedent), then a KB-scale ratio
-    # table broadcast to the postings join
-    raw_total = post.count()
-    tgt_total = post.filter(F.col("is_tgt")).count()
-    ratios = (
-        raw_counts.join(tgt_counts, "bucket", "left")
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("tgt_c"), F.lit(0)) + F.lit(1.0))
-                    / F.lit(float(tgt_total + buckets))
-                )
-                - F.log(
-                    (F.col("raw_c") + F.lit(1.0))
-                    / F.lit(float(raw_total + buckets))
-                )
-            ).alias("lr"),
-        )
-    )
-    scored = post.join(F.broadcast(ratios), "bucket")
-    group = ["id"] + [c for c in (extra_cols or [])]
-    return (
-        scored.groupBy(*group)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.avg("lr"), ndigits).alias("dsir_score"),
-        )
-        .withColumnRenamed("id", id_col)
+    return dsir_score_with(
+        df,
+        ratios,
+        default_lr,
+        text_col=text_col,
+        id_col=id_col,
+        extra_cols=extra_cols,
+        buckets=buckets,
+        ndigits=ndigits,
     )

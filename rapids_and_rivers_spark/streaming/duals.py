@@ -1190,3 +1190,62 @@ def cms_stream(
         .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
         .agg(F.sum("w").alias("cnt"))
     )
+
+
+def dsir_gate_foreach_batch(
+    offline_pool: DataFrame,
+    is_target,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    min_score: float | None = None,
+    ndigits: int = 4,
+):
+    """Streaming DSIR importance gate: every arriving document is scored
+    against a FROZEN log-ratio table built once from an offline pool —
+    the deployment shape of importance-weighted ingest (score at the
+    door with yesterday's distributions, rebuild the table offline on
+    whatever cadence the distributions drift).
+
+    The ratio table is ≤ ``buckets`` rows (KB-sized, broadcast into each
+    micro-batch's scoring join) and is persisted+materialized at factory
+    time; tokens never seen offline take the default smoothed ratio
+    (selection.dsir_ratio_table's ``default_lr``) instead of silently
+    dropping. ``min_score`` adds the gate verdict column. Per-batch
+    scores are exactly ``dsir_score_with`` over those documents with the
+    same frozen table (pinned by test — streaming vs batch on the union
+    of batches).
+
+    Per-epoch overwrite writes make replay idempotent; read back with
+    :func:`read_epoch_table`.
+    """
+    from rapids_and_rivers_spark.operators.selection import (
+        dsir_ratio_table,
+        dsir_score_with,
+    )
+
+    ratios, default_lr = dsir_ratio_table(
+        offline_pool, is_target, text_col=text_col, buckets=buckets
+    )
+    ratios = ratios.persist()
+    ratios.count()  # pay the offline build at factory time, not batch 1
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        out = dsir_score_with(
+            batch_df,
+            ratios,
+            default_lr,
+            text_col=text_col,
+            id_col=id_col,
+            buckets=buckets,
+            ndigits=ndigits,
+        )
+        if min_score is not None:
+            out = out.withColumn(
+                "selected", F.col("dsir_score") >= F.lit(min_score)
+            )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{epoch_id}"))
+
+    stage.ratio_table = ratios
+    return stage

@@ -1481,3 +1481,64 @@ def test_cms_stream_matches_batch_sketch(spark, tmp_path):
         for r in cms_estimate(keys, sketch, "k", width=64, depth=4).collect()
     }
     assert est["hot"] >= 100 and est["k25"] >= 2
+
+
+def test_dsir_gate_foreach_batch_matches_batch_scoring(spark, tmp_path):
+    """Streaming DSIR gate: docs scored on ingest against the FROZEN
+    offline ratio table; union of per-batch rows equals dsir_score_with
+    over the same docs with the same table, and novel tokens take the
+    default ratio instead of being dropped."""
+    from rapids_and_rivers_spark.operators.selection import (
+        dsir_ratio_table,
+        dsir_score_with,
+    )
+    from rapids_and_rivers_spark.streaming.duals import (
+        dsir_gate_foreach_batch,
+        read_epoch_table,
+    )
+
+    pool = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", True) for i in range(4)]
+        + [(10 + i, "zebra yak xylo walrus", False) for i in range(4)],
+        "doc_id long, text string, tgt boolean",
+    )
+    arriving = [
+        {"doc_id": 100, "text": "alpha beta gamma"},          # target-like
+        {"doc_id": 101, "text": "zebra yak xylo"},            # raw-like
+        {"doc_id": 102, "text": "neverseen tokens entirely"}, # novel -> default lr
+    ]
+    stream = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(arriving[0])],
+        [json.dumps(r) for r in arriving[1:]],
+        "doc_id long, text string",
+    )
+    out_dir = str(tmp_path / "dsir")
+    stage = dsir_gate_foreach_batch(
+        pool, F.col("tgt"), out_dir, buckets=256, min_score=0.0
+    )
+    q = (
+        stream.writeStream.foreachBatch(stage)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: (r.n_tokens, r.dsir_score, r.selected)
+        for r in read_epoch_table(spark, out_dir).collect()
+    }
+    ratios, default_lr = dsir_ratio_table(pool, F.col("tgt"), buckets=256)
+    batch_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in arriving], "doc_id long, text string"
+    )
+    expected = {
+        r.doc_id: (r.n_tokens, r.dsir_score, r.dsir_score >= 0.0)
+        for r in dsir_score_with(batch_docs, ratios, default_lr, buckets=256).collect()
+    }
+    assert got == expected
+    # gate verdicts: target-like selected, raw-like rejected
+    assert got[100][2] is True and got[101][2] is False
+    # the novel doc was scored (via default_lr), not dropped
+    assert 102 in got and got[102][0] == 3
