@@ -4564,6 +4564,88 @@ def dedup_sorted_neighborhood(spark, sf_dir):
 
 
 @register(
+    "entity_resolution",
+    _shingle_cte() + r"""
+    ssj AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+        AND round(len(list_intersect(a.shingles, b.shingles))
+                  / CAST(len(a.shingles) + len(b.shingles)
+                         - len(list_intersect(a.shingles, b.shingles))
+                         AS DOUBLE), 4) >= 0.5
+    ),
+    rn AS (
+      SELECT doc_id,
+             lower(trim(text)) AS norm,
+             substr(lower(trim(text)), 1, 8) AS blk
+      FROM documents WHERE trim(text) != ''
+    ),
+    rk AS (
+      SELECT doc_id, norm, blk,
+             row_number() OVER (PARTITION BY blk ORDER BY norm, doc_id) AS rk
+      FROM rn
+    ),
+    snm AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rk a JOIN rk b
+        ON a.blk = b.blk AND b.rk - a.rk BETWEEN 1 AND 2
+      WHERE levenshtein(substr(a.norm, 1, 80), substr(b.norm, 1, 80)) <= 10
+    ),
+    pairs AS (SELECT id_a, id_b FROM ssj UNION SELECT id_a, id_b FROM snm),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM r JOIN edges e ON r.b = e.u
+      )
+      SELECT * FROM r
+    ),
+    comp AS (
+      SELECT a AS node, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    )
+    SELECT cluster AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_records,
+           max(node) AS max_id
+    FROM comp GROUP BY cluster
+    """,
+    doc="end-to-end ENTITY RESOLUTION composed from this round's "
+    "blocking operators: two independent evidence channels — "
+    "sorted-neighborhood prefix-edit pairs (fuzzy.sorted_neighborhood_"
+    "pairs) and blocking-free prefix-filtered Jaccard pairs "
+    "(dedup.prefix_filter_pairs) — unioned into a match graph, resolved "
+    "to entities by connected components (dedup.duplicate_clusters "
+    "min-label propagation), summarized as one canonical record per "
+    "entity. The classic ER architecture (block -> verify -> cluster -> "
+    "canonicalize) as ONE Catalyst plan; every stage is an equi-join or "
+    "keyed window — nothing pairwise-global anywhere. FULL chained "
+    "oracle: DuckDB rebuilds both evidence channels, the union graph, "
+    "the recursive-CTE transitive closure, and the per-entity rollup",
+)
+def entity_resolution(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    snm = FZ.sorted_neighborhood_pairs(
+        docs, col="text", id_col="doc_id", block_chars=8, key_chars=80,
+        window=2, max_distance=10,
+    ).select("id_a", "id_b")
+    ssj = D.prefix_filter_pairs(
+        docs, col="text", id_col="doc_id", shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    pairs = ssj.unionByName(snm).distinct()
+    comp = D.duplicate_clusters(pairs)
+    return comp.groupBy(F.col("cluster").alias("canonical_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.max("node").alias("max_id"),
+    )
+
+
+@register(
     "pagerank_purchase_graph",
     r"""
     WITH e0 AS (

@@ -500,11 +500,39 @@ def prefix_filter_pairs(
         post.join(dfreq, "t")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
-        .select("id", "t")
+        .select("id", "sz", "rk", "t")
     )
     l, r = prefix.alias("l"), prefix.alias("r")
+    # PPJoin refinements on top of the prefix equi-join (Xiao et al.,
+    # WWW 2008) — both bounds are loosened by 1e-9 before ceil/floor so
+    # float error can only weaken the prune, never create a false
+    # negative:
+    # - LENGTH filter: J >= t forces t*|a| <= |b| <= |a|/t;
+    # - POSITIONAL filter: overlap needed is alpha =
+    #   ceil(t/(1+t)*(|a|+|b|)); a join row at canonical positions
+    #   (rka, rkb) bounds the overlap by 1 + min(|a|-rka, |b|-rkb) —
+    #   loosest at each pair's FIRST common prefix token, so a pair
+    #   survives iff its first-common row passes (later rows only ever
+    #   have tighter bounds).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("l.sz") + F.col("r.sz"))
+        - F.lit(1e-9)
+    )
     cand = (
-        l.join(r, (F.col("l.t") == F.col("r.t")) & (F.col("l.id") < F.col("r.id")))
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (F.col("r.sz") >= F.ceil(F.lit(threshold) * F.col("l.sz") - F.lit(1e-9)))
+            & (F.col("r.sz") <= F.floor(F.col("l.sz") / F.lit(threshold) + F.lit(1e-9)))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("l.sz") - F.col("l.rk"), F.col("r.sz") - F.col("r.rk")
+                )
+                >= alpha
+            ),
+        )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
