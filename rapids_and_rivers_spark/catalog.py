@@ -4564,6 +4564,69 @@ def dedup_sorted_neighborhood(spark, sf_dir):
 
 
 @register(
+    "contrastive_negatives",
+    _shingle_cte() + r"""
+    dup AS (
+      SELECT least(a.doc_id, b.doc_id) AS lo,
+             greatest(a.doc_id, b.doc_id) AS hi
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+        AND round(len(list_intersect(a.shingles, b.shingles))
+                  / CAST(len(a.shingles) + len(b.shingles)
+                         - len(list_intersect(a.shingles, b.shingles))
+                         AS DOUBLE), 4) >= 0.5
+    ),
+    ids AS (SELECT doc_id FROM documents),
+    reps AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) % 64 AS bucket,
+             min(doc_id) AS neg_id
+      FROM ids GROUP BY 1
+    ),
+    draws AS (
+      SELECT doc_id AS id, CAST(j AS INT) AS slot,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                      || CAST(j AS VARCHAR)), 1, 13))
+                  AS BIGINT) % 64 AS bucket
+      FROM ids, unnest([1, 2, 3, 4]) AS t(j)
+    ),
+    cand AS (
+      SELECT d.id, d.slot, r.neg_id
+      FROM draws d JOIN reps r USING (bucket)
+      WHERE r.neg_id != d.id
+    )
+    SELECT id, slot, neg_id FROM cand c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM dup
+      WHERE dup.lo = least(c.id, c.neg_id)
+        AND dup.hi = greatest(c.id, c.neg_id)
+    )
+    """,
+    doc="deterministic negative sampling for contrastive training "
+    "(operators/selection.py negative_samples): each doc draws k=4 "
+    "pseudo-random negatives from md5-bucket representative pools, "
+    "with known near-duplicates EXCLUDED via an unordered-pair "
+    "anti-join against the prefix-filtered Jaccard pairs — the "
+    "false-negative trap (sampling a near-dup as a 'negative') "
+    "guarded structurally. RNG-free draws make the sample retry/"
+    "partition/engine-stable — a reproducible training-data build, "
+    "and the reason a FULL value oracle is possible at all. One "
+    "broadcast rep table + k-way explode + anti-join; no pairwise "
+    "anything",
+)
+def contrastive_negatives(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import selection as SEL
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup = D.prefix_filter_pairs(
+        docs, col="text", id_col="doc_id", shingle_n=3, threshold=0.5
+    )
+    return SEL.negative_samples(
+        docs, id_col="doc_id", k=4, buckets=64, exclude_pairs=dup
+    )
+
+
+@register(
     "entity_resolution",
     _shingle_cte() + r"""
     ssj AS (

@@ -34,6 +34,7 @@ def pagerank(
     dst: str = "dst",
     weight: str = "weight",
     num_nodes: int | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank after ``iters`` power-method rounds:
     ``pr'(v) = (1-d)/N + d * Σ_{u→v} (w_uv / out_w(u)) * pr(u)``.
@@ -72,7 +73,20 @@ def pagerank(
     n = float(num_nodes if num_nodes is not None else nodes.count())
     d = F.lit(damping)
     teleport = (F.lit(1.0) - d) / F.lit(n)
-    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("pr"))
+    if init_ranks is not None:
+        # WARM START — the incremental mode: k passes per day over the
+        # crawl graph resume from yesterday's converged ranks (new nodes
+        # enter at the uniform prior via the left join). Iterating from
+        # a warm start composes exactly: warm(iters=j) after (iters=i)
+        # walks the identical float path as a cold iters=i+j run —
+        # pinned by test.
+        ranks = nodes.join(
+            init_ranks.select("node", "pr"), "node", "left"
+        ).select(
+            "node", F.coalesce(F.col("pr"), F.lit(1.0) / F.lit(n)).alias("pr")
+        )
+    else:
+        ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("pr"))
     for _ in range(iters):
         contrib = (
             norm.join(ranks, norm["src"] == ranks["node"])

@@ -164,3 +164,82 @@ def dsir_scores(
         buckets=buckets,
         ndigits=ndigits,
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    buckets: int = 64,
+    exclude_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each document draws ``k`` pseudo-random negatives from a
+    bucket-representative pool, with known near-duplicates EXCLUDED (the
+    classic false-negative trap — a near-dup sampled as a "negative"
+    teaches the embedding model to push duplicates apart).
+
+    Mechanics: docs hash into ``buckets`` pools; each pool's
+    representative is its min id (one KB-scale broadcast table). Draw
+    ``j`` for a doc lands in pool ``md5(id:j) % buckets`` — an RNG-free
+    draw, so the sample is retry/partition/engine-stable (the property
+    that lets the catalog query carry a FULL value oracle, and that
+    makes training-data builds reproducible). Self-matches are dropped;
+    ``exclude_pairs`` (e.g. a near-dup pair table from any dedup
+    operator) is applied as an unordered-pair anti-join.
+
+    Scale shape: one groupBy for the representative table (broadcast), a
+    k-way per-row explode, one broadcast join, one anti-join keyed on
+    the pair — no pairwise anything.
+
+    Output: (id, slot, neg_id), slot in 1..k (slots that drew the doc's
+    own pool or a near-dup are absent — callers wanting exactly-k can
+    redraw with a second pass over missing slots).
+    """
+    from rapids_and_rivers_spark.sources.tables import spread
+
+    ids = spread(df, id_col).select(F.col(id_col).alias("id"))
+    reps = (
+        ids.withColumn(
+            "bucket", F.pmod(kmv_hash(F.col("id").cast("string")), F.lit(buckets))
+        )
+        .groupBy("bucket")
+        .agg(F.min("id").alias("neg_id"))
+    )
+    draws = ids.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("slot"),
+                        F.pmod(
+                            kmv_hash(
+                                F.concat(
+                                    F.col("id").cast("string"),
+                                    F.lit(":"),
+                                    F.lit(str(j)),
+                                )
+                            ),
+                            F.lit(buckets),
+                        ).alias("bucket"),
+                    )
+                    for j in range(1, k + 1)
+                ]
+            )
+        ).alias("d"),
+    ).select("id", F.col("d.slot").alias("slot"), F.col("d.bucket").alias("bucket"))
+    cand = draws.join(F.broadcast(reps), "bucket").filter(
+        F.col("neg_id") != F.col("id")
+    )
+    if exclude_pairs is not None:
+        dup = exclude_pairs.select(
+            F.least("id_a", "id_b").alias("lo"), F.greatest("id_a", "id_b").alias("hi")
+        ).distinct()
+        cand = cand.join(
+            dup,
+            (F.least(F.col("id"), F.col("neg_id")) == F.col("lo"))
+            & (F.greatest(F.col("id"), F.col("neg_id")) == F.col("hi")),
+            "left_anti",
+        )
+    return cand.select("id", "slot", "neg_id")

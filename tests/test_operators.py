@@ -691,3 +691,50 @@ def test_label_propagation_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_pagerank_warm_start_composes(spark):
+    """Warm-starting j rounds from an i-round result equals a cold
+    i+j-round run — the incremental daily-rank contract."""
+    from rapids_and_rivers_spark.operators.graph import pagerank
+
+    e = [("a", "b", 2.0), ("b", "a", 2.0), ("b", "c", 1.0), ("c", "b", 1.0)]
+    edges = spark.createDataFrame(e, "src string, dst string, weight double")
+    cold = {r.node: r.pr for r in pagerank(edges, iters=3).collect()}
+    warm1 = pagerank(edges, iters=1)
+    warm = {
+        r.node: r.pr
+        for r in pagerank(edges, iters=2, init_ranks=warm1).collect()
+    }
+    assert set(cold) == set(warm)
+    assert all(abs(cold[k] - warm[k]) < 1e-12 for k in cold)
+
+
+def test_negative_samples_excludes_near_dups_and_self(spark):
+    from rapids_and_rivers_spark.operators.selection import negative_samples
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    # doc 0 and 1 are declared near-dups: neither may sample the other
+    dup = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = negative_samples(ids, k=4, buckets=8, exclude_pairs=dup).collect()
+    assert all(r.id != r.neg_id for r in out)
+    pairs = {(min(r.id, r.neg_id), max(r.id, r.neg_id)) for r in out}
+    assert (0, 1) not in pairs
+    # every emitted slot is one of the k draws; each doc emits <= k rows
+    from collections import Counter
+
+    per_doc = Counter(r.id for r in out)
+    assert max(per_doc.values()) <= 4
+    assert all(1 <= r.slot <= 4 for r in out)
+
+
+def test_negative_samples_deterministic_across_partitioning(spark):
+    from rapids_and_rivers_spark.operators.selection import negative_samples
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    a = sorted(map(tuple, negative_samples(ids.repartition(1), k=3).collect()))
+    b = sorted(
+        map(tuple, negative_samples(ids.repartition(11, F.col("doc_id")), k=3).collect())
+    )
+    assert a == b and len(a) > 0
