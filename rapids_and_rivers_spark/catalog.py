@@ -4564,6 +4564,104 @@ def dedup_sorted_neighborhood(spark, sf_dir):
 
 
 @register(
+    "data_quality_checks",
+    """
+    SELECT 'orders_orderkey_unique' AS check,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS metric,
+           0.0 AS threshold,
+           count(*) - count(DISTINCT o_orderkey) <= 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_compound_key_unique',
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                AS DOUBLE),
+           0.0,
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber)) <= 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orders_referential',
+           CAST(count(*) AS DOUBLE), 0.0, count(*) <= 0
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_customer_referential',
+           CAST(count(*) AS DOUBLE), 0.0, count(*) <= 0
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_quantity_in_1_50',
+           CAST(count(*) FILTER (l_quantity IS NOT NULL
+                AND (l_quantity < 1 OR l_quantity > 50)) AS DOUBLE),
+           0.0,
+           count(*) FILTER (l_quantity IS NOT NULL
+                AND (l_quantity < 1 OR l_quantity > 50)) <= 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_in_0_0p1',
+           CAST(count(*) FILTER (l_discount IS NOT NULL
+                AND (l_discount < 0 OR l_discount > 0.1)) AS DOUBLE),
+           0.0,
+           count(*) FILTER (l_discount IS NOT NULL
+                AND (l_discount < 0 OR l_discount > 0.1)) <= 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_value_null_fraction',
+           round(count(*) FILTER (value IS NULL)
+                 / CAST(count(*) AS DOUBLE), 4),
+           0.05,
+           round(count(*) FILTER (value IS NULL)
+                 / CAST(count(*) AS DOUBLE), 4) <= 0.05
+    FROM events
+    """,
+    doc="declarative data-quality suite (operators/validation.py — the "
+    "Deequ/Great-Expectations shape): uniqueness = count-distinct "
+    "delta, referential integrity = anti-join count (broadcast parent), "
+    "range/null = conditional counts — every check ONE linear pass, "
+    "verdicts exact integer arithmetic (FULL value oracle). The suite "
+    "genuinely catches a defect in this corpus: lineitem's "
+    "(l_orderkey, l_linenumber) compound key is NOT unique (14k dup "
+    "keys at sf0.01) — real red next to real green; corrupt-data "
+    "failure detection is additionally pinned in unit tests",
+)
+def data_quality_checks(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import validation as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    return V.run_suite(
+        [
+            V.check_unique(orders, ["o_orderkey"], "orders_orderkey_unique"),
+            V.check_unique(
+                lineitem,
+                ["l_orderkey", "l_linenumber"],
+                "lineitem_compound_key_unique",
+            ),
+            V.check_referential(
+                lineitem, orders, "l_orderkey", "o_orderkey",
+                "lineitem_orders_referential",
+            ),
+            V.check_referential(
+                orders, customer, "o_custkey", "c_custkey",
+                "orders_customer_referential",
+            ),
+            V.check_range(
+                lineitem, "l_quantity", 1, 50, "lineitem_quantity_in_1_50"
+            ),
+            V.check_range(
+                lineitem, "l_discount", 0, 0.1, "lineitem_discount_in_0_0p1"
+            ),
+            V.check_null_fraction(
+                events, "value", 0.05, "events_value_null_fraction"
+            ),
+        ]
+    )
+
+
+@register(
     "contrastive_negatives",
     _shingle_cte() + r"""
     dup AS (

@@ -738,3 +738,50 @@ def test_negative_samples_deterministic_across_partitioning(spark):
         map(tuple, negative_samples(ids.repartition(11, F.col("doc_id")), k=3).collect())
     )
     assert a == b and len(a) > 0
+
+
+# --- data-quality validation suite ------------------------------------------
+
+
+def test_validation_checks_catch_corruption(spark):
+    """Each check fires on deliberately corrupted data and passes on
+    clean data."""
+    from rapids_and_rivers_spark.operators import validation as V
+
+    clean = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    dirty = spark.createDataFrame(
+        [(1, 10.0), (1, -5.0), (4, None)], "id long, v double"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pid long")
+
+    def row(df):
+        return df.collect()[0]
+
+    assert row(V.check_unique(clean, ["id"], "u")).passed
+    r = row(V.check_unique(dirty, ["id"], "u"))
+    assert not r.passed and r.metric == 1.0  # one duplicate key
+    assert row(V.check_referential(clean, parent, "id", "pid", "ri")).passed
+    r = row(V.check_referential(dirty, parent, "id", "pid", "ri"))
+    assert not r.passed and r.metric == 1.0  # id=4 orphan
+    assert row(V.check_range(clean, "v", 0, 100, "rg")).passed
+    r = row(V.check_range(dirty, "v", 0, 100, "rg"))
+    assert not r.passed and r.metric == 1.0  # -5 out of range; NULL ignored
+    assert row(V.check_null_fraction(clean, "v", 0.0, "nf")).passed
+    r = row(V.check_null_fraction(dirty, "v", 0.1, "nf"))
+    assert not r.passed and r.metric == round(1 / 3, 4)
+
+
+def test_validation_suite_unions_verdicts(spark):
+    from rapids_and_rivers_spark.operators import validation as V
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = V.run_suite(
+        [
+            V.check_unique(df, ["id"], "a"),
+            V.check_null_fraction(df, "id", 0.0, "b"),
+        ]
+    ).collect()
+    assert {r.check for r in out} == {"a", "b"}
+    assert all(r.passed for r in out)
