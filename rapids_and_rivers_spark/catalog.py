@@ -4564,6 +4564,92 @@ def dedup_sorted_neighborhood(spark, sf_dir):
 
 
 @register(
+    "cdc_apply_orders",
+    """
+    WITH chg AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             o_totalprice + 100 AS o_totalprice, o_orderdate,
+             o_orderpriority, 2 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, 3, 'D'
+      FROM orders WHERE o_orderkey % 17 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_custkey, 'N', 1000.0,
+             o_orderdate, o_orderpriority, 1, 'U'
+      FROM orders WHERE o_orderkey % 23 = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC, op DESC) AS rk
+        FROM chg) WHERE rk = 1
+    ),
+    merged AS (
+      SELECT CASE WHEN l.op IS NOT NULL THEN l.o_orderkey
+                  ELSE b.o_orderkey END AS o_orderkey,
+             CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+                  ELSE b.o_orderstatus END AS o_orderstatus,
+             CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+                  ELSE b.o_totalprice END AS o_totalprice
+      FROM orders b FULL OUTER JOIN latest l
+        ON b.o_orderkey = l.o_orderkey
+      WHERE l.op IS NULL OR l.op = 'U'
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS sum_price,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="CDC MERGE apply (operators/cdc.py apply_changes): a change set "
+    "(updates + deletes + inserts, derived deterministically from the "
+    "orders snapshot itself) collapses to final-intent-per-key via a "
+    "seq-ranked window with a DOCUMENTED total-order tie-break, then "
+    "applies in ONE full-outer join — upsert/replace/delete semantics "
+    "over plain parquet snapshots, the batch twin of the streaming "
+    "SCD2 changelog. At 100 TB the same latest-change resolution feeds "
+    "a native Delta/Iceberg MERGE INTO. FULL value oracle over the "
+    "post-merge per-status rollup (deleted keys gone, inserted keys "
+    "visible in max_key, updated status X rows counted)",
+)
+def cdc_apply_orders(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import cdc as C
+
+    o = load_table(spark, sf_dir, "orders")
+    payload = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"]
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+        F.lit(2).alias("seq"), F.lit("U").alias("op"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        *payload, F.lit(3).alias("seq"), F.lit("D").alias("op")
+    )
+    ins = o.filter(F.col("o_orderkey") % 23 == 0).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1000.0).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+        F.lit(1).alias("seq"), F.lit("U").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = C.apply_changes(o, changes, ["o_orderkey"], "seq", "op")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
     "data_quality_checks",
     """
     SELECT 'orders_orderkey_unique' AS check,

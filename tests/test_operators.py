@@ -785,3 +785,49 @@ def test_validation_suite_unions_verdicts(spark):
     ).collect()
     assert {r.check for r in out} == {"a", "b"}
     assert all(r.passed for r in out)
+
+
+# --- CDC merge apply ---------------------------------------------------------
+
+
+def test_cdc_apply_upsert_delete_insert(spark):
+    from rapids_and_rivers_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 1, "U"),   # update
+            (3, "xx", 1, "D"),   # delete
+            (4, "d", 1, "U"),    # insert
+            (2, "b3", 2, "U"),   # later update wins
+        ],
+        "k long, v string, seq int, op string",
+    )
+    out = {r.k: r.v for r in apply_changes(base, changes, ["k"], "seq").collect()}
+    assert out == {1: "a", 2: "b3", 4: "d"}
+
+
+def test_cdc_latest_change_tie_break(spark):
+    """Equal seq: 'U' outranks 'D' (documented total order)."""
+    from rapids_and_rivers_spark.operators.cdc import latest_changes
+
+    changes = spark.createDataFrame(
+        [(1, "x", 5, "D"), (1, "y", 5, "U")], "k long, v string, seq int, op string"
+    )
+    rows = latest_changes(changes, ["k"], "seq").collect()
+    assert len(rows) == 1 and rows[0].op == "U" and rows[0].v == "y"
+
+
+def test_cdc_apply_is_idempotent(spark):
+    """Re-applying the same resolved change set yields the same snapshot."""
+    from rapids_and_rivers_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(2, "b2", 1, "U"), (1, "zz", 1, "D")], "k long, v string, seq int, op string"
+    )
+    once = apply_changes(base, changes, ["k"], "seq")
+    twice = apply_changes(once, changes, ["k"], "seq")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
