@@ -4564,6 +4564,102 @@ def dedup_sorted_neighborhood(spark, sf_dir):
 
 
 @register(
+    "decayed_user_activity",
+    """
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events),
+    base AS (
+      SELECT user_id,
+             value * power(CAST(0.5 AS DOUBLE),
+                           date_diff('day', CAST(ts AS DATE),
+                                     (SELECT d0 FROM mx)) / 7.0) AS w
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(w), 4) AS decayed_score
+    FROM base GROUP BY user_id
+    ORDER BY decayed_score DESC, user_id
+    LIMIT 50
+    """,
+    doc="exponentially time-decayed activity score per user "
+    "(half-life 7 days, anchored at the corpus max date — 'now' "
+    "derived from data per the determinism rules): the recency-"
+    "weighted aggregate behind freshness ranking and churn features. "
+    "One groupBy with map-side partial aggregation — the decay weight "
+    "is a row-local expression, so the shuffle carries partial sums "
+    "only; top-50 plans as TakeOrderedAndProject over the rounded "
+    "score. FULL value oracle (power/libm drift ~1 ulp per term, 1e10 "
+    "below the rounding)",
+)
+def decayed_user_activity(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    d0 = ev.agg(F.max(F.to_date("ts"))).first()[0]  # one bounded scalar
+    w = F.col("value") * F.pow(
+        F.lit(0.5), F.datediff(F.lit(str(d0)), F.to_date("ts")) / F.lit(7.0)
+    )
+    return (
+        ev.select("user_id", w.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("w"), 4).alias("decayed_score"),
+        )
+        .orderBy(F.desc("decayed_score"), "user_id")
+        .limit(50)
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    c AS (
+      SELECT prev_type, event_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4)
+             AS prob
+    FROM c
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: lag() within (user, ts, event_id) order gives each "
+    "event its predecessor, one keyed count, and a row-normalized "
+    "probability via a per-prev_type window (bounded partitions — at "
+    "most |event_type| rows each). The sequence-modeling feature "
+    "extractor for next-event prediction / funnel simulation; exact "
+    "integer counts + one rational division, FULL value oracle",
+)
+def event_transition_matrix(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    norm = W.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(norm).cast("double"), 4).alias(
+            "prob"
+        ),
+    )
+
+
+@register(
     "cdc_apply_orders",
     """
     WITH chg AS (
