@@ -2731,6 +2731,55 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "quality_calibrated_percentile",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round(CAST(list_aggregate(list_transform(t, x -> length(x)),
+                                       'sum') AS DOUBLE)
+                   / nullif(len(t), 0), 4) AS raw_score
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, source, raw_score,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY raw_score, doc_id), 4)
+             AS calibrated
+    FROM scored
+    """,
+    doc="per-source percentile calibration of a quality score: "
+    "percent_rank WITHIN each source maps raw scores onto [0,1] "
+    "per-domain — the standard fix for classifier/heuristic scores "
+    "whose scales drift across domains (a web-crawl 0.6 is not a "
+    "books 0.6); filtering at 'calibrated >= q' then takes the same "
+    "top fraction from every source instead of starving whole "
+    "domains. The rank window is PARTITIONED by source (keyed "
+    "shuffle, never global), tie-broken on doc_id for engine-exact "
+    "ranks; percent_rank = (rank-1)/(n-1) matches across engines — "
+    "FULL value oracle",
+)
+def quality_calibrated_percentile(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        T.avg_token_len(F.col("text")).alias("raw_score"),
+        T.token_count(F.col("text")).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    w = W.partitionBy("source").orderBy("raw_score", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        "raw_score",
+        F.round(F.percent_rank().over(w), 4).alias("calibrated"),
+    )
+
+
+@register(
     "text_langid",
     r"""
     WITH toks AS (
@@ -3065,6 +3114,173 @@ def _ivf_oracle_sql(
     """
     )
     return "".join(parts)
+
+
+def _pq_oracle_sql(
+    dim=64, m=4, k_cells=8, iters=4, topk=5, seed=13, sample=256, q=1024
+) -> str:
+    """Generate the DuckDB oracle for sim_ann_pq: the product-quantization
+    twin of :func:`_ivf_oracle_sql` — one unrolled PLAIN (non-spherical)
+    k-means per subspace over the same md5-ordered raw sample, with the
+    identical grid contract (centroids snapped to 1/{q} after init and
+    every update; every argmax/ranking score snapped to SCORE_GRID; L2
+    assignment expressed as ``dot(x,c) - 0.5*||c||^2`` so only inner
+    products appear — ||c||^2 of grid centroids is EXACT in doubles, see
+    similarity.lloyd_codebook_l2). Candidate codes, per-query lookup
+    partials, and the fixed-order ADC sum then replay the Spark path
+    cell-for-cell. Every CTE is MATERIALIZED (a DuckDB hint): the
+    16 per-subspace iteration chains each reference their parent CTE
+    twice, and default inlining re-expands the chain per reference —
+    exponential re-evaluation measured at >8 min; materialized it is
+    ~2 s."""
+    from rapids_and_rivers_spark.operators.similarity import SCORE_GRID
+
+    def snap(expr: str) -> str:
+        return f"floor(({expr}) * {SCORE_GRID}.0 + 0.5)"
+
+    grid = f"floor(v * {q}.0 + 0.5) / {q}.0"
+    order = f"md5('s{seed}-' || CAST(vec_id AS VARCHAR))"
+    sub = dim // m
+    parts = [
+        f"""
+    WITH sample AS MATERIALIZED (
+      SELECT CAST(embedding AS DOUBLE[]) AS emb,
+             row_number() OVER (ORDER BY {order}) AS sid
+      FROM embeddings WHERE vec_id >= 10
+      ORDER BY {order} LIMIT {sample}
+    )"""
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f""",
+    sub{s} AS MATERIALIZED (SELECT sid, emb[{lo}:{hi}] AS x FROM sample),
+    cb{s}_0 AS MATERIALIZED (
+      SELECT sid AS cell, list_transform(x, v -> {grid}) AS centroid
+      FROM sub{s} WHERE sid <= {k_cells}
+    )"""
+        )
+        for i in range(1, iters + 1):
+            p = i - 1
+            score = snap(
+                "list_inner_product(s.x, c.centroid)"
+                " - 0.5 * list_inner_product(c.centroid, c.centroid)"
+            )
+            parts.append(
+                f""",
+    a{s}_{i} AS MATERIALIZED (
+      SELECT sid, x, cell FROM (
+        SELECT s.sid, s.x, c.cell,
+               row_number() OVER (PARTITION BY s.sid
+                 ORDER BY {score} DESC, c.cell) AS rnk
+        FROM sub{s} s CROSS JOIN cb{s}_{p} c) WHERE rnk = 1
+    ),
+    mv{s}_{i} AS MATERIALIZED (
+      SELECT cell, list(mval ORDER BY pos) AS mv FROM (
+        SELECT cell, p.range AS pos, avg(x[p.range + 1]) AS mval
+        FROM a{s}_{i}, range({sub}) p GROUP BY cell, p.range)
+      GROUP BY cell
+    ),
+    cb{s}_{i} AS MATERIALIZED (
+      SELECT c.cell,
+             CASE WHEN n.mv IS NULL THEN c.centroid
+                  ELSE list_transform(n.mv, v -> {grid})
+             END AS centroid
+      FROM cb{s}_{p} c LEFT JOIN mv{s}_{i} n USING (cell)
+    )"""
+            )
+    parts.append(
+        """,
+    cands AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id >= 10
+    )"""
+    )
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        score = snap(
+            f"list_inner_product(c.emb[{lo}:{hi}], cb.centroid)"
+            " - 0.5 * list_inner_product(cb.centroid, cb.centroid)"
+        )
+        parts.append(
+            f""",
+    code{s} AS MATERIALIZED (
+      SELECT neighbor_id, cell FROM (
+        SELECT c.neighbor_id, cb.cell,
+               row_number() OVER (PARTITION BY c.neighbor_id
+                 ORDER BY {score} DESC, cb.cell) AS rnk
+        FROM cands c CROSS JOIN cb{s}_{iters} cb) WHERE rnk = 1
+    ),
+    lut{s} AS MATERIALIZED (
+      SELECT qq.vec_id AS query_id, cb.cell,
+             list_inner_product(CAST(qq.embedding AS DOUBLE[])[{lo}:{hi}],
+                                cb.centroid) AS part
+      FROM embeddings qq CROSS JOIN cb{s}_{iters} cb
+      WHERE qq.vec_id < 10
+    )"""
+        )
+    adc = "l0.part"
+    for s in range(1, m):
+        adc = f"({adc} + l{s}.part)"
+    code_joins = "\n      ".join(
+        f"JOIN code{s} c{s} ON c{s}.neighbor_id = c0.neighbor_id\n"
+        f"      JOIN lut{s} l{s} ON l{s}.cell = c{s}.cell"
+        + ("" if s == 0 else f" AND l{s}.query_id = l0.query_id")
+        for s in range(1, m)
+    )
+    parts.append(
+        f""",
+    pairs AS MATERIALIZED (
+      SELECT l0.query_id, c0.neighbor_id, {adc} AS adc
+      FROM code0 c0
+      JOIN lut0 l0 ON l0.cell = c0.cell
+      {code_joins}
+    )
+    SELECT query_id, neighbor_id, round(adc, 4) AS adc
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY {snap("adc")} DESC, neighbor_id)
+            <= {topk}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "sim_ann_pq",
+    _pq_oracle_sql(m=16, k_cells=16),
+    doc="product-quantization ANN with asymmetric distance computation "
+    "(operators/similarity.py pq_codebooks/pq_topk; Jegou, Douze & "
+    "Schmid TPAMI'11): candidates compress to m=16 4-bit codes "
+    "(nearest plain-k-means sub-centroid per 4-dim subspace — 512 "
+    "bytes of doubles -> 8 bytes of codes, the memory factor that "
+    "fits billion-vector search in RAM), queries score candidates "
+    "purely from a per-query lookup table of sub-centroid inner "
+    "products — original vectors never touched at query time. FULL "
+    "value oracle via the IVF machinery generalized per subspace: "
+    "_pq_oracle_sql unrolls 16 independent grid-quantized k-means, "
+    "replays every code assignment, LUT partial, and the fixed-order "
+    "ADC sum. Recall@5 0.44 vs exact inner-product top-5 on the "
+    "near-random sf0.001 embeddings (floor 0.35 pinned in "
+    "tests/test_ann_recall.py; ~0.005 is chance — see that file's "
+    "regime discussion)",
+)
+def sim_ann_pq(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    candidates = spread(
+        emb.filter(F.col("vec_id") >= 10), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    return S.pq_topk(
+        queries, candidates, dim=64, m=16, k_cells=16, topk=5, iters=4,
+        sample_n=256,
+    )
 
 
 @register(

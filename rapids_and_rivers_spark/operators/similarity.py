@@ -466,3 +466,179 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select(query_id, cand_id, "cos")
     )
+
+
+# --- product quantization (PQ) -----------------------------------------------
+
+
+def lloyd_codebook_l2(
+    sample: list[list[float]],
+    dim: int,
+    k: int,
+    iters: int = 4,
+    seed: int = 13,
+    quantize: int = 1024,
+) -> list[list[float]]:
+    """PLAIN (non-spherical) k-means codebook on RAW vectors — the PQ
+    sub-quantizer (Jégou, Douze & Schmid, "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 train their sub-codebooks with
+    exactly this). Differs from :func:`lloyd_codebook` in two ways that
+    matter for PQ: no normalization anywhere (subvector MAGNITUDE is
+    information the inner-product reconstruction needs), and assignment
+    by minimum L2 distance, expressed as ``argmax(dot(x,c) -
+    0.5*||c||^2)`` so the SQL oracle can mirror it with inner products
+    only. Same cross-engine grid contract as lloyd_codebook: centroids
+    snap to the 1/quantize grid after init and every update; assignment
+    scores snap to SCORE_GRID; ||c||^2 of grid centroids is EXACT in
+    doubles (sums of multiples of quantize^-2), so both engines penalize
+    identically.
+    """
+    import numpy as np
+
+    def snap_grid(arr):
+        return np.floor(arr * quantize + 0.5) / quantize
+
+    X = np.asarray(sample, dtype=np.float64).reshape(-1, dim)
+    cents = [list(map(float, snap_grid(v))) for v in X[:k]]
+    if len(cents) < k:
+        cents += _deterministic_planes(dim, k - len(cents), seed)
+    C = np.asarray(cents, dtype=np.float64)
+    for _ in range(iters if len(X) else 0):
+        scores = snap_scores(X @ C.T - 0.5 * (C**2).sum(axis=1))
+        assign = scores.argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = snap_grid(members.mean(axis=0))
+    return [list(map(float, c)) for c in C]
+
+
+def pq_codebooks(
+    sample: list[list[float]],
+    dim: int,
+    m: int = 4,
+    k_cells: int = 8,
+    iters: int = 4,
+    seed: int = 13,
+    quantize: int = 1024,
+) -> list[list[list[float]]]:
+    """Train the ``m`` per-subspace PQ codebooks from one driver-side
+    sample: slice each sample vector into ``m`` contiguous subvectors of
+    ``dim/m`` dims and run :func:`lloyd_codebook_l2` independently per
+    subspace (the defining PQ factorization — the code space is the
+    CARTESIAN PRODUCT k^m of tiny per-subspace codebooks, so 8^4 = 4096
+    effective cells cost 4x8 centroids of 16 floats)."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    return [
+        lloyd_codebook_l2(
+            [list(v)[s * sub : (s + 1) * sub] for v in sample],
+            sub,
+            k_cells,
+            iters,
+            seed,
+            quantize,
+        )
+        for s in range(m)
+    ]
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_cells: int = 8,
+    topk: int = 5,
+    seed: int = 13,
+    iters: int = 4,
+    sample_n: int = 256,
+    quantize: int = 1024,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    ndigits: int = 4,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ + ADC approximate top-k by inner product (Jégou et al. 2011):
+    every candidate compresses to ``m`` one-byte codes (its nearest
+    sub-centroid per subspace — dim doubles -> m bytes, the memory
+    factor that makes billion-vector search fit in RAM at 100 TB), and
+    each query scores candidates WITHOUT touching the original vectors:
+    Asymmetric Distance Computation sums m lookup-table entries
+    ``lut[q][s][code]`` precomputed once per query batch.
+
+    Scale shape: encoding is one Arrow-batched numpy matmul per batch
+    (only the embedding column crosses Arrow; codebooks ride the
+    closure, KB-scale); the query set is collected once (bounded by
+    design — ADC serves a query BATCH against a huge corpus, so the LUT
+    is nq x m x k doubles); scoring is a posexplode of nq scalars per
+    candidate plus a per-query top-k window — no join carries vectors.
+
+    Determinism: codes come from SCORE_GRID-snapped L2 scores (ties ->
+    lowest cell), ADC sums in fixed subspace order, ranking snaps the
+    ADC and tie-breaks on the candidate id — the same contract that
+    gives the IVF queries their full-value DuckDB oracle
+    (catalog._pq_oracle_sql unrolls the identical per-subspace k-means
+    and replays every code and lookup).
+
+    Output: (query_id, neighbor_id, adc) — adc is the approximate inner
+    product, rounded.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sub = dim // m
+    if codebooks is None:
+        sampled = (
+            candidates.select(cand_id, "c_emb")
+            .orderBy(codebook_sample_order(cand_id, seed))
+            .limit(sample_n)
+            .collect()
+        )
+        codebooks = pq_codebooks(
+            [list(r["c_emb"]) for r in sampled], dim, m, k_cells, iters, seed,
+            quantize,
+        )
+    CB = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    penal = [0.5 * (C**2).sum(axis=1) for C in CB]
+
+    qrows = queries.select(query_id, "q_emb").collect()  # bounded query batch
+    qids = [r[query_id] for r in qrows]
+    Q = np.asarray([list(r["q_emb"]) for r in qrows], dtype=np.float64)
+    # LUT[(qi, s, cell)] = dot(q_sub, centroid) — nq x m x k doubles
+    lut = np.stack(
+        [Q[:, s * sub : (s + 1) * sub] @ CB[s].T for s in range(m)], axis=1
+    )
+
+    @pandas_udf("array<double>")
+    def _adc(v):
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy())
+        out = np.zeros((len(X), len(Q)))
+        for s in range(m):
+            xs = X[:, s * sub : (s + 1) * sub]
+            codes = snap_scores(xs @ CB[s].T - penal[s]).argmax(axis=1)
+            out += lut[:, s, codes].T  # fixed subspace order = SQL's + chain
+        return pd.Series(list(out))
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    exploded = (
+        candidates.withColumn("__adcs", _adc(F.col("c_emb")))
+        .select(cand_id, F.posexplode("__adcs").alias("__qi", "__adc"))
+        .select(
+            F.element_at(qid_arr, F.col("__qi") + 1).alias(query_id),
+            F.col(cand_id),
+            F.col("__adc"),
+        )
+    )
+    w = W.partitionBy(query_id).orderBy(
+        snap_dot_col(F.col("__adc")).desc(), F.col(cand_id)
+    )
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select(query_id, cand_id, F.round("__adc", ndigits).alias("adc"))
+    )
