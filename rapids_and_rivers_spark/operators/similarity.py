@@ -642,3 +642,60 @@ def pq_topk(
         .filter(F.col("rn") <= topk)
         .select(query_id, cand_id, F.round("__adc", ndigits).alias("adc"))
     )
+
+
+def build_pq_codebook_table(
+    candidates: DataFrame,
+    dim: int,
+    m: int = 16,
+    k_cells: int = 16,
+    iters: int = 4,
+    seed: int = 13,
+    sample_n: int = 256,
+    quantize: int = 1024,
+    cand_id: str = "neighbor_id",
+    emb_col: str = "c_emb",
+) -> DataFrame:
+    """OFFLINE PQ codebook producer — the PQ twin of
+    :func:`build_codebook_table`: one hash-ordered sample pass, all m
+    sub-quantizers trained on the driver, returned as a
+    ``(subspace int, cell int, centroid array<double>)`` stats
+    DataFrame meant to be SAVED (parquet) and reloaded — at 100 TB the
+    corpus pays the sample pass once, and every later
+    :func:`pq_topk` call loads m*k_cells KB-scale rows instead of
+    re-sampling. Deterministic for fixed (seed, corpus); grid-quantized
+    so it survives a parquet round-trip bit-exactly (pinned by test).
+    """
+    sampled = (
+        candidates.select(cand_id, emb_col)
+        .orderBy(codebook_sample_order(cand_id, seed))
+        .limit(sample_n)
+        .collect()
+    )
+    books = pq_codebooks(
+        [list(r[emb_col]) for r in sampled], dim, m, k_cells, iters, seed,
+        quantize,
+    )
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        [
+            (s, i, c)
+            for s, cb in enumerate(books)
+            for i, c in enumerate(cb)
+        ],
+        "subspace int, cell int, centroid array<double>",
+    )
+
+
+def pq_codebooks_from_table(codebook_df: DataFrame) -> list[list[list[float]]]:
+    """Load a saved ``(subspace, cell, centroid)`` stats table back into
+    the literal codebook list :func:`pq_topk` expects. Collects
+    m*k_cells rows (KB-scale by construction) ordered by (subspace,
+    cell)."""
+    rows = codebook_df.orderBy("subspace", "cell").collect()
+    books: list[list[list[float]]] = []
+    for r in rows:
+        while len(books) <= r["subspace"]:
+            books.append([])
+        books[r["subspace"]].append(list(r["centroid"]))
+    return books

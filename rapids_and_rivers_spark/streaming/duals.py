@@ -1249,3 +1249,76 @@ def dsir_gate_foreach_batch(
 
     stage.ratio_table = ratios
     return stage
+
+
+def transitions_stream(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Streaming first-order transition extraction: for every arriving
+    event, emit its (prev_state, state) pair — the stateful half of the
+    Markov transition matrix (the batch catalog's
+    event_transition_matrix lag()); downstream the count/normalize is
+    plain streaming aggregation.
+
+    State per key is ONE string (the last state seen) — the same
+    minimal-state shape as the reference's ping-pong bookkeeping
+    (PingPong.kt:29-35) and this module's SCD2 walk; a key's first event
+    emits nothing (no predecessor), exactly like the batch lag()'s NULL
+    row being filtered. Records sort by (ts[, seq]) within each batch,
+    so the pair stream over any batch split equals the batch lag over
+    the union — pinned by the duality test.
+    """
+    sort_cols = ["ts"] + (["seq"] if seq_col else [])
+    sel = [
+        F.col(key_col).cast("string").alias("key"),
+        F.col(state_col).cast("string").alias("state"),
+        F.col(ts_col).alias("ts"),
+    ] + ([F.col(seq_col).alias("seq")] if seq_col else [])
+    src = df.select(*sel)
+    out_schema = "key string, prev_state string, state string"
+
+    if not df.isStreaming:
+
+        def batch_walk(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(sort_cols)
+            states = list(pdf["state"])
+            return pd.DataFrame(
+                {
+                    "key": pdf["key"].iloc[0],
+                    "prev_state": states[:-1],
+                    "state": states[1:],
+                }
+            )
+
+        return src.groupBy("key").applyInPandas(batch_walk, out_schema)
+
+    def handler(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (prev,) = state.get if state.exists else (None,)
+        prevs, currs = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(sort_cols)
+            for s in pdf["state"]:
+                if prev is not None:
+                    prevs.append(prev)
+                    currs.append(s)
+                prev = s
+        if prev is not None:
+            state.update((prev,))
+        if prevs:
+            yield pd.DataFrame(
+                {"key": key[0], "prev_state": prevs, "state": currs}
+            )
+
+    return src.groupBy("key").applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType="last_state string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

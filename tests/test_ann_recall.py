@@ -244,3 +244,28 @@ def test_pq_topk_partitioning_invariant(spark):
         k_cells=16,
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_codebook_table_round_trip(spark, tmp_path):
+    """The offline PQ codebook stats table survives a parquet round trip
+    bit-exactly (grid-quantized elements), and pq_topk from the reloaded
+    table equals the inline-trained result."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    tbl = S.build_pq_codebook_table(cands, dim=64, m=16, k_cells=16)
+    path = str(tmp_path / "pq_codebook")
+    tbl.write.mode("overwrite").parquet(path)
+    books = S.pq_codebooks_from_table(spark.read.parquet(path))
+    assert len(books) == 16 and all(len(b) == 16 for b in books)
+    inline = S.pq_topk(queries, cands, dim=64, m=16, k_cells=16).collect()
+    loaded = S.pq_topk(
+        queries, cands, dim=64, m=16, k_cells=16, codebooks=books
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, loaded))

@@ -1542,3 +1542,53 @@ def test_dsir_gate_foreach_batch_matches_batch_scoring(spark, tmp_path):
     assert got[100][2] is True and got[101][2] is False
     # the novel doc was scored (via default_lr), not dropped
     assert 102 in got and got[102][0] == 3
+
+
+def test_transitions_stream_matches_batch_lag(spark, tmp_path):
+    """Streaming transition pairs: the last-state-per-key state bridges
+    micro-batch boundaries, so the union of per-batch pairs equals the
+    batch lag() walk over everything — including the pair formed ACROSS
+    the batch split."""
+    from rapids_and_rivers_spark.streaming.duals import transitions_stream
+
+    b1 = [
+        {"k": "u1", "s": "view", "ts": 1},
+        {"k": "u1", "s": "click", "ts": 2},
+        {"k": "u2", "s": "signup", "ts": 1},
+    ]
+    b2 = [
+        {"k": "u1", "s": "purchase", "ts": 3},  # pairs with batch-1 'click'
+        {"k": "u2", "s": "view", "ts": 2},      # pairs with batch-1 'signup'
+        {"k": "u3", "s": "error", "ts": 1},     # first event: no pair
+    ]
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in b1],
+        [json.dumps(r) for r in b2],
+        "k string, s string, ts long",
+    )
+    out = transitions_stream(events, "k", "s", "ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trans_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.key, r.prev_state, r.state)
+        for r in spark.sql("SELECT * FROM trans_out").collect()
+    )
+    batch = spark.createDataFrame(
+        [(r["k"], r["s"], r["ts"]) for r in b1 + b2], "k string, s string, ts long"
+    )
+    expected = sorted(
+        (r.key, r.prev_state, r.state)
+        for r in transitions_stream(batch, "k", "s", "ts").collect()
+    )
+    assert got == expected
+    assert ("u1", "click", "purchase") in got   # cross-batch pair
+    assert not any(k == "u3" for k, _, _ in got)
