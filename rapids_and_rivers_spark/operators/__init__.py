@@ -7,6 +7,36 @@ LSH-bucketed ANN), text analysis (language id, quality scoring, token
 counting, fingerprinting), and multimodal column plumbing.
 """
 
-from rapids_and_rivers_spark.operators import dedup, joins, similarity, text
+from rapids_and_rivers_spark.operators import (
+    bloomjoin,
+    cdc,
+    dedup,
+    fuzzy,
+    graph,
+    joins,
+    multimodal,
+    retrieval,
+    selection,
+    similarity,
+    sketch,
+    skew,
+    text,
+    validation,
+)
 
-__all__ = ["dedup", "joins", "similarity", "text"]
+__all__ = [
+    "bloomjoin",
+    "cdc",
+    "dedup",
+    "fuzzy",
+    "graph",
+    "joins",
+    "multimodal",
+    "retrieval",
+    "selection",
+    "similarity",
+    "sketch",
+    "skew",
+    "text",
+    "validation",
+]
