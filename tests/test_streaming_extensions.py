@@ -1592,3 +1592,106 @@ def test_transitions_stream_matches_batch_lag(spark, tmp_path):
     assert got == expected
     assert ("u1", "click", "purchase") in got   # cross-batch pair
     assert not any(k == "u3" for k, _, _ in got)
+
+
+def test_cdc_apply_foreach_batch_matches_batch_merge(spark, tmp_path):
+    """Streaming CDC MERGE: two micro-batches of changes fold into
+    epoch-versioned snapshots; the final snapshot equals the batch
+    apply_changes of both change sets in sequence, and intermediate
+    snapshots are immutable (replay-safe parent selection)."""
+    from rapids_and_rivers_spark.operators.cdc import apply_changes
+    from rapids_and_rivers_spark.streaming.duals import (
+        cdc_apply_foreach_batch,
+        read_latest_snapshot,
+    )
+
+    b1 = [
+        {"k": 1, "v": "a", "seq": 1, "op": "U"},
+        {"k": 2, "v": "b", "seq": 1, "op": "U"},
+        {"k": 3, "v": "c", "seq": 1, "op": "U"},
+    ]
+    b2 = [
+        {"k": 2, "v": "b2", "seq": 2, "op": "U"},   # replace
+        {"k": 3, "v": "xx", "seq": 2, "op": "D"},   # delete
+        {"k": 4, "v": "d", "seq": 2, "op": "U"},    # insert
+    ]
+    stream = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in b1],
+        [json.dumps(r) for r in b2],
+        "k long, v string, seq int, op string",
+    )
+    base_dir = str(tmp_path / "table")
+    stage = cdc_apply_foreach_batch(base_dir, ["k"], "seq")
+    q = (
+        stream.writeStream.foreachBatch(stage)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.k: r.v for r in read_latest_snapshot(spark, base_dir).collect()}
+    c1 = spark.createDataFrame(
+        [(r["k"], r["v"], r["seq"], r["op"]) for r in b1],
+        "k long, v string, seq int, op string",
+    )
+    c2 = spark.createDataFrame(
+        [(r["k"], r["v"], r["seq"], r["op"]) for r in b2],
+        "k long, v string, seq int, op string",
+    )
+    empty = spark.createDataFrame([], "k long, v string")
+    want = {
+        r.k: r.v
+        for r in apply_changes(
+            apply_changes(empty, c1, ["k"], "seq"), c2, ["k"], "seq"
+        ).collect()
+    }
+    assert got == want == {1: "a", 2: "b2", 4: "d"}
+    # epoch snapshots are separate immutable dirs
+    import os as _os
+
+    snaps = sorted(
+        n for n in _os.listdir(base_dir) if n.startswith("snap_v")
+    )
+    assert len(snaps) == 2
+
+
+def test_dq_gate_foreach_batch_flags_corrupt_batch(spark, tmp_path):
+    """Streaming DQ gate: a clean batch passes, the corrupted batch's
+    epoch verdict fails — corruption attributed to its delivery."""
+    from rapids_and_rivers_spark.operators import validation as V
+    from rapids_and_rivers_spark.streaming.duals import (
+        dq_gate_foreach_batch,
+        read_epoch_table,
+    )
+
+    b1 = [{"id": 1, "v": 10.0}, {"id": 2, "v": 20.0}]
+    b2 = [{"id": 3, "v": 30.0}, {"id": 3, "v": -99.0}]  # dup key + range
+    stream = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in b1],
+        [json.dumps(r) for r in b2],
+        "id long, v double",
+    )
+
+    def checks(df):
+        return [
+            V.check_unique(df, ["id"], "batch_id_unique"),
+            V.check_range(df, "v", 0, 100, "v_in_range"),
+        ]
+
+    out_dir = str(tmp_path / "dq")
+    q = (
+        stream.writeStream.foreachBatch(dq_gate_foreach_batch(checks, out_dir))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = read_epoch_table(spark, out_dir).collect()
+    verdicts = {(r.epoch, r.check): r.passed for r in rows}
+    assert verdicts[(0, "batch_id_unique")] and verdicts[(0, "v_in_range")]
+    assert not verdicts[(1, "batch_id_unique")]
+    assert not verdicts[(1, "v_in_range")]
