@@ -4134,6 +4134,50 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "image_ahash",
+    """
+    WITH cell AS (
+      SELECT d.doc_id, gy.range AS gy, gx.range AS gx,
+             (gy.range * 9) // 8 AS y, (gx.range * 15) // 8 AS x
+      FROM documents d, range(8) gy, range(8) gx
+    ),
+    lum AS (
+      SELECT doc_id, gy * 8 + gx AS i,
+             299 * ((doc_id * 7  + y * 5 + x * 3)  % 256)
+           + 587 * ((doc_id * 11 + y * 2 + x * 13) % 256)
+           + 114 * ((doc_id * 17 + y * 3 + x * 7)  % 256) AS luma
+      FROM cell
+    ),
+    tot AS (SELECT doc_id, sum(luma) AS total FROM lum GROUP BY doc_id)
+    SELECT l.doc_id, 15 AS width, 9 AS height,
+           CAST(sum(CASE WHEN l.luma * 64 > t.total AND l.i < 32
+                         THEN CAST(1 AS BIGINT) << CAST(l.i AS INT)
+                         ELSE 0 END) AS BIGINT) AS ahash_lo,
+           CAST(sum(CASE WHEN l.luma * 64 > t.total AND l.i >= 32
+                         THEN CAST(1 AS BIGINT) << CAST(l.i - 32 AS INT)
+                         ELSE 0 END) AS BIGINT) AS ahash_hi
+    FROM lum l JOIN tot t USING (doc_id)
+    GROUP BY l.doc_id
+    """,
+    doc="perceptual average-hash per image (operators/multimodal.py "
+    "ahash_signatures) — the image half of the dedup family: REAL BMP "
+    "byte parsing -> INTEGER-scaled luma (299r+587g+114b, so every "
+    "comparison is exact cross-engine) -> nearest-neighbor 8x8 "
+    "thumbnail (the resize_nn floor-index map) -> one "
+    "above-thumbnail-mean bit per cell (compared as luma*64 > total — "
+    "integer, no division), emitted as two 32-bit halves clear of the "
+    "sign bit. Near-dup candidates then ride the SAME pigeonhole "
+    "chunk machinery as text SimHash (hamming locality pinned on "
+    "constructed re-encodes in tests). FULL value oracle: DuckDB "
+    "recomputes every bit from the closed-form pixel formula — the "
+    "row only matches if the pad/flip/BGR byte round-trip is exact",
+)
+def image_ahash(spark, sf_dir):
+    media = media_corpus(spark, sf_dir)
+    return M.ahash_signatures(media, grid=8)
+
+
+@register(
     "multimodal_resize",
     """
     WITH px AS (

@@ -391,3 +391,60 @@ def sample_frames(
             F.col("f.frame").alias("frame"),
         )
     )
+
+
+def ahash_signatures(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash per image — the image half of the dedup
+    family: decode the BMP bytes, reduce to an integer luma plane
+    (scaled ITU-R 601: ``299r + 587g + 114b`` — INTEGER, so every
+    downstream comparison is exact cross-engine), nearest-neighbor
+    downsample to a ``grid x grid`` thumbnail (the same floor-index map
+    as :func:`resize_nn`), and emit one bit per cell: cell luma above
+    the thumbnail mean (compared as ``luma * grid^2 > total`` — integer,
+    no division). Returns ``(doc_id, width, height, ahash_lo,
+    ahash_hi)``: the 64 bits split into two 32-bit halves so neither
+    BIGINT ever touches the sign bit.
+
+    Near-identical images (re-encodes, small overlays) agree on almost
+    every cell -> tiny hamming distance; candidate pairs then come from
+    the same pigeonhole chunk machinery as text SimHash
+    (operators/dedup.simhash_pairs) — pinned by unit test on constructed
+    near-dups. The catalog row's FULL value oracle recomputes every bit
+    from the closed-form pixel formula, so it only matches if the real
+    byte-parsing path (pad, flip, BGR) is exact.
+    """
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cells = grid * grid
+        for pdf in batches:
+            payloads = pdf["payload"].tolist()
+            ids = pdf["doc_id"].tolist()
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "ahash_lo": [], "ahash_hi": [],
+            }
+            for doc_id, payload in zip(ids, payloads):
+                px = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                luma = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+                sy = (np.arange(grid) * h) // grid
+                sx = (np.arange(grid) * w) // grid
+                thumb = luma[np.ix_(sy, sx)]
+                total = int(thumb.sum())
+                bits = (thumb * cells > total).astype(np.int64).ravel()
+                lo = int((bits[:32] << np.arange(32)).sum())
+                hi = int((bits[32:64] << np.arange(len(bits[32:64]))).sum())
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash_lo"].append(lo)
+                out["ahash_hi"].append(hi)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen,
+        "doc_id long, width int, height int, ahash_lo long, ahash_hi long",
+    )

@@ -336,3 +336,38 @@ def test_observe_verdicts_streaming_progress_events(spark, tmp_path):
     assert m["passed"] == 1
     assert m["validation_failed"] == 1
     assert m["unparseable"] == 1
+
+
+def test_ahash_near_dup_hamming_locality(spark):
+    """Perceptual aHash: a small local perturbation of an image moves
+    few (or no) hash bits, a different image moves many — the property
+    that makes the SimHash pigeonhole machinery work for images."""
+    import numpy as np
+
+    rng_free_base = np.zeros((16, 16, 3), dtype=np.uint8)
+    # smooth gradient image: left half dark, right half bright
+    for x in range(16):
+        rng_free_base[:, x, :] = 16 * x
+    near = rng_free_base.copy()
+    near[0, 0] = [255, 255, 255]  # one-pixel overlay
+    different = rng_free_base[:, ::-1, :].copy()  # mirrored gradient
+
+    rows = [
+        (1, bytearray(M.encode_bmp(rng_free_base))),
+        (2, bytearray(M.encode_bmp(near))),
+        (3, bytearray(M.encode_bmp(different))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sigs = {r.doc_id: (r.ahash_lo, r.ahash_hi)
+            for r in M.ahash_signatures(media).collect()}
+
+    def hamming(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert hamming(sigs[1], sigs[2]) <= 2        # near-dup: almost no bits move
+    assert hamming(sigs[1], sigs[3]) >= 20       # mirrored: half the bits flip
+    # deterministic: identical payloads hash identically
+    assert sigs[1] == {
+        r.doc_id: (r.ahash_lo, r.ahash_hi)
+        for r in M.ahash_signatures(media).collect()
+    }[1]
