@@ -1695,3 +1695,31 @@ def test_dq_gate_foreach_batch_flags_corrupt_batch(spark, tmp_path):
     assert verdicts[(0, "batch_id_unique")] and verdicts[(0, "v_in_range")]
     assert not verdicts[(1, "batch_id_unique")]
     assert not verdicts[(1, "v_in_range")]
+
+
+def test_ahash_signatures_runs_unchanged_on_stream(spark, tmp_path):
+    """Image aHash is pure mapInPandas — the SAME function runs on a
+    streaming DataFrame (the chunk_documents duality for the image
+    path), and per-batch signatures equal the batch run."""
+    from rapids_and_rivers_spark.operators import multimodal as M
+
+    ids = list(range(12))
+    payloads = M.encode_bmp_batch(ids, width=15, height=9)
+    rows = [(i, bytearray(p)) for i, p in zip(ids, payloads)]
+    batch_df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    src = str(tmp_path / "in")
+    batch_df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(src)
+    q = (
+        M.ahash_signatures(stream)
+        .writeStream.format("memory")
+        .queryName("ahash_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ahash_out").collect()))
+    want = sorted(map(tuple, M.ahash_signatures(batch_df).collect()))
+    assert got == want and len(got) == 12
