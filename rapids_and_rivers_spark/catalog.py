@@ -6747,3 +6747,386 @@ def zorder_cluster_stats(spark, sf_dir):
         )
         .orderBy("zbucket")
     )
+
+
+# ===========================================================================
+# H. Graph structure + sketch set algebra (round-4 continuation)
+# ===========================================================================
+
+
+@register(
+    "graph_triangles",
+    """
+    WITH cs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ok AS (SELECT c FROM cs GROUP BY c HAVING count(*) <= 40),
+    und AS (
+      SELECT a.s AS a, b.s AS b
+      FROM cs a JOIN ok USING (c) JOIN cs b USING (c)
+      WHERE a.s < b.s
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ),
+    keyed AS (
+      SELECT und.a, und.b, da.deg AS dega, db.deg AS degb
+      FROM und JOIN deg da ON und.a = da.node JOIN deg db ON und.b = db.node
+    ),
+    oriented AS (
+      SELECT CASE WHEN dega < degb OR (dega = degb AND a < b) THEN a ELSE b END AS lo,
+             CASE WHEN dega < degb OR (dega = degb AND a < b) THEN b ELSE a END AS hi,
+             CASE WHEN dega < degb OR (dega = degb AND a < b) THEN degb ELSE dega END AS deghi
+      FROM keyed
+    ),
+    wedges AS (
+      SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+      FROM oriented e1 JOIN oriented e2 ON e1.lo = e2.lo
+      WHERE e1.deghi < e2.deghi OR (e1.deghi = e2.deghi AND e1.hi < e2.hi)
+    ),
+    tri_nodes AS (
+      SELECT unnest([u, v, w]) AS node
+      FROM wedges JOIN oriented cl ON wedges.v = cl.lo AND wedges.w = cl.hi
+    ),
+    counts AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM tri_nodes GROUP BY node)
+    SELECT deg.node AS supplier, deg.deg AS degree,
+           coalesce(counts.tri, 0) AS tri,
+           CASE WHEN deg.deg >= 2
+                THEN round(2.0 * coalesce(counts.tri, 0) / (deg.deg * (deg.deg - 1.0)), 4)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN counts USING (node)
+    ORDER BY tri DESC, supplier LIMIT 100
+    """,
+    doc="exact triangle counts + local clustering coefficient on the "
+    "supplier co-purchase graph (suppliers sharing >= 2 customers; "
+    "customers with > 40 distinct suppliers excluded — the hub-cap that "
+    "keeps a bipartite projection from going quadratic on super-nodes, "
+    "applied as a deterministic FILTER so the oracle reproduces it). "
+    "Triangle join uses DEGREE-ORDERED orientation (operators/graph.py "
+    "triangles; Suri & Vassilvitskii WWW'11): wedge fan-out bounded by "
+    "oriented out-degree = O(sqrt(m)) even on power-law graphs — the "
+    "property that makes this survive 100 TB hubs. All equi-joins on "
+    "node / pair keys; full value oracle (pure integer math + one "
+    "terminal rounded division)",
+)
+def graph_triangles(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    ok = cs.groupBy("c").agg(F.count(F.lit(1)).alias("nsup")).filter(F.col("nsup") <= 40)
+    a, b = cs.alias("a"), cs.alias("b")
+    edges = (
+        a.join(ok.select("c"), "c")
+        .join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("src", "dst")
+    )
+    t = G.triangles(edges)
+    return t.select(
+        F.col("node").alias("supplier"),
+        F.col("deg").alias("degree"),
+        "tri",
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                F.lit(2.0) * F.col("tri") / (F.col("deg") * (F.col("deg") - F.lit(1.0))),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    ).orderBy(F.desc("tri"), "supplier").limit(100)
+
+
+@register(
+    "sketch_theta_setops",
+    """
+    WITH ha AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+               strftime(CAST(ts AS DATE), '%Y-%m-%d')), 1, 13)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+               strftime(CAST(ts AS DATE), '%Y-%m-%d')), 1, 13)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    sa AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+    sb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+    ta AS (SELECT CASE WHEN count(*) >= 64 THEN max(h) / 4503599627370496.0
+                       ELSE 1.0 END AS t, count(*) AS n FROM sa),
+    tb AS (SELECT CASE WHEN count(*) >= 64 THEN max(h) / 4503599627370496.0
+                       ELSE 1.0 END AS t, count(*) AS n FROM sb),
+    th AS (SELECT least(ta.t, tb.t) AS theta,
+                  least(ta.t, tb.t) * 4503599627370496.0 AS bound
+           FROM ta, tb)
+    SELECT CAST(64 AS INT) AS k,
+           CAST(ta.n AS INT) AS n_a,
+           CAST(tb.n AS INT) AS n_b,
+           CASE WHEN th.theta < 1.0 THEN CAST(th.bound AS BIGINT) END AS theta_scaled,
+           CASE WHEN ta.t >= 1.0 THEN CAST(ta.n AS DOUBLE)
+                ELSE round(63.0 / ta.t, 2) END AS est_a,
+           CASE WHEN tb.t >= 1.0 THEN CAST(tb.n AS DOUBLE)
+                ELSE round(63.0 / tb.t, 2) END AS est_b,
+           round((SELECT count(*) FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+                  WHERE h < th.bound) / th.theta, 2) AS est_union,
+           round((SELECT count(*) FROM (SELECT h FROM sa INTERSECT SELECT h FROM sb)
+                  WHERE h < th.bound) / th.theta, 2) AS est_intersect,
+           round((SELECT count(*) FROM (SELECT h FROM sa EXCEPT SELECT h FROM sb)
+                  WHERE h < th.bound) / th.theta, 2) AS est_diff_ab
+    FROM ta, tb, th
+    """,
+    doc="theta-sketch set algebra (Dasgupta et al. 2016): distinct "
+    "(user, day) estimates for click-actives, purchase-actives, their "
+    "union / intersection / difference — computed from two bottom-64 "
+    "md5 sketches, never from the raw sets. The sketches plan as "
+    "TakeOrderedAndProject (per-partition bottom-k, no global sort) and "
+    "the set algebra runs on <= 64x2 collected longs — the coordinator "
+    "merge that makes theta sketches THE tool for audience-overlap at "
+    "100 TB (segments sketched once, all pairwise overlaps answered "
+    "sketch-side). Full value oracle: DuckDB rebuilds both sketches "
+    "bit-for-bit and reproduces every estimate",
+)
+def sketch_theta_setops(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import sketch as K
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "event_type",
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd"),
+        ).alias("ud"),
+    )
+    return K.theta_setops(
+        spark,
+        ud.filter(F.col("event_type") == "click"),
+        ud.filter(F.col("event_type") == "purchase"),
+        "ud",
+        k=64,
+    )
+
+
+@register(
+    "ab_test_welch",
+    """
+    WITH assigned AS (
+      SELECT event_type, value,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2
+               AS arm
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT event_type, arm,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS mean,
+             var_samp(value) AS var
+      FROM assigned GROUP BY event_type, arm
+    ),
+    wide AS (
+      SELECT a.event_type,
+             a.n AS n0, a.mean AS mean0, a.var AS var0,
+             b.n AS n1, b.mean AS mean1, b.var AS var1
+      FROM stats a JOIN stats b
+        ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+    )
+    SELECT event_type, n0, n1,
+           round(mean0, 4) AS mean0, round(mean1, 4) AS mean1,
+           round((mean1 - mean0) / sqrt(var0 / n0 + var1 / n1), 4) AS t_stat,
+           round(pow(var0 / n0 + var1 / n1, 2) /
+                 (pow(var0 / n0, 2) / (n0 - 1) + pow(var1 / n1, 2) / (n1 - 1)),
+                 1) AS df_welch
+    FROM wide ORDER BY event_type
+    """,
+    doc="A/B experiment readout: users hash-assigned to two arms "
+    "(md5-derived — deterministic, engine-reproducible, and how real "
+    "experiment frameworks bucket at scale: no assignment table, no "
+    "coordination), Welch's unequal-variance t statistic + "
+    "Welch-Satterthwaite df per event_type. One partial-aggregating "
+    "groupBy over (type, arm) then a 10-row self-join — the scan "
+    "dominates at any scale, the stats are per-group scalars. Full "
+    "value oracle (var_samp drift guarded by terminal rounding)",
+)
+def ab_test_welch(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    arm = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(2),
+    )
+    stats = (
+        ev.select("event_type", "value", arm.alias("arm"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    a = stats.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"),
+        F.col("mean").alias("mean0"),
+        F.col("var").alias("var0"),
+    )
+    b = stats.filter(F.col("arm") == 1).select(
+        F.col("event_type").alias("et1"),
+        F.col("n").alias("n1"),
+        F.col("mean").alias("mean1"),
+        F.col("var").alias("var1"),
+    )
+    se2 = F.col("var0") / F.col("n0") + F.col("var1") / F.col("n1")
+    df_w = F.pow(se2, 2) / (
+        F.pow(F.col("var0") / F.col("n0"), 2) / (F.col("n0") - 1)
+        + F.pow(F.col("var1") / F.col("n1"), 2) / (F.col("n1") - 1)
+    )
+    return (
+        a.join(b, a["event_type"] == b["et1"])
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            F.round("mean0", 4).alias("mean0"),
+            F.round("mean1", 4).alias("mean1"),
+            F.round((F.col("mean1") - F.col("mean0")) / F.sqrt(se2), 4).alias("t_stat"),
+            F.round(df_w, 1).alias("df_welch"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "top_event_paths",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM ranked WHERE rk <= 8 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(user_id) AS BIGINT) AS min_user
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+    doc="behavioral path mining: each user's first-8-event journey as an "
+    "ordered '>'-joined path string, frequency-ranked (the Sankey / "
+    "funnel-discovery workload). Per-user rank window (user-keyed, "
+    "never global) -> per-user ordered array_sort over a collected "
+    "8-struct list -> path-keyed count. The collect_list is BOUNDED at "
+    "8 rows per user by the rank filter BEFORE the agg — the property "
+    "that keeps state O(users x 8) at 100 TB. Full value oracle",
+)
+def top_event_paths(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first8 = ev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 8)
+    paths = first8.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").cast("long").alias("min_user"),
+        )
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "attribution_linear",
+    """
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    touches AS (
+      SELECT user_id, event_id AS t_id, ts AS t_ts, event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+      SELECT p.p_id, p.value, t.channel, CAST(t.t_ts AS DATE) AS t_day,
+             count(*) OVER (PARTITION BY p.p_id) AS n_touches
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.t_ts <= p.p_ts
+       AND t.t_ts > p.p_ts - INTERVAL 3 DAY
+    )
+    SELECT channel, strftime(t_day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           round(sum(value / n_touches), 4) AS credited_revenue
+    FROM joined GROUP BY channel, t_day
+    ORDER BY channel, day
+    """,
+    doc="linear multi-touch attribution: each purchase's value split "
+    "evenly across the user's click/view touches in the preceding 3 "
+    "days, credited revenue rolled up per (channel, touch-day). The "
+    "touch join is an EQUI-join on user_id with the 3-day range as a "
+    "residual filter — per-user fan-out is bounded by the window, so "
+    "the pair space is O(events-per-user-per-3d), never |purchases| x "
+    "|touches|; the per-purchase touch count is a purchase-keyed window "
+    "over the already-joined rows. Full value oracle (exact division "
+    "per credit, rounded only at the terminal rollup)",
+)
+def attribution_linear(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 3 DAY")),
+    )
+    wp = W.partitionBy("p_id")
+    credited = joined.withColumn("n_touches", F.count(F.lit(1)).over(wp))
+    return (
+        credited.groupBy(
+            "channel",
+            F.date_format(F.col("t_ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias(
+                "credited_revenue"
+            ),
+        )
+        .orderBy("channel", "day")
+    )

@@ -277,3 +277,96 @@ def hll_estimate(
         F.col("n_registers").cast("long").alias("n_registers"),
         F.round(est, 2).alias("hll_estimate"),
     )
+
+
+# --- theta sketch set operations ---------------------------------------------
+
+
+def theta_bottom_k(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
+    """Bottom-k distinct-hash sample of one set: the theta sketch's
+    sample set (Dasgupta et al., "Theta Sketch Framework", 2016 — the
+    KMV sketch generalized to set algebra).
+
+    Plans as distinct (one partial-agg shuffle) then
+    ``TakeOrderedAndProject`` via ``orderBy().limit(k)`` — every
+    partition contributes its local bottom-k, the driver merges k-sized
+    heaps; no global sort, no single-partition window. The result is a
+    ≤ k-row DataFrame: the sketch. Identical md5-hash contract as
+    :func:`kmv_hash`, so any IEEE-754 engine rebuilds it bit-for-bit.
+    """
+    return (
+        df.select(kmv_hash(F.col(value_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def theta_setops(
+    spark,
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch set algebra between two sets: distinct-count
+    estimates for A, B, A∪B, A∩B, A\\B from two bottom-k sketches.
+
+    The two sketches are collected to the coordinator — BOUNDED by
+    construction (≤ k 8-byte longs each, independent of data size; the
+    same collect class as the bloom bitmap / IVF codebook) — and the set
+    algebra runs on the samples, exactly how production theta sketches
+    merge at a query coordinator (the raw data is never touched again):
+
+    - ``theta_x = (k-th smallest hash)/2^52`` if the set has ≥ k distinct
+      values, else 1.0 (sketch exact, estimate = true count);
+    - union:        theta = min(theta_a, theta_b);
+                    est = |{h in Sa ∪ Sb : h < theta}| / theta
+    - intersection: est = |{h in Sa ∩ Sb : h < theta}| / theta
+    - difference:   est = |{h in Sa \\ Sb : h < theta}| / theta
+
+    Estimates are exact whenever both sketches are exact (theta = 1).
+    Output: one row ``(k, n_a, n_b, theta_scaled, est_a, est_b,
+    est_union, est_intersect, est_diff_ab)`` — theta_scaled is the
+    52-bit-integer theta boundary (exact BIGINT; NULL when both exact),
+    estimates rounded to 2.
+    """
+    sa = [r["h"] for r in theta_bottom_k(df_a, value_col, k).collect()]
+    sb = [r["h"] for r in theta_bottom_k(df_b, value_col, k).collect()]
+
+    def theta_of(s: list[int]) -> float:
+        return (max(s) / KMV_DOMAIN) if len(s) >= k else 1.0
+
+    ta, tb = theta_of(sa), theta_of(sb)
+    theta = min(ta, tb)
+    bound = theta * KMV_DOMAIN
+
+    def est_below(hs) -> float:
+        # strictly below theta: with theta = k-th smallest of the SAME
+        # set this leaves k-1 samples -> the classic (k-1)/u_k estimator
+        n = sum(1 for h in hs if h < bound)
+        return round(n / theta, 2)
+
+    def est_one(s: list[int], t: float) -> float:
+        if t >= 1.0:
+            return float(len(s))
+        return round((k - 1) / t, 2)
+
+    A, B = set(sa), set(sb)
+    row = {
+        "k": k,
+        "n_a": len(sa),
+        "n_b": len(sb),
+        "theta_scaled": int(bound) if theta < 1.0 else None,
+        "est_a": est_one(sa, ta),
+        "est_b": est_one(sb, tb),
+        "est_union": est_below(A | B),
+        "est_intersect": est_below(A & B),
+        "est_diff_ab": est_below(A - B),
+    }
+    schema = (
+        "k int, n_a int, n_b int, theta_scaled bigint, est_a double, "
+        "est_b double, est_union double, est_intersect double, "
+        "est_diff_ab double"
+    )
+    return spark.createDataFrame([row], schema=schema)
