@@ -1,0 +1,111 @@
+"""Unit tests for triangle counting, theta set-ops, and the quantized
+Gramian / power-iteration PCA operators."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rapids_and_rivers_spark.operators import graph as G
+from rapids_and_rivers_spark.operators import linalg as LA
+from rapids_and_rivers_spark.operators import sketch as K
+
+
+def test_triangles_known_graph(spark):
+    # K4 on {1,2,3,4} plus a pendant 5: every K4 node sits on 3 triangles,
+    # the pendant on none; 4 triangles total counted once each -> sum 12.
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r["node"]: (r["deg"], r["tri"]) for r in G.triangles(df).collect()}
+    assert out[1] == (3, 3) and out[2] == (3, 3) and out[3] == (3, 3)
+    assert out[4] == (4, 3)
+    assert out[5] == (1, 0)
+
+
+def test_triangles_input_orientation_and_self_loops_canonicalized(spark):
+    # duplicated reverse edges and self-loops must not change the result
+    tri = [(1, 2), (2, 3), (3, 1)]
+    noisy = tri + [(b, a) for a, b in tri] + [(1, 1), (2, 2)]
+    df = spark.createDataFrame(noisy, "src int, dst int")
+    out = {r["node"]: r["tri"] for r in G.triangles(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_theta_setops_exact_when_small(spark):
+    # below k both sketches are exact: estimates equal true set algebra
+    a = spark.createDataFrame([(f"a{i}",) for i in range(30)], "v string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(20, 40)], "v string"
+    )
+    row = K.theta_setops(spark, a, b, "v", k=64).collect()[0]
+    assert row["n_a"] == 30 and row["n_b"] == 20
+    assert row["theta_scaled"] is None
+    assert row["est_a"] == 30.0 and row["est_b"] == 20.0
+    assert row["est_union"] == 40.0
+    assert row["est_intersect"] == 10.0
+    assert row["est_diff_ab"] == 20.0
+
+
+def test_theta_setops_estimates_within_rse(spark):
+    # k=64 -> relative standard error ~ 1/sqrt(k-2) ~ 12.7%; allow 4 RSE
+    n = 2000
+    a = spark.createDataFrame([(f"x{i}",) for i in range(n)], "v string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(n // 2, n // 2 + n)], "v string"
+    )
+    row = K.theta_setops(spark, a, b, "v", k=64).collect()[0]
+    rse4 = 4 / math.sqrt(62)
+    assert abs(row["est_a"] - n) / n < rse4
+    assert abs(row["est_union"] - 1.5 * n) / (1.5 * n) < rse4
+
+
+def test_quantized_gram_matches_numpy(spark):
+    import numpy as np
+
+    rng = [[(-1) ** (i + j) * ((i * 7 + j * 3) % 11) / 10.0 for j in range(4)]
+           for i in range(6)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(rng)],
+        "id long, vec array<float>",
+    )
+    got = {
+        (r["i"], r["j"]): r["gsum"]
+        for r in LA.quantized_gram(df, "vec", dim=4, scale=1000).collect()
+    }
+    # the column is array<float>: quantization sees float32-rounded values
+    q = np.floor(
+        np.array(rng, dtype=np.float32).astype(np.float64) * 1000
+    ).astype(np.int64)
+    expect = q.T @ q
+    for i in range(4):
+        for j in range(i, 4):
+            assert got[(i, j)] == expect[i][j]
+
+
+def test_power_component_converges_to_dominant_eigvec(spark):
+    import numpy as np
+
+    # diag-dominant integer gram with a clear top direction
+    g = np.array(
+        [[100, 10, 0, 0], [10, 90, 5, 0], [0, 5, 20, 2], [0, 0, 2, 10]],
+        dtype=np.int64,
+    )
+    rows = [(i, j, int(g[i][j])) for i in range(4) for j in range(i, 4)]
+    v, lam = LA.power_component(rows, dim=4, iters=25)
+    w, vec = np.linalg.eigh(g.astype(np.float64))
+    top = vec[:, -1]
+    if top[0] < 0:
+        top = -top
+    assert abs(abs(sum(a * b for a, b in zip(v, top))) - 1.0) < 1e-3
+    assert abs(lam - w[-1]) / w[-1] < 1e-2
+
+
+def test_project_on_matches_manual_dot(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125])], "id long, vec array<float>"
+    )
+    v = [0.5, 0.5, -0.5]
+    got = LA.project_on(df, "vec", v, scale=1000).collect()[0]["proj"]
+    q = [math.floor(x * 1000) / 1000 for x in [0.5, -0.25, 0.125]]
+    assert got == pytest.approx(sum(a * b for a, b in zip(q, v)), abs=1e-12)
