@@ -7253,3 +7253,155 @@ def embedding_pca_project(spark, sf_dir):
         .select("vec_id", F.round("proj", 4).alias("proj"))
         .orderBy("vec_id")
     )
+
+
+@register(
+    "mmr_rerank_diverse",
+    """
+    WITH qv AS (
+      SELECT vec_id AS qid, CAST(pos AS INT) AS pos,
+             CAST(floor(CAST(embedding[CAST(pos + 1 AS BIGINT)] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM (SELECT vec_id, unnest(range(len(embedding))) AS pos, embedding
+            FROM embeddings WHERE vec_id < 10)
+    ),
+    cv AS (
+      SELECT vec_id AS cid, CAST(pos AS INT) AS pos,
+             CAST(floor(CAST(embedding[CAST(pos + 1 AS BIGINT)] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM (SELECT vec_id, unnest(range(len(embedding))) AS pos, embedding
+            FROM embeddings WHERE vec_id >= 10)
+    ),
+    qn AS (SELECT qid, sum(v * v) AS n2 FROM qv GROUP BY qid),
+    cn AS (SELECT cid, sum(v * v) AS n2 FROM cv GROUP BY cid),
+    reldot AS (
+      SELECT qv.qid, cv.cid, sum(qv.v * cv.v) AS d
+      FROM qv JOIN cv ON qv.pos = cv.pos GROUP BY 1, 2
+    ),
+    rel AS (
+      SELECT r.qid, r.cid,
+             r.d / sqrt(CAST(qn.n2 * cn.n2 AS DOUBLE)) AS rel
+      FROM reldot r JOIN qn ON r.qid = qn.qid JOIN cn ON r.cid = cn.cid
+    ),
+    pool AS (
+      SELECT qid, cid, rel FROM (
+        SELECT qid, cid, rel,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rk
+        FROM rel
+      ) WHERE rk <= 10
+    ),
+    pv AS (SELECT pool.qid, cv.cid, cv.pos, cv.v
+           FROM pool JOIN cv ON pool.cid = cv.cid),
+    pd0 AS (
+      SELECT a.qid, a.cid AS c1, b.cid AS c2, sum(a.v * b.v) AS d
+      FROM pv a JOIN pv b ON a.qid = b.qid AND a.pos = b.pos AND a.cid < b.cid
+      GROUP BY 1, 2, 3
+    ),
+    ps AS (
+      SELECT qid, c1, c2, d / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) AS sim
+      FROM pd0 JOIN cn x ON pd0.c1 = x.cid JOIN cn y ON pd0.c2 = y.cid
+      UNION ALL
+      SELECT qid, c2 AS c1, c1 AS c2, d / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) AS sim
+      FROM pd0 JOIN cn x ON pd0.c1 = x.cid JOIN cn y ON pd0.c2 = y.cid
+    ),
+    s1 AS (
+      SELECT qid, cid, rel, rel AS score FROM (
+        SELECT qid, cid, rel,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rk
+        FROM pool) WHERE rk = 1
+    ),
+    m2 AS (
+      SELECT p.qid, p.cid, p.rel,
+             0.7 * p.rel - (1.0 - 0.7) * max(ps.sim) AS score
+      FROM pool p
+      JOIN s1 ON p.qid = s1.qid AND p.cid <> s1.cid
+      JOIN ps ON ps.qid = p.qid AND ps.c1 = p.cid AND ps.c2 = s1.cid
+      GROUP BY p.qid, p.cid, p.rel
+    ),
+    s2 AS (
+      SELECT qid, cid, rel, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+        FROM m2) WHERE rk = 1
+    ),
+    sel2 AS (SELECT qid, cid FROM s1 UNION ALL SELECT qid, cid FROM s2),
+    m3 AS (
+      SELECT p.qid, p.cid, p.rel,
+             0.7 * p.rel - (1.0 - 0.7) * max(ps.sim) AS score
+      FROM pool p
+      JOIN ps ON ps.qid = p.qid AND ps.c1 = p.cid
+      JOIN sel2 ON sel2.qid = p.qid AND ps.c2 = sel2.cid
+      WHERE p.cid NOT IN (SELECT cid FROM sel2 WHERE sel2.qid = p.qid)
+      GROUP BY p.qid, p.cid, p.rel
+    ),
+    s3 AS (
+      SELECT qid, cid, rel, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+        FROM m3) WHERE rk = 1
+    ),
+    sel3 AS (SELECT qid, cid FROM sel2 UNION ALL SELECT qid, cid FROM s3),
+    m4 AS (
+      SELECT p.qid, p.cid, p.rel,
+             0.7 * p.rel - (1.0 - 0.7) * max(ps.sim) AS score
+      FROM pool p
+      JOIN ps ON ps.qid = p.qid AND ps.c1 = p.cid
+      JOIN sel3 ON sel3.qid = p.qid AND ps.c2 = sel3.cid
+      WHERE p.cid NOT IN (SELECT cid FROM sel3 WHERE sel3.qid = p.qid)
+      GROUP BY p.qid, p.cid, p.rel
+    ),
+    s4 AS (
+      SELECT qid, cid, rel, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+        FROM m4) WHERE rk = 1
+    ),
+    sel4 AS (SELECT qid, cid FROM sel3 UNION ALL SELECT qid, cid FROM s4),
+    m5 AS (
+      SELECT p.qid, p.cid, p.rel,
+             0.7 * p.rel - (1.0 - 0.7) * max(ps.sim) AS score
+      FROM pool p
+      JOIN ps ON ps.qid = p.qid AND ps.c1 = p.cid
+      JOIN sel4 ON sel4.qid = p.qid AND ps.c2 = sel4.cid
+      WHERE p.cid NOT IN (SELECT cid FROM sel4 WHERE sel4.qid = p.qid)
+      GROUP BY p.qid, p.cid, p.rel
+    ),
+    s5 AS (
+      SELECT qid, cid, rel, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+        FROM m5) WHERE rk = 1
+    ),
+    ranked AS (
+      SELECT 1 AS rank, * FROM s1 UNION ALL SELECT 2, * FROM s2
+      UNION ALL SELECT 3, * FROM s3 UNION ALL SELECT 4, * FROM s4
+      UNION ALL SELECT 5, * FROM s5
+    )
+    SELECT qid AS query_id, CAST(rank AS INT) AS rank, cid AS cand_id,
+           round(rel, 4) AS rel, round(score, 4) AS score
+    FROM ranked ORDER BY query_id, rank
+    """,
+    doc="Maximal Marginal Relevance diversity re-ranking (Carbonell & "
+    "Goldstein 1998): per query (vec_id < 10), greedy 5-of-top-10 picks "
+    "maximizing 0.7*rel - 0.3*max-sim-to-selected — the stage that "
+    "keeps near-identical passages from flooding a RAG context. EXACT "
+    "cross-engine parity, not rounded: floor(x*1000)-quantized integer "
+    "dots/norms make rel, every pair sim, and every greedy comparison "
+    "single IEEE ops on identical numbers, so the DuckDB oracle unrolls "
+    "all 5 picks bit-for-bit (operators/similarity.py mmr_rerank). "
+    "Relevance is broadcast(queries) x candidates with per-query rank "
+    "windows; the greedy is applyInPandas over 10-row groups — "
+    "O(k^2) per query, parallel across queries",
+)
+def mmr_rerank_diverse(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    out = S.mmr_rerank(q, c, k_pool=10, k_out=5, lam=0.7, scale=1000)
+    return out.select(
+        F.col("qid").alias("query_id"),
+        "rank",
+        F.col("cid").alias("cand_id"),
+        F.round("rel", 4).alias("rel"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("query_id", "rank")

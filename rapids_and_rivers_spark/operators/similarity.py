@@ -699,3 +699,111 @@ def pq_codebooks_from_table(codebook_df: DataFrame) -> list[list[list[float]]]:
             books.append([])
         books[r["subspace"]].append(list(r["centroid"]))
     return books
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    vec_q: str = "q_emb",
+    vec_c: str = "c_emb",
+    k_pool: int = 10,
+    k_out: int = 5,
+    lam: float = 0.7,
+    scale: int = 1000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): per query, greedily pick ``k_out`` of the top-``k_pool``
+    candidates maximizing ``lam*rel - (1-lam)*max_sim_to_selected`` —
+    the diversity-aware retrieval stage of a RAG / training-data
+    pipeline (near-identical passages shouldn't all make the context).
+
+    Determinism is EXACT, not rounded: vectors are quantized to
+    ``floor(x*scale)`` integers, so every dot product and squared norm
+    is an exact BIGINT; ``rel = dot/sqrt(n2q*n2c)`` and the MMR score
+    are then single IEEE operations on identical numbers in any engine —
+    the greedy argmax (ties broken on candidate id) is bit-reproducible,
+    which is what lets a SQL oracle unroll the same ``k_out`` picks.
+
+    Scale shape: relevance is one broadcast(queries) x candidates pass
+    with per-query top-``k_pool`` rank windows (query-keyed, no global
+    sort); the greedy runs per query over a ``k_pool``-row group via
+    applyInPandas — O(k_pool^2) integer dots per query, embarrassingly
+    parallel across queries, candidate embeddings only shuffled for
+    pool members (k_pool rows per query, not the corpus).
+    """
+    import pandas as pd
+
+    quant = lambda c: F.transform(
+        as_double_array(c), lambda x: F.floor(x * scale).cast("bigint")
+    )
+    sq_norm = lambda c: F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"), quant(F.col(vec_q)).alias("qv")
+    ).withColumn("qn2", sq_norm(F.col("qv")))
+    c = candidates.select(
+        F.col(cand_id).alias("cid"), quant(F.col(vec_c)).alias("cv")
+    ).withColumn("cn2", sq_norm(F.col("cv")))
+    qdot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    paired = c.join(F.broadcast(q)).withColumn(
+        "rel",
+        qdot / F.sqrt((F.col("qn2") * F.col("cn2")).cast("double")),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("rel"), "cid")
+    pool = (
+        paired.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_pool)
+        .select("qid", "cid", "rel", "cv", "cn2")
+    )
+
+    out_schema = "qid long, rank int, cid long, rel double, score double"
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("cid").reset_index(drop=True)
+        n = len(pdf)
+        Q = np.stack(pdf["cv"].to_numpy()).astype(np.int64)
+        n2 = pdf["cn2"].to_numpy().astype(np.int64)
+        rel = pdf["rel"].to_numpy()
+        dots = Q @ Q.T
+        # exact: int64 dots/norm-products < 2^53 convert losslessly
+        sims = dots.astype(np.float64) / np.sqrt(
+            np.outer(n2, n2).astype(np.float64)
+        )
+        cids = pdf["cid"].to_numpy()
+        selected: list[int] = []
+        rows = []
+        remaining = list(range(n))
+        for rank in range(1, min(k_out, n) + 1):
+            best, best_score = None, None
+            for i in remaining:
+                ms = max((sims[i][j] for j in selected), default=0.0)
+                score = lam * rel[i] - (1.0 - lam) * ms if selected else rel[i]
+                if (
+                    best is None
+                    or score > best_score
+                    or (score == best_score and cids[i] < cids[best])
+                ):
+                    best, best_score = i, score
+            selected.append(best)
+            remaining.remove(best)
+            rows.append(
+                {
+                    "qid": int(pdf["qid"].iloc[0]),
+                    "rank": rank,
+                    "cid": int(cids[best]),
+                    "rel": float(rel[best]),
+                    "score": float(best_score),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return pool.groupBy("qid").applyInPandas(greedy, schema=out_schema)

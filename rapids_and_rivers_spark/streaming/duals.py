@@ -41,7 +41,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: mirrors catalog.ISO_FMT so streaming output is comparable to the batch
@@ -1425,3 +1425,142 @@ def dq_gate_foreach_batch(checks_fn, out_dir: str):
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{epoch_id}"))
 
     return stage
+
+
+def attribution_stream(df: DataFrame, days: int = 3) -> DataFrame:
+    """Streaming linear multi-touch attribution (dual of the batch
+    ``attribution_linear`` catalog query): per user, click/view touches
+    accumulate in keyed state (pruned to the ``days``-day horizon — state
+    per user is bounded by touches-per-horizon, not history); each
+    purchase immediately emits its credit split across the touches in
+    its window, grouped per (channel, touch-day).
+
+    Semantics contract: events are processed in (ts, event_id) order
+    WITHIN each micro-batch (the handler sorts), so with batches arriving
+    in time order the stream output equals the batch join — pinned by
+    the duality test. A touch arriving in a LATER batch than a purchase
+    it should have preceded is missed: the documented at-most-horizon
+    approximation every streaming attribution system makes (batch
+    replay reconciles).
+
+    Output per purchase x (channel, day): ``(user, p_id, channel, day,
+    n, credit)`` with ``credit = round(value / n_touches * n, 4)`` —
+    multiply-then-round exactly as the batch side's single expression,
+    so duality holds bit-for-bit.
+
+    Batch fallback (non-streaming input): the equi-join on user with the
+    range residual + per-purchase count window — the same plan family as
+    the catalog query.
+    """
+    out_schema = (
+        "user string, p_id bigint, channel string, day string, "
+        "n int, credit double"
+    )
+
+    if not df.isStreaming:
+        purchases = df.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        ).select(
+            F.col("user"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        touches = df.filter(F.col("event_type").isin("click", "view")).select(
+            F.col("user").alias("t_user"),
+            F.col("ts").alias("t_ts"),
+            F.col("event_type").alias("channel"),
+        )
+        joined = purchases.join(
+            touches,
+            (F.col("user") == F.col("t_user"))
+            & (F.col("t_ts") <= F.col("p_ts"))
+            & (F.col("t_ts") > F.col("p_ts") - F.expr(f"INTERVAL {days} DAY")),
+        )
+        wp = W.partitionBy("p_id")
+        return (
+            joined.withColumn("n_touches", F.count(F.lit(1)).over(wp))
+            .groupBy(
+                "user",
+                "p_id",
+                "value",
+                "n_touches",
+                "channel",
+                F.date_format(F.col("t_ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).cast("int").alias("n"))
+            .select(
+                "user",
+                "p_id",
+                "channel",
+                "day",
+                "n",
+                F.round(
+                    F.col("value") / F.col("n_touches") * F.col("n"), 4
+                ).alias("credit"),
+            )
+        )
+
+    horizon_ns = days * 86400 * 1_000_000_000
+    src = df.select(
+        F.col("user").cast("string").alias("user"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+
+    def handler(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t_ts, t_ch = state.get if state.exists else ([], [])
+        touches = list(zip([int(t) for t in t_ts or []], list(t_ch or [])))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out: list[dict] = []
+        max_ns = 0
+        for r in batch.itertuples(index=False):
+            ts_ns = int(pd.Timestamp(r.ts).value)
+            max_ns = max(max_ns, ts_ns)
+            if r.event_type in ("click", "view"):
+                touches.append((ts_ns, r.event_type))
+            elif r.event_type == "purchase" and pd.notna(r.value):
+                window = [
+                    (t, ch)
+                    for t, ch in touches
+                    if t <= ts_ns and t > ts_ns - horizon_ns
+                ]
+                n_tot = len(window)
+                if n_tot == 0:
+                    continue
+                per: dict[tuple, int] = {}
+                for t, ch in window:
+                    day = pd.Timestamp(t).strftime("%Y-%m-%d")
+                    per[(ch, day)] = per.get((ch, day), 0) + 1
+                for (ch, day), n in sorted(per.items()):
+                    out.append(
+                        {
+                            "user": key[0],
+                            "p_id": int(r.event_id),
+                            "channel": ch,
+                            "day": day,
+                            "n": n,
+                            "credit": _round_half_up(
+                                float(r.value) / n_tot * n, 4
+                            ),
+                        }
+                    )
+        touches = [(t, ch) for t, ch in touches if t > max_ns - horizon_ns]
+        state.update(([t for t, _ in touches], [ch for _, ch in touches]))
+        if out:
+            yield pd.DataFrame(out)
+
+    return src.groupBy("user").applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType="t_ts array<bigint>, t_ch array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -109,3 +109,59 @@ def test_project_on_matches_manual_dot(spark):
     got = LA.project_on(df, "vec", v, scale=1000).collect()[0]["proj"]
     q = [math.floor(x * 1000) / 1000 for x in [0.5, -0.25, 0.125]]
     assert got == pytest.approx(sum(a * b for a, b in zip(q, v)), abs=1e-12)
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    from rapids_and_rivers_spark.operators.similarity import mmr_rerank
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, q_emb array<float>"
+    )
+    # c10 most relevant; c11 a near-clone of c10; c12 less relevant but
+    # orthogonal to c10 -> MMR must pick c12 second, plain top-k would not
+    c = spark.createDataFrame(
+        [
+            (10, [0.99, 0.1, 0.0, 0.0]),
+            (11, [0.98, 0.12, 0.0, 0.0]),
+            (12, [0.6, 0.0, 0.8, 0.0]),
+        ],
+        "cand_id long, c_emb array<float>",
+    )
+    out = {
+        r["rank"]: r["cid"]
+        for r in mmr_rerank(q, c, k_pool=3, k_out=3, lam=0.5).collect()
+    }
+    assert out[1] == 10
+    assert out[2] == 12
+    assert out[3] == 11
+
+
+def test_mmr_first_pick_is_plain_relevance_topk(spark):
+    from rapids_and_rivers_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+        as_double_array,
+    )
+    from rapids_and_rivers_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    mmr = {
+        r["qid"]: r["cid"]
+        for r in mmr_rerank(q, c, k_pool=10, k_out=1).collect()
+    }
+    bf = brute_force_topk(
+        q.select("query_id", as_double_array(F.col("q_emb")).alias("q_emb")),
+        c.select(
+            F.col("cand_id").alias("neighbor_id"),
+            as_double_array(F.col("c_emb")).alias("c_emb"),
+        ),
+        k=1,
+    )
+    exact = {r["query_id"]: r["neighbor_id"] for r in bf.collect()}
+    assert mmr == exact

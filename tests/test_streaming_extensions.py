@@ -1723,3 +1723,63 @@ def test_ahash_signatures_runs_unchanged_on_stream(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT * FROM ahash_out").collect()))
     want = sorted(map(tuple, M.ahash_signatures(batch_df).collect()))
     assert got == want and len(got) == 12
+
+
+def test_attribution_stream_matches_batch_join(spark, tmp_path):
+    """Streaming linear attribution: touches held in keyed state credit
+    later purchases across micro-batch boundaries; with time-ordered
+    batches the emitted credits equal the batch join dual bit-for-bit
+    (multiply-then-round contract)."""
+    from rapids_and_rivers_spark.streaming.duals import attribution_stream
+
+    schema = "user string, event_id long, ts timestamp, event_type string, value double"
+    b1 = [
+        {"user": "u1", "event_id": 1, "ts": "2026-01-01T00:00:00", "event_type": "click", "value": None},
+        {"user": "u1", "event_id": 2, "ts": "2026-01-01T01:00:00", "event_type": "view", "value": None},
+        {"user": "u1", "event_id": 3, "ts": "2026-01-01T02:00:00", "event_type": "purchase", "value": 90.0},
+        {"user": "u2", "event_id": 4, "ts": "2026-01-01T00:30:00", "event_type": "click", "value": None},
+    ]
+    # batch 2: u2 purchase credits the batch-1 click (state crossed the
+    # boundary); a touch OUTSIDE the 3-day window must not be credited
+    b2 = [
+        {"user": "u2", "event_id": 5, "ts": "2026-01-02T00:00:00", "event_type": "purchase", "value": 50.0},
+        {"user": "u1", "event_id": 6, "ts": "2026-01-06T00:00:00", "event_type": "purchase", "value": 10.0},
+    ]
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in b1],
+        [json.dumps(r) for r in b2],
+        schema,
+    )
+    out = attribution_stream(events, days=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user, r.p_id, r.channel, r.day): (r.n, r.credit)
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [
+            (r["user"], r["event_id"], r["ts"].replace("T", " "), r["event_type"], r["value"])
+            for r in b1 + b2
+        ],
+        "user string, event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expected = {
+        (r.user, r.p_id, r.channel, r.day): (r.n, r.credit)
+        for r in attribution_stream(batch_df, days=3).collect()
+    }
+    assert got == expected
+    # u1 purchase splits 90 across click+view; event 6 is outside horizon
+    assert got[("u1", 3, "click", "2026-01-01")] == (1, 45.0)
+    assert got[("u1", 3, "view", "2026-01-01")] == (1, 45.0)
+    assert got[("u2", 5, "click", "2026-01-01")] == (1, 50.0)
+    assert not any(k[1] == 6 for k in got)
