@@ -7405,3 +7405,215 @@ def mmr_rerank_diverse(spark, sf_dir):
         F.round("rel", 4).alias("rel"),
         F.round("score", 4).alias("score"),
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "graph_kcore",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    d1 AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    a1 AS (SELECT src FROM d1 WHERE deg >= 3),
+    e1 AS (SELECT e.src, e.dst FROM e
+           JOIN a1 x ON e.src = x.src JOIN a1 y ON e.dst = y.src),
+    d2 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+    a2 AS (SELECT src FROM d2 WHERE deg >= 3),
+    e2 AS (SELECT e1.src, e1.dst FROM e1
+           JOIN a2 x ON e1.src = x.src JOIN a2 y ON e1.dst = y.src),
+    d3 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+    a3 AS (SELECT src FROM d3 WHERE deg >= 3),
+    e3 AS (SELECT e2.src, e2.dst FROM e2
+           JOIN a3 x ON e2.src = x.src JOIN a3 y ON e2.dst = y.src),
+    d4 AS (SELECT src, count(*) AS deg FROM e3 GROUP BY src),
+    a4 AS (SELECT src, deg FROM d4 WHERE deg >= 3)
+    SELECT substr(src, 1, 1) AS node_type,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(deg) AS BIGINT) AS min_deg,
+           CAST(max(deg) AS BIGINT) AS max_deg,
+           round(avg(deg), 4) AS avg_deg
+    FROM a4 GROUP BY 1 ORDER BY 1
+    """,
+    doc="3-core of the customer-supplier purchase graph by FOUR unrolled "
+    "peeling rounds (Seidman 1983; the fixed-iteration form of "
+    "Batagelj-Zaversnik): each round drops nodes of induced degree < 3 "
+    "and recomputes degrees on the induced subgraph — degree agg + two "
+    "node-keyed semi-join filters per round, nothing global, the plan "
+    "an iterative graph system runs per superstep. Fixed rounds (not "
+    "to-fixpoint) for the same reason PageRank is fixed-iteration: one "
+    "lazy plan, oracle-unrollable, deterministic shape. Output: "
+    "per-node-type survivor stats. Full value oracle",
+)
+def graph_kcore(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    e = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    k = 3
+    for _ in range(3):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("src")
+        # each round references the previous round's edges THREE times
+        # (degree agg + two semi-filters) — persist per round or the
+        # lineage recompute compounds 3^rounds (measured 34 s -> ~5 s)
+        e = (
+            e.join(alive, "src")
+            .join(alive.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .persist()
+        )
+    survivors = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).filter(F.col("deg") >= k)
+    )
+    return (
+        survivors.groupBy(F.substring("src", 1, 1).alias("node_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+            F.round(F.avg("deg"), 4).alias("avg_deg"),
+        )
+        .orderBy("node_type")
+    )
+
+
+@register(
+    "zipf_fit_by_source",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS f
+      FROM toks WHERE len(token) > 0 GROUP BY source, token
+    ),
+    ranked AS (
+      SELECT source, token, f,
+             row_number() OVER (PARTITION BY source ORDER BY f DESC, token) AS r
+      FROM freq
+    ),
+    top AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+            FROM ranked WHERE r <= 100)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_ranks,
+           round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+                 (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope,
+           round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y)) /
+                 (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
+                 / count(*), 4) AS intercept
+    FROM top GROUP BY source ORDER BY source
+    """,
+    doc="Zipf's-law fit per source: OLS slope of ln(freq) on ln(rank) "
+    "over each source's top-100 tokens — the corpus-health diagnostic "
+    "(natural text ~ -1; a slope near 0 flags boilerplate/templated "
+    "sources worth down-weighting in a training mix). Token counting is "
+    "one shuffle, ranking is per-source windows, the regression is a "
+    "5-scalar aggregate (sum x, y, xy, x2, n) — the textbook "
+    "distributed-OLS shape that needs no second pass. Full value "
+    "oracle (ln + terminal round)",
+)
+def zipf_fit_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    freq = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("f"))
+    wr = W.partitionBy("source").orderBy(F.desc("f"), "token")
+    top = (
+        freq.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= 100)
+        .select(
+            "source",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return (
+        top.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ranks"),
+            F.round(slope, 4).alias("zipf_slope"),
+            F.round((F.sum("y") - slope * F.sum("x")) / n, 4).alias("intercept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "chi2_independence",
+    """
+    WITH assigned AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2
+               AS arm
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, arm, CAST(count(*) AS DOUBLE) AS o
+      FROM assigned GROUP BY event_type, arm
+    ),
+    rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY event_type),
+    ct AS (SELECT arm, sum(o) AS c FROM cells GROUP BY arm),
+    tot AS (SELECT sum(o) AS t FROM cells)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT cells.event_type) - 1)
+                * (count(DISTINCT cells.arm) - 1) AS BIGINT) AS df,
+           round(sum(pow(o - r * c / t, 2) / (r * c / t)), 4) AS chi2
+    FROM cells
+    JOIN rt ON cells.event_type = rt.event_type
+    JOIN ct ON cells.arm = ct.arm
+    CROSS JOIN tot
+    """,
+    doc="chi-squared independence test of event_type x experiment arm "
+    "(the sample-ratio-mismatch / assignment-health check run next to "
+    "every A/B readout): contingency cells via one keyed agg, expected "
+    "counts from broadcast row/column marginals, the statistic a single "
+    "rolled-up sum. The total is a 1-row scalar cross — bounded. "
+    "Full value oracle",
+)
+def chi2_independence(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(2),
+    )
+    cells = (
+        ev.select("event_type", arm.alias("arm"))
+        .groupBy("event_type", "arm")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+        .persist()
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("arm").agg(F.sum("o").alias("c"))
+    t = float(cells.agg(F.sum("o")).first()[0])
+    e = F.col("r") * F.col("c") / F.lit(t)
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            (
+                (F.countDistinct("event_type") - 1) * (F.countDistinct("arm") - 1)
+            ).alias("df"),
+            F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+        )
+    )

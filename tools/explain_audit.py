@@ -44,6 +44,8 @@ SCALAR_CROSS_OK = {
     "text_quality_filter",  # p25 cutoff = broadcast 1-row percentile agg
     "dedup_clusters_star",  # same neardup pair build as dedup_clusters
     "gap_filled_daily_counts",  # day-spine x type-dim cross: bounded tiny
+    "mmr_rerank_diverse",  # broadcast(10 queries) x candidates: the same
+    # bounded brute-force relevance cross as sim_cosine_topk
 }
 
 # Time-truncation expressions that bound an aggregate's group count by
