@@ -7617,3 +7617,285 @@ def chi2_independence(spark, sf_dir):
             F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
         )
     )
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, med.med, abs(e.value - med.med) AS adev
+      FROM events e JOIN med ON e.event_type = med.event_type
+      WHERE e.value IS NOT NULL
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(dev.med), 4) AS med,
+           round(max(mad.mad), 4) AS mad,
+           CAST(sum(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type ORDER BY dev.event_type
+    """,
+    doc="robust outlier detection by median absolute deviation: per "
+    "event_type, flag |x - median| > 3 * 1.4826 * MAD (the Hampel "
+    "identifier — 1.4826 scales MAD to sigma under normality). The "
+    "robust counterpart to event_zscore_outliers: one contaminated "
+    "reading shifts a mean/stddev fence but not a median/MAD fence. "
+    "Two grouped exact-percentile passes + broadcast joins back; "
+    "percentile interpolation matches DuckDB median (the "
+    "median_value_by_type parity contract). Full value oracle",
+)
+def mad_outliers(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy(F.col("event_type").alias("et2")).agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), dev["event_type"] == mad["et2"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(3 * 1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "event_pmi_pairs",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ),
+    n_days AS (SELECT CAST(count(*) AS DOUBLE) AS n
+               FROM (SELECT DISTINCT user_id, day FROM ud)),
+    singles AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS c
+      FROM ud GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM ud a JOIN ud b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, c_ab, s1.c AS c_a, s2.c AS c_b,
+           round(ln(c_ab * n_days.n / (s1.c * s2.c)), 4) AS pmi
+    FROM pairs
+    JOIN singles s1 ON pairs.t1 = s1.event_type
+    JOIN singles s2 ON pairs.t2 = s2.event_type
+    CROSS JOIN n_days
+    ORDER BY t1, t2
+    """,
+    doc="pointwise mutual information between event types co-occurring "
+    "in the same (user, day) — the unordered-association complement of "
+    "event_transition_matrix (which is ordered adjacency): "
+    "pmi = ln(P(a,b) / (P(a)P(b))) over user-day contexts. The pair "
+    "join is keyed on (user, day) with per-context fan-out bounded by "
+    "the 5 event types (C(5,2) pairs max per context — never "
+    "|events|^2); marginals broadcast; the context total is a 1-row "
+    "scalar. The same plan computes word co-occurrence PMI for "
+    "embedding pre-training at 100 TB. Full value oracle",
+)
+def event_pmi_pairs(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct().persist()
+    n_days = float(ud.select("user_id", "day").distinct().count())
+    singles = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = ud.alias("a"), ud.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    s1 = singles.select(F.col("event_type").alias("t1"), F.col("c").alias("c_a"))
+    s2 = singles.select(F.col("event_type").alias("t2"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log(
+                    F.col("c_ab") * F.lit(n_days) / (F.col("c_a") * F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+@register(
+    "survival_time_to_purchase",
+    """
+    WITH fc AS (
+      SELECT user_id, min(ts) AS fc
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, min(e.ts) AS fp
+      FROM events e JOIN fc ON e.user_id = fc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fc.fc
+      GROUP BY e.user_id
+    ),
+    horizon AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+    subj AS (
+      SELECT fc.user_id,
+             CASE WHEN fp.fp IS NOT NULL
+                   AND date_diff('day', CAST(fc.fc AS DATE), CAST(fp.fp AS DATE)) <= 30
+                  THEN date_diff('day', CAST(fc.fc AS DATE), CAST(fp.fp AS DATE))
+                  ELSE least(date_diff('day', CAST(fc.fc AS DATE), horizon.maxd), 30)
+             END AS t,
+             CASE WHEN fp.fp IS NOT NULL
+                   AND date_diff('day', CAST(fc.fc AS DATE), CAST(fp.fp AS DATE)) <= 30
+                  THEN 1 ELSE 0 END AS is_event
+      FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id CROSS JOIN horizon
+    ),
+    n_subj AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM subj),
+    days AS (
+      SELECT t, CAST(sum(is_event) AS DOUBLE) AS d,
+             CAST(sum(1 - is_event) AS DOUBLE) AS c
+      FROM subj GROUP BY t
+    ),
+    ev_days AS (
+      SELECT days.t, days.d,
+             n_subj.n - coalesce(
+               (SELECT sum(p.d + p.c) FROM days p WHERE p.t < days.t), 0)
+               AS n_risk
+      FROM days CROSS JOIN n_subj WHERE days.d > 0
+    ),
+    factors AS (SELECT t, d, n_risk, 1.0 - d / n_risk AS factor FROM ev_days)
+    SELECT f.t AS day,
+           CAST(f.n_risk AS BIGINT) AS n_risk,
+           CAST(f.d AS BIGINT) AS d,
+           CASE WHEN min(g.factor) <= 0 THEN 0.0
+                ELSE round(exp(sum(
+                       ln(CASE WHEN g.factor > 0 THEN g.factor ELSE 1 END))), 4)
+           END AS survival
+    FROM factors f JOIN factors g ON g.t <= f.t
+    GROUP BY f.t, f.n_risk, f.d
+    ORDER BY f.t
+    """,
+    doc="Kaplan-Meier time-to-convert curve: per user, days from first "
+    "click to first subsequent purchase, administratively censored at "
+    "30 days or end-of-data; S(t) = prod_{t_i <= t} (1 - d_i/n_i). "
+    "The per-user reduction is two keyed aggs; the KM arithmetic runs "
+    "on the <= 31-row day table via bounded triangular self-joins "
+    "(risk-set cumulative + the product as exp-sum-ln) — NO global "
+    "window, no driver loop; at 100 TB only the day rollup changes "
+    "size, and it stays 31 rows. Full value oracle",
+)
+def survival_time_to_purchase(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") >= F.col("fc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    maxd = ev.agg(F.max(F.col("ts").cast("date"))).first()[0]
+    dur = F.datediff(F.col("fp").cast("date"), F.col("fc").cast("date"))
+    cens = F.least(
+        F.datediff(F.lit(maxd), F.col("fc").cast("date")), F.lit(30)
+    )
+    subj = (
+        fc.join(fp, "user_id", "left")
+        .select(
+            F.when(F.col("fp").isNotNull() & (dur <= 30), dur)
+            .otherwise(cens)
+            .alias("t"),
+            F.when(F.col("fp").isNotNull() & (dur <= 30), 1)
+            .otherwise(0)
+            .alias("is_event"),
+        )
+        .persist()
+    )
+    n_subj = float(subj.count())
+    days = subj.groupBy("t").agg(
+        F.sum("is_event").cast("double").alias("d"),
+        F.sum(F.lit(1) - F.col("is_event")).cast("double").alias("c"),
+    ).persist()
+    p = days.select(
+        F.col("t").alias("pt"), (F.col("d") + F.col("c")).alias("removed")
+    )
+    ev_days = (
+        days.filter(F.col("d") > 0)
+        .join(F.broadcast(p), F.col("pt") < F.col("t"), "left")
+        .groupBy("t", "d")
+        .agg((F.lit(n_subj) - F.coalesce(F.sum("removed"), F.lit(0.0))).alias("n_risk"))
+    )
+    factors = ev_days.select(
+        "t", "d", "n_risk", (F.lit(1.0) - F.col("d") / F.col("n_risk")).alias("factor")
+    )
+    f, g = factors.alias("f"), factors.alias("g")
+    return (
+        f.join(F.broadcast(g), F.col("g.t") <= F.col("f.t"))
+        .groupBy(
+            F.col("f.t").alias("day"),
+            F.col("f.n_risk").cast("long").alias("n_risk"),
+            F.col("f.d").cast("long").alias("d"),
+        )
+        .agg(
+            # a day where EVERY remaining subject converts gives factor 0:
+            # S collapses to 0 (guarded — ln(0) is an error in SQL engines)
+            F.when(F.min("g.factor") <= 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.exp(
+                        F.sum(
+                            F.when(
+                                F.col("g.factor") > 0, F.log(F.col("g.factor"))
+                            )
+                        )
+                    ),
+                    4,
+                )
+            )
+            .alias("survival")
+        )
+        .orderBy("day")
+    )

@@ -46,6 +46,8 @@ SCALAR_CROSS_OK = {
     "gap_filled_daily_counts",  # day-spine x type-dim cross: bounded tiny
     "mmr_rerank_diverse",  # broadcast(10 queries) x candidates: the same
     # bounded brute-force relevance cross as sim_cosine_topk
+    "survival_time_to_purchase",  # Kaplan-Meier triangular self-joins over
+    # the <= 31-row horizon-day rollup: bounded like gap_filled_daily_counts
 }
 
 # Time-truncation expressions that bound an aggregate's group count by
