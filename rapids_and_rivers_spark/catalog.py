@@ -7899,3 +7899,118 @@ def survival_time_to_purchase(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+def _bpe_round_sql(tin: str, pc: str, p: str, m: str, i: str, tout: str) -> str:
+    """One unrolled BPE merge round over token CTE ``tin`` -> ``tout``:
+    pair counts, top-1 pair, island-parity left-to-right merge — the
+    exact relational recipe of operators/text.py bpe_apply_merge."""
+    return f"""
+    {pc} AS (
+      SELECT a.t AS x, b.t AS y, sum(a.n) AS cnt
+      FROM {tin} a JOIN {tin} b ON a.word = b.word AND b.p = a.p + 1
+      GROUP BY 1, 2
+    ),
+    {p} AS (SELECT x, y, cnt FROM {pc} ORDER BY cnt DESC, x, y LIMIT 1),
+    {m} AS (
+      SELECT a.word, a.p
+      FROM {tin} a JOIN {tin} b ON a.word = b.word AND b.p = a.p + 1
+      CROSS JOIN {p} WHERE a.t = {p}.x AND b.t = {p}.y
+    ),
+    {i} AS (
+      SELECT word, p FROM (
+        SELECT word, p,
+               row_number() OVER (PARTITION BY word, grp ORDER BY p) AS rn_in
+        FROM (SELECT word, p,
+                     p - row_number() OVER (PARTITION BY word ORDER BY p) AS grp
+              FROM {m})
+      ) WHERE (rn_in - 1) % 2 = 0
+    ),
+    {tout} AS (
+      SELECT word, n,
+             CAST(row_number() OVER (PARTITION BY word ORDER BY p) - 1 AS INT) AS p,
+             t
+      FROM (
+        SELECT b.word, b.n, b.p,
+               CASE WHEN s.p IS NOT NULL THEN {p}.x || {p}.y ELSE b.t END AS t
+        FROM {tin} b
+        CROSS JOIN {p}
+        LEFT JOIN {i} s ON b.word = s.word AND b.p = s.p
+        LEFT JOIN {i} r ON b.word = r.word AND b.p = r.p + 1
+        WHERE r.p IS NULL
+      )
+    )"""
+
+
+@register(
+    "bpe_train_merges",
+    r"""
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE len(word) BETWEEN 1 AND 12 GROUP BY word
+    ),
+    t0 AS (
+      SELECT word, n, CAST(pos AS INT) AS p,
+             substr(word, CAST(pos + 1 AS INT), 1) AS t
+      FROM (SELECT word, n, unnest(range(length(word))) AS pos FROM words)
+    ),"""
+    + _bpe_round_sql("t0", "pc1", "p1", "m1", "i1", "t1")
+    + ","
+    + _bpe_round_sql("t1", "pc2", "p2", "m2", "i2", "t2")
+    + """
+    SELECT * FROM (
+      SELECT CAST(1 AS INT) AS step, x || '+' || y AS token,
+             CAST(cnt AS BIGINT) AS weight FROM p1
+      UNION ALL
+      SELECT CAST(2 AS INT), x || '+' || y, CAST(cnt AS BIGINT) FROM p2
+      UNION ALL
+      SELECT * FROM (
+        SELECT CAST(0 AS INT), t, CAST(sum(n) AS BIGINT) AS w
+        FROM t2 GROUP BY t ORDER BY w DESC, t LIMIT 20)
+    ) ORDER BY step, weight DESC, token
+    """,
+    doc="distributed BPE tokenizer training, 2 merge rounds (Sennrich "
+    "2016): train on the WORD-COUNT table (corpus collapses to |vocab| "
+    "rows before any merge work — at 100 TB the iterative part runs on "
+    "megabytes, which is how production trainers work); each round is "
+    "pair-count agg -> top-1 pair (bounded scalar) -> LEFT-TO-RIGHT "
+    "NON-OVERLAPPING merge expressed relationally via gaps-and-islands "
+    "parity (operators/text.py bpe_apply_merge — 'aaa' + pair (a,a) "
+    "merges position 0 only). Output: the 2 learned merges + the "
+    "post-merge top-20 token vocabulary. Full value oracle: DuckDB "
+    "unrolls both rounds with the identical island windows",
+)
+def bpe_train_merges(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        )
+        .filter(F.length("word").between(1, 12))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tokens = T.bpe_char_tokens(words).persist()
+    steps = []
+    for step in (1, 2):
+        top = (
+            T.bpe_pair_counts(tokens)
+            .orderBy(F.desc("cnt"), "x", "y")
+            .limit(1)
+            .collect()[0]
+        )
+        steps.append((step, f"{top['x']}+{top['y']}", int(top["cnt"])))
+        tokens = T.bpe_apply_merge(tokens, top["x"], top["y"]).persist()
+    vocab = (
+        tokens.groupBy("t")
+        .agg(F.sum("n").alias("weight"))
+        .orderBy(F.desc("weight"), "t")
+        .limit(20)
+        .select(F.lit(0).alias("step"), F.col("t").alias("token"), "weight")
+    )
+    merges = spark.createDataFrame(steps, "step int, token string, weight long")
+    return merges.unionByName(vocab).orderBy("step", F.desc("weight"), "token")

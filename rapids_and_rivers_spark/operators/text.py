@@ -351,3 +351,92 @@ def char_entropy(chars: Column, ndigits: int = 4) -> Column:
         lambda acc, p: acc + p * F.log2(p),
     )
     return F.when(n > 0, F.round(h, ndigits))
+
+
+# --- BPE tokenizer training (distributed merge rounds) -----------------------
+
+
+def bpe_char_tokens(words):
+    """Word-count table -> per-character token rows ``(word, n, p, t)``.
+
+    BPE trains on the WORD-COUNT table, not the corpus (Sennrich et al.
+    2016; how production tokenizer trainers aggregate first): the corpus
+    scan collapses to |vocab| rows before any merge work, so at 100 TB
+    the iterative part runs on megabytes.
+    """
+    from pyspark.sql import functions as F
+
+    return words.select(
+        "word", "n", F.posexplode(F.split(F.col("word"), "")).alias("p", "t")
+    )
+
+
+def bpe_pair_counts(tokens):
+    """Adjacent-pair frequencies ``(x, y, cnt)`` weighted by word count:
+    one self-equi-join on (word, p+1) + keyed agg."""
+    from pyspark.sql import functions as F
+
+    a, b = tokens.alias("a"), tokens.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("b.p") == F.col("a.p") + 1),
+        )
+        .groupBy(F.col("a.t").alias("x"), F.col("b.t").alias("y"))
+        .agg(F.sum(F.col("a.n")).alias("cnt"))
+    )
+
+
+def bpe_apply_merge(tokens, x: str, y: str):
+    """One BPE merge round: replace every LEFT-TO-RIGHT NON-OVERLAPPING
+    occurrence of adjacent pair (x, y) with the merged token x||y.
+
+    The sequential greedy scan is expressed relationally: match
+    positions -> gaps-and-islands grouping (p - row_number) -> keep the
+    EVEN offsets within each island (in a run like 'aaa' with pair
+    (a,a), positions 0 and 1 both match but only 0 merges — exactly the
+    island-parity rule). Merged right-halves drop via an anti-join on
+    (word, p-1); positions renumber with a per-word window. Every step
+    is a per-word window or equi-join — parallel across the vocab,
+    nothing sequential survives into the plan.
+    """
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("word").orderBy("p")
+    t1 = tokens.withColumn("nxt", F.lead("t").over(w))
+    matches = t1.filter((F.col("t") == x) & (F.col("nxt") == y)).select("word", "p")
+    grp = (F.col("p") - F.row_number().over(w)).alias("grp")
+    wg = Window.partitionBy("word", "grp").orderBy("p")
+    sel = (
+        matches.select("word", "p", grp)
+        .withColumn("rn_in", F.row_number().over(wg))
+        .filter((F.col("rn_in") - 1) % 2 == 0)
+        .select("word", F.col("p").alias("sp"))
+    )
+    right = sel.select(F.col("word").alias("rw"), (F.col("sp") + 1).alias("rp"))
+    s = sel.select(F.col("word").alias("sw"), "sp")
+    base = tokens.alias("base")
+    kept = (
+        base.join(
+            right,
+            (F.col("base.word") == F.col("rw")) & (F.col("base.p") == F.col("rp")),
+            "left_anti",
+        )
+        .join(
+            s,
+            (F.col("base.word") == F.col("sw")) & (F.col("base.p") == F.col("sp")),
+            "left",
+        )
+        .select(
+            F.col("base.word").alias("word"),
+            F.col("base.n").alias("n"),
+            F.col("base.p").alias("p"),
+            F.when(F.col("sp").isNotNull(), F.lit(x + y))
+            .otherwise(F.col("base.t"))
+            .alias("t"),
+        )
+    )
+    return kept.select(
+        "word", "n", (F.row_number().over(w) - 1).alias("p"), "t"
+    )

@@ -141,3 +141,36 @@ def test_line_dedup_hot_line_skew(spark):
     assert len(salted) == len(plain)
     for doc_id in (0, 1, 7, n - 1):
         assert salted[doc_id] == plain[doc_id]
+
+
+def test_bpe_merge_left_to_right_nonoverlapping(spark):
+    """'aaa' with pair (a,a) merges position 0 only (island parity);
+    'abab' with pair (a,b) merges positions 0 AND 2."""
+    from rapids_and_rivers_spark.operators import text as T
+
+    words = spark.createDataFrame(
+        [("aaa", 1), ("abab", 1)], "word string, n long"
+    )
+    t1 = T.bpe_apply_merge(T.bpe_char_tokens(words), "a", "a")
+    aaa = [r["t"] for r in t1.filter("word = 'aaa'").orderBy("p").collect()]
+    assert aaa == ["aa", "a"]
+    t2 = T.bpe_apply_merge(T.bpe_char_tokens(words), "a", "b")
+    abab = [r["t"] for r in t2.filter("word = 'abab'").orderBy("p").collect()]
+    assert abab == ["ab", "ab"]
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.operators import text as T
+
+    words = spark.createDataFrame(
+        [("aaa", 2), ("aa", 5), ("banana", 1)], "word string, n long"
+    )
+    pc = {
+        (r["x"], r["y"]): r["cnt"]
+        for r in T.bpe_pair_counts(T.bpe_char_tokens(words)).collect()
+    }
+    # (a,a): 2 adjacent pairs in 'aaa' x2 + 1 in 'aa' x5 = 9
+    assert pc[("a", "a")] == 9
+    assert pc[("a", "n")] == 2 and pc[("n", "a")] == 2 and pc[("b", "a")] == 1
