@@ -8014,3 +8014,81 @@ def bpe_train_merges(spark, sf_dir):
     )
     merges = spark.createDataFrame(steps, "step int, token string, weight long")
     return merges.unionByName(vocab).orderBy("step", F.desc("weight"), "token")
+
+
+@register(
+    "ppr_supplier_recs",
+    r"""
+    WITH e0 AS (
+      SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT src, dst, w FROM e0
+          UNION ALL
+          SELECT dst AS src, src AS dst, w FROM e0),
+    ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+    p AS (SELECT e.src, e.dst, e.w / ow.out_w AS p
+          FROM e JOIN ow ON e.src = ow.src),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    seed AS (SELECT 'c' || min(o_custkey) AS s FROM orders),
+    rv AS (SELECT node, CASE WHEN node = seed.s THEN 1.0 ELSE 0.0 END AS r
+           FROM nodes CROSS JOIN seed),
+    r0 AS (SELECT node, r AS pr FROM rv),
+    c1 AS (SELECT p.dst, sum(p.p * r0.pr) AS c
+           FROM p JOIN r0 ON p.src = r0.node GROUP BY 1),
+    r1 AS (SELECT rv.node, (1.0 - CAST(0.85 AS DOUBLE)) * rv.r
+                      + CAST(0.85 AS DOUBLE) * coalesce(c1.c, 0.0) AS pr
+           FROM rv LEFT JOIN c1 ON rv.node = c1.dst),
+    c2 AS (SELECT p.dst, sum(p.p * r1.pr) AS c
+           FROM p JOIN r1 ON p.src = r1.node GROUP BY 1),
+    r2 AS (SELECT rv.node, (1.0 - CAST(0.85 AS DOUBLE)) * rv.r
+                      + CAST(0.85 AS DOUBLE) * coalesce(c2.c, 0.0) AS pr
+           FROM rv LEFT JOIN c2 ON rv.node = c2.dst),
+    c3 AS (SELECT p.dst, sum(p.p * r2.pr) AS c
+           FROM p JOIN r2 ON p.src = r2.node GROUP BY 1),
+    r3 AS (SELECT rv.node, (1.0 - CAST(0.85 AS DOUBLE)) * rv.r
+                      + CAST(0.85 AS DOUBLE) * coalesce(c3.c, 0.0) AS pr
+           FROM rv LEFT JOIN c3 ON rv.node = c3.dst),
+    direct AS (SELECT DISTINCT e.dst FROM e CROSS JOIN seed WHERE e.src = seed.s)
+    SELECT node AS supplier, round(pr * 1000000, 4) AS ppr_ppm
+    FROM r3
+    WHERE node LIKE 's%' AND node NOT IN (SELECT dst FROM direct)
+    ORDER BY ppr_ppm DESC, supplier
+    LIMIT 20
+    """,
+    doc="personalized PageRank recommendations (random walk with "
+    "restart, Haveliwala 2002): teleport returns to ONE seed customer "
+    "(min custkey — data-derived, deterministic) instead of uniform, so "
+    "rank = proximity to the seed's purchase neighborhood; output the "
+    "top-20 suppliers the seed has NOT bought from (the two-hop "
+    "'customers like you buy from' recommender). Same fixed-3-round "
+    "power plan as pagerank_purchase_graph (graph.pagerank reset=; "
+    "per round one node-keyed join + keyed agg; normalize-once edges "
+    "shared via _purchase_edges); the direct-neighbor exclusion is an "
+    "anti-join. FULL value oracle, ppm-scaled ranks",
+)
+def ppr_supplier_recs(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import graph as G
+
+    edges = _purchase_edges(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    seed = "c" + str(orders.agg(F.min("o_custkey")).first()[0])
+    reset = spark.createDataFrame([(seed, 1.0)], "node string, r double")
+    pr = G.pagerank(edges, iters=3, reset=reset)
+    direct = (
+        edges.filter(F.col("src") == seed)
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    return (
+        pr.filter(F.col("node").startswith("s"))
+        .join(direct, "node", "left_anti")
+        .select(
+            F.col("node").alias("supplier"),
+            F.round(F.col("pr") * 1000000, 4).alias("ppr_ppm"),
+        )
+        .orderBy(F.desc("ppr_ppm"), "supplier")
+        .limit(20)
+    )

@@ -35,6 +35,7 @@ def pagerank(
     weight: str = "weight",
     num_nodes: int | None = None,
     init_ranks: DataFrame | None = None,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank after ``iters`` power-method rounds:
     ``pr'(v) = (1-d)/N + d * Σ_{u→v} (w_uv / out_w(u)) * pr(u)``.
@@ -73,6 +74,34 @@ def pagerank(
     n = float(num_nodes if num_nodes is not None else nodes.count())
     d = F.lit(damping)
     teleport = (F.lit(1.0) - d) / F.lit(n)
+    if reset is not None:
+        # PERSONALIZED PageRank (random walk with restart): the teleport
+        # returns to the ``reset`` distribution (node, r), sum(r) = 1,
+        # instead of uniform — rank becomes proximity to the seed set
+        # (the recommendation / local-cluster primitive). Init at the
+        # reset vector; nodes off the seed set teleport nothing.
+        rv = (
+            nodes.join(reset.select("node", "r"), "node", "left")
+            .select("node", F.coalesce(F.col("r"), F.lit(0.0)).alias("r"))
+            .persist()
+        )
+        ranks = rv.select("node", F.col("r").alias("pr"))
+        for _ in range(iters):
+            contrib = (
+                norm.join(ranks, norm["src"] == ranks["node"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("p") * F.col("pr")).alias("c"))
+            )
+            ranks = rv.join(
+                contrib, rv["node"] == contrib["dst"], "left"
+            ).select(
+                "node",
+                (
+                    (F.lit(1.0) - d) * F.col("r")
+                    + d * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        return ranks
     if init_ranks is not None:
         # WARM START — the incremental mode: k passes per day over the
         # crawl graph resume from yesterday's converged ranks (new nodes

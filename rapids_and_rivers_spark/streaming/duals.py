@@ -1564,3 +1564,48 @@ def attribution_stream(df: DataFrame, days: int = 3) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def gram_stream(
+    df: DataFrame, vec_col: str, dim: int, scale: int = 1000
+) -> DataFrame:
+    """Streaming dual of the quantized Gramian
+    (operators/linalg.py quantized_gram): per micro-batch, a stateless
+    mapInPandas emits the batch's d(d+1)/2 integer partials and a NATIVE
+    streaming aggregation keeps the running (i, j) sums — no custom
+    state handler at all (the cms_stream pattern: when the merge is a
+    keyed sum, the engine's own streaming agg IS the incremental
+    operator). State is bounded at d(d+1)/2 rows forever; after any
+    prefix of batches the table equals the batch Gramian over everything
+    seen — pinned by the duality test.
+
+    This is the substrate of INCREMENTAL PCA on an embedding stream: the
+    downstream power iteration (linalg.power_component) reads the
+    current 2080-row table whenever a refreshed component is wanted,
+    never the vectors.
+    """
+    from rapids_and_rivers_spark.operators.linalg import quantized_gram
+
+    if not df.isStreaming:
+        return quantized_gram(df, vec_col, dim, scale=scale)
+
+    import numpy as np
+
+    def acc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for b in batches:
+            if len(b) == 0:
+                continue
+            q = np.floor(
+                np.stack(b[vec_col].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            g += q.T @ q
+            seen = True
+        if not seen:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame({"i": iu, "j": ju, "g": g[iu, ju]})
+
+    parts = df.select(vec_col).mapInPandas(acc, schema="i int, j int, g long")
+    return parts.groupBy("i", "j").agg(F.sum("g").alias("gsum"))

@@ -165,3 +165,46 @@ def test_mmr_first_pick_is_plain_relevance_topk(spark):
     )
     exact = {r["query_id"]: r["neighbor_id"] for r in bf.collect()}
     assert mmr == exact
+
+
+def test_ppr_concentrates_near_seed(spark):
+    from rapids_and_rivers_spark.operators import graph as G
+
+    # two triangles bridged by one edge, seed inside the left one. A
+    # path/bipartite graph shows walk-parity oscillation at finite
+    # iterations, so assert the parity-robust property instead: every
+    # node in the seed's cluster out-ranks every node across the bridge.
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in und] + [(b, a, 1.0) for a, b in und],
+        "src int, dst int, weight double",
+    )
+    reset = spark.createDataFrame([(1, 1.0)], "node int, r double")
+    pr = {
+        r["node"]: r["pr"]
+        for r in G.pagerank(edges, iters=6, reset=reset).collect()
+    }
+    assert min(pr[1], pr[2], pr[3]) > max(pr[4], pr[5], pr[6])
+    # total mass stays ~1 (restart conserves probability)
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+def test_ppr_uniform_reset_equals_standard_pagerank(spark):
+    from rapids_and_rivers_spark.operators import graph as G
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in und] + [(b, a, 1.0) for a, b in und],
+        "src int, dst int, weight double",
+    )
+    n = 4
+    uniform = spark.createDataFrame(
+        [(i, 1.0 / n) for i in range(1, n + 1)], "node int, r double"
+    )
+    ppr = {
+        r["node"]: r["pr"]
+        for r in G.pagerank(edges, iters=3, reset=uniform).collect()
+    }
+    std = {r["node"]: r["pr"] for r in G.pagerank(edges, iters=3).collect()}
+    for k in std:
+        assert abs(ppr[k] - std[k]) < 1e-12

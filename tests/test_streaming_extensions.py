@@ -1783,3 +1783,42 @@ def test_attribution_stream_matches_batch_join(spark, tmp_path):
     assert got[("u1", 3, "view", "2026-01-01")] == (1, 45.0)
     assert got[("u2", 5, "click", "2026-01-01")] == (1, 50.0)
     assert not any(k[1] == 6 for k in got)
+
+
+def test_gram_stream_matches_batch_gram(spark, tmp_path):
+    """Streaming Gramian: native keyed-sum aggregation accumulates the
+    integer partials across micro-batches; the final (i, j) table equals
+    the batch quantized_gram over everything seen."""
+    from rapids_and_rivers_spark.operators.linalg import quantized_gram
+    from rapids_and_rivers_spark.streaming.duals import gram_stream
+
+    dim = 3
+    v1 = [[0.5, -0.25, 0.125], [1.0, 0.0, -1.0]]
+    v2 = [[0.3, 0.3, 0.3], [-0.7, 0.2, 0.9]]
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps({"vec": v}) for v in v1],
+        [json.dumps({"vec": v}) for v in v2],
+        "vec array<float>",
+    )
+    out = gram_stream(events, "vec", dim=dim)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gram_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.i, r.j): r.gsum for r in spark.sql("SELECT * FROM gram_out").collect()
+    }
+    batch = spark.createDataFrame([(v,) for v in v1 + v2], "vec array<float>")
+    expected = {
+        (r.i, r.j): r.gsum
+        for r in quantized_gram(batch, "vec", dim=dim).collect()
+    }
+    assert got == expected
+    assert len(got) == dim * (dim + 1) // 2
