@@ -7114,7 +7114,8 @@ def top_event_paths(spark, sf_dir):
     )
     SELECT channel, strftime(t_day, '%Y-%m-%d') AS day,
            CAST(count(*) AS BIGINT) AS n_credits,
-           round(sum(value / n_touches), 4) AS credited_revenue
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT) // n_touches)
+                AS BIGINT) / 1000000.0 AS credited_revenue
     FROM joined GROUP BY channel, t_day
     ORDER BY channel, day
     """,
@@ -7125,8 +7126,12 @@ def top_event_paths(spark, sf_dir):
     "residual filter — per-user fan-out is bounded by the window, so "
     "the pair space is O(events-per-user-per-3d), never |purchases| x "
     "|touches|; the per-purchase touch count is a purchase-keyed window "
-    "over the already-joined rows. Full value oracle (exact division "
-    "per credit, rounded only at the terminal rollup)",
+    "over the already-joined rows. Credits are INTEGER MICRO-UNITS "
+    "(floor(value*1e6) integer-divided by the touch count — the ledger "
+    "arithmetic money pipelines use): every per-touch credit and every "
+    "rollup sum is an exact BIGINT, so the result is "
+    "summation-order/engine/retry-invariant at ANY scale (a float "
+    "sum-then-round flipped a 4th digit at sf0.1). Full value oracle",
 )
 def attribution_linear(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -7158,9 +7163,12 @@ def attribution_linear(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_credits"),
-            F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias(
-                "credited_revenue"
-            ),
+            (
+                F.sum(
+                    F.expr("CAST(floor(value * 1000000) AS BIGINT) div n_touches")
+                ).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("credited_revenue"),
         )
         .orderBy("channel", "day")
     )

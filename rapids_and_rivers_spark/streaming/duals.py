@@ -36,6 +36,7 @@ is small, which is the precondition for Bloom pruning anyway).
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Iterator
 
@@ -1444,9 +1445,11 @@ def attribution_stream(df: DataFrame, days: int = 3) -> DataFrame:
     replay reconciles).
 
     Output per purchase x (channel, day): ``(user, p_id, channel, day,
-    n, credit)`` with ``credit = round(value / n_touches * n, 4)`` —
-    multiply-then-round exactly as the batch side's single expression,
-    so duality holds bit-for-bit.
+    n, credit)`` with the credit in INTEGER MICRO-UNITS
+    (``floor(value*1e6) div n_touches * n``, displayed /1e6) — the
+    ledger arithmetic of the batch ``attribution_linear`` catalog
+    query: every credit is an exact integer, so stream/batch duality
+    holds bit-for-bit with no rounding contract at all.
 
     Batch fallback (non-streaming input): the equi-join on user with the
     range residual + per-purchase count window — the same plan family as
@@ -1495,8 +1498,14 @@ def attribution_stream(df: DataFrame, days: int = 3) -> DataFrame:
                 "channel",
                 "day",
                 "n",
-                F.round(
-                    F.col("value") / F.col("n_touches") * F.col("n"), 4
+                (
+                    (
+                        F.expr(
+                            "CAST(floor(value * 1000000) AS BIGINT) div n_touches"
+                        )
+                        * F.col("n")
+                    ).cast("bigint")
+                    / F.lit(1000000.0)
                 ).alias("credit"),
             )
         )
@@ -1539,6 +1548,7 @@ def attribution_stream(df: DataFrame, days: int = 3) -> DataFrame:
                 for t, ch in window:
                     day = pd.Timestamp(t).strftime("%Y-%m-%d")
                     per[(ch, day)] = per.get((ch, day), 0) + 1
+                per_touch_micro = int(math.floor(float(r.value) * 1000000)) // n_tot
                 for (ch, day), n in sorted(per.items()):
                     out.append(
                         {
@@ -1547,9 +1557,7 @@ def attribution_stream(df: DataFrame, days: int = 3) -> DataFrame:
                             "channel": ch,
                             "day": day,
                             "n": n,
-                            "credit": _round_half_up(
-                                float(r.value) / n_tot * n, 4
-                            ),
+                            "credit": (per_touch_micro * n) / 1000000.0,
                         }
                     )
         touches = [(t, ch) for t, ch in touches if t > max_ns - horizon_ns]
