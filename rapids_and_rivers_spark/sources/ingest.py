@@ -234,3 +234,49 @@ def write_zordered(
         else tagged.repartitionByRange("__z")
     )
     parts.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+def read_csv_routed(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV with the same DLQ philosophy as :func:`read_jsonl`: rows that
+    fail the declared schema are ROUTED, not dropped (PERMISSIVE parse +
+    corrupt-record column). Schema is REQUIRED — CSV inference costs a
+    full extra pass and silently widens types; a 100 TB ingest declares
+    its contract up front.
+
+    Returns ``(good, bad)``; ``bad`` carries the raw offending line.
+    """
+    full_schema = f"{schema}, {CORRUPT_COL} string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    ).cache()  # one-pass split: Spark requires caching before a
+    #            corrupt-column-only filter on native CSV reads
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC egress (built into the Spark distribution — no extra jars):
+    the interchange format for Hive/Trino-side consumers. Columnar,
+    predicate-pushdown-capable like parquet; the engine treats it as a
+    peer sink so a downstream warehouse never forces a format detour
+    through a driver-side export.
+    """
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — schema carried by the files, pushdown verified by
+    test (PushedFilters reaches the OrcScan exactly as with parquet)."""
+    return spark.read.orc(path)

@@ -142,3 +142,43 @@ def test_write_sorted_rejects_zero_files(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_sorted(spark.range(5), str(tmp_path / "x"), ["id"], num_files=0)
+
+
+def test_csv_routed_splits_good_and_bad(spark, tmp_path):
+    from rapids_and_rivers_spark.sources.ingest import read_csv_routed
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,score\n1,2.5\n2,notanumber\n3,4.0\n")
+    good, bad = read_csv_routed(
+        spark, str(p), "id int, score double", header=True
+    )
+    assert sorted((r["id"], r["score"]) for r in good.collect()) == [
+        (1, 2.5),
+        (3, 4.0),
+    ]
+    assert bad.count() == 1
+    assert "notanumber" in bad.collect()[0][0]
+
+
+def test_orc_round_trip_preserves_values_and_pushes_filters(spark, tmp_path):
+    from conftest import sf_dir
+
+    from rapids_and_rivers_spark.sources.ingest import read_orc, write_orc
+    from rapids_and_rivers_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir(), "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = str(tmp_path / "ev_orc")
+    write_orc(ev, out)
+    back = read_orc(spark, out)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+    # predicate pushdown reaches the ORC scan like parquet
+    plan = (
+        back.filter(F.col("event_type") == "click")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "event_type" in plan

@@ -48,6 +48,7 @@ SCALAR_CROSS_OK = {
     # bounded brute-force relevance cross as sim_cosine_topk
     "survival_time_to_purchase",  # Kaplan-Meier triangular self-joins over
     # the <= 31-row horizon-day rollup: bounded like gap_filled_daily_counts
+    "sketch_ams_f2",  # 1-row estimate x 1-row exact-F2 scalar cross
 }
 
 # Time-truncation expressions that bound an aggregate's group count by
