@@ -46,7 +46,15 @@ def build_session(
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = ONE JVM: driver memory IS the executor+storage pool.
+        # 8g filled up once the catalog passed ~150 persisting queries in a
+        # single session — storage eviction then forces exponential
+        # recompute in queries that re-reference persisted subtrees
+        # (dedup_clusters measured 1.6 -> 9.6 s purely from eviction). The
+        # box has 128 GiB (24g balances storage headroom against GC pause
+        # scaling — 64g measured WORSE end-to-end: bigger heaps, longer
+        # collections); on a cluster, executors size storage separately.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
