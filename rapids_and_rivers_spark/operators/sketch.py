@@ -333,6 +333,21 @@ def theta_setops(
     """
     sa = [r["h"] for r in theta_bottom_k(df_a, value_col, k).collect()]
     sb = [r["h"] for r in theta_bottom_k(df_b, value_col, k).collect()]
+    row = theta_setops_from_samples(sa, sb, k)
+    schema = (
+        "k int, n_a int, n_b int, theta_scaled bigint, est_a double, "
+        "est_b double, est_union double, est_intersect double, "
+        "est_diff_ab double"
+    )
+    return spark.createDataFrame([row], schema=schema)
+
+
+def theta_setops_from_samples(sa: list[int], sb: list[int], k: int) -> dict:
+    """The coordinator-side theta set algebra on two bottom-k samples —
+    shared by the batch operator and the streaming dual (whose state IS
+    the sample list). See :func:`theta_setops` for the estimator
+    definitions.
+    """
 
     def theta_of(s: list[int]) -> float:
         return (max(s) / KMV_DOMAIN) if len(s) >= k else 1.0
@@ -353,7 +368,7 @@ def theta_setops(
         return round((k - 1) / t, 2)
 
     A, B = set(sa), set(sb)
-    row = {
+    return {
         "k": k,
         "n_a": len(sa),
         "n_b": len(sb),
@@ -364,9 +379,3 @@ def theta_setops(
         "est_intersect": est_below(A & B),
         "est_diff_ab": est_below(A - B),
     }
-    schema = (
-        "k int, n_a int, n_b int, theta_scaled bigint, est_a double, "
-        "est_b double, est_union double, est_intersect double, "
-        "est_diff_ab double"
-    )
-    return spark.createDataFrame([row], schema=schema)

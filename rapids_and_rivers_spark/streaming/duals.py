@@ -1617,3 +1617,73 @@ def gram_stream(
 
     parts = df.select(vec_col).mapInPandas(acc, schema="i int, j int, g long")
     return parts.groupBy("i", "j").agg(F.sum("g").alias("gsum"))
+
+
+def theta_sketch_stream(
+    df: DataFrame, key_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Streaming theta sketches per key: the bottom-k distinct-hash
+    sample lives in keyed state (≤ k longs per key forever) and each
+    micro-batch emits the key's refreshed sample row
+    ``(key, n, theta_scaled, hs)`` — update semantics, last row per key
+    wins. Audience-overlap queries then run PURELY on the emitted
+    sketch rows via
+    :func:`rapids_and_rivers_spark.operators.sketch.theta_setops_from_samples`
+    — segments sketched once on ingest, every pairwise overlap answered
+    sketch-side with no second pass over the stream (the streaming form
+    of the ``sketch_theta_setops`` catalog query; duality pinned by
+    test).
+
+    Hashing runs JVM-side before the stateful operator (the
+    kmv_distinct_stream contract); the state merge is bottom-k union +
+    re-truncate, the theta sketch's native merge.
+    """
+    from rapids_and_rivers_spark.operators.sketch import KMV_DOMAIN, kmv_hash
+
+    out_schema = "key string, n int, theta_scaled bigint, hs array<bigint>"
+    src = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        kmv_hash(F.col(value_col).cast("string")).alias("h"),
+    )
+
+    if not df.isStreaming:
+        hashed = src.distinct()
+        w = W.partitionBy("key").orderBy("h")
+        return (
+            hashed.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .groupBy("key")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n"),
+                F.max(F.when(F.col("rk") == k, F.col("h"))).alias("theta_scaled"),
+                F.sort_array(F.collect_list("h")).alias("hs"),
+            )
+        )
+
+    def handler(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (held,) = state.get if state.exists else ([],)
+        seen = set(int(h) for h in (held or []))
+        for pdf in pdfs:
+            seen.update(int(h) for h in pdf["h"])
+        bottom = sorted(seen)[:k]
+        state.update((bottom,))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n": [len(bottom)],
+                "theta_scaled": pd.array(
+                    [bottom[k - 1] if len(bottom) == k else None], dtype="Int64"
+                ),
+                "hs": [bottom],
+            }
+        )
+
+    return src.groupBy("key").applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType="hashes array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1822,3 +1822,55 @@ def test_gram_stream_matches_batch_gram(spark, tmp_path):
     }
     assert got == expected
     assert len(got) == dim * (dim + 1) // 2
+
+
+def test_theta_sketch_stream_overlap_matches_batch_setops(spark, tmp_path):
+    """Streaming theta sketches: bottom-k state per segment merges across
+    micro-batches; set-algebra on the FINAL emitted sketch rows equals
+    the batch theta_setops over everything seen."""
+    from rapids_and_rivers_spark.operators.sketch import (
+        theta_setops,
+        theta_setops_from_samples,
+    )
+    from rapids_and_rivers_spark.streaming.duals import theta_sketch_stream
+
+    b1 = [{"seg": "a", "v": f"x{i}"} for i in range(120)] + [
+        {"seg": "b", "v": f"x{i}"} for i in range(60, 180)
+    ]
+    b2 = [{"seg": "a", "v": f"x{i}"} for i in range(100, 220)] + [
+        {"seg": "b", "v": f"y{i}"} for i in range(40)
+    ]
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in b1],
+        [json.dumps(r) for r in b2],
+        "seg string, v string",
+    )
+    out = theta_sketch_stream(events, "seg", "v", k=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("theta_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {}
+    for r in spark.sql("SELECT * FROM theta_out").collect():
+        final[r.key] = list(r.hs)  # later rows overwrite: update semantics
+    got = theta_setops_from_samples(final["a"], final["b"], 64)
+
+    rows = [(r["seg"], r["v"]) for r in b1 + b2]
+    all_df = spark.createDataFrame(rows, "seg string, v string")
+    expected = theta_setops(
+        spark,
+        all_df.filter("seg = 'a'"),
+        all_df.filter("seg = 'b'"),
+        "v",
+        k=64,
+    ).collect()[0]
+    for f in ("n_a", "n_b", "theta_scaled", "est_a", "est_b",
+              "est_union", "est_intersect", "est_diff_ab"):
+        assert got[f] == expected[f], f
