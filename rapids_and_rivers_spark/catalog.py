@@ -8182,3 +8182,36 @@ def sketch_ams_f2(spark, sf_dir):
             ).alias("rel_err"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    _shingle_cte("source") + r"""
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) AS sa, len(b.shingles) AS sb
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+    )
+    SELECT id_a, id_b,
+           round(inter / CAST(sa AS DOUBLE), 4) AS cont_a_in_b,
+           round(inter / CAST(sb AS DOUBLE), 4) AS cont_b_in_a
+    FROM pairs
+    WHERE round(inter / CAST(sa AS DOUBLE), 4) >= 0.5
+       OR round(inter / CAST(sb AS DOUBLE), 4) >= 0.5
+    """,
+    doc="asymmetric shingle containment pairs (Broder 1997): "
+    "C(A in B) = |A inter B| / |A| — catches a short document wholly "
+    "quoted inside a long one, which Jaccard structurally misses "
+    "(union dominated by the long doc). Same inverted-index plan as "
+    "dedup_ngram_jaccard (operators/dedup.py ngram_containment_pairs): "
+    "exploded self-equi-join on (source block, 64-bit shingle hash), "
+    "pair space only where shingles collide. The quote/boilerplate/"
+    "sub-document duplication detector. Full value oracle",
+)
+def dedup_containment(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, col="text", id_col="doc_id", block_col="source", threshold=0.5
+    )

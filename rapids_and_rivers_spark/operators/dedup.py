@@ -1096,3 +1096,62 @@ def runs_from_anchors(anchors: DataFrame, k: int, min_span: int) -> DataFrame:
             F.col("span_tokens").cast("bigint").alias("span_tokens"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: ``C(A in B) = |A∩B| / |A|``
+    (Broder 1997's "containment" companion to resemblance) — the measure
+    Jaccard structurally misses: a short document wholly quoted inside a
+    long one has tiny Jaccard (union is dominated by the long doc) but
+    containment ~1. This is the quote/boilerplate/sub-document duplication
+    detector of a training-data pipeline.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (one
+    exploded self-equi-join on (block, 64-bit shingle hash), pair space
+    only where shingles collide, 8-byte join keys) — one extra projection
+    computes BOTH directions; a pair qualifies when either direction
+    clears ``threshold``.
+
+    Output: (id_a, id_b, cont_a_in_b, cont_b_in_a) with id_a < id_b.
+    """
+    base = shingled(
+        spread(df, id_col), col, id_col, extra_cols=[block_col], n=shingle_n
+    ).withColumnRenamed(block_col, "block").withColumn("sz", F.size("shingles"))
+    ex = base.select(
+        "id", "block", "sz", F.explode_outer("shingles").alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    l, r = ex.alias("l"), ex.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.sh") == F.col("r.sh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sz").alias("sz_a"),
+            F.col("r.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c_ab = F.round(F.col("inter") / F.col("sz_a").cast("double"), ndigits)
+    c_ba = F.round(F.col("inter") / F.col("sz_b").cast("double"), ndigits)
+    return (
+        inter.withColumn("cont_a_in_b", c_ab)
+        .withColumn("cont_b_in_a", c_ba)
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+    )

@@ -831,3 +831,30 @@ def test_cdc_apply_is_idempotent(spark):
     once = apply_changes(base, changes, ["k"], "seq")
     twice = apply_changes(once, changes, ["k"], "seq")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment ~1 while
+    Jaccard stays below a typical dup threshold — the asymmetric case
+    the operator exists for."""
+    from rapids_and_rivers_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    long_doc = filler + " " + short + " " + " ".join(
+        f"z{i} q{i} r{i}" for i in range(30)
+    )
+    df = spark.createDataFrame(
+        [(1, short, "s"), (2, long_doc, "s")],
+        "doc_id long, text string, source string",
+    )
+    cont = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert row["id_a"] == 1 and row["cont_a_in_b"] == 1.0
+    assert row["cont_b_in_a"] < 0.1
+    jac = ngram_jaccard_pairs(df, threshold=0.2).collect()
+    assert jac == []  # jaccard alone would have missed the duplication
