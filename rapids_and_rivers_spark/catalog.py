@@ -8215,3 +8215,227 @@ def dedup_containment(spark, sf_dir):
     return D.ngram_containment_pairs(
         docs, col="text", id_col="doc_id", block_col="source", threshold=0.5
     )
+
+
+@register(
+    "psi_value_drift",
+    """
+    WITH mid AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m FROM events
+    ),
+    ref AS (SELECT event_type, value FROM events CROSS JOIN mid
+            WHERE value IS NOT NULL AND epoch_us(ts) < mid.m),
+    cur AS (SELECT event_type, value FROM events CROSS JOIN mid
+            WHERE value IS NOT NULL AND epoch_us(ts) >= mid.m),
+    edges AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS e1,
+             quantile_cont(value, 0.50) AS e2,
+             quantile_cont(value, 0.75) AS e3
+      FROM ref GROUP BY event_type
+    ),
+    rb AS (
+      SELECT r.event_type,
+             CASE WHEN r.value < e.e1 THEN 0 WHEN r.value < e.e2 THEN 1
+                  WHEN r.value < e.e3 THEN 2 ELSE 3 END AS band,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM ref r JOIN edges e ON r.event_type = e.event_type
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT c.event_type,
+             CASE WHEN c.value < e.e1 THEN 0 WHEN c.value < e.e2 THEN 1
+                  WHEN c.value < e.e3 THEN 2 ELSE 3 END AS band,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM cur c JOIN edges e ON c.event_type = e.event_type
+      GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(n) AS t FROM rb GROUP BY event_type),
+    ct AS (SELECT event_type, sum(n) AS t FROM cb GROUP BY event_type)
+    SELECT rb.event_type,
+           CAST(count(*) AS BIGINT) AS n_bands,
+           round(sum((rb.n / rt.t - cb.n / ct.t)
+                     * ln((rb.n / rt.t) / (cb.n / ct.t))), 4) AS psi
+    FROM rb
+    JOIN cb ON rb.event_type = cb.event_type AND rb.band = cb.band
+    JOIN rt ON rb.event_type = rt.event_type
+    JOIN ct ON cb.event_type = ct.event_type
+    GROUP BY rb.event_type ORDER BY rb.event_type
+    """,
+    doc="population stability index between the first and second half of "
+    "the event stream, per event_type: quartile band edges learned from "
+    "the REFERENCE half only (the deployed-model convention), "
+    "psi = sum (p - q) ln(p/q) over bands — the standard "
+    "feature/score-drift monitor a training pipeline runs before "
+    "retraining (psi > 0.2 = investigate). Exact percentiles for the "
+    "edges (engine-interpolation parity), broadcast edge join, two "
+    "band rollups; at 100 TB the percentile pass is the only "
+    "full-scan and everything after is band-count scalars. Full value "
+    "oracle",
+)
+def psi_value_drift(spark, sf_dir):
+    # the half split is computed in exact integer epoch-microseconds:
+    # timestamp/interval midpoint arithmetic differs between engines
+    # (interval division rounding + tz attachment on literals)
+    base = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    lo, hi = base.agg(F.min("us"), F.max("us")).first()
+    mid = (int(lo) + int(hi)) // 2
+    ev = base.filter(F.col("value").isNotNull())
+    ref = ev.filter(F.col("us") < F.lit(mid))
+    cur = ev.filter(F.col("us") >= F.lit(mid))
+    edges = ref.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("e1"),
+        F.percentile("value", F.lit(0.5)).alias("e2"),
+        F.percentile("value", F.lit(0.75)).alias("e3"),
+    )
+    band = (
+        F.when(F.col("value") < F.col("e1"), 0)
+        .when(F.col("value") < F.col("e2"), 1)
+        .when(F.col("value") < F.col("e3"), 2)
+        .otherwise(3)
+    )
+
+    def banded(df):
+        return (
+            df.join(F.broadcast(edges), "event_type")
+            .groupBy("event_type", band.alias("band"))
+            .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        )
+
+    rb = banded(ref).withColumnRenamed("n", "rn")
+    cb = banded(cur).withColumnRenamed("n", "cn")
+    rt = rb.groupBy("event_type").agg(F.sum("rn").alias("rt"))
+    ct = cb.groupBy("event_type").agg(F.sum("cn").alias("ct"))
+    p = F.col("rn") / F.col("rt")
+    q = F.col("cn") / F.col("ct")
+    return (
+        rb.join(cb, ["event_type", "band"])
+        .join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "label_noise_knn",
+    """
+    WITH qv AS (
+      SELECT vec_id, label, CAST(pos AS INT) AS pos,
+             CAST(floor(CAST(embedding[CAST(pos + 1 AS BIGINT)] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM (SELECT vec_id, label, unnest(range(len(embedding))) AS pos, embedding
+            FROM embeddings)
+    ),
+    nn2 AS (SELECT vec_id, sum(v * v) AS n2 FROM qv GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS t, b.vec_id AS c, sum(a.v * b.v) AS d
+      FROM qv a JOIN qv b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT dots.t, dots.c,
+             dots.d / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) AS sim
+      FROM dots JOIN nn2 x ON dots.t = x.vec_id JOIN nn2 y ON dots.c = y.vec_id
+    ),
+    knn AS (
+      SELECT t, c FROM (
+        SELECT t, c,
+               row_number() OVER (PARTITION BY t ORDER BY sim DESC, c) AS rk
+        FROM sims) WHERE rk <= 5
+    ),
+    lab AS (SELECT DISTINCT vec_id, label FROM qv),
+    dis AS (
+      SELECT knn.t,
+             avg(CASE WHEN lt.label <> lc.label THEN 1.0 ELSE 0.0 END) AS dis
+      FROM knn
+      JOIN lab lt ON knn.t = lt.vec_id
+      JOIN lab lc ON knn.c = lc.vec_id
+      GROUP BY knn.t
+    )
+    SELECT lab.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(dis.dis), 4) AS avg_disagreement,
+           CAST(sum(CASE WHEN dis.dis >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suspects
+    FROM dis JOIN lab ON dis.t = lab.vec_id
+    GROUP BY lab.label ORDER BY lab.label
+    """,
+    doc="kNN label-noise detection (Confident-Learning-style neighborhood "
+    "check): each embedding's 5 nearest neighbors vote; a vector whose "
+    "neighborhood disagrees >= 80% is a mislabel suspect — the label-"
+    "quality gate run before training a classifier on weak labels. "
+    "Exact integer-quantized cosine (the mmr_rerank parity contract — "
+    "every sim and every rank identical cross-engine), scored as ONE "
+    "int64 GEMM per Arrow batch against the MB-scale broadcast "
+    "candidate matrix (a row-at-a-time expression dot measured 30+ s "
+    "at sf0.1; the GEMM is sub-second). The audit sample is the "
+    "candidate set — at corpus scale candidate generation swaps to the "
+    "IVF/LSH operators with the same scoring tail. Full value oracle",
+)
+def label_noise_knn(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # candidate matrix broadcast: the audit SAMPLE is the candidate set
+    # (5000 x 64 int64 ~ 2.5 MB — the bloom-bitmap/codebook collect
+    # class; a full-corpus run swaps candidate generation to IVF/LSH).
+    # Scoring is ONE int64 GEMM per Arrow batch — a row-at-a-time HOF
+    # dot measured 30+ s at sf0.1; the GEMM path is < 1 s.
+    cand = emb.select("vec_id", "label", "embedding").toPandas()
+    c_ids = cand["vec_id"].to_numpy().astype(np.int64)
+    c_lab = cand["label"].to_numpy().astype(np.int64)
+    cq = np.floor(
+        np.stack(cand["embedding"].to_numpy()).astype(np.float64) * 1000
+    ).astype(np.int64)
+    c_n2 = (cq * cq).sum(axis=1)
+    bc = spark.sparkContext.broadcast((c_ids, c_lab, cq, c_n2))
+
+    def score(batches):
+        ids, labs, Q, n2 = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            tq = np.floor(
+                np.stack(b["embedding"].to_numpy()).astype(np.float64) * 1000
+            ).astype(np.int64)
+            tn2 = (tq * tq).sum(axis=1)
+            dots = tq @ Q.T  # exact int64
+            sims = dots.astype(np.float64) / np.sqrt(
+                np.outer(tn2, n2).astype(np.float64)
+            )
+            t_ids = b["vec_id"].to_numpy().astype(np.int64)
+            t_lab = b["label"].to_numpy().astype(np.int64)
+            dis = np.empty(len(b))
+            for i in range(len(b)):
+                row = sims[i].copy()
+                row[ids == t_ids[i]] = -np.inf  # exclude self
+                # top-5 by (sim desc, cand id asc): lexsort is stable,
+                # last key primary
+                top = np.lexsort((ids, -row))[:5]
+                dis[i] = float((labs[top] != t_lab[i]).mean())
+            yield pd.DataFrame(
+                {"t": t_ids, "lt": t_lab, "dis": dis}
+            )
+
+    dis = emb.select("vec_id", "label", "embedding").mapInPandas(
+        score, schema="t long, lt long, dis double"
+    )
+    return (
+        dis.groupBy(F.col("lt").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("dis"), 4).alias("avg_disagreement"),
+            F.sum(F.when(F.col("dis") >= 0.8, 1).otherwise(0))
+            .cast("long")
+            .alias("n_suspects"),
+        )
+        .orderBy("label")
+    )
