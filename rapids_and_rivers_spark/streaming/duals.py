@@ -1687,3 +1687,71 @@ def theta_sketch_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def psi_gate_foreach_batch(
+    reference_bands: list[tuple],
+    out_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Streaming PSI drift gate: score every micro-batch's value
+    distribution against FROZEN offline reference bands and persist a
+    per-epoch PSI verdict — drift observability AT INGEST (the
+    streaming counterpart of the ``psi_value_drift`` catalog query,
+    same frozen-reference convention as the DSIR gate: the reference
+    never updates inside the stream; retraining refreshes it offline).
+
+    ``reference_bands``: rows ``(group, e1, e2, e3, p0, p1, p2, p3)``
+    — quartile edges + reference band proportions per group, a KB-scale
+    literal table broadcast into each batch (never recomputed from the
+    stream). Per epoch: one keyed band rollup over the batch +
+    psi = sum (q - p) ln(q/p) per group, written under an
+    epoch-versioned dir (replay-idempotent; read with
+    :func:`read_epoch_table`). Empty bands contribute nothing (the
+    standard epsilon-free convention for a 4-band PSI: a batch that
+    misses a band entirely is already drifted — its other bands carry
+    the signal).
+    """
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ref = spark.createDataFrame(
+            reference_bands,
+            f"{group_col} string, e1 double, e2 double, e3 double, "
+            "p0 double, p1 double, p2 double, p3 double",
+        )
+        band = (
+            F.when(F.col(value_col) < F.col("e1"), 0)
+            .when(F.col(value_col) < F.col("e2"), 1)
+            .when(F.col(value_col) < F.col("e3"), 2)
+            .otherwise(3)
+        )
+        counts = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .join(F.broadcast(ref), group_col)
+            .groupBy(group_col, band.alias("band"))
+            .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        )
+        tot = counts.groupBy(group_col).agg(F.sum("n").alias("t"))
+        p_ref = F.element_at(
+            F.array("p0", "p1", "p2", "p3"), F.col("band") + 1
+        )
+        q = F.col("n") / F.col("t")
+        out = (
+            counts.join(tot, group_col)
+            .join(F.broadcast(ref), group_col)
+            .withColumn("p", p_ref)
+            .filter((F.col("p") > 0) & (q > 0))
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_bands"),
+                F.round(F.sum((q - F.col("p")) * F.log(q / F.col("p"))), 4).alias(
+                    "psi"
+                ),
+            )
+            .withColumn("epoch", F.lit(int(epoch_id)))
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{epoch_id}"))
+
+    return stage

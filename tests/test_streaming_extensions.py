@@ -1874,3 +1874,45 @@ def test_theta_sketch_stream_overlap_matches_batch_setops(spark, tmp_path):
     for f in ("n_a", "n_b", "theta_scaled", "est_a", "est_b",
               "est_union", "est_intersect", "est_diff_ab"):
         assert got[f] == expected[f], f
+
+
+def test_psi_gate_flags_drifted_batch(spark, tmp_path):
+    """Streaming PSI gate: a batch matching the frozen reference scores
+    ~0; a shifted batch scores high — drift attributed to its epoch."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        psi_gate_foreach_batch,
+        read_epoch_table,
+    )
+
+    # reference: uniform quartiles of Uniform(0, 100)
+    ref = [("click", 25.0, 50.0, 75.0, 0.25, 0.25, 0.25, 0.25)]
+    b1 = [  # matches the reference
+        {"event_type": "click", "value": float(v)}
+        for v in range(0, 100, 1)
+    ]
+    b2 = [  # hard shift: everything lands in the top band
+        {"event_type": "click", "value": 90.0 + (i % 10) / 10.0}
+        for i in range(100)
+    ]
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in b1],
+        [json.dumps(r) for r in b2],
+        "event_type string, value double",
+    )
+    out_dir = str(tmp_path / "psi")
+    q = (
+        events.writeStream.foreachBatch(psi_gate_foreach_batch(ref, out_dir))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["epoch"], r["event_type"]): r["psi"]
+        for r in read_epoch_table(spark, out_dir).collect()
+    }
+    assert rows[(0, "click")] < 0.05  # in-distribution batch
+    # all mass in one band vs p=0.25: psi = 0.75*ln(4) ~ 1.04
+    assert rows[(1, "click")] > 0.5
