@@ -59,6 +59,12 @@ def pagerank(
 
     Output: (node, pr) — raw probabilities summing to ~1.
     """
+    if reset is not None and init_ranks is not None:
+        raise ValueError(
+            "pass either reset (personalized teleport) or init_ranks "
+            "(warm start), not both — the personalized branch would "
+            "silently ignore init_ranks"
+        )
     both = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
@@ -80,10 +86,11 @@ def pagerank(
         # instead of uniform — rank becomes proximity to the seed set
         # (the recommendation / local-cluster primitive). Init at the
         # reset vector; nodes off the seed set teleport nothing.
-        rv = (
-            nodes.join(reset.select("node", "r"), "node", "left")
-            .select("node", F.coalesce(F.col("r"), F.lit(0.0)).alias("r"))
-            .persist()
+        # rv is a cheap projection over the already-persisted ``norm``
+        # lineage; no persist of its own (a persist here would leak — the
+        # returned plan is lazy, so there is no sound unpersist point).
+        rv = nodes.join(reset.select("node", "r"), "node", "left").select(
+            "node", F.coalesce(F.col("r"), F.lit(0.0)).alias("r")
         )
         ranks = rv.select("node", F.col("r").alias("pr"))
         for _ in range(iters):

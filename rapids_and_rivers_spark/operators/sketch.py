@@ -349,6 +349,8 @@ def theta_setops_from_samples(sa: list[int], sb: list[int], k: int) -> dict:
     definitions.
     """
 
+    from rapids_and_rivers_spark.operators.linalg import _half_up
+
     def theta_of(s: list[int]) -> float:
         return (max(s) / KMV_DOMAIN) if len(s) >= k else 1.0
 
@@ -359,13 +361,15 @@ def theta_setops_from_samples(sa: list[int], sb: list[int], k: int) -> dict:
     def est_below(hs) -> float:
         # strictly below theta: with theta = k-th smallest of the SAME
         # set this leaves k-1 samples -> the classic (k-1)/u_k estimator
+        # HALF-UP rounding (not Python's banker's round) to match the
+        # SQL round() both the oracle and F.round use at .xx5 boundaries.
         n = sum(1 for h in hs if h < bound)
-        return round(n / theta, 2)
+        return _half_up(n / theta, 2)
 
     def est_one(s: list[int], t: float) -> float:
         if t >= 1.0:
             return float(len(s))
-        return round((k - 1) / t, 2)
+        return _half_up((k - 1) / t, 2)
 
     A, B = set(sa), set(sb)
     return {

@@ -242,6 +242,7 @@ def read_csv_routed(
     schema: str,
     header: bool = True,
     sep: str = ",",
+    required: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """CSV with the same DLQ philosophy as :func:`read_jsonl`: rows that
     fail the declared schema are ROUTED, not dropped (PERMISSIVE parse +
@@ -249,7 +250,16 @@ def read_csv_routed(
     full extra pass and silently widens types; a 100 TB ingest declares
     its contract up front.
 
+    PERMISSIVE null-pads SHORT rows (too few fields) without setting the
+    corrupt column, so by default they pass through ``good`` as nulls —
+    pass ``required`` (column names that must be non-null) to route them
+    (re-serialized via ``to_csv``) to ``bad`` instead.
+
     Returns ``(good, bad)``; ``bad`` carries the raw offending line.
+    The split shares one cached scan; the cache is released lazily by
+    Spark's LRU block manager — a caller that materializes both sides
+    eagerly and wants the blocks back now can
+    ``spark.catalog.clearCache()`` or re-read.
     """
     full_schema = f"{schema}, {CORRUPT_COL} string"
     df = (
@@ -261,8 +271,23 @@ def read_csv_routed(
         .csv(path)
     ).cache()  # one-pass split: Spark requires caching before a
     #            corrupt-column-only filter on native CSV reads
-    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    data_cols = [c for c in df.columns if c != CORRUPT_COL]
+    null_padded = F.lit(False)
+    for c in required or []:
+        if c not in data_cols:
+            raise ValueError(f"required column {c!r} not in declared schema")
+        null_padded = null_padded | F.col(c).isNull()
+    good = df.filter(
+        F.col(CORRUPT_COL).isNull() & ~null_padded
+    ).drop(CORRUPT_COL)
+    bad = df.filter(
+        F.col(CORRUPT_COL).isNotNull() | null_padded
+    ).select(
+        F.coalesce(
+            F.col(CORRUPT_COL),
+            F.to_csv(F.struct(*[F.col(c) for c in data_cols])),
+        ).alias(CORRUPT_COL)
+    )
     return good, bad
 
 

@@ -1527,7 +1527,17 @@ def attribution_stream(df: DataFrame, days: int = 3) -> DataFrame:
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) == 0:
             return
-        batch = batch.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # Touches at a purchase's exact timestamp must be in state BEFORE
+        # the purchase is scored — the batch dual joins t_ts <= p_ts
+        # inclusive of ties, so sort (ts, is_purchase, event_id): a touch
+        # sharing ts with a purchase always precedes it regardless of
+        # event_id order.
+        batch = batch.assign(
+            _is_p=(batch["event_type"] == "purchase").astype(int)
+        )
+        batch = batch.sort_values(["ts", "_is_p", "event_id"]).reset_index(
+            drop=True
+        )
         out: list[dict] = []
         max_ns = 0
         for r in batch.itertuples(index=False):
@@ -1591,32 +1601,16 @@ def gram_stream(
     downstream power iteration (linalg.power_component) reads the
     current 2080-row table whenever a refreshed component is wanted,
     never the vectors.
+
+    There is ONE accumulator: ``linalg.quantized_gram``'s plan
+    (stateless mapInPandas partials + keyed sum) is itself
+    streaming-legal, so the dual delegates to it for batch AND stream —
+    a future dtype/floor fix on the batch side cannot drift from the
+    pinned duality.
     """
     from rapids_and_rivers_spark.operators.linalg import quantized_gram
 
-    if not df.isStreaming:
-        return quantized_gram(df, vec_col, dim, scale=scale)
-
-    import numpy as np
-
-    def acc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g = np.zeros((dim, dim), dtype=np.int64)
-        seen = False
-        for b in batches:
-            if len(b) == 0:
-                continue
-            q = np.floor(
-                np.stack(b[vec_col].to_numpy()).astype(np.float64) * scale
-            ).astype(np.int64)
-            g += q.T @ q
-            seen = True
-        if not seen:
-            return
-        iu, ju = np.triu_indices(dim)
-        yield pd.DataFrame({"i": iu, "j": ju, "g": g[iu, ju]})
-
-    parts = df.select(vec_col).mapInPandas(acc, schema="i int, j int, g long")
-    return parts.groupBy("i", "j").agg(F.sum("g").alias("gsum"))
+    return quantized_gram(df, vec_col, dim, scale=scale)
 
 
 def theta_sketch_stream(

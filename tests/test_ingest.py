@@ -160,6 +160,33 @@ def test_csv_routed_splits_good_and_bad(spark, tmp_path):
     assert "notanumber" in bad.collect()[0][0]
 
 
+def test_csv_routed_required_routes_short_rows(spark, tmp_path):
+    """PERMISSIVE null-pads short rows without marking them corrupt;
+    with ``required`` those rows are ROUTED to bad (re-serialized), not
+    silently passed through as nulls."""
+    from rapids_and_rivers_spark.sources.ingest import read_csv_routed
+
+    p = tmp_path / "in.csv"
+    # row "3" is short (missing score) -> null-padded under PERMISSIVE
+    p.write_text("id,score\n1,2.5\n3\n2,notanumber\n")
+    good, bad = read_csv_routed(
+        spark, str(p), "id int, score double", header=True,
+        required=["id", "score"],
+    )
+    assert sorted((r["id"], r["score"]) for r in good.collect()) == [(1, 2.5)]
+    bad_rows = [r[0] for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert any("notanumber" in b for b in bad_rows)
+    assert any(b.startswith("3") for b in bad_rows)
+    # unknown required column is a loud error, not a silent no-op
+    import pytest
+
+    with pytest.raises(ValueError, match="required column"):
+        read_csv_routed(
+            spark, str(p), "id int, score double", required=["nope"]
+        )
+
+
 def test_orc_round_trip_preserves_values_and_pushes_filters(spark, tmp_path):
     from conftest import sf_dir
 

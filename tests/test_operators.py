@@ -710,6 +710,21 @@ def test_pagerank_warm_start_composes(spark):
     assert all(abs(cold[k] - warm[k]) < 1e-12 for k in cold)
 
 
+def test_pagerank_rejects_reset_plus_init_ranks(spark):
+    """Personalized teleport and warm start are mutually exclusive —
+    passing both must raise, not silently drop init_ranks."""
+    import pytest
+
+    from rapids_and_rivers_spark.operators.graph import pagerank
+
+    e = [("a", "b", 1.0), ("b", "a", 1.0)]
+    edges = spark.createDataFrame(e, "src string, dst string, weight double")
+    seed = spark.createDataFrame([("a", 1.0)], "node string, r double")
+    warm = spark.createDataFrame([("a", 0.5), ("b", 0.5)], "node string, pr double")
+    with pytest.raises(ValueError, match="not both"):
+        pagerank(edges, iters=1, reset=seed, init_ranks=warm)
+
+
 def test_negative_samples_excludes_near_dups_and_self(spark):
     from rapids_and_rivers_spark.operators.selection import negative_samples
 

@@ -1785,6 +1785,59 @@ def test_attribution_stream_matches_batch_join(spark, tmp_path):
     assert not any(k[1] == 6 for k in got)
 
 
+def test_attribution_stream_credits_same_timestamp_touch(spark, tmp_path):
+    """A touch sharing the purchase's exact timestamp — with a HIGHER
+    event_id — still gets credit: the batch dual joins t_ts <= p_ts
+    inclusive of ties, so the handler must fold same-ts touches into
+    state before scoring the purchase (sort key (ts, is_purchase,
+    event_id), not (ts, event_id))."""
+    from rapids_and_rivers_spark.streaming.duals import attribution_stream
+
+    schema = "user string, event_id long, ts timestamp, event_type string, value double"
+    rows = [
+        {"user": "u1", "event_id": 1, "ts": "2026-01-01T00:00:00", "event_type": "click", "value": None},
+        # purchase has LOWER event_id than the tied view
+        {"user": "u1", "event_id": 2, "ts": "2026-01-01T02:00:00", "event_type": "purchase", "value": 90.0},
+        {"user": "u1", "event_id": 3, "ts": "2026-01-01T02:00:00", "event_type": "view", "value": None},
+    ]
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in rows],
+        [],
+        schema,
+    )
+    out = attribution_stream(events, days=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_tie_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user, r.p_id, r.channel, r.day): (r.n, r.credit)
+        for r in spark.sql("SELECT * FROM attr_tie_out").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [
+            (r["user"], r["event_id"], r["ts"].replace("T", " "), r["event_type"], r["value"])
+            for r in rows
+        ],
+        "user string, event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expected = {
+        (r.user, r.p_id, r.channel, r.day): (r.n, r.credit)
+        for r in attribution_stream(batch_df, days=3).collect()
+    }
+    assert got == expected
+    # the tied view shares credit: 90 / 2 touches
+    assert got[("u1", 2, "view", "2026-01-01")] == (1, 45.0)
+    assert got[("u1", 2, "click", "2026-01-01")] == (1, 45.0)
+
+
 def test_gram_stream_matches_batch_gram(spark, tmp_path):
     """Streaming Gramian: native keyed-sum aggregation accumulates the
     integer partials across micro-batches; the final (i, j) table equals
