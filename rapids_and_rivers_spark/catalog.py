@@ -8371,65 +8371,31 @@ def psi_value_drift(spark, sf_dir):
     "check): each embedding's 5 nearest neighbors vote; a vector whose "
     "neighborhood disagrees >= 80% is a mislabel suspect — the label-"
     "quality gate run before training a classifier on weak labels. "
-    "Exact integer-quantized cosine (the mmr_rerank parity contract — "
-    "every sim and every rank identical cross-engine), scored as ONE "
-    "int64 GEMM per Arrow batch against the MB-scale broadcast "
-    "candidate matrix (a row-at-a-time expression dot measured 30+ s "
-    "at sf0.1; the GEMM is sub-second). The audit sample is the "
-    "candidate set — at corpus scale candidate generation swaps to the "
-    "IVF/LSH operators with the same scoring tail. Full value oracle",
+    "Candidate generation is IVF-cell-blocked (similarity.knn_self_join "
+    "— cogrouped per-cell int64 GEMMs, labels carried through, local "
+    "top-5 per cell merged by one rank window): driver memory is "
+    "O(codebook), never O(corpus). nprobe=n_cells here (probe ALL "
+    "cells) makes the blocked path EXACT — bit-identical to brute "
+    "force, which is what keeps the full value oracle; at 100 TB drop "
+    "nprobe and raise n_cells for the classic IVF trade with the same "
+    "scoring tail. Full value oracle",
 )
 def label_noise_knn(spark, sf_dir):
-    import numpy as np
-    import pandas as pd
+    from rapids_and_rivers_spark.operators.similarity import knn_self_join
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    # candidate matrix broadcast: the audit SAMPLE is the candidate set
-    # (5000 x 64 int64 ~ 2.5 MB — the bloom-bitmap/codebook collect
-    # class; a full-corpus run swaps candidate generation to IVF/LSH).
-    # Scoring is ONE int64 GEMM per Arrow batch — a row-at-a-time HOF
-    # dot measured 30+ s at sf0.1; the GEMM path is < 1 s.
-    cand = emb.select("vec_id", "label", "embedding").toPandas()
-    c_ids = cand["vec_id"].to_numpy().astype(np.int64)
-    c_lab = cand["label"].to_numpy().astype(np.int64)
-    cq = np.floor(
-        np.stack(cand["embedding"].to_numpy()).astype(np.float64) * 1000
-    ).astype(np.int64)
-    c_n2 = (cq * cq).sum(axis=1)
-    bc = spark.sparkContext.broadcast((c_ids, c_lab, cq, c_n2))
-
-    def score(batches):
-        ids, labs, Q, n2 = bc.value
-        for b in batches:
-            if len(b) == 0:
-                continue
-            tq = np.floor(
-                np.stack(b["embedding"].to_numpy()).astype(np.float64) * 1000
-            ).astype(np.int64)
-            tn2 = (tq * tq).sum(axis=1)
-            dots = tq @ Q.T  # exact int64
-            sims = dots.astype(np.float64) / np.sqrt(
-                np.outer(tn2, n2).astype(np.float64)
-            )
-            t_ids = b["vec_id"].to_numpy().astype(np.int64)
-            t_lab = b["label"].to_numpy().astype(np.int64)
-            dis = np.empty(len(b))
-            for i in range(len(b)):
-                row = sims[i].copy()
-                row[ids == t_ids[i]] = -np.inf  # exclude self
-                # top-5 by (sim desc, cand id asc): lexsort is stable,
-                # last key primary
-                top = np.lexsort((ids, -row))[:5]
-                dis[i] = float((labs[top] != t_lab[i]).mean())
-            yield pd.DataFrame(
-                {"t": t_ids, "lt": t_lab, "dis": dis}
-            )
-
-    dis = emb.select("vec_id", "label", "embedding").mapInPandas(
-        score, schema="t long, lt long, dis double"
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label"), "embedding"
+    )
+    pairs = knn_self_join(
+        emb, dim=64, k=5, n_cells=8, nprobe=None, payload="label"
+    )
+    dis = pairs.groupBy("t", "t_pay").agg(
+        F.avg(
+            F.when(F.col("c_pay") != F.col("t_pay"), 1.0).otherwise(0.0)
+        ).alias("dis")
     )
     return (
-        dis.groupBy(F.col("lt").alias("label"))
+        dis.groupBy(F.col("t_pay").alias("label"))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.avg("dis"), 4).alias("avg_disagreement"),

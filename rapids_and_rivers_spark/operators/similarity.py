@@ -807,3 +807,168 @@ def mmr_rerank(
         return pd.DataFrame(rows)
 
     return pool.groupBy("qid").applyInPandas(greedy, schema=out_schema)
+
+
+def knn_self_join(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int | None = None,
+    scale: int = 1000,
+    codebook: list[list[float]] | None = None,
+    seed: int = 13,
+    sample_per_cell: int = 32,
+    lloyd_iters: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload: str | None = None,
+    payload_type: str = "long",
+    batch_rows: int = 1024,
+) -> DataFrame:
+    """Distributed k-nearest-neighbor SELF-join with IVF-cell blocking:
+    every vector finds its ``k`` most-cosine-similar OTHER vectors
+    without any corpus-sized driver materialization — the candidate
+    side is partitioned by coarse cell, each target probes its
+    ``nprobe`` nearest cells (``nprobe=None`` probes ALL cells: exact
+    kNN, the audit/test mode), and scoring is one int64 GEMM per
+    (probe-cell group x Arrow chunk) inside a cogrouped applyInPandas.
+    Driver memory is O(codebook) — the only collect is the
+    ``sample_per_cell * n_cells``-row codebook sample (KB-scale, the
+    same bounded class as :func:`ivf_topk`).
+
+    Exactness contract: a pair's similarity
+    ``dot(floor(x*scale)) / sqrt(n2_t * n2_c)`` depends only on the
+    pair, and the per-cell local top-k under the total order
+    ``(sim DESC, c ASC)`` is a superset-preserving prefix of the global
+    order — so with ``nprobe = n_cells`` the window-merged global top-k
+    equals brute force bit-for-bit (what keeps the full value oracle).
+    At corpus scale, drop ``nprobe`` below ``n_cells`` for the classic
+    IVF trade and raise ``n_cells`` so one cell's candidate block
+    (corpus/n_cells rows) fits an executor; skewed cells rebalance via
+    AQE like any other keyed cogroup.
+
+    Output: ``(t, c, sim, rk)`` with ``rk`` 1..k per target — plus
+    ``t_payload``/``c_payload`` columns when ``payload`` names a column
+    to carry through both sides (saves two corpus-sized joins to
+    re-attach e.g. labels).
+    """
+    import numpy as np
+    import pandas as pd
+
+    exact = nprobe is None or nprobe >= n_cells
+    if codebook is None:
+        sampled = (
+            df.select(id_col, emb_col)
+            .orderBy(codebook_sample_order(id_col, seed))
+            .limit(sample_per_cell * n_cells)
+            .collect()
+        )
+        codebook = lloyd_codebook(
+            [list(r[emb_col]) for r in sampled],
+            dim,
+            n_cells,
+            lloyd_iters,
+            seed,
+            quantize=1024,
+        )
+    pay_t = [F.col(payload).alias("t_pay")] if payload else []
+    pay_c = [F.col(payload).alias("c_pay")] if payload else []
+
+    cand = assign_cells(
+        df.select(F.col(id_col).alias("c"), *pay_c, F.col(emb_col).alias("c_emb")),
+        codebook,
+        emb_col="c_emb",
+    )
+    targets = df.select(
+        F.col(id_col).alias("t"), *pay_t, F.col(emb_col).alias("t_emb")
+    )
+    if exact:
+        # probe everything: no per-target probe scoring needed — one
+        # explode over the cell spine replicates each target n_cells ways
+        probes = targets.withColumn(
+            "cell", F.explode(F.sequence(F.lit(1), F.lit(n_cells)))
+        ).withColumn("cell", F.col("cell").cast("long"))
+    else:
+        scores = F.array(
+            *[
+                snap_dot_col(dot(F.col("t_emb"), F.array(*[F.lit(x) for x in p])))
+                for p in codebook
+            ]
+        )
+        ranked = F.transform(
+            scores, lambda s, i: F.struct(s.alias("score"), (i + 1).alias("cell"))
+        )
+        probes = targets.withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe),
+                    lambda s: s["cell"],
+                )
+            ),
+        ).withColumn("cell", F.col("cell").cast("long"))
+
+    pay_fields = (
+        f", t_pay {payload_type}, c_pay {payload_type}" if payload else ""
+    )
+    pair_schema = f"t long, c long, sim double{pay_fields}"
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {f.split()[0]: [] for f in pair_schema.split(", ")}
+            )
+        cq = np.floor(
+            np.stack(right["c_emb"].to_numpy()).astype(np.float64) * scale
+        ).astype(np.int64)
+        c_n2 = (cq * cq).sum(axis=1)
+        c_ids = right["c"].to_numpy().astype(np.int64)
+        c_pay = right["c_pay"].to_numpy() if payload else None
+        kk = min(k, len(right))
+        chunks = []
+        for lo in range(0, len(left), batch_rows):
+            sub = left.iloc[lo : lo + batch_rows]
+            tq = np.floor(
+                np.stack(sub["t_emb"].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            t_n2 = (tq * tq).sum(axis=1)
+            dots = tq @ cq.T  # exact int64 GEMM
+            sims = dots.astype(np.float64) / np.sqrt(
+                np.outer(t_n2, c_n2).astype(np.float64)
+            )
+            t_ids = sub["t"].to_numpy().astype(np.int64)
+            t_pay = sub["t_pay"].to_numpy() if payload else None
+            for i in range(len(sub)):
+                row = sims[i].copy()
+                row[c_ids == t_ids[i]] = -np.inf  # self never a neighbor
+                # local top-k by (sim desc, c asc): stable lexsort,
+                # last key primary — the same total order the global
+                # merge window uses, so the local prefix is exact
+                top = np.lexsort((c_ids, -row))[:kk]
+                top = top[row[top] > -np.inf]
+                d = {
+                    "t": np.full(len(top), t_ids[i]),
+                    "c": c_ids[top],
+                    "sim": row[top],
+                }
+                if payload:
+                    d["t_pay"] = np.full(len(top), t_pay[i])
+                    d["c_pay"] = c_pay[top]
+                chunks.append(pd.DataFrame(d))
+        if not chunks:
+            return pd.DataFrame(
+                {f.split()[0]: [] for f in pair_schema.split(", ")}
+            )
+        return pd.concat(chunks, ignore_index=True)
+
+    pairs = (
+        probes.groupBy("cell")
+        .cogroup(cand.groupBy("cell"))
+        .applyInPandas(score_cell, schema=pair_schema)
+    )
+    w = W.partitionBy("t").orderBy(F.col("sim").desc(), F.col("c"))
+    out_cols = ["t", "c", "sim", F.row_number().over(w).alias("rk")]
+    if payload:
+        out_cols += ["t_pay", "c_pay"]
+    return pairs.select(*out_cols).filter(F.col("rk") <= k)

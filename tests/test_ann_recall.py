@@ -269,3 +269,88 @@ def test_pq_codebook_table_round_trip(spark, tmp_path):
         queries, cands, dim=64, m=16, k_cells=16, codebooks=books
     ).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, loaded))
+
+
+@pytest.fixture(scope="module")
+def knn_exact_ref(spark):
+    """Test-side brute-force reference for the self-join (collect is
+    fine HERE — this is the oracle, not the operator)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    labs = np.array([r.label for r in rows], dtype=np.int64)
+    Q = np.floor(
+        np.array([list(r.embedding) for r in rows], dtype=np.float64) * 1000
+    ).astype(np.int64)
+    n2 = (Q * Q).sum(axis=1)
+    sims = (Q @ Q.T).astype(np.float64) / np.sqrt(
+        np.outer(n2, n2).astype(np.float64)
+    )
+    ref = {}
+    for i in range(len(ids)):
+        row = sims[i].copy()
+        row[ids == ids[i]] = -np.inf
+        top = np.lexsort((ids, -row))[:5]
+        ref[int(ids[i])] = [
+            (int(ids[j]), float(row[j]), int(labs[j])) for j in top
+        ]
+    return ref, {int(i): int(l) for i, l in zip(ids, labs)}
+
+
+def test_knn_self_join_exact_matches_bruteforce(spark, knn_exact_ref):
+    """nprobe = n_cells (probe everything) must be bit-identical to
+    brute force: same neighbors, same sims, same ranks — the contract
+    that keeps label_noise_knn's full value oracle while candidate
+    generation stays cell-blocked and the driver never sees the corpus."""
+    ref, labels = knn_exact_ref
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = S.knn_self_join(
+        emb, dim=64, k=5, n_cells=8, nprobe=None, payload="label",
+        payload_type="long",
+    ).collect()
+    by_t: dict = {}
+    for r in got:
+        by_t.setdefault(r.t, []).append((r.rk, r.c, r.sim, r.c_pay, r.t_pay))
+    assert set(by_t) == set(ref)
+    for t, rows in by_t.items():
+        rows.sort()
+        assert [(c, sim, cl) for _, c, sim, cl, _ in rows] == ref[t]
+        assert all(tp == labels[t] for *_, tp in rows)
+
+
+def test_knn_self_join_probe_subset_recall(spark, knn_exact_ref):
+    """nprobe < n_cells: the approximate tier returns <= k neighbors per
+    target from probed cells only, with recall in the expected regime
+    for near-random directions (~nprobe/n_cells of the corpus scanned)."""
+    ref, _ = knn_exact_ref
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = S.knn_self_join(emb, dim=64, k=5, n_cells=8, nprobe=2).collect()
+    exact_pairs = {(t, c) for t, tops in ref.items() for c, _, _ in tops}
+    got_pairs = {(r.t, r.c) for r in got}
+    assert got_pairs  # non-empty
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    # 2/8 of the corpus scanned on near-random directions: expect ~0.25+;
+    # pin a floor below the measured value to catch silent regressions
+    assert recall >= 0.20, f"probe-mode recall collapsed: {recall:.3f}"
+    from collections import Counter
+
+    per_t = Counter(t for t, _ in got_pairs)
+    assert max(per_t.values()) <= 5
+
+
+def test_knn_self_join_partitioning_invariant(spark):
+    """Cell-cogrouped scoring must be partition-order independent."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = sorted(
+        (r.t, r.rk, r.c)
+        for r in S.knn_self_join(emb.repartition(1), dim=64, k=5).collect()
+    )
+    b = sorted(
+        (r.t, r.rk, r.c)
+        for r in S.knn_self_join(
+            emb.repartition(13, F.col("vec_id")), dim=64, k=5
+        ).collect()
+    )
+    assert a == b
