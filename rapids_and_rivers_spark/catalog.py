@@ -2387,7 +2387,8 @@ def quality_deciles(spark, sf_dir):
     sized = docs.select(
         "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
-    # histogram: |distinct scores| rows — the ONLY collect, a few KB
+    # bounded-collect: |distinct token counts| rows <= max tokens per
+    # document — O(doc length), corpus-size independent; a few KB
     hist = sized.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt")).collect()
     ordered = sorted(hist, key=lambda r: -r.n_tokens)
     total = 0
@@ -7254,6 +7255,7 @@ def embedding_pca_project(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     gram = LA.quantized_gram(emb, "embedding", dim=64, scale=1000)
+    # bounded-collect: d(d+1)/2 = 2080 Gramian rows, independent of n
     rows = [(r["i"], r["j"], r["gsum"]) for r in gram.collect()]
     v, _ = LA.power_component(rows, dim=64, iters=2)
     return (

@@ -72,6 +72,8 @@ def bloom_build(
     """
     key = F.col(key) if isinstance(key, str) else key
     pos = F.explode(F.array(*_positions(key, num_bits, num_hashes))).alias("pos")
+    # bounded-collect: word_idx domain is num_bits/64 (a constant bitmap
+    # size) — the bit_or rollup reaches the driver at <= that many rows
     words = (
         df.select(pos)
         .select(

@@ -235,6 +235,7 @@ def codebook_from_table(codebook_df: DataFrame) -> list[list[float]]:
     """Load a saved ``(cell, centroid)`` stats table back into the literal
     codebook :func:`ivf_topk` expects. Collects n_cells rows (KB-scale,
     by construction) ordered by cell id."""
+    # bounded-collect: n_cells codebook rows by construction
     return [
         list(r["centroid"]) for r in codebook_df.orderBy("cell").collect()
     ]
@@ -604,7 +605,9 @@ def pq_topk(
     CB = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     penal = [0.5 * (C**2).sum(axis=1) for C in CB]
 
-    qrows = queries.select(query_id, "q_emb").collect()  # bounded query batch
+    # bounded-collect: the PQ query batch — callers pass a
+    # broadcast-scale query set (the brute_force_topk contract)
+    qrows = queries.select(query_id, "q_emb").collect()
     qids = [r[query_id] for r in qrows]
     Q = np.asarray([list(r["q_emb"]) for r in qrows], dtype=np.float64)
     # LUT[(qi, s, cell)] = dot(q_sub, centroid) — nq x m x k doubles
@@ -692,6 +695,7 @@ def pq_codebooks_from_table(codebook_df: DataFrame) -> list[list[list[float]]]:
     the literal codebook list :func:`pq_topk` expects. Collects
     m*k_cells rows (KB-scale by construction) ordered by (subspace,
     cell)."""
+    # bounded-collect: m*k_cells codebook rows by construction
     rows = codebook_df.orderBy("subspace", "cell").collect()
     books: list[list[list[float]]] = []
     for r in rows:

@@ -331,7 +331,9 @@ def theta_setops(
     52-bit-integer theta boundary (exact BIGINT; NULL when both exact),
     estimates rounded to 2.
     """
+    # bounded-collect: theta_bottom_k keeps <= k hashes per side
     sa = [r["h"] for r in theta_bottom_k(df_a, value_col, k).collect()]
+    # bounded-collect: theta_bottom_k keeps <= k hashes per side
     sb = [r["h"] for r in theta_bottom_k(df_b, value_col, k).collect()]
     row = theta_setops_from_samples(sa, sb, k)
     schema = (

@@ -112,6 +112,8 @@ class TestRapid(AbstractRapid):
     def send_test_message(self, message: str, key: str | None = None) -> None:
         df = self.spark.createDataFrame([(message,)], "value string")
         for river in self._rivers:
+            # bounded-collect: TestRapid in-memory harness — df is the
+            # single injected test message (1 row by construction)
             row = river.evaluate(df).select(VERDICT_COL, ERRORS_COL).collect()[0]
             verdict, errors = row[0], list(row[1])
             self.verdict_log.append((river.name, verdict, errors))

@@ -283,3 +283,90 @@ class TestWindowGroupLimitBounded:
         # rank-pushdown keeps <= k rows per upstream partition before the
         # single-partition exchange: bounded, must not flag
         assert explain_audit.global_window_bounded(WGL_PARTIAL_PLAN)
+
+
+import collect_audit  # noqa: E402
+
+
+class TestCollectAudit:
+    """Source-level driver-materialization checker: the class of defect
+    (toPandas/collect before any plan exists) the plan auditor cannot
+    see. Structure or annotation, never a name whitelist."""
+
+    def _audit(self, code: str):
+        return collect_audit.audit_source(textwrap.dedent(code))
+
+    def test_unbounded_topandas_flagged(self):
+        # the round-4 label_noise_knn shape: full table to the driver
+        bad = self._audit(
+            """
+            def q(spark, sf_dir):
+                emb = load_table(spark, sf_dir, "embeddings")
+                cand = emb.select("vec_id", "embedding").toPandas()
+                return cand
+            """
+        )
+        assert len(bad) == 1 and ".toPandas()" in bad[0][2]
+
+    def test_unbounded_collect_flagged(self):
+        bad = self._audit("rows = df.filter(c > 0).collect()\n")
+        assert len(bad) == 1
+
+    def test_group_by_agg_collect_is_not_global_agg(self):
+        # groupBy().agg().collect() has unbounded group count — the agg
+        # link alone must NOT launder it
+        bad = self._audit("rows = df.groupBy('k').agg(f).collect()\n")
+        assert len(bad) == 1
+
+    def test_limit_chain_is_bounded(self):
+        assert self._audit("rows = df.orderBy(h).limit(64).collect()\n") == []
+
+    def test_global_agg_chain_is_bounded(self):
+        assert self._audit("row = df.agg(F.max('x')).collect()[0]\n") == []
+
+    def test_take_and_head_are_bounded(self):
+        assert self._audit("rows = df.sort(c).take(5)\n") == []
+
+    def test_annotation_accepts_with_reason(self):
+        ok = self._audit(
+            """
+            # bounded-collect: n_cells codebook rows by construction
+            rows = codebook_df.orderBy("cell").collect()
+            """
+        )
+        assert ok == []
+
+    def test_annotation_must_be_adjacent(self):
+        # an annotation far above the call must not leak downward
+        bad = self._audit(
+            """
+            # bounded-collect: about some other site
+            x = 1
+            y = 2
+            z = 3
+            w = 4
+            rows = df.collect()
+            """
+        )
+        assert len(bad) == 1
+
+    def test_to_local_iterator_flagged(self):
+        bad = self._audit("it = df.toLocalIterator()\n")
+        assert len(bad) == 1
+
+    def test_current_package_is_clean(self):
+        import subprocess
+
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tools",
+                    "collect_audit.py",
+                ),
+            ],
+            capture_output=True,
+            text=True,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr

@@ -8,21 +8,24 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
-ROUND="${ROUND:-4}"
+ROUND="${ROUND:-5}"
 
-echo "== 1/5 pytest =="
+echo "== 1/6 pytest =="
 python -m pytest tests/ -q
 
-echo "== 2/5 oracle gate ($SF) =="
+echo "== 2/6 oracle gate ($SF) =="
 python tools/check_oracle.py "$SF" --json "CORRECTNESS_local_r${ROUND}.json"
 
-echo "== 3/5 plan audit =="
+echo "== 3/6 plan audit =="
 python tools/explain_audit.py /root/testdata/sf0.001
 
-echo "== 4/5 partitioning determinism =="
+echo "== 3b/6 source collect audit =="
+python tools/collect_audit.py
+
+echo "== 4/6 partitioning determinism =="
 python tools/determinism_check.py "$SF"
 
-echo "== 5/5 bench (sf0.1 -> BENCH_full.json) =="
+echo "== 5/6 bench (sf0.1 -> BENCH_full.json) =="
 python bench.py
 
 echo "ROUND GATE: all green"
