@@ -3118,7 +3118,8 @@ def _ivf_oracle_sql(
 
 
 def _pq_oracle_sql(
-    dim=64, m=4, k_cells=8, iters=4, topk=5, seed=13, sample=256, q=1024
+    dim=64, m=4, k_cells=8, iters=4, topk=5, seed=13, sample=256, q=1024,
+    rerank=0, rerank_scale=1000,
 ) -> str:
     """Generate the DuckDB oracle for sim_ann_pq: the product-quantization
     twin of :func:`_ivf_oracle_sql` — one unrolled PLAIN (non-spherical)
@@ -3236,12 +3237,49 @@ def _pq_oracle_sql(
       FROM code0 c0
       JOIN lut0 l0 ON l0.cell = c0.cell
       {code_joins}
+    )"""
     )
+    if not rerank or rerank <= topk:
+        parts.append(
+            f"""
     SELECT query_id, neighbor_id, round(adc, 4) AS adc
     FROM pairs
     QUALIFY row_number() OVER (PARTITION BY query_id
                                ORDER BY {snap("adc")} DESC, neighbor_id)
             <= {topk}
+    """
+        )
+        return "".join(parts)
+    # IVFADC+R tail: ADC keeps a top-R shortlist, the final topk is
+    # ordered by the EXACT quantized inner product — an integer sum both
+    # engines reproduce bit-for-bit (floor(v*s) products are < 2^53, so
+    # DuckDB's double list_inner_product is exact)
+    rs = rerank_scale
+    parts.append(
+        f""",
+    short AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY {snap("adc")} DESC, neighbor_id) AS rn
+        FROM pairs) WHERE rn <= {rerank}
+    ),
+    scored AS MATERIALIZED (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(list_inner_product(
+               list_transform(CAST(qq.embedding AS DOUBLE[]),
+                              v -> floor(v * {rs}.0)),
+               list_transform(c.emb, v -> floor(v * {rs}.0))) AS BIGINT)
+               AS ip
+      FROM short s
+      JOIN embeddings qq ON qq.vec_id = s.query_id
+      JOIN cands c ON c.neighbor_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ip FROM (
+      SELECT query_id, neighbor_id, ip,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ip DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {topk}
     """
     )
     return "".join(parts)
@@ -3249,22 +3287,23 @@ def _pq_oracle_sql(
 
 @register(
     "sim_ann_pq",
-    _pq_oracle_sql(m=16, k_cells=16),
+    _pq_oracle_sql(m=16, k_cells=16, rerank=32),
     doc="product-quantization ANN with asymmetric distance computation "
-    "(operators/similarity.py pq_codebooks/pq_topk; Jegou, Douze & "
-    "Schmid TPAMI'11): candidates compress to m=16 4-bit codes "
-    "(nearest plain-k-means sub-centroid per 4-dim subspace — 512 "
-    "bytes of doubles -> 8 bytes of codes, the memory factor that "
-    "fits billion-vector search in RAM), queries score candidates "
-    "purely from a per-query lookup table of sub-centroid inner "
-    "products — original vectors never touched at query time. FULL "
-    "value oracle via the IVF machinery generalized per subspace: "
-    "_pq_oracle_sql unrolls 16 independent grid-quantized k-means, "
-    "replays every code assignment, LUT partial, and the fixed-order "
-    "ADC sum. Recall@5 0.44 vs exact inner-product top-5 on the "
-    "near-random sf0.001 embeddings (floor 0.35 pinned in "
-    "tests/test_ann_recall.py; ~0.005 is chance — see that file's "
-    "regime discussion)",
+    "plus exact re-ranking (operators/similarity.py pq_codebooks/"
+    "pq_topk; Jegou, Douze & Schmid TPAMI'11; IVFADC+R, Jegou et al. "
+    "ICASSP'11): candidates compress to m=16 4-bit codes (nearest "
+    "plain-k-means sub-centroid per 4-dim subspace — 512 bytes of "
+    "doubles -> 8 bytes of codes, the memory factor that fits "
+    "billion-vector search in RAM), queries score candidates purely "
+    "from a per-query lookup table; the ADC pass keeps a top-32 "
+    "shortlist which is BROADCAST back (corpus unshuffled) and "
+    "re-ranked by the exact quantized integer inner product. FULL "
+    "value oracle: _pq_oracle_sql unrolls 16 independent "
+    "grid-quantized k-means, replays every code, LUT partial, "
+    "fixed-order ADC sum, shortlist cut, and the bit-exact integer "
+    "rerank. Recall@5 0.90 vs exact inner-product top-5 on the "
+    "near-random sf0.001 embeddings (0.44 without rerank; floors "
+    "0.80/0.35 pinned in tests/test_ann_recall.py)",
 )
 def sim_ann_pq(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3280,7 +3319,7 @@ def sim_ann_pq(spark, sf_dir):
     )
     return S.pq_topk(
         queries, candidates, dim=64, m=16, k_cells=16, topk=5, iters=4,
-        sample_n=256,
+        sample_n=256, rerank=32,
     )
 
 

@@ -560,6 +560,8 @@ def pq_topk(
     cand_id: str = "neighbor_id",
     ndigits: int = 4,
     codebooks: list[list[list[float]]] | None = None,
+    rerank: int = 0,
+    rerank_scale: int = 1000,
 ) -> DataFrame:
     """PQ + ADC approximate top-k by inner product (Jégou et al. 2011):
     every candidate compresses to ``m`` one-byte codes (its nearest
@@ -585,6 +587,18 @@ def pq_topk(
 
     Output: (query_id, neighbor_id, adc) — adc is the approximate inner
     product, rounded.
+
+    ``rerank=R`` (R > topk) adds the exact re-ranking stage of
+    IVFADC+R (Jégou, Tavenard, Douze & Amsaleg, "Searching in one
+    billion vectors", ICASSP 2011): the ADC pass keeps a top-``R``
+    shortlist per query, the shortlist (nq*R rows — KB-scale) is
+    BROADCAST back against the candidates (corpus stays in place, no
+    shuffle), and the final top-``topk`` is ordered by the EXACT
+    quantized inner product ``sum floor(q_i*s)*floor(c_i*s)`` — an
+    integer every engine reproduces bit-for-bit, so the reranked mode
+    keeps the full value oracle while recall@topk rises to the ADC's
+    recall@R. Output in this mode: (query_id, neighbor_id, ip) with
+    ``ip`` the exact quantized IP (bigint).
     """
     import numpy as np
     import pandas as pd
@@ -640,10 +654,31 @@ def pq_topk(
     w = W.partitionBy(query_id).orderBy(
         snap_dot_col(F.col("__adc")).desc(), F.col(cand_id)
     )
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    if not rerank or rerank <= topk:
+        return ranked.filter(F.col("rn") <= topk).select(
+            query_id, cand_id, F.round("__adc", ndigits).alias("adc")
+        )
+    # IVFADC+R exact re-rank: broadcast the nq*R shortlist against the
+    # candidates (corpus unshuffled), score with the exact quantized
+    # integer inner product, keep topk under (ip DESC, cand_id)
+    shortlist = ranked.filter(F.col("rn") <= rerank).select(query_id, cand_id)
+    qz = lambda c: F.transform(c, lambda x: F.floor(x * rerank_scale))
+    ip = F.aggregate(
+        F.zip_with(qz(F.col("q_emb")), qz(F.col("c_emb")), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    paired = (
+        candidates.join(F.broadcast(shortlist), cand_id)
+        .join(F.broadcast(queries.select(query_id, "q_emb")), query_id)
+        .withColumn("ip", ip)
+    )
+    w2 = W.partitionBy(query_id).orderBy(F.col("ip").desc(), F.col(cand_id))
     return (
-        exploded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= topk)
-        .select(query_id, cand_id, F.round("__adc", ndigits).alias("adc"))
+        paired.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= topk)
+        .select(query_id, cand_id, "ip")
     )
 
 
