@@ -1749,3 +1749,271 @@ def psi_gate_foreach_batch(
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{epoch_id}"))
 
     return stage
+
+
+# --- streaming entity resolution ---------------------------------------------
+
+
+def er_index_foreach_batch(
+    index_dir: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    ndigits: int = 4,
+    block_chars: int = 8,
+    key_chars: int = 80,
+    window: int = 2,
+    max_distance: int = 10,
+):
+    """Streaming dual of the composed ``entity_resolution`` pipeline:
+    per micro-batch, only the NEW records pay blocking cost, match
+    edges accumulate epoch-versioned, and the entity keep-list is
+    re-derived from the edge set by connected components
+    (:func:`er_current_entities`). Two evidence channels mirror the
+    batch operator exactly:
+
+    - **Prefix-Jaccard** (dedup.prefix_filter_pairs semantics): new
+      docs' hashed shingles index under a HASH-ordered prefix — unlike
+      the batch operator's rarest-first order, hash order is
+      corpus-independent, so index entries written in epoch 3 are still
+      valid prefixes in epoch 300 (the prefix-filter theorem needs any
+      FIXED total order; rarest-first is only the candidate-count
+      heuristic). Jaccard is monotone pairwise, so new-old + new-new
+      candidates verified per epoch accumulate to exactly the batch
+      pair set — old-old pairs never recompute.
+    - **Sorted-neighborhood** (fuzzy.sorted_neighborhood_pairs): SNM
+      windows are NOT insert-monotone (a new record re-ranks its
+      block), so the stage recomputes pairs for exactly the TOUCHED
+      blocks (those receiving a new record) over all their accumulated
+      records, and the current pair set takes each block's LATEST
+      recompute (last-writer-wins per block via the touched-block
+      manifest). A block's final recompute saw all its records, so the
+      drained state equals the batch SNM block-for-block.
+
+    All writes land under per-epoch subdirs with overwrite — replaying
+    an epoch rewrites its own directories byte-identically (pinned by
+    the idempotency test). At 100 TB the per-epoch cost is
+    |new| shingling + |new ⋈ index| candidates + |touched blocks|
+    re-sorts; the historical corpus is never re-read.
+    """
+    from rapids_and_rivers_spark.operators.dedup import jaccard, shingled
+    from rapids_and_rivers_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        norm = F.lower(F.trim(F.col(col)))
+        recs = batch_df.select(
+            F.col(id_col).alias("id"),
+            F.col(col).alias("text"),
+            F.substring(norm, 1, block_chars).alias("blk"),
+        ).persist()
+        recs.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "records", f"v{epoch_id}")
+        )
+
+        # -- prefix-Jaccard channel -----------------------------------
+        base = shingled(recs, "text", "id", n=shingle_n).withColumn(
+            "sz", F.size("shingles")
+        )
+        post = base.select(
+            "id", "sz", F.explode_outer("shingles").alias("t")
+        ).filter(F.col("t").isNotNull())
+        # HASH-ordered prefix: corpus-independent, so the index never
+        # invalidates as document frequencies drift
+        w = W.partitionBy("id").orderBy("t")
+        prefix_len = (
+            F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz")).cast("int")
+            + 1
+        )
+        prefix = (
+            post.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= prefix_len)
+            .select("id", "sz", "t")
+        )
+        # index new docs FIRST so the join sees new-new pairs too
+        prefix.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "ssj_prefix", f"v{epoch_id}")
+        )
+        base.select("id", "shingles").write.mode("overwrite").parquet(
+            os.path.join(index_dir, "ssj_shingles", f"v{epoch_id}")
+        )
+        all_prefix = read_epoch_table(
+            spark, os.path.join(index_dir, "ssj_prefix")
+        )
+        # symmetric length filter (t*|a| <= |b| <= |a|/t), bounds
+        # loosened by 1e-9 so float error only weakens the prune
+        cand = (
+            all_prefix.alias("l")
+            .join(
+                prefix.alias("r"),
+                (F.col("l.t") == F.col("r.t"))
+                & (F.col("l.id") != F.col("r.id"))
+                & (
+                    F.col("r.sz")
+                    >= F.ceil(
+                        F.lit(threshold) * F.col("l.sz") - F.lit(1e-9)
+                    )
+                )
+                & (
+                    F.col("r.sz")
+                    <= F.floor(
+                        F.col("l.sz") / F.lit(threshold) + F.lit(1e-9)
+                    )
+                ),
+            )
+            .select(
+                F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+                F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sh = read_epoch_table(spark, os.path.join(index_dir, "ssj_shingles"))
+        verified = (
+            cand.join(
+                sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), ndigits),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b")
+        )
+        verified.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "ssj_pairs", f"v{epoch_id}")
+        )
+
+        # -- sorted-neighborhood channel ------------------------------
+        touched = recs.select("blk").distinct()
+        all_recs = read_epoch_table(spark, os.path.join(index_dir, "records"))
+        in_touched = all_recs.join(F.broadcast(touched), "blk")
+        snm = sorted_neighborhood_pairs(
+            in_touched,
+            col="text",
+            id_col="id",
+            block_chars=block_chars,
+            key_chars=key_chars,
+            window=window,
+            max_distance=max_distance,
+        ).select("id_a", "id_b")
+        # tag each pair with its block (both sides share it) for the
+        # per-block last-writer-wins read
+        snm_tagged = snm.join(
+            all_recs.select(F.col("id").alias("id_a"), "blk"), "id_a"
+        ).select("blk", "id_a", "id_b")
+        snm_tagged.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, "snm_pairs", f"v{epoch_id}"))
+        touched.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, "snm_touched", f"v{epoch_id}"))
+        recs.unpersist()
+
+    return stage
+
+
+def er_current_entities(spark, index_dir: str) -> DataFrame:
+    """Entity keep-list over the accumulated streaming-ER indexes:
+    union the monotone prefix-Jaccard pairs with each block's LATEST
+    sorted-neighborhood recompute (last-writer-wins via the
+    touched-block manifest), resolve by connected components, and roll
+    up one canonical record per entity — the same
+    (canonical_id, n_records, max_id) shape as the batch
+    ``entity_resolution`` query (duality pinned by test)."""
+    from rapids_and_rivers_spark.operators.dedup import duplicate_clusters
+
+    ssj = read_epoch_table(spark, os.path.join(index_dir, "ssj_pairs")).select(
+        "id_a", "id_b"
+    )
+    touched = read_epoch_table(spark, os.path.join(index_dir, "snm_touched"))
+    latest = touched.groupBy("blk").agg(F.max("epoch").alias("epoch"))
+    snm = (
+        read_epoch_table(spark, os.path.join(index_dir, "snm_pairs"))
+        .join(latest, ["blk", "epoch"])
+        .select("id_a", "id_b")
+    )
+    pairs = ssj.unionByName(snm).distinct()
+    comp = duplicate_clusters(pairs)
+    return comp.groupBy(F.col("cluster").alias("canonical_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.max("node").alias("max_id"),
+    )
+
+
+def pagerank_foreach_batch(
+    state_dir: str,
+    iters_per_epoch: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+):
+    """Streaming daily-PageRank: per micro-batch of NEW edges, the edge
+    table accumulates epoch-versioned and ``iters_per_epoch`` warm
+    rounds run from the PREVIOUS epoch's converged ranks
+    (graph.pagerank ``init_ranks`` — new nodes enter at the uniform
+    prior), writing an epoch-versioned rank snapshot. The batch
+    operator's pinned composition law (warm(j) after cold(i) walks the
+    identical float path as cold(i+j)) makes the duality exact: once
+    the edge set stops changing, the epoch-E snapshot equals a cold
+    ``(E+1) * iters_per_epoch``-round run over the full graph — pinned
+    by test, as is the incremental form (new edges + warm start ==
+    batch warm start over the union graph).
+
+    Replay safety: the merge base is the latest rank snapshot STRICTLY
+    BELOW the current epoch (``_latest_version(before_epoch)`` — the
+    tfidf_foreach_batch lesson), so an at-least-once replay of epoch E
+    re-derives v{E} from v{E-1} and overwrites it byte-identically
+    instead of compounding E's own partial output.
+
+    At 100 TB: the per-epoch cost is k node-keyed join+agg rounds over
+    the accumulated edge table (normalize-once persisted inside
+    graph.pagerank) — the historical RANKS are k rounds stale at most,
+    and no epoch ever recomputes from scratch.
+    """
+    from rapids_and_rivers_spark.operators.graph import pagerank
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("weight"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "edges", f"v{epoch_id}")
+        )
+        # graph.pagerank persists its normalized edge plan; a later
+        # epoch's structurally-identical read of the same path would hit
+        # the CacheManager's stale entry (file listing frozen at cache
+        # time) and silently miss the new epoch's edges — refresh drops
+        # every cache entry over the path first
+        spark.catalog.refreshByPath(os.path.join(state_dir, "edges"))
+        edges = read_epoch_table(spark, os.path.join(state_dir, "edges"))
+        prev = _latest_version(state_dir, "ranks", before_epoch=epoch_id)
+        init = spark.read.parquet(prev) if prev else None
+        ranks = pagerank(
+            edges, iters=iters_per_epoch, damping=damping, init_ranks=init
+        )
+        ranks.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "ranks", f"v{epoch_id}")
+        )
+
+    return stage
+
+
+def read_latest_ranks(spark, state_dir: str) -> DataFrame:
+    """The newest (node, pr) snapshot written by
+    :func:`pagerank_foreach_batch`."""
+    p = _latest_version(state_dir, "ranks")
+    if p is None:
+        raise FileNotFoundError(f"no rank snapshots under {state_dir}/ranks")
+    return spark.read.parquet(p)

@@ -1969,3 +1969,169 @@ def test_psi_gate_flags_drifted_batch(spark, tmp_path):
     assert rows[(0, "click")] < 0.05  # in-distribution batch
     # all mass in one band vs p=0.25: psi = 0.75*ln(4) ~ 1.04
     assert rows[(1, "click")] > 0.5
+
+
+def _er_batch_reference(spark, rows):
+    """The batch entity_resolution pipeline (catalog body) on an
+    in-memory corpus — the duality reference."""
+    from rapids_and_rivers_spark.operators import dedup as D, fuzzy as FZ
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    snm = FZ.sorted_neighborhood_pairs(
+        docs, col="text", id_col="doc_id", block_chars=8, key_chars=80,
+        window=2, max_distance=10,
+    ).select("id_a", "id_b")
+    ssj = D.prefix_filter_pairs(
+        docs, col="text", id_col="doc_id", shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    pairs = ssj.unionByName(snm).distinct()
+    comp = D.duplicate_clusters(pairs)
+    return comp.groupBy(F.col("cluster").alias("canonical_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.max("node").alias("max_id"),
+    )
+
+
+_ER_B1 = [
+    # SNM family: shared 8-char prefix, small edits (same block)
+    {"doc_id": 1, "text": "alpha corporation ltd main street 12 springfield"},
+    {"doc_id": 2, "text": "alpha corporation ltd main street 12 springfeld"},
+    # jaccard family: token overlap >= 0.5, prefixes differ (ssj channel)
+    {"doc_id": 3, "text": "quick brown fox jumps over the lazy dog by the river"},
+    {"doc_id": 5, "text": "singleton record with entirely distinct content here"},
+]
+_ER_B2 = [
+    # cross-batch SNM: re-ranks block 'alpha co<...>' (doc 10 sorts between 1 and 2)
+    {"doc_id": 10, "text": "alpha corporation ltd main street 12 springfielda"},
+    # cross-batch jaccard near-dup of doc 3
+    {"doc_id": 11, "text": "brown fox jumps over the lazy dog by the river today quick"},
+    {"doc_id": 12, "text": "one more unrelated filler document mentioning nothing shared at all"},
+]
+
+
+def test_er_stream_matches_batch_pipeline(spark, tmp_path):
+    """Streaming entity resolution: per-batch blocking against the
+    accumulated indexes (monotone prefix-Jaccard accumulation +
+    per-touched-block SNM recompute) drains to the same entities as the
+    batch block->verify->cluster->canonicalize pipeline — including
+    cross-batch matches in both evidence channels."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        er_current_entities,
+        er_index_foreach_batch,
+    )
+
+    docs = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(d) for d in _ER_B1],
+        [json.dumps(d) for d in _ER_B2],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "er")
+    q = (
+        docs.writeStream.foreachBatch(er_index_foreach_batch(index_dir))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.canonical_id, r.n_records, r.max_id)
+        for r in er_current_entities(spark, index_dir).collect()
+    }
+    expected = {
+        (r.canonical_id, r.n_records, r.max_id)
+        for r in _er_batch_reference(
+            spark, [(d["doc_id"], d["text"]) for d in _ER_B1 + _ER_B2]
+        ).collect()
+    }
+    assert got == expected
+    # both channels actually fired: the SNM family and the jaccard
+    # family each resolved to one multi-record entity
+    multi = {r for r in got if r[1] > 1}
+    assert {(1, 3, 10), (3, 2, 11)} <= multi
+
+
+def test_er_stream_epoch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay of an epoch must rewrite its own versioned
+    dirs, leaving the derived entity set unchanged."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        er_current_entities,
+        er_index_foreach_batch,
+    )
+
+    index_dir = str(tmp_path / "er")
+    stage = er_index_foreach_batch(index_dir)
+    b1 = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in _ER_B1], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in _ER_B2], "doc_id long, text string"
+    )
+    stage(b1, 0)
+    stage(b2, 1)
+    before = {
+        tuple(r) for r in er_current_entities(spark, index_dir).collect()
+    }
+    stage(b2, 1)  # replay
+    after = {
+        tuple(r) for r in er_current_entities(spark, index_dir).collect()
+    }
+    assert before == after
+
+
+_PR_E1 = [("a", "b", 2.0), ("b", "a", 2.0), ("b", "c", 1.0), ("c", "b", 1.0)]
+_PR_E2 = [("c", "d", 1.0), ("d", "c", 1.0)]  # new node d joins later
+
+
+def test_pagerank_stream_static_equals_cold_run(spark, tmp_path):
+    """With the edge set static after epoch 0, two streamed epochs of
+    k=2 warm rounds equal a cold 4-round batch run — the pinned
+    warm-composition law carried into the foreachBatch dual."""
+    from rapids_and_rivers_spark.operators.graph import pagerank
+    from rapids_and_rivers_spark.streaming.duals import (
+        pagerank_foreach_batch,
+        read_latest_ranks,
+    )
+
+    state_dir = str(tmp_path / "pr")
+    stage = pagerank_foreach_batch(state_dir, iters_per_epoch=2)
+    edges = spark.createDataFrame(_PR_E1, "src string, dst string, weight double")
+    empty = spark.createDataFrame([], "src string, dst string, weight double")
+    stage(edges, 0)
+    stage(empty, 1)  # a quiet day still advances convergence
+    got = {r.node: r.pr for r in read_latest_ranks(spark, state_dir).collect()}
+    cold = {r.node: r.pr for r in pagerank(edges, iters=4).collect()}
+    assert set(got) == set(cold)
+    assert all(abs(got[k] - cold[k]) < 1e-12 for k in cold)
+
+
+def test_pagerank_stream_incremental_matches_batch_warm_start(spark, tmp_path):
+    """New edges in epoch 1: the dual's snapshot equals the batch
+    operator warm-started on the UNION graph from epoch 0's ranks (new
+    node enters at the uniform prior) — and replaying epoch 1 leaves
+    the snapshot unchanged (merge base is strictly below the epoch)."""
+    from rapids_and_rivers_spark.operators.graph import pagerank
+    from rapids_and_rivers_spark.streaming.duals import (
+        pagerank_foreach_batch,
+        read_latest_ranks,
+    )
+
+    state_dir = str(tmp_path / "pr")
+    stage = pagerank_foreach_batch(state_dir, iters_per_epoch=2)
+    e1 = spark.createDataFrame(_PR_E1, "src string, dst string, weight double")
+    e2 = spark.createDataFrame(_PR_E2, "src string, dst string, weight double")
+    stage(e1, 0)
+    stage(e2, 1)
+    got = {r.node: r.pr for r in read_latest_ranks(spark, state_dir).collect()}
+    v0 = pagerank(e1, iters=2)
+    expected = {
+        r.node: r.pr
+        for r in pagerank(e1.unionAll(e2), iters=2, init_ranks=v0).collect()
+    }
+    assert set(got) == set(expected) and "d" in got
+    assert all(abs(got[k] - expected[k]) < 1e-12 for k in expected)
+    stage(e2, 1)  # at-least-once replay
+    after = {r.node: r.pr for r in read_latest_ranks(spark, state_dir).collect()}
+    assert set(after) == set(got)
+    assert all(abs(after[k] - got[k]) < 1e-12 for k in got)
