@@ -3393,35 +3393,91 @@ def sim_ann_ivf_codebook(spark, sf_dir):
     )
 
 
+
+def _lsh_label_bucket_sql(emb_expr: str, dim=64, n_planes=4, seed=7) -> str:
+    """SQL twin of the composed near-dup blocking bucket: the sign-bit
+    LSH bucket (similarity.lsh_bucket, deterministic plane literals —
+    the _lsh_oracle_sql pattern) that the label-blocked near-dup family
+    composes with `label`. A fixed-cardinality key alone gives a pair
+    space that grows QUADRATICALLY with the corpus (block size ~ n /
+    |labels| — measured: dedup_clusters_star alpha 1.21 sf0.1->sf1,
+    SCALING.md round 5); label x bucket keeps the same shape with 16x
+    smaller blocks, and at real scale n_planes grows ~log2(corpus /
+    target_block) so block size stays bounded."""
+    from rapids_and_rivers_spark.operators.similarity import _deterministic_planes
+
+    bits = []
+    for i, plane in enumerate(_deterministic_planes(dim, n_planes, seed)):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_inner_product(CAST({emb_expr} AS DOUBLE[]), {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def _neardup_blocked(emb):
+    """Spark side of the composed blocking key: `label:bucket` with the
+    SAME deterministic planes as :func:`_lsh_label_bucket_sql` — block
+    sizes stay bounded as the corpus grows (see SCALING.md)."""
+    from rapids_and_rivers_spark.operators.similarity import (
+        as_double_array,
+        lsh_bucket,
+    )
+
+    return emb.withColumn(
+        "blk",
+        F.concat(
+            F.col("label").cast("string"),
+            F.lit(":"),
+            lsh_bucket(
+                as_double_array(F.col("embedding")), 64, n_planes=4, seed=7
+            ).cast("string"),
+        ),
+    )
+
+
 @register(
     "embedding_neardup",
     """
+    WITH bkt AS (
+      SELECT vec_id, label, embedding,
+             {BKT} AS bucket
+      FROM embeddings
+    )
     SELECT a.vec_id AS id_a,
            b.vec_id AS id_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 4) AS cos
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM bkt a
+    JOIN bkt b ON a.label = b.label AND a.bucket = b.bucket
+      AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
-    """,
+    """.replace("{BKT}", _lsh_label_bucket_sql("embedding")),
     doc="embedding-cosine near-duplicate pairs with label blocking "
     "(blocking bounds the pair space at scale)",
 )
 def embedding_neardup(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _neardup_blocked(load_table(spark, sf_dir, "embeddings"))
     return D.embedding_neardup_pairs(
-        emb, emb_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
+        emb, emb_col="embedding", id_col="vec_id", block_col="blk", threshold=0.4
     )
 
 
 @register(
     "dedup_clusters",
     """
-    WITH pairs AS (
+    WITH bkt AS (
+      SELECT vec_id, label, embedding,
+             {BKT} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a
-      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM bkt a
+      JOIN bkt b ON a.label = b.label AND a.bucket = b.bucket
+        AND a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     ),
@@ -3441,15 +3497,15 @@ def embedding_neardup(spark, sf_dir):
     SELECT a AS node, least(a, min(b)) AS cluster
     FROM reach
     GROUP BY a
-    """,
+    """.replace("{BKT}", _lsh_label_bucket_sql("embedding")),
     doc="near-dup pairs -> duplicate CLUSTERS: connected components via "
     "iterative min-label propagation; cluster id = canonical keeper "
     "(oracle: transitive closure by recursive CTE)",
 )
 def dedup_clusters(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _neardup_blocked(load_table(spark, sf_dir, "embeddings"))
     pairs = D.embedding_neardup_pairs(
-        emb, emb_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
+        emb, emb_col="embedding", id_col="vec_id", block_col="blk", threshold=0.4
     )
     return D.duplicate_clusters(pairs)
 
@@ -3457,10 +3513,16 @@ def dedup_clusters(spark, sf_dir):
 @register(
     "semantic_dedup",
     """
-    WITH pairs AS (
+    WITH bkt AS (
+      SELECT vec_id, label, embedding,
+             {BKT} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a
-      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM bkt a
+      JOIN bkt b ON a.label = b.label AND a.bucket = b.bucket
+        AND a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     ),
@@ -3484,7 +3546,7 @@ def dedup_clusters(spark, sf_dir):
            coalesce(c.cluster, e.vec_id) AS rep_id,
            coalesce(c.cluster, e.vec_id) = e.vec_id AS is_kept
     FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
-    """,
+    """.replace("{BKT}", _lsh_label_bucket_sql("embedding")),
     doc="SemDeDup (Abbas et al. 2023): blocked embedding-cosine near-dup "
     "pairs -> large-star/small-star components -> every document mapped "
     "to its cluster representative (min id) with an is_kept flag — the "
@@ -3493,9 +3555,9 @@ def dedup_clusters(spark, sf_dir):
     "CTE oracle",
 )
 def semantic_dedup(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _neardup_blocked(load_table(spark, sf_dir, "embeddings"))
     return D.semantic_dedup(
-        emb, emb_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
+        emb, emb_col="embedding", id_col="vec_id", block_col="blk", threshold=0.4
     )
 
 
@@ -3647,10 +3709,16 @@ def kmv_daily_distinct(spark, sf_dir):
 @register(
     "dedup_cluster_sizes",
     """
-    WITH pairs AS (
+    WITH bkt AS (
+      SELECT vec_id, label, embedding,
+             {BKT} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a
-      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM bkt a
+      JOIN bkt b ON a.label = b.label AND a.bucket = b.bucket
+        AND a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     ),
@@ -3677,7 +3745,7 @@ def kmv_daily_distinct(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_clusters,
            CAST(sum(sz) AS BIGINT) AS n_docs
     FROM sizes GROUP BY sz
-    """,
+    """.replace("{BKT}", _lsh_label_bucket_sql("embedding")),
     doc="duplicate-cluster SIZE distribution — the corpus-health report a "
     "dedup pass ends with (how much is duplicated, and in what shape: "
     "many pairs vs few giant templates). Two keyed aggs over the "
@@ -3685,9 +3753,9 @@ def kmv_daily_distinct(spark, sf_dir):
     "hot-key trouble downstream",
 )
 def dedup_cluster_sizes(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _neardup_blocked(load_table(spark, sf_dir, "embeddings"))
     pairs = D.embedding_neardup_pairs(
-        emb, emb_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
+        emb, emb_col="embedding", id_col="vec_id", block_col="blk", threshold=0.4
     )
     clusters = D.duplicate_clusters_star(pairs)
     sizes = clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
@@ -5395,9 +5463,9 @@ def median_value_by_type(spark, sf_dir):
     "oracle; cheap count+hash-sum fingerprint detects convergence",
 )
 def dedup_clusters_star(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _neardup_blocked(load_table(spark, sf_dir, "embeddings"))
     pairs = D.embedding_neardup_pairs(
-        emb, emb_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
+        emb, emb_col="embedding", id_col="vec_id", block_col="blk", threshold=0.4
     )
     return D.duplicate_clusters_star(pairs)
 

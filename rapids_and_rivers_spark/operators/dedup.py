@@ -936,6 +936,14 @@ def embedding_neardup_pairs(
 
     Blocking on ``block_col`` (cluster/label/LSH bucket) bounds the pair
     space; pass None for full pairwise (test scale only).
+
+    The blocking key's cardinality must GROW with the corpus: a
+    fixed-cardinality categorical key alone gives block sizes ~ n/|key|
+    and a pair space quadratic in n (measured: the label-only catalog
+    form hit alpha 1.21 sf0.1->sf1 — SCALING.md round 5). Compose the
+    category with an LSH sign-bucket (similarity.lsh_bucket) sized
+    ``n_planes ~ log2(corpus / target_block)``, the same rule the IVF
+    family uses for n_cells.
     """
     base = neardup_base(spread(df, id_col), emb_col, id_col, block_col)
     l, r = base.alias("l"), base.alias("r")

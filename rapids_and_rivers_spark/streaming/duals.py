@@ -1436,13 +1436,16 @@ def attribution_stream(df: DataFrame, days: int = 3) -> DataFrame:
     purchase immediately emits its credit split across the touches in
     its window, grouped per (channel, touch-day).
 
-    Semantics contract: events are processed in (ts, event_id) order
-    WITHIN each micro-batch (the handler sorts), so with batches arriving
-    in time order the stream output equals the batch join — pinned by
-    the duality test. A touch arriving in a LATER batch than a purchase
-    it should have preceded is missed: the documented at-most-horizon
-    approximation every streaming attribution system makes (batch
-    replay reconciles).
+    Semantics contract: events are processed in (ts, is_purchase,
+    event_id) order WITHIN each micro-batch (the handler sorts) — a
+    touch sharing a purchase's exact timestamp precedes it regardless of
+    event_id, matching the batch join's inclusive ``t_ts <= p_ts`` — so
+    with batches arriving in time order the stream output equals the
+    batch join, ties included (pinned by the duality + tie tests). A
+    touch arriving in a LATER batch than a purchase it should have
+    preceded (including a same-timestamp touch split across the batch
+    boundary) is missed: the documented at-most-horizon approximation
+    every streaming attribution system makes (batch replay reconciles).
 
     Output per purchase x (channel, day): ``(user, p_id, channel, day,
     n, credit)`` with the credit in INTEGER MICRO-UNITS
