@@ -2135,3 +2135,36 @@ def test_pagerank_stream_incremental_matches_batch_warm_start(spark, tmp_path):
     after = {r.node: r.pr for r in read_latest_ranks(spark, state_dir).collect()}
     assert set(after) == set(got)
     assert all(abs(after[k] - got[k]) < 1e-12 for k in got)
+
+
+def test_er_stream_matches_batch_on_real_documents(spark, tmp_path):
+    """Streaming ER over the REAL sf0.001 documents table, split into
+    two micro-batches by doc_id parity: drained entities must equal the
+    batch entity_resolution pipeline on the full table — the
+    corpus-scale duality check (synthetic-corpus tests pin the
+    mechanics; this pins the real text distribution, where blocks are
+    ragged and most docs are singletons)."""
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.streaming.duals import (
+        er_current_entities,
+        er_index_foreach_batch,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    index_dir = str(tmp_path / "er")
+    stage = er_index_foreach_batch(index_dir)
+    stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    got = {
+        (r.canonical_id, r.n_records, r.max_id)
+        for r in er_current_entities(spark, index_dir).collect()
+    }
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    expected = {
+        (r.canonical_id, r.n_records, r.max_id)
+        for r in _er_batch_reference(spark, rows).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
