@@ -3323,6 +3323,149 @@ def sim_ann_pq(spark, sf_dir):
     )
 
 
+
+def _knn_blocked_oracle_sql(
+    dim=64, n_cells=8, nprobe=2, k=5, seed=13, sample=256, iters=8,
+    q=1024, scale=1000,
+) -> str:
+    """Generate the DuckDB oracle for knn_graph_probe: the kNN SELF-join
+    over IVF-cell blocking (similarity.knn_self_join, probe mode). The
+    codebook chain is the _ivf_oracle_sql contract verbatim (md5-ordered
+    sample, unrolled grid-quantized spherical k-means, SCORE_GRID-snapped
+    argmax/probe ordering); pair similarity is then the EXACT
+    integer-quantized cosine of the label_noise_knn/mmr contract —
+    floor(v*scale) inner products are < 2^53, so DuckDB's double
+    list_inner_product reproduces every sim bit-for-bit, and the global
+    top-k under (sim DESC, c ASC) equals Spark's per-cell local top-k +
+    merge window (the local prefix property)."""
+    from rapids_and_rivers_spark.operators.similarity import SCORE_GRID
+
+    def snap(expr: str) -> str:
+        return f"floor(({expr}) * {SCORE_GRID}.0 + 0.5)"
+
+    grid = f"floor(v * {q}.0 + 0.5) / {q}.0"
+    order = f"md5('s{seed}-' || CAST(vec_id AS VARCHAR))"
+    parts = [
+        f"""
+    WITH sample AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS emb,
+             row_number() OVER (ORDER BY {order}) AS sid
+      FROM embeddings
+      ORDER BY {order} LIMIT {sample}
+    ),
+    snorm AS (
+      SELECT sid,
+             CASE WHEN sqrt(list_inner_product(emb, emb)) = 0 THEN emb
+                  ELSE list_transform(emb,
+                         v -> v / sqrt(list_inner_product(emb, emb)))
+             END AS xn
+      FROM sample
+    ),
+    cb0 AS (
+      SELECT sid AS cell, list_transform(xn, v -> {grid}) AS centroid
+      FROM snorm WHERE sid <= {n_cells}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    assign{i} AS (
+      SELECT sid, xn, cell FROM (
+        SELECT s.sid, s.xn, c.cell,
+               row_number() OVER (PARTITION BY s.sid
+                 ORDER BY {snap("list_inner_product(s.xn, c.centroid)")} DESC,
+                          c.cell) AS rnk
+        FROM snorm s CROSS JOIN cb{p} c) WHERE rnk = 1
+    ),
+    mvec{i} AS (
+      SELECT cell, list(m ORDER BY pos) AS mv FROM (
+        SELECT cell, p.range AS pos, avg(xn[p.range + 1]) AS m
+        FROM assign{i}, range({dim}) p GROUP BY cell, p.range)
+      GROUP BY cell
+    ),
+    cb{i} AS (
+      SELECT c.cell,
+             CASE WHEN n.mv IS NULL
+                       OR sqrt(list_inner_product(n.mv, n.mv)) = 0
+                  THEN c.centroid
+                  ELSE list_transform(n.mv,
+                    m -> floor(m / sqrt(list_inner_product(n.mv, n.mv))
+                               * {q}.0 + 0.5) / {q}.0)
+             END AS centroid
+      FROM cb{p} c LEFT JOIN mvec{i} n USING (cell)
+    )"""
+        )
+    parts.append(
+        f""",
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            v -> floor(v * {scale}.0)) AS qv
+      FROM embeddings
+    ),
+    cassign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, cb.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {snap("list_inner_product(v.emb, cb.centroid)")} DESC,
+                          cb.cell) AS rnk
+        FROM vecs v CROSS JOIN cb{iters} cb) WHERE rnk = 1
+    ),
+    probes AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, cb.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {snap("list_inner_product(v.emb, cb.centroid)")} DESC,
+                          cb.cell DESC) AS rnk
+        FROM vecs v CROSS JOIN cb{iters} cb) WHERE rnk <= {nprobe}
+    ),
+    nn2 AS (
+      SELECT vec_id, list_inner_product(qv, qv) AS n2 FROM vecs
+    ),
+    pairs AS (
+      SELECT p.vec_id AS t, ca.vec_id AS c,
+             list_inner_product(tv.qv, cv.qv)
+               / sqrt(tn.n2 * cn.n2) AS sim
+      FROM probes p
+      JOIN cassign ca ON ca.cell = p.cell AND ca.vec_id <> p.vec_id
+      JOIN vecs tv ON tv.vec_id = p.vec_id
+      JOIN vecs cv ON cv.vec_id = ca.vec_id
+      JOIN nn2 tn ON tn.vec_id = p.vec_id
+      JOIN nn2 cn ON cn.vec_id = ca.vec_id
+    )
+    SELECT t, c, sim, CAST(rk AS INT) AS rk FROM (
+      SELECT t, c, sim,
+             row_number() OVER (PARTITION BY t ORDER BY sim DESC, c) AS rk
+      FROM pairs) WHERE rk <= {k}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "knn_graph_probe",
+    _knn_blocked_oracle_sql(),
+    doc="kNN graph over the embedding corpus in the SUBLINEAR tier of "
+    "similarity.knn_self_join: every vector probes its nprobe=2 of "
+    "n_cells=8 coarse cells and ranks only those candidates — each "
+    "target scans ~25% of the corpus, cogrouped per-cell int64 GEMMs, "
+    "driver memory O(codebook). FULL value oracle: the IVF codebook "
+    "chain (md5 sample, grid-quantized spherical k-means, snapped "
+    "argmax/probe ordering) composed with the exact integer-quantized "
+    "cosine — every probe, every sim, every rank reproduced by DuckDB. "
+    "The exact-mode twin (nprobe=n_cells) underlies label_noise_knn",
+)
+def knn_graph_probe(spark, sf_dir):
+    from rapids_and_rivers_spark.operators.similarity import knn_self_join
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn_self_join(
+        emb, dim=64, k=5, n_cells=8, nprobe=2, id_col="vec_id",
+        emb_col="embedding",
+    ).select("t", "c", "sim", "rk")
+
+
 @register(
     "sim_ann_ivf",
     _ivf_oracle_sql(),
