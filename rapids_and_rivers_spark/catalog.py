@@ -4757,6 +4757,55 @@ def sketch_kmv_distinct(spark, sf_dir):
 
 
 @register(
+    "sketch_quantile_sample",
+    r"""
+    WITH hashed AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS h,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashed
+    ),
+    samp AS (
+      SELECT event_type, CAST(count(*) AS INT) AS n,
+             list(v ORDER BY v) AS vals
+      FROM ranked WHERE rk <= 128 GROUP BY event_type
+    )
+    SELECT event_type, n,
+           vals[greatest(1, CAST(ceil(0.5 * n) AS INT))] AS est_p50,
+           vals[greatest(1, CAST(ceil(0.9 * n) AS INT))] AS est_p90
+    FROM samp ORDER BY event_type
+    """,
+    doc="quantile SKETCH per event_type (operators/sketch.py "
+    "quantile_sample): a deterministic uniform row sample — bottom-128 "
+    "rows by md5 hash of the row key — with type-1 sample quantiles "
+    "read off the sorted sample. Completes the mergeable sketch family "
+    "(distinct KMV/HLL/theta, frequency CMS, moment AMS) with "
+    "quantiles: unlike Greenwald-Khanna / t-digest / KLL, which are "
+    "insert/merge-ORDER-sensitive (retry- and partitioning-unstable, "
+    "engine-private), the fixed-hash sample is exactly mergeable "
+    "(union + re-truncate) and bit-reproducible — hence a FULL value "
+    "oracle for an approximate operator, like the IVF/PQ family. "
+    "O(1/sqrt(k)) quantile-rank error; per-group state 128 doubles "
+    "forever. Streaming dual: duals.quantile_sample_stream",
+)
+def sketch_quantile_sample(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    sk = K.quantile_sample(ev, ["event_type"], "event_id", "value", k=128)
+    return sk.select(
+        "event_type",
+        "n",
+        K.quantile_from_sample(F.col("vals"), F.col("n"), 0.5).alias("est_p50"),
+        K.quantile_from_sample(F.col("vals"), F.col("n"), 0.9).alias("est_p90"),
+    ).orderBy("event_type")
+
+
+@register(
     "hll_user_distinct",
     r"""
     WITH h AS (

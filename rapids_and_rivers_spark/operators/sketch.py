@@ -385,3 +385,64 @@ def theta_setops_from_samples(sa: list[int], sb: list[int], k: int) -> dict:
         "est_intersect": est_below(A & B),
         "est_diff_ab": est_below(A - B),
     }
+
+
+# --- quantile sample sketch --------------------------------------------------
+
+
+def quantile_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Per-group QUANTILE sketch: a deterministic uniform row sample of
+    size ``k`` selected by md5-hash order on the ROW KEY
+    (``kmv_hash(id)``), kept as ``(group…, n, vals)`` with ``vals`` the
+    sampled values sorted ascending.
+
+    This completes the mergeable sketch family — distinct (KMV / HLL /
+    theta), frequency (CMS), moment (AMS F2) — with quantiles, using
+    the same md5 contract: the classical streaming quantile sketches
+    (Greenwald-Khanna, t-digest, KLL) are ORDER-SENSITIVE (merge/insert
+    order changes the summary), which makes them retry- and
+    partitioning-unstable on a cluster and impossible to oracle-check
+    cross-engine. A fixed-hash bottom-k row sample is none of those
+    things: it is a uniform sample (md5 is a fixed pseudo-random
+    permutation of the key space) with standard sample-quantile error
+    O(1/sqrt(k)), it is MERGEABLE exactly (union two samples, re-take
+    the bottom-k by hash — associative, commutative, idempotent), and
+    any engine with md5 rebuilds it bit-for-bit.
+
+    Scale shape: one per-group rank window over the hashed rows
+    (group-keyed shuffle, never global), ``rk <= k`` filter, one
+    rollup. State per group is ``k`` doubles forever. The streaming
+    dual (:func:`rapids_and_rivers_spark.streaming.duals.quantile_sample_stream`)
+    keeps the same bottom-k in keyed state.
+    """
+    hashed = df.select(
+        *group_cols,
+        kmv_hash(F.col(id_col).cast("string")).alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n"),
+            F.sort_array(F.collect_list("v")).alias("vals"),
+        )
+    )
+
+
+def quantile_from_sample(vals_col: Column, n_col: Column, p: float) -> Column:
+    """Type-1 (inverted-CDF) sample quantile as a Column expression:
+    ``vals[ceil(p * n)]`` (1-based, p in (0, 1]) — a single array index,
+    no interpolation, so the estimate is one of the sampled values and
+    reproduces exactly in any engine. Shared by the batch query, the
+    streaming dual's readout, and the SQL oracle."""
+    idx = F.greatest(F.lit(1), F.ceil(F.lit(p) * n_col).cast("int"))
+    return F.element_at(vals_col, idx)

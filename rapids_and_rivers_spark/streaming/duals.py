@@ -2020,3 +2020,72 @@ def read_latest_ranks(spark, state_dir: str) -> DataFrame:
     if p is None:
         raise FileNotFoundError(f"no rank snapshots under {state_dir}/ranks")
     return spark.read.parquet(p)
+
+
+def quantile_sample_stream(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Streaming quantile sketches per key (dual of
+    operators/sketch.quantile_sample): the bottom-``k``-by-hash row
+    sample lives in keyed state (<= k (hash, value) pairs per key
+    forever) and each micro-batch emits the key's refreshed sketch row
+    ``(key, n, vals)`` — update semantics, last row per key wins.
+    Quantile readouts run purely on the emitted rows via
+    ``sketch.quantile_from_sample``.
+
+    Hashing runs JVM-side before the stateful operator (the
+    kmv_distinct_stream contract); the state merge is bottom-k-by-hash
+    union + re-truncate — the sample's native merge, so after any
+    prefix of batches the emitted sketch equals the batch operator over
+    everything seen (pinned by the duality test).
+    """
+    from rapids_and_rivers_spark.operators.sketch import kmv_hash
+
+    out_schema = "key string, n int, vals array<double>"
+    src = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        kmv_hash(F.col(id_col).cast("string")).alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+
+    if not df.isStreaming:
+        w = W.partitionBy("key").orderBy("h")
+        return (
+            src.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .groupBy("key")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n"),
+                F.sort_array(F.collect_list("v")).alias("vals"),
+            )
+        )
+
+    def handler(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hs, vs = state.get if state.exists else ([], [])
+        pairs = list(zip([int(h) for h in hs or []], list(vs or [])))
+        for pdf in pdfs:
+            pairs.extend(zip((int(h) for h in pdf["h"]), pdf["v"]))
+        pairs.sort()
+        pairs = pairs[:k]
+        state.update(([h for h, _ in pairs], [v for _, v in pairs]))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n": [len(pairs)],
+                "vals": [sorted(v for _, v in pairs)],
+            }
+        )
+
+    return src.groupBy("key").applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType="hs array<bigint>, vs array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

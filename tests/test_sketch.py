@@ -141,3 +141,97 @@ def test_hll_partitioning_invariant(spark):
         hll_registers(df.repartition(17, F.col("v")), ["g"], "v"), ["g"]
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestQuantileSample:
+    def test_sample_quantile_rank_error_bound(self, spark):
+        """The est_p50 from a k=128 hash sample must sit near the true
+        median in RANK: the fraction of rows below it within 0.5 ± 0.15
+        (sampling error O(1/sqrt(k)) ~ 0.044; 0.15 is a loose 3+ sigma
+        regression floor)."""
+        from rapids_and_rivers_spark.operators import sketch as K
+        from rapids_and_rivers_spark.sources import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+            F.col("value").isNotNull()
+        )
+        sk = K.quantile_sample(ev, ["event_type"], "event_id", "value", k=128)
+        est = sk.select(
+            "event_type",
+            K.quantile_from_sample(F.col("vals"), F.col("n"), 0.5).alias("q"),
+        )
+        joined = (
+            ev.join(F.broadcast(est), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.avg(
+                    F.when(F.col("value") <= F.col("q"), 1.0).otherwise(0.0)
+                ).alias("frac_below")
+            )
+            .collect()
+        )
+        assert joined
+        for r in joined:
+            assert 0.35 <= r.frac_below <= 0.65, (r.event_type, r.frac_below)
+
+    def test_sample_is_exactly_mergeable(self, spark):
+        """union + re-truncate of two halves' samples == whole-corpus
+        sample — the mergeability that lets per-partition/per-day
+        sketches combine without raw rows."""
+        from rapids_and_rivers_spark.operators import sketch as K
+        from rapids_and_rivers_spark.sources import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+            F.col("value").isNotNull()
+        )
+        k = 32
+
+        def sample_pairs(df):
+            hashed = df.select(
+                "event_type",
+                K.kmv_hash(F.col("event_id").cast("string")).alias("h"),
+                F.col("value").cast("double").alias("v"),
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("event_type").orderBy("h")
+            rows = (
+                hashed.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= k)
+                .collect()
+            )
+            out = {}
+            for r in rows:
+                out.setdefault(r.event_type, []).append((r.h, r.v))
+            return {g: sorted(p) for g, p in out.items()}
+
+        whole = sample_pairs(ev)
+        a = sample_pairs(ev.filter(F.col("event_id") % 2 == 0))
+        b = sample_pairs(ev.filter(F.col("event_id") % 2 == 1))
+        merged = {
+            g: sorted(a.get(g, []) + b.get(g, []))[:k]
+            for g in set(a) | set(b)
+        }
+        assert merged == whole
+
+    def test_quantile_sample_partitioning_invariant(self, spark):
+        from rapids_and_rivers_spark.operators import sketch as K
+        from rapids_and_rivers_spark.sources import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+            F.col("value").isNotNull()
+        )
+        a = sorted(
+            (r.event_type, r.n, tuple(r.vals))
+            for r in K.quantile_sample(
+                ev.repartition(1), ["event_type"], "event_id", "value", k=64
+            ).collect()
+        )
+        b = sorted(
+            (r.event_type, r.n, tuple(r.vals))
+            for r in K.quantile_sample(
+                ev.repartition(13, F.col("event_id")),
+                ["event_type"], "event_id", "value", k=64,
+            ).collect()
+        )
+        assert a == b

@@ -2168,3 +2168,46 @@ def test_er_stream_matches_batch_on_real_documents(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_quantile_sample_stream_matches_batch(spark, tmp_path):
+    """Streaming quantile sketch: bottom-k-by-hash (hash, value) pairs
+    merge in keyed state across micro-batches; the final emitted sample
+    equals the batch quantile_sample over everything seen — the
+    mergeable-sketch duality (kmv/theta pattern), extended to values."""
+    from rapids_and_rivers_spark.streaming.duals import quantile_sample_stream
+
+    b1 = [{"k": "a", "id": i, "v": float(i)} for i in range(40)]
+    b1 += [{"k": "b", "id": 100 + i, "v": float(10 * i)} for i in range(5)]
+    b2 = [{"k": "a", "id": 40 + i, "v": float(40 + i)} for i in range(40)]
+    b2 += [{"k": "c", "id": 200, "v": 7.0}]
+    events = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in b1],
+        [json.dumps(r) for r in b2],
+        "k string, id long, v double",
+    )
+    out = quantile_sample_stream(events, "k", "id", "v", k=16)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qs_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in spark.sql("SELECT * FROM qs_out").collect():
+        got[r.key] = (r.n, tuple(r.vals))  # later rows overwrite: update semantics
+    full = spark.createDataFrame(
+        [(r["k"], r["id"], r["v"]) for r in b1 + b2], "k string, id long, v double"
+    )
+    expected = {
+        r.key: (r.n, tuple(r.vals))
+        for r in quantile_sample_stream(full, "k", "id", "v", k=16).collect()
+    }
+    assert got == expected
+    assert got["a"][0] == 16  # truncated to k
+    assert got["c"][0] == 1  # small group: exact sample
