@@ -371,3 +371,54 @@ def test_ahash_near_dup_hamming_locality(spark):
         r.doc_id: (r.ahash_lo, r.ahash_hi)
         for r in M.ahash_signatures(media).collect()
     }[1]
+
+
+def test_encode_wav_batch_matches_scalar_reference():
+    """The vectorized WAV encoder must be byte-identical to the scalar
+    spec (encode_wav over synthetic_sample) — the hot path vs the spec,
+    same contract as the BMP pair."""
+    from rapids_and_rivers_spark.operators import multimodal as M
+
+    for doc_id in (0, 1, 7, 123456):
+        samples = [M.synthetic_sample(doc_id, t) for t in range(50)]
+        scalar = M.encode_wav(samples, sample_rate=16000)
+        (batch,) = M.encode_wav_batch([doc_id], 50, 16000)
+        assert scalar == batch
+
+
+def test_decode_wav_round_trip_and_chunk_walk():
+    """decode_wav must recover the exact samples, and must WALK chunks:
+    a LIST chunk (with odd length, exercising RIFF 2-byte alignment)
+    inserted before data may not break parsing."""
+    import struct
+
+    import numpy as np
+
+    from rapids_and_rivers_spark.operators import multimodal as M
+
+    samples = [M.synthetic_sample(9, t) for t in range(64)]
+    payload = M.encode_wav(samples, sample_rate=8000)
+    rate, x = M.decode_wav(payload)
+    assert rate == 8000
+    assert x.tolist() == samples
+
+    # splice an odd-length LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    rate2, x2 = M.decode_wav(spliced)
+    assert rate2 == 8000 and np.array_equal(x, x2)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.decode_wav(b"RIFX" + payload[4:])
+    # stereo fmt must be rejected loudly, not silently mis-parsed
+    bad_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + bad_fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        M.decode_wav(bad)
