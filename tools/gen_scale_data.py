@@ -91,6 +91,22 @@ def _mutate_text(text: str, r: int, doc_id: int) -> str:
     return " ".join(out)
 
 
+def gen_events(mult: int, out_dir: str, base_dir: str) -> None:
+    import pandas as pd
+
+    events = _base("events", base_dir)
+    parts = []
+    for r in range(mult):
+        d = events.to_pandas()
+        d["event_id"] = d["event_id"] + r * KEY_SPAN
+        d["user_id"] = d["user_id"] + r * KEY_SPAN  # user population scales
+        parts.append(d)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(parts, ignore_index=True), schema=events.schema),
+        os.path.join(out_dir, "events.parquet"),
+    )
+
+
 def gen_documents(mult: int, out_dir: str, base_dir: str) -> None:
     import pandas as pd
 
@@ -142,9 +158,10 @@ def main() -> int:
     base_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     os.makedirs(out_dir, exist_ok=True)
     gen_orders_lineitem(mult, out_dir, base_dir)
+    gen_events(mult, out_dir, base_dir)
     gen_documents(mult, out_dir, base_dir)
     gen_embeddings(mult, out_dir, base_dir)
-    for t in ("orders", "lineitem", "documents", "embeddings"):
+    for t in ("orders", "lineitem", "events", "documents", "embeddings"):
         n = pq.read_metadata(os.path.join(out_dir, f"{t}.parquet")).num_rows
         print(f"{t}: {n} rows")
     return 0

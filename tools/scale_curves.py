@@ -38,6 +38,11 @@ HEAVIEST = [
     "dedup_shared_spans",
     "sim_ann_ivf",
     "sim_ann_pq",
+    # round-5 additions: the bounded kNN family and the new sketch/audio
+    "label_noise_knn",
+    "knn_graph_probe",
+    "sketch_quantile_sample",
+    "audio_pcm_features",
 ]
 
 SFS = [
