@@ -162,3 +162,111 @@ def test_retrieval_invariants_on_arbitrary_corpora(spark, texts):
     lm = R.bigram_logprob(df).collect()
     assert all(r.avg_logprob <= 0.0 for r in lm)
     assert all(r.n_bigrams >= 1 for r in lm)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=3,
+        max_size=24,
+    )
+)
+def test_knn_self_join_exact_equals_numpy_bruteforce(spark, vecs):
+    """The cell-blocked kNN self-join in exact mode (probe all cells)
+    must reproduce brute-force top-k under (sim DESC, id ASC) for
+    ARBITRARY small corpora — not just the driver embeddings: random
+    vector sets exercise degenerate cells, ties, and tiny groups."""
+    import numpy as np
+
+    from rapids_and_rivers_spark.operators.similarity import knn_self_join
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    k = 3
+    got = {}
+    for r in knn_self_join(
+        df, dim=4, k=k, n_cells=4, nprobe=None, sample_per_cell=8
+    ).collect():
+        got.setdefault(r.t, []).append((r.rk, r.c, r.sim))
+    Q = np.floor(
+        np.array([list(map(float, v)) for v in vecs], dtype=np.float64) * 1000
+    ).astype(np.int64)
+    n2 = (Q * Q).sum(axis=1)
+    # all-zero quantized vectors produce zero norms -> NaN sims; the
+    # operator and reference agree only on well-defined rows
+    ids = np.arange(len(vecs), dtype=np.int64)
+    sims = (Q @ Q.T).astype(np.float64) / np.sqrt(
+        np.outer(n2, n2).astype(np.float64)
+    )
+    import math
+
+    for i in range(len(vecs)):
+        row = sims[i].copy()
+        row[i] = -np.inf
+        order = np.lexsort((ids, -row))
+        expect = [
+            (int(ids[j]), float(row[j]))
+            for j in order[:k]
+            if row[j] > -np.inf and not math.isnan(row[j])
+        ]
+        mine = sorted(got.get(i, []))
+        got_pairs = [(c, s) for _, c, s in mine]
+        # compare only when sims are well-defined (non-NaN)
+        if all(not math.isnan(s) for _, s in expect):
+            assert got_pairs == expect, (i, got_pairs, expect)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # group
+            st.integers(min_value=0, max_value=10**6),  # id
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_quantile_sample_merge_and_determinism(spark, rows):
+    """For arbitrary (group, id, value) rows: the hash-sample sketch is
+    (1) invariant to input partitioning and (2) exactly mergeable —
+    bottom-k of the union == re-truncated union of the halves'
+    bottom-k's."""
+    from rapids_and_rivers_spark.operators import sketch as K
+
+    k = 8
+    df = spark.createDataFrame(list(rows), "g int, id long, v double")
+
+    def sample(d):
+        out = {}
+        for r in K.quantile_sample(d, ["g"], "id", "v", k=k).collect():
+            out[r.g] = (r.n, tuple(r.vals))
+        return out
+
+    whole = sample(df)
+    repart = sample(df.repartition(5))
+    assert whole == repart
+    # mergeability via the hashed pairs
+    hashed = df.select(
+        "g", K.kmv_hash(df["id"].cast("string")).alias("h"), "v"
+    ).collect()
+    byg = {}
+    for r in hashed:
+        byg.setdefault(r.g, []).append((r.h, r.v))
+    half_a = {g: sorted(p for p in ps if p[0] % 2 == 0)[:k] for g, ps in byg.items()}
+    half_b = {g: sorted(p for p in ps if p[0] % 2 == 1)[:k] for g, ps in byg.items()}
+    for g, ps in byg.items():
+        merged = sorted(half_a.get(g, []) + half_b.get(g, []))[:k]
+        assert merged == sorted(ps)[:k]
+        n, vals = whole[g]
+        assert n == len(merged)
+        assert tuple(sorted(v for _, v in merged)) == vals
