@@ -896,6 +896,11 @@ def knn_self_join(
     import pandas as pd
 
     exact = nprobe is None or nprobe >= n_cells
+    # NULL/short-vector guard (the minhash NULL-signature precedent): a
+    # null or wrong-dim embedding would crash the Arrow-batch np.stack
+    # executor-side (and the codebook sample); such rows can be neither
+    # neighbors nor targets
+    df = df.filter(F.col(emb_col).isNotNull() & (F.size(F.col(emb_col)) == dim))
     if codebook is None:
         sampled = (
             df.select(id_col, emb_col)
@@ -915,7 +920,9 @@ def knn_self_join(
     pay_c = [F.col(payload).alias("c_pay")] if payload else []
 
     cand = assign_cells(
-        df.select(F.col(id_col).alias("c"), *pay_c, F.col(emb_col).alias("c_emb")),
+        df.select(
+            F.col(id_col).alias("c"), *pay_c, F.col(emb_col).alias("c_emb")
+        ),
         codebook,
         emb_col="c_emb",
     )

@@ -374,3 +374,20 @@ def test_knn_self_join_partitioning_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_knn_self_join_skips_null_and_wrong_dim_rows(spark):
+    """NULL or wrong-dimension embeddings must be excluded (not crash
+    the Arrow batch): the minhash NULL-signature guard, kNN edition."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, None),
+        (5, [1.0, 2.0]),  # wrong dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.knn_self_join(df, dim=4, k=2, n_cells=2, sample_per_cell=8).collect()
+    ids = {r.t for r in got} | {r.c for r in got}
+    assert 4 not in ids and 5 not in ids
+    assert {1, 2, 3} <= {r.t for r in got}
