@@ -1798,12 +1798,17 @@ def er_index_foreach_batch(
     an epoch rewrites its own directories byte-identically (pinned by
     the idempotency test). At 100 TB the per-epoch cost is
     |new| shingling + |new ⋈ index| candidates + |touched blocks|
-    re-sorts; the historical corpus is never re-read.
+    re-sorts; the record history is Hive-partitioned by block-hash
+    bucket, so the SNM recompute reads only the touched buckets
+    (directory pruning on a <= 256-value literal IN list), never the
+    full history.
     """
     from rapids_and_rivers_spark.operators.dedup import jaccard, shingled
     from rapids_and_rivers_spark.operators.fuzzy import (
         sorted_neighborhood_pairs,
     )
+
+    n_buckets = 256
 
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1812,9 +1817,15 @@ def er_index_foreach_batch(
             F.col(id_col).alias("id"),
             F.col(col).alias("text"),
             F.substring(norm, 1, block_chars).alias("blk"),
+        ).withColumn(
+            "blk_bucket", F.pmod(F.xxhash64("blk"), F.lit(n_buckets))
         ).persist()
-        recs.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "records", f"v{epoch_id}")
+        # records land HIVE-PARTITIONED (epoch=E/blk_bucket=B): the SNM
+        # channel then reads ONLY the touched buckets via directory
+        # pruning — per-epoch cost is |touched buckets|, never the full
+        # record history. Epoch-dir overwrite keeps replay idempotent.
+        recs.write.partitionBy("blk_bucket").mode("overwrite").parquet(
+            os.path.join(index_dir, "records", f"epoch={int(epoch_id)}")
         )
 
         # -- prefix-Jaccard channel -----------------------------------
@@ -1897,7 +1908,14 @@ def er_index_foreach_batch(
 
         # -- sorted-neighborhood channel ------------------------------
         touched = recs.select("blk").distinct()
-        all_recs = read_epoch_table(spark, os.path.join(index_dir, "records"))
+        # bounded-collect: <= n_buckets (256) distinct block-hash bucket
+        # ints by construction — the literal IN list Catalyst needs to
+        # prune partition directories
+        bkt_rows = recs.select("blk_bucket").distinct().collect()
+        buckets = [r.blk_bucket for r in bkt_rows]
+        all_recs = spark.read.parquet(
+            os.path.join(index_dir, "records")
+        ).filter(F.col("blk_bucket").isin(buckets))
         in_touched = all_recs.join(F.broadcast(touched), "blk")
         snm = sorted_neighborhood_pairs(
             in_touched,
