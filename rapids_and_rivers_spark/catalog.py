@@ -6466,8 +6466,9 @@ def source_keywords(spark, sf_dir):
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
     SELECT key, event_ts, value, n_prior,
+           -- + 0 folds IEEE -0.0 to +0.0, matching the Spark path
            CASE WHEN n_prior >= 10 AND var > 0
-                THEN round((value - mean) / sqrt(var), 4) END AS z,
+                THEN round((value - mean) / sqrt(var), 4) + 0 END AS z,
            coalesce(abs(CASE WHEN n_prior >= 10 AND var > 0
                              THEN round((value - mean) / sqrt(var), 4) END) >= 3.0,
                     FALSE) AS is_anomaly

@@ -578,7 +578,9 @@ def zscore_stream(
         var = F.var_pop("value").over(w)
         z = F.when(
             (n_prior >= min_prior) & (var > 0),
-            F.round((F.col("value") - mean) / F.sqrt(var), ndigits),
+            # + 0.0 normalizes IEEE -0.0 (a tiny negative rounded to zero)
+            # to +0.0 so batch, stream, and oracle render identically.
+            F.round((F.col("value") - mean) / F.sqrt(var), ndigits) + F.lit(0.0),
         )
         return src.select(
             "key", "ts", "value",
@@ -599,7 +601,8 @@ def zscore_stream(
             for v in pdf["value"]:
                 var = m2 / n if n > 0 else 0.0
                 if n >= min_prior and var > 0:
-                    z = _round_half_up((v - mean) / math.sqrt(var), ndigits)
+                    # + 0.0 folds -0.0 to +0.0 (duality with the batch path)
+                    z = _round_half_up((v - mean) / math.sqrt(var), ndigits) + 0.0
                     zs.append(z)
                     flags.append(abs(z) >= threshold)
                 else:
