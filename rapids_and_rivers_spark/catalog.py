@@ -8383,6 +8383,88 @@ def bpe_train_merges(spark, sf_dir):
 
 
 @register(
+    "bpe_encode_counts",
+    r"""
+    WITH dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE len(word) BETWEEN 1 AND 12
+    ),
+    words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM dw GROUP BY word
+    ),
+    t0 AS (
+      SELECT word, n, CAST(pos AS INT) AS p,
+             substr(word, CAST(pos + 1 AS INT), 1) AS t
+      FROM (SELECT word, n, unnest(range(length(word))) AS pos FROM words)
+    ),"""
+    + _bpe_round_sql("t0", "pc1", "p1", "m1", "i1", "t1")
+    + ","
+    + _bpe_round_sql("t1", "pc2", "p2", "m2", "i2", "t2")
+    + """,
+    wt AS (SELECT word, CAST(count(*) AS BIGINT) AS word_tokens
+           FROM t2 GROUP BY word)
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(wt.word_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(len(dw.word)) AS BIGINT) AS n_chars,
+           round(sum(len(dw.word)) / CAST(sum(wt.word_tokens) AS DOUBLE), 4)
+             AS compression
+    FROM dw JOIN wt USING (word)
+    GROUP BY dw.doc_id
+    """,
+    doc="BPE ENCODING with the trained tokenizer: per-document token "
+    "counts under the 2 merges bpe_train_merges learns on the same "
+    "corpus (same word filter, so the merge table is identical). The "
+    "scale shape production encoders use: tokenization depends only on "
+    "the word, so merges apply once on the |vocab|-sized token table "
+    "(operators/text.py bpe_char_tokens/bpe_apply_merge), then the "
+    "corpus-sized doc->word rows pick up per-word token counts via one "
+    "equi-join and a doc-keyed agg — the corpus is never re-tokenized "
+    "row by row. Output: words/tokens/chars per doc + chars-per-token "
+    "compression. Docs whose words all fall outside the trained length "
+    "band are absent by contract. Full value oracle: DuckDB unrolls "
+    "both merge rounds with the identical island windows",
+)
+def bpe_encode_counts(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.length("word").between(1, 12))
+    words = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    tokens = T.bpe_char_tokens(words).persist()
+    for _step in (1, 2):
+        # bounded-collect: limit(1) top pair, one scalar row per round
+        top = (
+            T.bpe_pair_counts(tokens)
+            .orderBy(F.desc("cnt"), "x", "y")
+            .limit(1)
+            .collect()[0]
+        )
+        tokens = T.bpe_apply_merge(tokens, top["x"], top["y"]).persist()
+    word_toks = tokens.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("word_tokens")
+    )
+    return (
+        doc_words.join(word_toks, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("word_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "compression",
+            F.round(F.col("n_chars") / F.col("n_tokens"), 4),
+        )
+    )
+
+
+@register(
     "ppr_supplier_recs",
     r"""
     WITH e0 AS (

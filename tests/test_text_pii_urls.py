@@ -159,6 +159,39 @@ def test_bpe_merge_left_to_right_nonoverlapping(spark):
     assert abab == ["ab", "ab"]
 
 
+def test_bpe_encode_counts_invariants(spark):
+    """Encoding with the trained merges: tokens per doc sit between
+    words (every word >= 1 token) and chars (2 merges can only shrink),
+    compression is exactly round(chars/tokens, 4), and the word/char
+    totals re-derive from the same split+filter the query declares."""
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    rows = catalog.bpe_encode_counts(spark, sf).collect()
+    assert rows
+    assert any(r["n_tokens"] < r["n_chars"] for r in rows)  # merges applied
+    from rapids_and_rivers_spark.streaming.duals import _round_half_up
+
+    for r in rows:
+        assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
+        # F.round is HALF_UP; Python round() is banker's (1.03125 -> 1.0312)
+        assert r["compression"] == _round_half_up(r["n_chars"] / r["n_tokens"], 4)
+    docs = catalog.load_table(spark, sf, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.length("word").between(1, 12))
+    base = {
+        r["doc_id"]: (r["w"], r["c"])
+        for r in dw.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("w"), F.sum(F.length("word")).alias("c"))
+        .collect()
+    }
+    assert {r["doc_id"]: (r["n_words"], r["n_chars"]) for r in rows} == base
+
+
 def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     from pyspark.sql import functions as F
 
