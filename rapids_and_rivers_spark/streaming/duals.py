@@ -1152,6 +1152,72 @@ def spans_index_foreach_batch(
     return stage
 
 
+def bpe_encode_foreach_batch(
+    merges: list,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming BPE encoding with a FROZEN trained merge list — the
+    streaming dual of the batch ``bpe_encode_counts`` catalog query,
+    and the production tokenizer shape: train once (``bpe_train_merges``
+    semantics), then encode every arriving document against the fixed
+    merge table.
+
+    Encoding is stateless given the merges, so per micro-batch only the
+    batch's DISTINCT words pay char-explosion + merge cost (vocab-sized,
+    never corpus-sized — operators/text.py bpe_char_tokens /
+    bpe_apply_merge, the same relational island-parity merge the batch
+    query and its DuckDB oracle use), then the batch's doc->word rows
+    pick up per-word token counts via one equi-join and a doc-keyed
+    aggregation. Output rows per doc: n_words / n_tokens / n_chars /
+    chars-per-token compression, identical to the batch query when
+    ``merges`` equals the merges it trains (duality test).
+
+    Per-epoch overwrite writes (``v{E}``) make at-least-once epoch
+    replay idempotent — a replayed epoch rewrites exactly its own
+    directory with byte-identical deterministic rows; read back with
+    :func:`read_epoch_table`. A doc re-arriving in a LATER epoch
+    re-encodes to an identical row (dedup downstream on doc_id if the
+    source is not exactly-once partitioned).
+    """
+    from rapids_and_rivers_spark.operators import text as T
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        doc_words = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word"),
+        ).filter(F.length("word").between(1, 12))
+        words = (
+            doc_words.select("word")
+            .distinct()
+            .withColumn("n", F.lit(1).cast("long"))
+        )
+        tokens = T.bpe_char_tokens(words)
+        for x, y in merges:
+            tokens = T.bpe_apply_merge(tokens, x, y)
+        wt = tokens.groupBy("word").agg(
+            F.count(F.lit(1)).cast("long").alias("word_tokens")
+        )
+        out = (
+            doc_words.join(wt, "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("word_tokens").cast("long").alias("n_tokens"),
+                F.sum(F.length("word")).cast("long").alias("n_chars"),
+            )
+            .withColumn(
+                "compression", F.round(F.col("n_chars") / F.col("n_tokens"), 4)
+            )
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{epoch_id}"))
+
+    return stage
+
+
 def cms_stream(
     df: DataFrame,
     key_col: str,

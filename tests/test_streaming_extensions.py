@@ -2211,3 +2211,58 @@ def test_quantile_sample_stream_matches_batch(spark, tmp_path):
     assert got == expected
     assert got["a"][0] == 16  # truncated to k
     assert got["c"][0] == 1  # small group: exact sample
+
+
+def test_bpe_encode_stream_matches_batch_trained_merges(spark, tmp_path):
+    """Streaming BPE encoding over the REAL sf0.001 documents table:
+    train the 2 merges once on the full corpus (the bpe_train_merges
+    recipe), freeze them, encode the docs in two micro-batches split by
+    doc_id parity — the per-epoch union must equal the batch
+    bpe_encode_counts query doc for doc, and replaying an epoch must
+    leave the read-back unchanged (overwrite idempotency)."""
+    from rapids_and_rivers_spark import catalog
+    from rapids_and_rivers_spark.operators import text as T
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.streaming.duals import (
+        bpe_encode_foreach_batch,
+        read_epoch_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.length("word").between(1, 12))
+    words = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    tokens = T.bpe_char_tokens(words)
+    merges = []
+    for _ in range(2):
+        top = (
+            T.bpe_pair_counts(tokens)
+            .orderBy(F.desc("cnt"), "x", "y")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((top["x"], top["y"]))
+        tokens = T.bpe_apply_merge(tokens, top["x"], top["y"])
+
+    out_dir = str(tmp_path / "enc")
+    stage = bpe_encode_foreach_batch(merges, out_dir)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    stage(even, 0)
+    stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+
+    def as_map(df):
+        return {
+            r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"], r["compression"])
+            for r in df.collect()
+        }
+
+    got = as_map(read_epoch_table(spark, out_dir))
+    expected = as_map(catalog.bpe_encode_counts(spark, sf))
+    assert got == expected
+    assert len(got) > 0
+
+    stage(even, 0)  # at-least-once replay of epoch 0
+    assert as_map(read_epoch_table(spark, out_dir)) == expected
