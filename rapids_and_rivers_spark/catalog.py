@@ -3260,7 +3260,7 @@ def _pq_oracle_sql(
     if not rerank or rerank <= topk:
         parts.append(
             f"""
-    SELECT query_id, neighbor_id, round(adc, 4) AS adc
+    SELECT query_id, neighbor_id, round(adc, 4) AS score
     FROM pairs
     QUALIFY row_number() OVER (PARTITION BY query_id
                                ORDER BY {snap("adc")} DESC, neighbor_id)
@@ -3293,7 +3293,7 @@ def _pq_oracle_sql(
       JOIN embeddings qq ON qq.vec_id = s.query_id
       JOIN cands c ON c.neighbor_id = s.neighbor_id
     )
-    SELECT query_id, neighbor_id, ip FROM (
+    SELECT query_id, neighbor_id, CAST(ip AS DOUBLE) AS score FROM (
       SELECT query_id, neighbor_id, ip,
              row_number() OVER (PARTITION BY query_id
                ORDER BY ip DESC, neighbor_id) AS rn
@@ -8363,14 +8363,21 @@ def bpe_train_merges(spark, sf_dir):
     tokens = T.bpe_char_tokens(words).persist()
     steps = []
     for step in (1, 2):
-        top = (
+        # bounded-collect: limit(1) top pair, one scalar row per round
+        rows = (
             T.bpe_pair_counts(tokens)
             .orderBy(F.desc("cnt"), "x", "y")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            break
+        top = rows[0]
         steps.append((step, f"{top['x']}+{top['y']}", int(top["cnt"])))
+        prev = tokens
         tokens = T.bpe_apply_merge(tokens, top["x"], top["y"]).persist()
+        tokens.count()
+        prev.unpersist()
     vocab = (
         tokens.groupBy("t")
         .agg(F.sum("n").alias("weight"))
@@ -8439,13 +8446,24 @@ def bpe_encode_counts(spark, sf_dir):
     tokens = T.bpe_char_tokens(words).persist()
     for _step in (1, 2):
         # bounded-collect: limit(1) top pair, one scalar row per round
-        top = (
+        rows = (
             T.bpe_pair_counts(tokens)
             .orderBy(F.desc("cnt"), "x", "y")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # the word filter left no adjacent pairs: nothing to merge,
+            # the char tokenization IS the final tokenization
+            break
+        top = rows[0]
+        prev = tokens
         tokens = T.bpe_apply_merge(tokens, top["x"], top["y"]).persist()
+        # materialize the new round before releasing the one it reads,
+        # then drop the superseded cache (ADVICE r5: three generations
+        # of token tables otherwise stay pinned per invocation)
+        tokens.count()
+        prev.unpersist()
     word_toks = tokens.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("word_tokens")
     )

@@ -585,8 +585,13 @@ def pq_topk(
     (catalog._pq_oracle_sql unrolls the identical per-subspace k-means
     and replays every code and lookup).
 
-    Output: (query_id, neighbor_id, adc) — adc is the approximate inner
-    product, rounded.
+    Output: ``(query_id, neighbor_id, score double)`` — the SAME schema
+    in both modes (ADVICE r5: callers toggling ``rerank`` must not see a
+    column/type change). Without rerank, ``score`` is the approximate
+    ADC inner product rounded to ``ndigits``; with rerank it is the
+    exact quantized integer inner product (cast to double — the
+    ``floor(v*rerank_scale)`` products keep it integral and < 2^53, so
+    the cast is lossless and bit-stable).
 
     ``rerank=R`` (R > topk) adds the exact re-ranking stage of
     IVFADC+R (Jégou, Tavenard, Douze & Amsaleg, "Searching in one
@@ -597,8 +602,7 @@ def pq_topk(
     quantized inner product ``sum floor(q_i*s)*floor(c_i*s)`` — an
     integer every engine reproduces bit-for-bit, so the reranked mode
     keeps the full value oracle while recall@topk rises to the ADC's
-    recall@R. Output in this mode: (query_id, neighbor_id, ip) with
-    ``ip`` the exact quantized IP (bigint).
+    recall@R.
     """
     import numpy as np
     import pandas as pd
@@ -657,7 +661,7 @@ def pq_topk(
     ranked = exploded.withColumn("rn", F.row_number().over(w))
     if not rerank or rerank <= topk:
         return ranked.filter(F.col("rn") <= topk).select(
-            query_id, cand_id, F.round("__adc", ndigits).alias("adc")
+            query_id, cand_id, F.round("__adc", ndigits).alias("score")
         )
     # IVFADC+R exact re-rank: broadcast the nq*R shortlist against the
     # candidates (corpus unshuffled), score with the exact quantized
@@ -678,7 +682,7 @@ def pq_topk(
     return (
         paired.withColumn("rn2", F.row_number().over(w2))
         .filter(F.col("rn2") <= topk)
-        .select(query_id, cand_id, "ip")
+        .select(query_id, cand_id, F.col("ip").cast("double").alias("score"))
     )
 
 
@@ -864,6 +868,7 @@ def knn_self_join(
     payload: str | None = None,
     payload_type: str = "long",
     batch_rows: int = 1024,
+    target_salts: int = 8,
 ) -> DataFrame:
     """Distributed k-nearest-neighbor SELF-join with IVF-cell blocking:
     every vector finds its ``k`` most-cosine-similar OTHER vectors
@@ -886,6 +891,21 @@ def knn_self_join(
     IVF trade and raise ``n_cells`` so one cell's candidate block
     (corpus/n_cells rows) fits an executor; skewed cells rebalance via
     AQE like any other keyed cogroup.
+
+    Executor-memory contract (ADVICE r5): a cogrouped applyInPandas
+    materializes each group's BOTH sides as pandas frames before the
+    chunked GEMM runs, so the probe side is additionally salted into
+    ``target_salts`` hash sub-groups per cell (candidates replicate
+    across salts — the standard blocked-matmul replication trade).
+    Per-task memory is therefore
+    ``O(probes_per_cell / target_salts + corpus / n_cells)`` — in exact
+    mode, where every target probes every cell, that is
+    ``O(corpus / target_salts + corpus / n_cells)`` rather than the
+    unsalted ``O(corpus)``. Results are salt-invariant bit-for-bit:
+    each target meets ALL of a cell's candidates exactly once, and the
+    per-group local top-k under the same total order merges identically
+    in the global window (pinned by test). At 100 TB raise
+    ``target_salts`` with the corpus alongside ``n_cells``.
 
     Output: ``(t, c, sim, rk)`` with ``rk`` 1..k per target — plus
     ``t_payload``/``c_payload`` columns when ``payload`` names a column
@@ -1008,9 +1028,16 @@ def knn_self_join(
             )
         return pd.concat(chunks, ignore_index=True)
 
+    salts = max(1, int(target_salts))
+    probes = probes.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("t")), F.lit(salts)).cast("int")
+    )
+    cand = cand.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    ).withColumn("salt", F.col("salt").cast("int"))
     pairs = (
-        probes.groupBy("cell")
-        .cogroup(cand.groupBy("cell"))
+        probes.groupBy("cell", "salt")
+        .cogroup(cand.groupBy("cell", "salt"))
         .applyInPandas(score_cell, schema=pair_schema)
     )
     w = W.partitionBy("t").orderBy(F.col("sim").desc(), F.col("c"))

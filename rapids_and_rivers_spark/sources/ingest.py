@@ -253,41 +253,67 @@ def read_csv_routed(
     PERMISSIVE null-pads SHORT rows (too few fields) without setting the
     corrupt column, so by default they pass through ``good`` as nulls —
     pass ``required`` (column names that must be non-null) to route them
-    (re-serialized via ``to_csv``) to ``bad`` instead.
+    to ``bad`` instead.
 
-    Returns ``(good, bad)``; ``bad`` carries the raw offending line.
-    The split shares one cached scan; the cache is released lazily by
-    Spark's LRU block manager — a caller that materializes both sides
-    eagerly and wants the blocks back now can
-    ``spark.catalog.clearCache()`` or re-read.
+    Returns ``(good, bad)``; ``bad`` carries the raw offending line —
+    BYTE-FAITHFUL for every routed row class (ADVICE r5: the previous
+    native-CSV implementation re-serialized required-null rows via
+    ``to_csv``, so quoting/formatting could drift from the source
+    bytes). The parse is one text scan + ``from_csv`` — the same shape
+    as :func:`read_jsonl` — so the raw line rides next to the parsed
+    struct and the DLQ replay contract holds exactly. CSV is
+    row-oriented, so this costs no pushdown the native reader had:
+    column pruning on CSV only saves parse CPU, never I/O, and
+    ``from_csv`` parses the same declared schema.
     """
-    full_schema = f"{schema}, {CORRUPT_COL} string"
-    df = (
-        spark.read.schema(full_schema)
-        .option("header", str(header).lower())
-        .option("sep", sep)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .csv(path)
-    ).cache()  # one-pass split: Spark requires caching before a
-    #            corrupt-column-only filter on native CSV reads
-    data_cols = [c for c in df.columns if c != CORRUPT_COL]
+    data_fields = [
+        f.strip().split()[0].strip("`") for f in schema.split(",") if f.strip()
+    ]
     null_padded = F.lit(False)
     for c in required or []:
-        if c not in data_cols:
+        if c not in data_fields:
             raise ValueError(f"required column {c!r} not in declared schema")
-        null_padded = null_padded | F.col(c).isNull()
-    good = df.filter(
-        F.col(CORRUPT_COL).isNull() & ~null_padded
-    ).drop(CORRUPT_COL)
-    bad = df.filter(
-        F.col(CORRUPT_COL).isNotNull() | null_padded
-    ).select(
-        F.coalesce(
-            F.col(CORRUPT_COL),
-            F.to_csv(F.struct(*[F.col(c) for c in data_cols])),
-        ).alias(CORRUPT_COL)
+        null_padded = null_padded | F.col(f"__row.{c}").isNull()
+    lines = spark.read.text(path)
+    if header:
+        # drop the first PHYSICAL line of each file: text-source rows
+        # keep file order within a split, splits are indexed in offset
+        # order, and monotonically_increasing_id embeds the partition
+        # index in its high bits — so min id per file IS the header
+        # line. The per-file min is a map-side-combinable aggregate
+        # (one row per file) broadcast back — NO per-file window, which
+        # would shuffle every line of a file to one task.
+        ids = lines.select(
+            "value",
+            F.input_file_name().alias("__f"),
+            F.monotonically_increasing_id().alias("__i"),
+        )
+        headers = ids.groupBy("__f").agg(F.min("__i").alias("__h"))
+        lines = (
+            ids.join(F.broadcast(headers), "__f")
+            .filter(F.col("__i") > F.col("__h"))
+            .select("value")
+        )
+    full_schema = f"{schema}, {CORRUPT_COL} string"
+    parsed = lines.select(
+        F.col("value"),
+        F.from_csv(
+            "value",
+            full_schema,
+            {
+                "sep": sep,
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": CORRUPT_COL,
+            },
+        ).alias("__row"),
     )
+    is_bad = (
+        F.col("__row").isNull()
+        | F.col(f"__row.{CORRUPT_COL}").isNotNull()
+        | null_padded
+    )
+    good = parsed.filter(~is_bad).select("__row.*").drop(CORRUPT_COL)
+    bad = parsed.filter(is_bad).select(F.col("value").alias(CORRUPT_COL))
     return good, bad
 
 

@@ -376,6 +376,23 @@ def test_knn_self_join_partitioning_invariant(spark):
     assert a == b
 
 
+def test_knn_self_join_salt_invariant(spark):
+    """Target salting (the ADVICE-r5 executor-memory bound) must not
+    change a single pair: every target meets all of a cell's candidates
+    exactly once at any salt count, so top-k is salt-invariant."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    outs = [
+        sorted(
+            (r.t, r.rk, r.c, round(r.sim, 9))
+            for r in S.knn_self_join(
+                emb, dim=64, k=5, target_salts=s
+            ).collect()
+        )
+        for s in (1, 3, 8)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_knn_self_join_skips_null_and_wrong_dim_rows(spark):
     """NULL or wrong-dimension embeddings must be excluded (not crash
     the Arrow batch): the minhash NULL-signature guard, kNN edition."""

@@ -160,9 +160,48 @@ def test_csv_routed_splits_good_and_bad(spark, tmp_path):
     assert "notanumber" in bad.collect()[0][0]
 
 
+def test_csv_routed_dlq_is_byte_faithful(spark, tmp_path):
+    """Every routed row class lands in bad with its RAW source bytes
+    (ADVICE r5): leading zeros, odd quoting, and trailing separators
+    must survive exactly — no to_csv re-serialization drift."""
+    from rapids_and_rivers_spark.sources.ingest import read_csv_routed
+
+    p = tmp_path / "in.csv"
+    # "03,"      -> short/required-null row, leading zero + trailing sep
+    # '" 7 ",x'  -> malformed number, quoted padded field
+    p.write_text('id,score\n1,2.5\n03,\n" 7 ",x\n')
+    good, bad = read_csv_routed(
+        spark, str(p), "id int, score double", header=True,
+        required=["id", "score"],
+    )
+    assert [(r["id"], r["score"]) for r in good.collect()] == [(1, 2.5)]
+    assert sorted(r[0] for r in bad.collect()) == ['" 7 ",x', "03,"]
+
+
+def test_csv_routed_multifile_header_drop(spark, tmp_path):
+    """Header skipping is per FILE (min physical line of each), not
+    per directory — a multi-file ingest drops exactly one header per
+    part and no data lines."""
+    from rapids_and_rivers_spark.sources.ingest import read_csv_routed
+
+    d = tmp_path / "csvdir"
+    d.mkdir()
+    (d / "a.csv").write_text("id,score\n1,1.0\n2,2.0\n")
+    (d / "b.csv").write_text("id,score\n3,3.0\n")
+    good, bad = read_csv_routed(
+        spark, str(d), "id int, score double", header=True
+    )
+    assert sorted((r["id"], r["score"]) for r in good.collect()) == [
+        (1, 1.0),
+        (2, 2.0),
+        (3, 3.0),
+    ]
+    assert bad.count() == 0
+
+
 def test_csv_routed_required_routes_short_rows(spark, tmp_path):
     """PERMISSIVE null-pads short rows without marking them corrupt;
-    with ``required`` those rows are ROUTED to bad (re-serialized), not
+    with ``required`` those rows are ROUTED to bad (raw bytes), not
     silently passed through as nulls."""
     from rapids_and_rivers_spark.sources.ingest import read_csv_routed
 
