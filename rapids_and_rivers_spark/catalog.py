@@ -3577,23 +3577,51 @@ def _lsh_label_bucket_sql(emb_expr: str, dim=64, n_planes=4, seed=7) -> str:
     return " + ".join(bits)
 
 
-def _neardup_blocked(emb):
-    """Spark side of the composed blocking key: `label:bucket` with the
-    SAME deterministic planes as :func:`_lsh_label_bucket_sql` — block
-    sizes stay bounded as the corpus grows (see SCALING.md)."""
-    from rapids_and_rivers_spark.operators.similarity import (
-        as_double_array,
-        lsh_bucket,
+def _lsh_band_or_sql(
+    a: str = "a", b: str = "b", emb: str = "embedding",
+    dim=64, n_planes=4, n_bands=8, seed=7,
+) -> str:
+    """SQL twin of the multi-band OR candidate predicate: collide in ANY
+    of the ``n_bands`` independent bucket sets (band i seeded
+    ``seed + i`` — dedup.banded_blocks). Each band's bucket is the
+    :func:`_lsh_label_bucket_sql` construction with its own planes."""
+    return "(" + " OR ".join(
+        f"{a}.bb{i} = {b}.bb{i}" for i in range(n_bands)
+    ) + ")"
+
+
+def _lsh_band_cols_sql(
+    emb_expr: str, dim=64, n_planes=4, n_bands=8, seed=7
+) -> str:
+    """The per-band bucket SELECT columns (``bb0..bb{B-1}``) for the
+    multi-band oracle CTE."""
+    return ", ".join(
+        f"{_lsh_label_bucket_sql(emb_expr, dim, n_planes, seed + i)} AS bb{i}"
+        for i in range(n_bands)
     )
+
+
+def _neardup_blocked(emb):
+    """Spark side of the near-dup blocking: the MULTI-BAND OR key set
+    (dedup.banded_blocks — label x 8 independent 4-plane sign-LSH
+    buckets, ADVICE r5). A single AND-composed band kept blocks small
+    but silently dropped most qualifying pairs (survival ~0.16 at
+    cos 0.4); 8 bands OR'd recover 0.75 at the 0.4 threshold, 0.98 at
+    0.8, ~1.0 above 0.9 (recall floor pinned in
+    tests/test_operators.py) while each band's block sizes stay the
+    bounded label x 2^4 shape (see SCALING.md)."""
+    from rapids_and_rivers_spark.operators.dedup import banded_blocks
+    from rapids_and_rivers_spark.operators.similarity import as_double_array
 
     return emb.withColumn(
         "blk",
-        F.concat(
-            F.col("label").cast("string"),
-            F.lit(":"),
-            lsh_bucket(
-                as_double_array(F.col("embedding")), 64, n_planes=4, seed=7
-            ).cast("string"),
+        banded_blocks(
+            as_double_array(F.col("embedding")),
+            F.col("label"),
+            64,
+            n_planes=4,
+            n_bands=8,
+            seed=7,
         ),
     )
 
@@ -3603,7 +3631,7 @@ def _neardup_blocked(emb):
     """
     WITH bkt AS (
       SELECT vec_id, label, embedding,
-             {BKT} AS bucket
+             {BANDS}
       FROM embeddings
     )
     SELECT a.vec_id AS id_a,
@@ -3611,11 +3639,12 @@ def _neardup_blocked(emb):
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 4) AS cos
     FROM bkt a
-    JOIN bkt b ON a.label = b.label AND a.bucket = b.bucket
+    JOIN bkt b ON a.label = b.label AND {ORPRED}
       AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
-    """.replace("{BKT}", _lsh_label_bucket_sql("embedding")),
+    """.replace("{BANDS}", _lsh_band_cols_sql("embedding"))
+    .replace("{ORPRED}", _lsh_band_or_sql()),
     doc="embedding-cosine near-duplicate pairs with label blocking "
     "(blocking bounds the pair space at scale)",
 )
@@ -3631,13 +3660,13 @@ def embedding_neardup(spark, sf_dir):
     """
     WITH bkt AS (
       SELECT vec_id, label, embedding,
-             {BKT} AS bucket
+             {BANDS}
       FROM embeddings
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bkt a
-      JOIN bkt b ON a.label = b.label AND a.bucket = b.bucket
+      JOIN bkt b ON a.label = b.label AND {ORPRED}
         AND a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
@@ -3658,7 +3687,8 @@ def embedding_neardup(spark, sf_dir):
     SELECT a AS node, least(a, min(b)) AS cluster
     FROM reach
     GROUP BY a
-    """.replace("{BKT}", _lsh_label_bucket_sql("embedding")),
+    """.replace("{BANDS}", _lsh_band_cols_sql("embedding"))
+    .replace("{ORPRED}", _lsh_band_or_sql()),
     doc="near-dup pairs -> duplicate CLUSTERS: connected components via "
     "iterative min-label propagation; cluster id = canonical keeper "
     "(oracle: transitive closure by recursive CTE)",
@@ -3676,13 +3706,13 @@ def dedup_clusters(spark, sf_dir):
     """
     WITH bkt AS (
       SELECT vec_id, label, embedding,
-             {BKT} AS bucket
+             {BANDS}
       FROM embeddings
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bkt a
-      JOIN bkt b ON a.label = b.label AND a.bucket = b.bucket
+      JOIN bkt b ON a.label = b.label AND {ORPRED}
         AND a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
@@ -3707,7 +3737,8 @@ def dedup_clusters(spark, sf_dir):
            coalesce(c.cluster, e.vec_id) AS rep_id,
            coalesce(c.cluster, e.vec_id) = e.vec_id AS is_kept
     FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
-    """.replace("{BKT}", _lsh_label_bucket_sql("embedding")),
+    """.replace("{BANDS}", _lsh_band_cols_sql("embedding"))
+    .replace("{ORPRED}", _lsh_band_or_sql()),
     doc="SemDeDup (Abbas et al. 2023): blocked embedding-cosine near-dup "
     "pairs -> large-star/small-star components -> every document mapped "
     "to its cluster representative (min id) with an is_kept flag — the "
@@ -3872,13 +3903,13 @@ def kmv_daily_distinct(spark, sf_dir):
     """
     WITH bkt AS (
       SELECT vec_id, label, embedding,
-             {BKT} AS bucket
+             {BANDS}
       FROM embeddings
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bkt a
-      JOIN bkt b ON a.label = b.label AND a.bucket = b.bucket
+      JOIN bkt b ON a.label = b.label AND {ORPRED}
         AND a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
@@ -3906,7 +3937,8 @@ def kmv_daily_distinct(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_clusters,
            CAST(sum(sz) AS BIGINT) AS n_docs
     FROM sizes GROUP BY sz
-    """.replace("{BKT}", _lsh_label_bucket_sql("embedding")),
+    """.replace("{BANDS}", _lsh_band_cols_sql("embedding"))
+    .replace("{ORPRED}", _lsh_band_or_sql()),
     doc="duplicate-cluster SIZE distribution — the corpus-health report a "
     "dedup pass ends with (how much is duplicated, and in what shape: "
     "many pairs vs few giant templates). Two keyed aggs over the "

@@ -194,6 +194,74 @@ def test_embedding_neardup_threshold(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
 
 
+def test_banded_blocks_recall_floor(spark):
+    """Multi-band OR blocking (ADVICE r5) must recover most qualifying
+    near-dup pairs: vs the exhaustive within-label truth at threshold
+    0.4 on the sf0.001 embeddings (whose qualifying pairs all sit near
+    cos 0.4 — the WORST regime: theory gives 1-(1-p^4)^8 = 0.75 there),
+    measured recall is 0.80. The old single AND-composed band surviving
+    w.p. ~0.16 would fail this floor decisively. Deterministic data +
+    deterministic planes, so the pin is tight."""
+    from conftest import sf_dir
+
+    from rapids_and_rivers_spark.operators.similarity import as_double_array
+    from rapids_and_rivers_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir(), "embeddings")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_pairs(
+            emb, block_col="label", threshold=0.4
+        ).collect()
+    }
+    banded = emb.withColumn(
+        "blk",
+        D.banded_blocks(
+            as_double_array(F.col("embedding")), F.col("label"), 64,
+            n_planes=4, n_bands=8, seed=7,
+        ),
+    )
+    found = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_pairs(
+            banded, block_col="blk", threshold=0.4
+        ).collect()
+    }
+    assert truth, "fixture drift: no qualifying pairs at threshold 0.4"
+    assert found <= truth  # blocking can only MISS pairs, never invent
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.75, f"banded recall collapsed: {recall:.3f}"
+
+
+def test_banded_pairs_match_scalar_blocking_semantics(spark):
+    """The array-block postings path must compute the same cosines as
+    the scalar path restricted to colliding pairs: every banded pair is
+    a label pair with an identical rounded cosine."""
+    from conftest import sf_dir
+
+    from rapids_and_rivers_spark.operators.similarity import as_double_array
+    from rapids_and_rivers_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir(), "embeddings")
+    by_label = {
+        (r.id_a, r.id_b): r.cos
+        for r in D.embedding_neardup_pairs(
+            emb, block_col="label", threshold=0.4
+        ).collect()
+    }
+    banded = emb.withColumn(
+        "blk",
+        D.banded_blocks(
+            as_double_array(F.col("embedding")), F.col("label"), 64,
+            n_planes=4, n_bands=8, seed=7,
+        ),
+    )
+    for r in D.embedding_neardup_pairs(
+        banded, block_col="blk", threshold=0.4
+    ).collect():
+        assert by_label[(r.id_a, r.id_b)] == r.cos
+
+
 def test_ivf_topk_finds_self_cell_neighbors(spark):
     """IVF ANN: identical vectors land in the same cell and rank first."""
     from rapids_and_rivers_spark.operators import similarity as S
