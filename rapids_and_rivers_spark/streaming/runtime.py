@@ -226,6 +226,18 @@ class StreamingRapid(AbstractRapid):
         self.packet_timer = None
         self.span_hook = None
 
+    def use_rocksdb_state(self, max_memory_mb: int | None = None) -> "StreamingRapid":
+        """Pin this rapid's stateful operators to the RocksDB state
+        store (streaming/state.py — the default under
+        :func:`~rapids_and_rivers_spark.session.build_session`; call
+        this when the session was built elsewhere). Executor state
+        memory becomes a configured constant instead of O(keys);
+        ``max_memory_mb`` sizes the shared RocksDB budget."""
+        from rapids_and_rivers_spark.streaming.state import enable_rocksdb_state
+
+        enable_rocksdb_state(self.spark, max_memory_mb=max_memory_mb)
+        return self
+
     def set_span_hook(self, fn) -> "StreamingRapid":
         """Install the per-listener tracing hook (River.kt:74-76 analog):
         ``fn(river_name, listener_label, duration_seconds)`` fires on the

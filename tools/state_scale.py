@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""State-cardinality scale curve: executor state memory + throughput of
+a keyed stateful dual vs number of distinct keys, heap-backed
+(HDFSBackedStateStoreProvider) vs RocksDB.
+
+The round-5 verdict's remaining scale defect: the keyed stateful duals
+hold per-key state in executor memory under the default provider —
+invisible at sf0.1, an OOM at 100 TB key cardinalities. This tool turns
+that claim into a measurement (the SCALING.md methodology): for key
+counts K in a sweep, run `first_seen_stream` (state = one boolean per
+key — the purest "state rows = keys" operator) over K-key synthetic
+input under each provider and record
+
+  - wall seconds + rows/s (availableNow drain),
+  - the operator's reported state memory (stateOperators[0]
+    .memoryUsedBytes — the JVM-object estimate under the heap provider,
+    RocksDB's in-RAM usage under RocksDB) plus, for RocksDB,
+    customMetrics.rocksdbSstFileSize (local DISK — the part that
+    scales with K instead of executor RAM) and
+    rocksdbPinnedBlocksMemoryUsage.
+
+Expected shape (and what round 6 measured — SCALING.md): heap state
+memory grows LINEARLY with K; RocksDB in-RAM usage stays ~flat under
+the configured budget while SST bytes absorb the growth — i.e. key
+cardinality prices as local disk, not executor heap. Throughput stays
+within a small constant across providers (the stateful path is
+Arrow/Python-bound, not store-bound).
+
+Usage: python tools/state_scale.py OUT.json [K ...]   (default sweep
+100_000 1_000_000 4_000_000)
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from rapids_and_rivers_spark import build_session  # noqa: E402
+from rapids_and_rivers_spark.streaming.duals import first_seen_stream  # noqa: E402
+from rapids_and_rivers_spark.streaming.state import (  # noqa: E402
+    enable_hdfs_state,
+    enable_rocksdb_state,
+)
+
+
+def gen_input(spark, base: str, n_keys: int) -> str:
+    """K distinct keys, 2 rows per key (forces a state lookup + an
+    update path per key), written once as parquet."""
+    path = os.path.join(base, f"in_{n_keys}")
+    if not os.path.exists(path):
+        (
+            spark.range(2 * n_keys)
+            .select(
+                F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string")).alias(
+                    "fp"
+                ),
+                F.col("id").alias("doc_id"),
+                F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias(
+                    "ts"
+                ),
+            )
+            .repartition(32)
+            .write.parquet(path)
+        )
+    return path
+
+
+def run_arm(spark, in_path: str, provider: str, work: str) -> dict:
+    if provider == "rocksdb":
+        enable_rocksdb_state(spark)
+    else:
+        enable_hdfs_state(spark)
+    ckpt = os.path.join(work, f"ck_{provider}_{os.path.basename(in_path)}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    src = (
+        spark.readStream.schema("fp string, doc_id long, ts timestamp")
+        .parquet(in_path)
+    )
+    out = first_seen_stream(src, "fp", "ts")
+    t0 = time.time()
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    prog = q.lastProgress
+    op = (prog or {}).get("stateOperators", [{}])[0]
+    custom = op.get("customMetrics", {})
+    rows_in = 2 * int(op.get("numRowsTotal", 0) or 0)
+    res = {
+        "provider": provider,
+        "wall_sec": round(wall, 2),
+        "state_rows": int(op.get("numRowsTotal", 0) or 0),
+        "rows_per_sec": round(rows_in / wall) if wall else None,
+        "state_mem_bytes": int(op.get("memoryUsedBytes", 0) or 0),
+    }
+    if provider == "rocksdb":
+        res["rocksdb_sst_bytes"] = int(custom.get("rocksdbSstFileSize", 0) or 0)
+        res["rocksdb_pinned_bytes"] = int(
+            custom.get("rocksdbPinnedBlocksMemoryUsage", 0) or 0
+        )
+    return res
+
+
+def main():
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "STATE_SCALE.json"
+    keys = [int(k) for k in sys.argv[2:]] or [100_000, 1_000_000, 4_000_000]
+    work = tempfile.mkdtemp(prefix="state_scale_")
+    spark = build_session("state_scale")
+    results = []
+    for n in keys:
+        in_path = gen_input(spark, work, n)
+        for provider in ("hdfs", "rocksdb"):
+            r = {"n_keys": n, **run_arm(spark, in_path, provider, work)}
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    with open(out_json, "w") as f:
+        json.dump(
+            {
+                "operator": "first_seen_stream",
+                "rows_per_key": 2,
+                "rocksdb_budget_mb": 512,
+                "results": results,
+            },
+            f,
+            indent=1,
+        )
+    print(f"wrote {out_json}")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
