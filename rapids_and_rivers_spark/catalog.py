@@ -8868,7 +8868,10 @@ def psi_value_drift(spark, sf_dir):
     "cells) makes the blocked path EXACT — bit-identical to brute "
     "force, which is what keeps the full value oracle; at 100 TB drop "
     "nprobe and raise n_cells for the classic IVF trade with the same "
-    "scoring tail. Full value oracle",
+    "scoring tail — MEASURED, not prose: the probed tier recovers "
+    ">=0.93 of exact-mode suspects at (8,4)/(16,4)/(8,2)/(32,8) on "
+    "sf0.001 AND sf0.01, floors 0.90 recall / 0.85 set-jaccard pinned "
+    "in tests/test_ann_recall.py. Full value oracle",
 )
 def label_noise_knn(spark, sf_dir):
     from rapids_and_rivers_spark.operators.similarity import knn_self_join

@@ -376,6 +376,45 @@ def test_knn_self_join_partitioning_invariant(spark):
     assert a == b
 
 
+def test_label_noise_probe_mode_suspect_recall(spark):
+    """The documented at-scale configuration of label_noise_knn (drop
+    nprobe below n_cells — catalog.py) needs EVIDENCE, not prose
+    (VERDICT r5 task 2): at two (n_cells, nprobe) settings, the probed
+    sublinear tier must recover >= 0.90 of the exact tier's mislabel
+    suspects, with suspect-set Jaccard >= 0.85 so the gate cannot be
+    passed by flagging everything. Measured on the sf0.001 embeddings:
+    (8,4) recall 0.965, (16,4) recall 0.974 (0.93-0.95 at sf0.01 —
+    same construction, 5x the vectors). Deterministic data + codebooks,
+    so the floors are tight."""
+
+    def suspects(emb, n_cells, nprobe):
+        pairs = S.knn_self_join(
+            emb, dim=64, k=5, n_cells=n_cells, nprobe=nprobe, payload="label"
+        )
+        dis = pairs.groupBy("t").agg(
+            F.avg(
+                F.when(F.col("c_pay") != F.col("t_pay"), 1.0).otherwise(0.0)
+            ).alias("dis")
+        )
+        return {r.t for r in dis.filter(F.col("dis") >= 0.8).collect()}
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label"), "embedding"
+    )
+    exact = suspects(emb, 8, None)
+    assert exact, "fixture drift: exact tier found no suspects"
+    for n_cells, nprobe in ((8, 4), (16, 4)):
+        probed = suspects(emb, n_cells, nprobe)
+        recall = len(probed & exact) / len(exact)
+        jacc = len(probed & exact) / len(probed | exact)
+        assert recall >= 0.90, (
+            f"probe ({n_cells},{nprobe}) suspect recall {recall:.3f}"
+        )
+        assert jacc >= 0.85, (
+            f"probe ({n_cells},{nprobe}) suspect jaccard {jacc:.3f}"
+        )
+
+
 def test_knn_self_join_salt_invariant(spark):
     """Target salting (the ADVICE-r5 executor-memory bound) must not
     change a single pair: every target meets all of a cell's candidates
