@@ -7858,24 +7858,11 @@ def graph_kcore(spark, sf_dir):
     e = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    k = 3
-    for _ in range(3):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        alive = deg.filter(F.col("deg") >= k).select("src")
-        # each round references the previous round's edges THREE times
-        # (degree agg + two semi-filters) — persist per round or the
-        # lineage recompute compounds 3^rounds (measured 34 s -> ~5 s)
-        e = (
-            e.join(alive, "src")
-            .join(alive.select(F.col("src").alias("dst")), "dst")
-            .select("src", "dst")
-            .persist()
-        )
-    survivors = (
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).filter(F.col("deg") >= k)
-    )
+    from rapids_and_rivers_spark.operators import graph as G
+
+    survivors = G.kcore_peel(e, k=3, rounds=3)
     return (
-        survivors.groupBy(F.substring("src", 1, 1).alias("node_type"))
+        survivors.groupBy(F.substring("node", 1, 1).alias("node_type"))
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.min("deg").alias("min_deg"),

@@ -210,12 +210,58 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     )
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983; the fixed-iteration
+    form of Batagelj-Zaversnik): each round drops nodes of induced
+    degree < k and recomputes degrees on the induced subgraph — one
+    degree agg + two node-keyed semi-join filters per round, the plan
+    an iterative graph system runs per superstep. ``edges`` must carry
+    BOTH orientations of an undirected graph (the graph_kcore catalog
+    query's construction).
+
+    Why fixed rounds (not to-fixpoint): one lazy plan, deterministic
+    shape, oracle-unrollable — the pagerank/label_propagation rule.
+    Core membership CASCADES (removing one node can strip a distant
+    chain), which is also why the streaming dual recomputes the peel
+    over the accumulated graph per epoch instead of patching locally —
+    see ``kcore_foreach_batch``.
+
+    Output: ``(node, deg)`` survivors with final induced degree >= k.
+    Each round references the previous round's edges three times, so
+    every round persists — lineage recompute otherwise compounds
+    3^rounds (measured 34 s -> ~5 s on the catalog query).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("src")
+        e = (
+            e.join(alive, "src")
+            .join(alive.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .persist()
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select(F.col("src").alias("node"), "deg")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     iters: int = 2,
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Synchronous weighted label propagation (Raghavan, Albert & Kumara
     2007) with DETERMINISTIC tie-breaks: every node starts as its own
@@ -235,6 +281,14 @@ def label_propagation(
     (node, label)-keyed agg + one per-node rank window — all partitioned
     on node keys. Pass both orientations for undirected graphs.
 
+    ``init_labels`` (node, label) WARM-STARTS the propagation — the
+    incremental mode mirroring :func:`pagerank`'s ``init_ranks``: nodes
+    absent from the snapshot (new arrivals) start as their own label.
+    Every round is a deterministic function of (labels, edges), so the
+    same composition law holds exactly: warm(j) after cold(i) equals
+    cold(i+j) on a static graph — pinned by test, and what makes the
+    streaming dual's epoch math exact.
+
     Output: (node, label) after ``iters`` rounds.
     """
     both = edges.select(
@@ -242,11 +296,13 @@ def label_propagation(
         F.col(dst).alias("dst"),
         F.col(weight).cast("double").alias("w"),
     ).persist()
-    labels = (
-        both.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
+    nodes = both.select(F.col("src").alias("node")).distinct()
+    if init_labels is not None:
+        labels = nodes.join(
+            init_labels.select("node", "label"), "node", "left"
+        ).select("node", F.coalesce("label", "node").alias("label"))
+    else:
+        labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iters):
         nb = (
             both.join(labels, both["src"] == labels["node"])

@@ -2176,3 +2176,288 @@ def quantile_sample_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming graph duals: label propagation, triangles, k-core -------------
+
+
+def label_prop_foreach_batch(
+    state_dir: str,
+    iters_per_epoch: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+):
+    """Streaming label propagation: the warm-start dual of
+    ``graph.label_propagation``, shaped exactly like
+    :func:`pagerank_foreach_batch` (VERDICT r5 task 4 — LPA
+    "warm-starts like PageRank").
+
+    Per micro-batch of NEW edges: the edge table accumulates
+    epoch-versioned, then ``iters_per_epoch`` synchronous LPA rounds run
+    warm-started from the previous epoch's label snapshot
+    (``init_labels`` — new nodes enter as their own label), writing an
+    epoch-versioned snapshot. Every LPA round is a deterministic
+    function of (labels, edges), so warm(j) after cold(i) equals
+    cold(i+j) on a static graph — once the edge set stops changing, the
+    epoch-E snapshot equals a cold ``(E+1) * iters_per_epoch``-round
+    batch run (pinned by test, same law as the PageRank dual).
+
+    Replay safety: merge base is the latest snapshot STRICTLY below the
+    current epoch (``_latest_version(before_epoch)``), so an
+    at-least-once replay of epoch E re-derives v{E} from v{E-1} and
+    overwrites it byte-identically.
+    """
+    from rapids_and_rivers_spark.operators.graph import label_propagation
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("weight"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "edges", f"v{epoch_id}")
+        )
+        # label_propagation persists its edge plan; drop any stale
+        # CacheManager entry over the growing dir first (the
+        # pagerank_foreach_batch lesson)
+        spark.catalog.refreshByPath(os.path.join(state_dir, "edges"))
+        edges = read_epoch_table(spark, os.path.join(state_dir, "edges"))
+        prev = _latest_version(state_dir, "labels", before_epoch=epoch_id)
+        init = spark.read.parquet(prev) if prev else None
+        labels = label_propagation(
+            edges, iters=iters_per_epoch, init_labels=init
+        )
+        labels.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "labels", f"v{epoch_id}")
+        )
+
+    return stage
+
+
+def read_latest_labels(spark, state_dir: str) -> DataFrame:
+    """The newest (node, label) snapshot written by
+    :func:`label_prop_foreach_batch`."""
+    p = _latest_version(state_dir, "labels")
+    if p is None:
+        raise FileNotFoundError(f"no label snapshots under {state_dir}/labels")
+    return spark.read.parquet(p)
+
+
+def triangles_foreach_batch(
+    state_dir: str,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 64,
+):
+    """Streaming per-node triangle counting: PURE DELTA maintenance with
+    touched-bucket adjacency pruning (the er_index_foreach_batch
+    pattern applied to ``graph.triangles``).
+
+    Invariant: a triangle closed by a new edge (a, b) consists of the
+    new edge plus a common neighbor w of a and b — so every triangle an
+    epoch creates touches an endpoint of a delta edge, and the epoch
+    only needs adjacency rows INCIDENT TO delta endpoints. The
+    adjacency store is Hive-partitioned by ``ubkt = pmod(xxhash64(u),
+    n_buckets)``; both the neighbor expansion (u = a) and the closure
+    probe (u = b, v = w) key on a delta endpoint, so both reads prune
+    to the touched buckets via a <= ``n_buckets``-value IN list —
+    per-epoch cost is O(delta x incident adjacency), never the
+    accumulated graph.
+
+    Multi-new-edge triangles (2 or 3 edges arriving in one epoch) are
+    handled by canonicalizing each found triangle to its sorted node
+    triple and de-duplicating — every triangle counts ONCE no matter
+    how many of its edges are new. Degrees are maintained by the same
+    delta aggregation. Snapshots ``counts/v{E}`` = previous snapshot
+    (outer) + delta; replay of epoch E recomputes its delta against
+    strictly-earlier edges and overwrites v{E} idempotently.
+
+    Once drained, ``read_latest_tricounts`` equals batch
+    ``graph.triangles`` over the union of all epochs (pinned by test).
+    """
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epath = os.path.join(state_dir, "edges")
+        apath = os.path.join(state_dir, "adj")
+        canon = (
+            batch_df.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        canon.withColumn(
+            "abkt", F.pmod(F.xxhash64("a"), F.lit(n_buckets))
+        ).write.partitionBy("abkt").mode("overwrite").parquet(
+            os.path.join(epath, f"epoch={int(epoch_id)}")
+        )
+        spark.catalog.refreshByPath(epath)
+        all_canon = spark.read.parquet(epath)
+        # delta = this epoch's canonical edges minus STRICTLY earlier
+        # ones (replay-stable: a re-run of epoch E sees the same
+        # earlier set). The anti-join's earlier side prunes to the
+        # delta edges' a-buckets.
+        new_abkts = [
+            r.abkt
+            for r in canon.select(
+                F.pmod(F.xxhash64("a"), F.lit(n_buckets)).alias("abkt")
+            )
+            .distinct()
+            .collect()  # bounded-collect: <= n_buckets ints by construction
+        ]
+        earlier = all_canon.filter(
+            (F.col("epoch") < int(epoch_id)) & F.col("abkt").isin(new_abkts)
+        ).select("a", "b")
+        delta = canon.join(earlier, ["a", "b"], "left_anti").persist()
+        # adjacency rows for BOTH orientations, bucket-partitioned by u;
+        # written before the join so same-epoch (new-new) triangles
+        # resolve too
+        adj_new = delta.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(delta.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        adj_new.withColumn(
+            "ubkt", F.pmod(F.xxhash64("u"), F.lit(n_buckets))
+        ).write.partitionBy("ubkt").mode("overwrite").parquet(
+            os.path.join(apath, f"epoch={int(epoch_id)}")
+        )
+        spark.catalog.refreshByPath(apath)
+        touched = [
+            r.ubkt
+            for r in adj_new.select(
+                F.pmod(F.xxhash64("u"), F.lit(n_buckets)).alias("ubkt")
+            )
+            .distinct()
+            .collect()  # bounded-collect: <= n_buckets ints by construction
+        ]
+        adj = (
+            spark.read.parquet(apath)
+            .filter(F.col("ubkt").isin(touched))
+            .select("u", "v")
+        )
+        # w in N(a): neighbor expansion keyed on a delta endpoint
+        cand = (
+            delta.join(adj.alias("na"), delta["a"] == F.col("na.u"))
+            .select("a", "b", F.col("na.v").alias("w"))
+            .filter(F.col("w") != F.col("b"))
+        )
+        # closure (b, w) in E: probe keyed on the other delta endpoint
+        closed = cand.join(
+            adj.select(F.col("u").alias("b"), F.col("v").alias("w")),
+            ["b", "w"],
+        )
+        # one row per triangle regardless of how many edges are new
+        tris = closed.select(
+            F.array_sort(F.array("a", "b", "w")).alias("t")
+        ).dropDuplicates(["t"])
+        d_tri = (
+            tris.select(F.explode("t").alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d_tri"))
+        )
+        d_deg = (
+            delta.select(F.col("a").alias("node"))
+            .unionByName(delta.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d_deg"))
+        )
+        prev = _latest_version(state_dir, "counts", before_epoch=epoch_id)
+        if prev:
+            base = spark.read.parquet(prev)
+        else:
+            # node type inherited from the data, not hardcoded
+            base = d_deg.select(
+                "node", F.lit(0).alias("deg"), F.lit(0).alias("tri")
+            ).limit(0)
+        merged = (
+            base.join(d_deg, "node", "full_outer")
+            .join(d_tri, "node", "full_outer")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("deg"), F.lit(0))
+                    + F.coalesce(F.col("d_deg"), F.lit(0))
+                ).cast("long").alias("deg"),
+                (
+                    F.coalesce(F.col("tri"), F.lit(0))
+                    + F.coalesce(F.col("d_tri"), F.lit(0))
+                ).cast("long").alias("tri"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "counts", f"v{epoch_id}")
+        )
+        delta.unpersist()
+
+    return stage
+
+
+def read_latest_tricounts(spark, state_dir: str) -> DataFrame:
+    """The newest (node, deg, tri) snapshot written by
+    :func:`triangles_foreach_batch`."""
+    p = _latest_version(state_dir, "counts")
+    if p is None:
+        raise FileNotFoundError(f"no count snapshots under {state_dir}/counts")
+    return spark.read.parquet(p)
+
+
+def kcore_foreach_batch(
+    state_dir: str,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+):
+    """Streaming k-core: per-epoch RECOMPUTE of the fixed-round peel
+    (``graph.kcore_peel``) over the accumulated edge set.
+
+    Why recompute instead of a local patch: core membership CASCADES —
+    one new edge can pull a node over the degree-k threshold, whose
+    survival keeps a neighbor alive, and so on down an arbitrarily long
+    chain (a path graph joined into a cycle flips EVERY node's 2-core
+    membership at once; pinned by test). Any "touched-neighborhood"
+    patch is therefore unboundedly wrong; the honest incremental unit
+    is the peel itself, whose per-epoch cost is ``rounds`` degree-agg +
+    semi-join passes over the accumulated edges — the same
+    k-rounds-per-epoch bound the daily-PageRank dual runs, and the
+    peel's first round IS the cheap degree prefilter (nodes under k
+    drop before any iteration work).
+
+    Epoch-versioned snapshot writes keep at-least-once replay
+    idempotent; once drained, ``read_latest_core`` equals the batch
+    peel over the union of all epochs (pinned by test).
+    """
+    from rapids_and_rivers_spark.operators.graph import kcore_peel
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epath = os.path.join(state_dir, "edges")
+        batch_df.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        ).filter(F.col("a") != F.col("b")).distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(epath, f"v{epoch_id}"))
+        spark.catalog.refreshByPath(epath)
+        und = read_epoch_table(spark, epath).distinct()
+        both = und.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        survivors = kcore_peel(both, k=k, rounds=rounds)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "core", f"v{epoch_id}")
+        )
+
+    return stage
+
+
+def read_latest_core(spark, state_dir: str) -> DataFrame:
+    """The newest (node, deg) k-core snapshot written by
+    :func:`kcore_foreach_batch`."""
+    p = _latest_version(state_dir, "core")
+    if p is None:
+        raise FileNotFoundError(f"no core snapshots under {state_dir}/core")
+    return spark.read.parquet(p)
