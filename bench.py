@@ -108,6 +108,12 @@ def main() -> None:
         payload["streaming_scd2_rows_per_sec"] = scd2_stream_throughput(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         payload["streaming_scd2_error"] = str(exc).splitlines()[0][:200]
+    try:
+        payload["river_fanout_msgs_per_sec"] = river_fanout_throughput(
+            spark, sf_dir
+        )
+    except Exception as exc:  # noqa: BLE001
+        payload["river_fanout_error"] = str(exc).splitlines()[0][:200]
     if errors:
         payload["errors"] = errors
     # persist the FULL per-query dict next to the stdout line: the driver's
@@ -172,6 +178,74 @@ def streaming_throughput(spark, sf_dir: str) -> float:
         rapid.run_available(f"{workdir}/ckpt")
         elapsed = time.perf_counter() - start
         return round(n_msgs / elapsed, 1)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def river_fanout_throughput(
+    spark, sf_dir: str, river_counts=(10, 50, 100)
+) -> dict:
+    """Messages/sec through the full runtime at 10/50/100 registered
+    rivers (VERDICT r5 task 5): the parse-once claim — one cached parsed
+    variant shared by every river's verdict branch, vs the reference's
+    O(rivers) Jackson re-parse (River.kt:53-55) — was measured at 10
+    rivers in round 1; at 100 rivers the risk shifts to Catalyst
+    ANALYSIS time over the N-branch union sink plan, so this rows walks
+    the curve. Rivers are structurally DISTINCT (cycled event-type
+    preconditions, per-river reply literals) so Catalyst cannot collapse
+    branches.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.functions import predicates as P
+    from rapids_and_rivers_spark.river import River
+    from rapids_and_rivers_spark.streaming.runtime import StreamingRapid
+
+    event_types = ["purchase", "signup", "click", "view", "refund"]
+    workdir = tempfile.mkdtemp(prefix="rars_fanout_bench_")
+    try:
+        rapid_df = catalog.events_rapid(spark, sf_dir)
+        n_msgs = rapid_df.count()
+        rapid_df.select("value").write.mode("overwrite").text(f"{workdir}/in")
+        out: dict[str, float] = {}
+        for n_rivers in river_counts:
+            rapid = StreamingRapid.from_text_files(
+                spark, f"{workdir}/in", service_name="bench", instance_id="b-1"
+            ).set_sink_parquet(f"{workdir}/out_{n_rivers}")
+            for i in range(n_rivers):
+                river = (
+                    River(f"r{i}")
+                    .precondition(
+                        P.require_value(
+                            "@event_name", event_types[i % len(event_types)]
+                        )
+                    )
+                    .validate(P.require_key("event_id"))
+                )
+
+                def responder(passing, i=i):
+                    return passing.select(
+                        F.to_json(
+                            F.named_struct(
+                                F.lit("@event_name"), F.lit("seen"),
+                                F.lit("river"), F.lit(i),
+                                F.lit("event_id"),
+                                River.field("event_id", "long"),
+                            )
+                        ).alias("value"),
+                        F.lit(None).cast("string").alias("key"),
+                    )
+
+                river.respond(responder)
+                rapid.register(river)
+            start = time.perf_counter()
+            rapid.run_available(f"{workdir}/ckpt_{n_rivers}")
+            elapsed = time.perf_counter() - start
+            out[str(n_rivers)] = round(n_msgs / elapsed, 1)
+        return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

@@ -336,6 +336,12 @@ class StreamingRapid(AbstractRapid):
         with with_mdc(poll_diagnostics(batch_id)):
             self._process_batch_inner(batch_df, batch_id)
 
+    #: per-branch task sizing for the multi-river union plan: batches
+    #: smaller than rivers x this many rows coalesce the cached parse
+    #: so branch scans aren't scheduler-bound (AQE can't do this inside
+    #: a streaming batch)
+    ROWS_PER_BRANCH_TASK = 20_000
+
     def _process_batch_inner(self, batch_df: DataFrame, batch_id: int) -> None:
         self._current_batch_id = batch_id
         # tombstone skip (KafkaRapid.kt:162-163)
@@ -348,8 +354,39 @@ class StreamingRapid(AbstractRapid):
         from rapids_and_rivers_spark.functions import json_ops as J
 
         parsed = msgs.withColumn(VARIANT_COL, J.parse(F.col("value")))
-        if len(self._rivers) > 1:
-            parsed = parsed.persist()
+        multi = len(self._rivers) > 1
+        cached = None
+        if multi:
+            parsed = cached = parsed.persist()
+            # The union sink plan has one branch per river, and AQE is
+            # unavailable inside a streaming batch — so at N rivers the
+            # write costs N x partitions tasks regardless of batch
+            # size. For small/medium batches that is pure scheduler
+            # overhead (measured: 100 rivers over a 5k-message batch =
+            # 3200 near-empty tasks, 7x the useful wall). Right-size
+            # the cached batch ONCE (count is one cheap action that
+            # also materializes the cache) and let every branch read
+            # the narrowed cache; big batches keep full parallelism.
+            #
+            # NOTE a fused all-rivers verdict projection (SURVEY §4's
+            # routing-bitmap sketch) was built and MEASURED 7-8x worse
+            # here: branches only ever evaluate their own rule set, so
+            # fusing saves no work — it just turns 100 small codegen'd
+            # branch predicates into one 100-struct projection (codegen
+            # blowup) and a 100x wider cache. Negative result recorded
+            # in bench.py's river_fanout row history (round 6).
+            n = parsed.count()
+            parts = parsed.rdd.getNumPartitions()
+            # per-branch partitions: every river's branch tasks compete
+            # in ONE union stage, so give each branch ~its fair share
+            # of 3x the cores (3x for stragglers), floored by data
+            # volume so huge batches always keep full row parallelism
+            cores = self.spark.sparkContext.defaultParallelism
+            fair = max(1, (3 * cores) // len(self._rivers))
+            floor = -(-n // self.ROWS_PER_BRANCH_TASK)
+            target = min(parts, max(fair, floor))
+            if target < parts:
+                parsed = parsed.coalesce(target)
         replies: list[DataFrame] = []
         dlq_parts: list[DataFrame] = []
         for river in self._rivers:
@@ -390,8 +427,8 @@ class StreamingRapid(AbstractRapid):
                     dlq = dlq.unionByName(d)
                 self._dlq(dlq)
         finally:
-            if len(self._rivers) > 1:
-                parsed.unpersist()
+            if cached is not None:
+                cached.unpersist()
 
     def replay_dlq(
         self, spark: SparkSession, dlq_path: str, river_name: str | None = None
