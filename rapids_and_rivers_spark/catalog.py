@@ -3344,7 +3344,7 @@ def sim_ann_pq(spark, sf_dir):
 
 def _knn_blocked_oracle_sql(
     dim=64, n_cells=8, nprobe=2, k=5, seed=13, sample=256, iters=8,
-    q=1024, scale=1000,
+    q=1024, scale=1000, tail_sql: str | None = None,
 ) -> str:
     """Generate the DuckDB oracle for knn_graph_probe: the kNN SELF-join
     over IVF-cell blocking (similarity.knn_self_join, probe mode). The
@@ -3451,14 +3451,57 @@ def _knn_blocked_oracle_sql(
       JOIN vecs cv ON cv.vec_id = ca.vec_id
       JOIN nn2 tn ON tn.vec_id = p.vec_id
       JOIN nn2 cn ON cn.vec_id = ca.vec_id
+    )"""
     )
+    if tail_sql is None:
+        parts.append(
+            f"""
     SELECT t, c, sim, CAST(rk AS INT) AS rk FROM (
       SELECT t, c, sim,
              row_number() OVER (PARTITION BY t ORDER BY sim DESC, c) AS rk
       FROM pairs) WHERE rk <= {k}
     """
+        )
+    else:
+        # downstream consumers (the label-noise tail) read the top-k
+        # pair set as a `knn` CTE
+        parts.append(
+            f""",
+    knn AS (
+      SELECT t, c FROM (
+        SELECT t, c,
+               row_number() OVER (PARTITION BY t ORDER BY sim DESC, c) AS rk
+        FROM pairs) WHERE rk <= {k}
     )
+    """
+            + tail_sql
+        )
     return "".join(parts)
+
+
+#: the label-disagreement aggregation over a `knn` pair CTE — the
+#: label_noise_knn oracle's tail, here composed with the PROBED
+#: candidate generator (the documented at-scale configuration)
+_LABEL_NOISE_TAIL = """
+    SELECT lab.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(dis.dis), 4) AS avg_disagreement,
+           CAST(sum(CASE WHEN dis.dis >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suspects
+    FROM (
+      SELECT knn.t,
+             avg(CASE WHEN lt.label <> lc.label THEN 1.0 ELSE 0.0 END) AS dis
+      FROM knn
+      JOIN (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings) lt
+        ON knn.t = lt.vec_id
+      JOIN (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings) lc
+        ON knn.c = lc.vec_id
+      GROUP BY knn.t
+    ) dis
+    JOIN (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings) lab
+      ON dis.t = lab.vec_id
+    GROUP BY lab.label ORDER BY lab.label
+"""
 
 
 @register(
@@ -3482,6 +3525,48 @@ def knn_graph_probe(spark, sf_dir):
         emb, dim=64, k=5, n_cells=8, nprobe=2, id_col="vec_id",
         emb_col="embedding",
     ).select("t", "c", "sim", "rk")
+
+
+@register(
+    "label_noise_probe",
+    _knn_blocked_oracle_sql(tail_sql=_LABEL_NOISE_TAIL),
+    doc="label-noise detection in the PROBED (at-scale) kNN tier: the "
+    "exact-mode label_noise_knn quadratic-by-contract candidate "
+    "generator swapped for knn_graph_probe's sublinear nprobe=2/8 "
+    "blocking — each vector's 5 approximate neighbors vote, "
+    "disagreement >= 0.8 flags a suspect, per-label aggregates. This "
+    "is the configuration the 100 TB deployment runs (probe-mode "
+    "suspect recall vs exact pinned >= 0.90 in "
+    "tests/test_ann_recall.py), now with its OWN full value oracle: "
+    "the knn_graph_probe codebook/probe/sim chain composed with the "
+    "label_noise_knn disagreement tail, every probe and every vote "
+    "reproduced by DuckDB",
+)
+def label_noise_probe(spark, sf_dir):
+    from rapids_and_rivers_spark.operators.similarity import knn_self_join
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label"), "embedding"
+    )
+    pairs = knn_self_join(
+        emb, dim=64, k=5, n_cells=8, nprobe=2, payload="label"
+    )
+    dis = pairs.groupBy("t", "t_pay").agg(
+        F.avg(
+            F.when(F.col("c_pay") != F.col("t_pay"), 1.0).otherwise(0.0)
+        ).alias("dis")
+    )
+    return (
+        dis.groupBy(F.col("t_pay").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("dis"), 4).alias("avg_disagreement"),
+            F.sum(F.when(F.col("dis") >= 0.8, 1).otherwise(0))
+            .cast("long")
+            .alias("n_suspects"),
+        )
+        .orderBy("label")
+    )
 
 
 @register(

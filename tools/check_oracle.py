@@ -55,9 +55,13 @@ def main():
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # partial table sets are legitimate (the synthesized .scale dirs
+        # carry only the 5 fact tables); a query touching a missing view
+        # still fails loudly at its own row
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
 
     qs = catalog.queries()
     oracles = catalog.oracle_sql()
