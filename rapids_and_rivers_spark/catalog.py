@@ -8970,3 +8970,168 @@ def label_noise_knn(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --- driver-visible streaming-dual snapshots ---------------------------------
+# The streaming graph duals (duals.py round 6) were pytest-only evidence;
+# these entries make them DRIVER-GATE visible: each query drives the
+# actual foreachBatch stage over two deterministic epochs of the same
+# graph, reads the final epoch-versioned snapshot, and the ORACLE is the
+# batch SQL over the union — exactly the duality law the pytest pins,
+# now re-proved per round by the sf0.01 oracle gate.
+
+
+def _split_final_select(sql: str, marker: str, replacement: str) -> str:
+    """Swap a registered oracle's final SELECT (starting at ``marker``)
+    for ``replacement`` — reuses the verified CTE chain verbatim."""
+    i = sql.rindex(marker)
+    return sql[:i] + replacement
+
+
+@register(
+    "stream_triangles_copurchase",
+    _split_final_select(
+        _REGISTRY["graph_triangles"].oracle,
+        "SELECT deg.node AS supplier",
+        """SELECT deg.node, deg.deg, coalesce(counts.tri, 0) AS tri
+    FROM deg LEFT JOIN counts USING (node)
+    """,
+    ),
+    doc="the STREAMING triangle dual, driver-checkable: the co-purchase "
+    "kNN edge set (graph_triangles construction) split into two "
+    "epochs by edge hash parity and driven through "
+    "duals.triangles_foreach_batch (pure delta maintenance, "
+    "touched-bucket adjacency pruning, sorted-triple dedup); the "
+    "final snapshot must equal batch graph.triangles over the union "
+    "graph — the duality law, proved here against the SAME unrolled "
+    "DuckDB oracle chain graph_triangles uses (full node set, no "
+    "top-100 cut). FULL value oracle",
+)
+def stream_triangles_copurchase(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        read_latest_tricounts,
+        triangles_foreach_batch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    ok = cs.groupBy("c").agg(F.count(F.lit(1)).alias("nsup")).filter(
+        F.col("nsup") <= 40
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    pairs = (
+        a.join(ok.select("c"), "c")
+        .join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("pa"), F.col("b.s").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .persist()
+    )
+    directed = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "shared"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "shared")
+    )
+    wk = W.partitionBy("src").orderBy(F.desc("shared"), "dst")
+    edges = (
+        directed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 8)
+        .select("src", "dst")
+    )
+    state_dir = tempfile.mkdtemp(prefix="rars_stream_tri_")
+    stage = triangles_foreach_batch(state_dir)
+    par = F.pmod(F.xxhash64(F.concat_ws("|", "src", "dst")), F.lit(2))
+    stage(edges.filter(par == 0), 0)
+    stage(edges.filter(par == 1), 1)
+    return read_latest_tricounts(spark, state_dir)
+
+
+@register(
+    "stream_kcore_purchase",
+    _split_final_select(
+        _REGISTRY["graph_kcore"].oracle,
+        "SELECT substr(src, 1, 1) AS node_type",
+        """SELECT src AS node, CAST(deg AS BIGINT) AS deg FROM a4
+    """,
+    ),
+    doc="the STREAMING k-core dual, driver-checkable: the "
+    "customer-supplier purchase graph split into two epochs by edge "
+    "hash parity, driven through duals.kcore_foreach_batch (per-epoch "
+    "fixed-round peel over accumulated edges — core membership "
+    "cascades, so recompute IS the honest incremental unit); the "
+    "final snapshot's survivor set must equal the batch 3-core of the "
+    "union graph, proved against graph_kcore's unrolled peel chain "
+    "(full survivor rows, not the per-type aggregate). FULL value "
+    "oracle",
+)
+def stream_kcore_purchase(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        kcore_foreach_batch,
+        read_latest_core,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    state_dir = tempfile.mkdtemp(prefix="rars_stream_core_")
+    stage = kcore_foreach_batch(state_dir, k=3, rounds=3)
+    par = F.pmod(F.xxhash64(F.concat_ws("|", "src", "dst")), F.lit(2))
+    stage(e0.filter(par == 0), 0)
+    stage(e0.filter(par == 1), 1)
+    return read_latest_core(spark, state_dir)
+
+
+@register(
+    "stream_communities_labelprop",
+    _REGISTRY["communities_purchase_graph"].oracle,
+    doc="the STREAMING label-propagation dual, driver-checkable: all "
+    "purchase-graph edges arrive in epoch 0, a quiet epoch 1 advances "
+    "convergence (1 warm round per epoch from the previous label "
+    "snapshot) — by the pinned composition law warm(1) after cold(1) "
+    "walks the identical path as cold(2), so the drained snapshot "
+    "aggregates to EXACTLY the batch communities_purchase_graph "
+    "result and shares its 2-round-unrolled DuckDB oracle verbatim. "
+    "FULL value oracle",
+)
+def stream_communities_labelprop(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        label_prop_foreach_batch,
+        read_latest_labels,
+    )
+
+    edges = _purchase_edges(spark, sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="rars_stream_lp_")
+    stage = label_prop_foreach_batch(state_dir, iters_per_epoch=1)
+    stage(edges, 0)
+    stage(
+        spark.createDataFrame([], "src string, dst string, weight double"), 1
+    )
+    labels = read_latest_labels(spark, state_dir)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(50)
+    )
