@@ -3341,6 +3341,98 @@ def sim_ann_pq(spark, sf_dir):
     )
 
 
+def _sq8_oracle_sql(topk=5, rerank=32, levels=127, scale=1000) -> str:
+    """DuckDB oracle for sim_ann_sq8: replays similarity.sq8_codes /
+    sq8_topk step for step — global max-abs range trained on the
+    candidate side, half-up clamped int8 codes from the SAME IEEE
+    expression order (``v * levels / am + 0.5``), int64 code dot,
+    shortlist cut under (adc DESC, id), and the exact quantized integer
+    rerank of the pq_topk contract. Every score in both passes is an
+    integer < 2^53, so the whole chain is bit-reproducible."""
+    code = (
+        f"list_transform(emb, v -> least({levels}.0, greatest(-{levels}.0, "
+        f"floor(v * {levels}.0 / am.am + 0.5))))"
+    )
+    return f"""
+    WITH am AS (
+      SELECT max(list_aggregate(
+               list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)),
+               'max')) AS am
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    qc AS (SELECT query_id, emb, {code} AS code FROM q, am),
+    cc AS (SELECT neighbor_id, emb, {code} AS code FROM c, am),
+    adc AS (
+      SELECT qc.query_id, cc.neighbor_id,
+             CAST(list_inner_product(qc.code, cc.code) AS BIGINT) AS adc
+      FROM qc CROSS JOIN cc
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {rerank}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(list_inner_product(
+               list_transform(qc.emb, v -> floor(v * {scale}.0)),
+               list_transform(cc.emb, v -> floor(v * {scale}.0)))
+             AS BIGINT) AS ip
+      FROM short s
+      JOIN qc ON qc.query_id = s.query_id
+      JOIN cc ON cc.neighbor_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(ip AS DOUBLE) AS score FROM (
+      SELECT query_id, neighbor_id, ip,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ip DESC, neighbor_id) AS rn2
+      FROM rer) WHERE rn2 <= {topk}
+    """
+
+
+@register(
+    "sim_ann_sq8",
+    _sq8_oracle_sql(topk=5, rerank=32),
+    doc="8-bit scalar-quantization ANN with exact re-ranking "
+    "(operators/similarity.py sq8_codes/sq8_topk) — the quantized-ANN "
+    "ladder's missing rung next to LSH / IVF / PQ: one GLOBAL max-abs "
+    "range trained on the candidate corpus (a single scalar crosses "
+    "the driver — no codebook training at all, the tier faiss ships as "
+    "SQ8 and vector stores default to when PQ retraining can't keep up "
+    "with ingest), 4:1 compression, first pass = raw int64 dot of the "
+    "code vectors evaluated entirely inside whole-stage codegen "
+    "(query codes ride the plan as an array literal; no join, no "
+    "shuffle, no Python), then the IVFADC+R-style exact quantized "
+    "integer rerank of the top-32 shortlist broadcast back against the "
+    "unshuffled corpus. FULL value oracle: _sq8_oracle_sql replays the "
+    "identical half-up code expression and both integer score passes. "
+    "Recall floor vs exact inner-product top-5 pinned in "
+    "tests/test_ann_recall.py",
+)
+def sim_ann_sq8(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    candidates = spread(
+        emb.filter(F.col("vec_id") >= 10), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    return S.sq8_topk(queries, candidates, topk=5, rerank=32)
+
 
 def _knn_blocked_oracle_sql(
     dim=64, n_cells=8, nprobe=2, k=5, seed=13, sample=256, iters=8,

@@ -1045,3 +1045,129 @@ def knn_self_join(
     if payload:
         out_cols += ["t_pay", "c_pay"]
     return pairs.select(*out_cols).filter(F.col("rk") <= k)
+
+
+def sq8_codes(vec: Column, absmax: float, levels: int = 127) -> Column:
+    """Symmetric 8-bit scalar-quantization codes for one vector column:
+    ``clamp(floor(v * levels / absmax + 0.5), -levels, levels)`` per
+    component (faiss ``ScalarQuantizer`` QT_8bit_uniform family — ONE
+    global trained range, not per-dimension, so the code stream is a
+    plain int8 tensor and the comparator is a raw integer dot).
+
+    Every step (two IEEE-exact double ops, half-up floor, clamp) is
+    reproduced bit-for-bit by any engine that evaluates the same
+    expression order, which is what gives :func:`sq8_topk` its full
+    value oracle."""
+    lv = float(levels)
+    am = float(absmax) if absmax else 1.0
+    return F.transform(
+        vec,
+        lambda v: F.least(
+            F.lit(int(levels)).cast("bigint"),
+            F.greatest(
+                F.lit(-int(levels)).cast("bigint"),
+                F.floor(v * F.lit(lv) / F.lit(am) + F.lit(0.5)),
+            ),
+        ),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    topk: int = 5,
+    rerank: int = 0,
+    rerank_scale: int = 1000,
+    levels: int = 127,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+) -> DataFrame:
+    """SQ8 (8-bit scalar quantization) approximate top-k by inner
+    product, completing the quantized-ANN ladder next to LSH / IVF / PQ:
+    each vector compresses 4:1 (float32 -> int8) under ONE global range
+    trained on the candidate corpus, and the first-pass score is the raw
+    integer dot of the code vectors — the memory/bandwidth tier faiss
+    ships as ``SQ8`` and vector DBs default to when PQ's codebook
+    training is too heavy for the refresh rate.
+
+    Scale shape: training is a single global max-abs aggregate (one
+    scalar crosses the driver); query codes ride the plan as an array
+    literal (the brute_force_topk broadcast-batch contract), so scoring
+    is a per-candidate ``transform`` + integer dot inside whole-stage
+    codegen — no join, no shuffle, no Python until the final per-query
+    top-k window. ``rerank=R`` adds the IVFADC+R-style exact stage
+    (Jégou et al. ICASSP'11): broadcast the nq*R shortlist, rescore with
+    the exact quantized integer inner product, keep ``topk``.
+
+    Determinism: codes are half-up floors of two IEEE-exact double ops
+    (:func:`sq8_codes`); both score passes are int64 sums (|code| <=
+    levels, products < 2^53) — every engine reproduces them
+    bit-for-bit, so both modes keep a FULL value oracle
+    (catalog._sq8_oracle_sql mirrors the same expression order).
+
+    Output: ``(query_id, neighbor_id, score double)`` in both modes
+    (the pq_topk schema contract): without rerank ``score`` is the
+    integer code dot, with rerank the exact quantized inner product —
+    both integral doubles, cast lossless.
+    """
+    # bounded-collect: one global scalar (the trained SQ range)
+    am = candidates.agg(
+        F.max(
+            F.aggregate(
+                F.col("c_emb"),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x)),
+            )
+        )
+    ).collect()[0][0]
+    if not am:
+        am = 1.0
+
+    # bounded-collect: the query batch (brute_force_topk contract)
+    qrows = (
+        queries.select(query_id, sq8_codes(F.col("q_emb"), am, levels).alias("qc"))
+        .collect()
+    )
+    qid_arr = F.array(*[F.lit(r[query_id]) for r in qrows])
+    qcode_arr = F.array(
+        *[F.array(*[F.lit(int(v)) for v in r["qc"]]) for r in qrows]
+    )
+
+    int_dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    coded = candidates.withColumn("cc", sq8_codes(F.col("c_emb"), am, levels))
+    exploded = (
+        coded.withColumn(
+            "__adcs", F.transform(qcode_arr, lambda qc: int_dot(qc, F.col("cc")))
+        )
+        .select(cand_id, F.posexplode("__adcs").alias("__qi", "__adc"))
+        .select(
+            F.element_at(qid_arr, F.col("__qi") + 1).alias(query_id),
+            F.col(cand_id),
+            F.col("__adc"),
+        )
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("__adc").desc(), F.col(cand_id))
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    if not rerank or rerank <= topk:
+        return ranked.filter(F.col("rn") <= topk).select(
+            query_id, cand_id, F.col("__adc").cast("double").alias("score")
+        )
+    # broadcast the nq*R shortlist back against the corpus (candidates
+    # stay in place — no vector ever crosses the ranking shuffle)
+    shortlist = ranked.filter(F.col("rn") <= rerank).select(query_id, cand_id)
+    qz = lambda c: F.transform(c, lambda x: F.floor(x * rerank_scale))
+    paired = (
+        candidates.join(F.broadcast(shortlist), cand_id)
+        .join(F.broadcast(queries.select(query_id, "q_emb")), query_id)
+        .withColumn("ip", int_dot(qz(F.col("q_emb")), qz(F.col("c_emb"))))
+    )
+    w2 = W.partitionBy(query_id).orderBy(F.col("ip").desc(), F.col(cand_id))
+    return (
+        paired.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= topk)
+        .select(query_id, cand_id, F.col("ip").cast("double").alias("score"))
+    )

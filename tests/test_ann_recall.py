@@ -447,3 +447,68 @@ def test_knn_self_join_skips_null_and_wrong_dim_rows(spark):
     ids = {r.t for r in got} | {r.c for r in got}
     assert 4 not in ids and 5 not in ids
     assert {1, 2, 3} <= {r.t for r in got}
+
+
+def test_sq8_recall_floor(spark):
+    """SQ8 (global-range int8 codes, integer code dot) against the EXACT
+    inner-product top-5. Symmetric 8-bit scalar quantization is far more
+    faithful than PQ's 4-bit codes — measured 1.0 plain / 1.0 reranked
+    on the sf0.001 embeddings (0.96 / 0.98 at sf0.01's 490 candidates).
+    Floors 0.85 / 0.90."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    q = {r.query_id: np.array(r.q_emb) for r in queries.collect()}
+    crows = cands.collect()
+    C = np.array([r.c_emb for r in crows])
+    ids = [r.neighbor_id for r in crows]
+
+    def recall_of(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = []
+        for qid, qv in q.items():
+            ips = C @ qv
+            exact = {
+                i
+                for _, i in sorted(
+                    zip(ips, ids), key=lambda t: (-t[0], t[1])
+                )[:5]
+            }
+            recalls.append(len(got.get(qid, set()) & exact) / 5)
+        return sum(recalls) / len(recalls)
+
+    plain = recall_of(S.sq8_topk(queries, cands, topk=5).collect())
+    assert plain >= 0.85, f"SQ8 recall@5 regressed: {plain:.3f}"
+    reranked = recall_of(
+        S.sq8_topk(queries, cands, topk=5, rerank=32).collect()
+    )
+    assert reranked >= 0.90, f"SQ8+rerank recall@5 regressed: {reranked:.3f}"
+
+
+def test_sq8_codes_clamp_and_range(spark):
+    """Code invariants: every code is an int64 in [-levels, levels], the
+    max-|v| component maps to ±levels, and codes are monotone in v."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [[-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0]]})
+    )
+    out = df.select(
+        S.sq8_codes(F.col("v").cast("array<double>"), absmax=2.0).alias("c")
+    ).first()["c"]
+    assert out == [-127, -63, -32, 0, 32, 64, 127]
+    # values beyond the trained range clamp instead of overflowing
+    wide = df.select(
+        S.sq8_codes(F.col("v").cast("array<double>"), absmax=0.5).alias("c")
+    ).first()["c"]
+    assert wide[0] == -127 and wide[-1] == 127
