@@ -9227,3 +9227,40 @@ def stream_communities_labelprop(spark, sf_dir):
         .orderBy(F.desc("n_members"), "community")
         .limit(50)
     )
+
+
+@register(
+    "stream_bm25_search",
+    _REGISTRY["bm25_search"].oracle,
+    doc="the STREAMING BM25 dual, driver-checkable: the documents table "
+    "split into two ingest epochs by doc_id hash parity and driven "
+    "through duals.bm25_index_foreach_batch (the tf-idf accumulator "
+    "parameterized for BM25 — every non-empty token, plus an "
+    "epoch-versioned per-document length table), then scored for the "
+    "same fixed term set via duals.bm25_from_stats, which calls the "
+    "IDENTICAL retrieval.bm25_from_parts core the batch query uses — "
+    "one formula, no drift. The drained index must score exactly like "
+    "batch bm25_search over the union corpus (tf/dl are integers "
+    "identical per document; N accumulates; avgdl is a long-summed "
+    "integer average, so the double division matches bit-for-bit) — "
+    "proved against bm25_search's own DuckDB oracle verbatim. FULL "
+    "value oracle. This is the freshness story of lexical retrieval "
+    "under ingest: each document tokenizes exactly once on arrival, "
+    "and any later query term set is answerable from the "
+    "O(vocab)+O(docs) stats tables without re-reading the corpus",
+)
+def stream_bm25_search(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        bm25_from_stats,
+        bm25_index_foreach_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state_dir = tempfile.mkdtemp(prefix="rars_stream_bm25_")
+    stage = bm25_index_foreach_batch(state_dir)
+    par = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2))
+    stage(docs.filter(par == 0), 0)
+    stage(docs.filter(par == 1), 1)
+    return bm25_from_stats(spark, state_dir, ["spark", "window", "batch"])

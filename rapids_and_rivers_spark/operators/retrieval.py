@@ -103,6 +103,25 @@ def bm25_scores(
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return bm25_from_parts(tf, doclen, n_docs, avgdl, k1, b, ndigits)
+
+
+def bm25_from_parts(
+    tf: DataFrame,
+    doclen: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 4,
+) -> DataFrame:
+    """BM25 scoring core shared by the batch query and the streaming
+    index dual: takes the already-built parts — per-doc query-term
+    frequencies ``tf(doc_id, token, tf)``, document lengths
+    ``doclen(doc_id, dl)``, and the two corpus scalars — and applies the
+    Okapi formula with the Lucene-style non-negative idf. ONE
+    implementation of the formula, so the dual can never drift from the
+    batch semantics (the gram_stream lesson)."""
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0

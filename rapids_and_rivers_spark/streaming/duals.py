@@ -281,7 +281,8 @@ def _latest_version(
 
 
 def tfidf_foreach_batch(state_dir: str, text_col: str = "text",
-                        id_col: str = "doc_id"):
+                        id_col: str = "doc_id", min_token_len: int = 3,
+                        track_doc_len: bool = False):
     """foreachBatch stage maintaining incremental tf-idf statistics.
 
     Per micro-batch: tokenize ONLY the new documents, write their
@@ -301,6 +302,13 @@ def tfidf_foreach_batch(state_dir: str, text_col: str = "text",
     At 100 TB the win is that the heavy work (corpus tokenize+explode)
     happens exactly once per document on arrival; the stats tables the
     ranking needs are O(vocab) and O(docs·distinct-tokens-per-doc).
+
+    ``min_token_len``/``track_doc_len`` parameterize the same
+    accumulator for the BM25 dual (:func:`bm25_index_foreach_batch`):
+    BM25 scores every non-empty token and needs per-document lengths
+    for its length normalization, so the dual keeps an extra
+    epoch-versioned ``doc_len`` table — one row per arriving document,
+    written exactly once under the epoch's own subdir.
     """
 
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
@@ -310,11 +318,17 @@ def tfidf_foreach_batch(state_dir: str, text_col: str = "text",
             F.explode(
                 F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
             ).alias("token"),
-        ).filter(F.length("token") >= 3)
+        ).filter(F.length("token") >= min_token_len)
         tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
         tf.write.mode("overwrite").parquet(
             os.path.join(state_dir, "doc_tf", f"v{epoch_id}")
         )
+        if track_doc_len:
+            toks.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("dl")
+            ).write.mode("overwrite").parquet(
+                os.path.join(state_dir, "doc_len", f"v{epoch_id}")
+            )
 
         batch_docs = batch_df.select(id_col).distinct().count()
         batch_df_counts = tf.groupBy("token").agg(
@@ -369,6 +383,54 @@ def tfidf_from_stats(spark, state_dir: str, top_k: int = 3) -> DataFrame:
     return ranked.filter(F.col("rk") <= top_k).select(
         "doc_id", "token", "tf", "df", "tfidf"
     )
+
+
+def bm25_index_foreach_batch(state_dir: str, text_col: str = "text",
+                             id_col: str = "doc_id"):
+    """foreachBatch stage maintaining an incremental BM25 index: the
+    tf-idf accumulator (same epoch-versioned layout, same restart
+    idempotency) parameterized for BM25's needs — every non-empty token
+    counts (``min_token_len=1``) and per-document lengths are kept
+    (``track_doc_len``), so :func:`bm25_from_stats` can score ANY query
+    term set later without ever re-reading the corpus. This is the
+    freshness story of a lexical search index under ingest: tokenize
+    each document once on arrival; N, avgdl, df, tf are all derivable
+    from the O(vocab)+O(doc) stats tables."""
+    return tfidf_foreach_batch(
+        state_dir, text_col, id_col, min_token_len=1, track_doc_len=True
+    )
+
+
+def bm25_from_stats(
+    spark,
+    state_dir: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 4,
+) -> DataFrame:
+    """BM25 ranking from the incrementally-maintained index — the
+    streaming dual of the batch ``bm25_search`` catalog query, sharing
+    its exact scoring core (retrieval.bm25_from_parts — one formula,
+    no drift) and its full value oracle.
+
+    Determinism across the batch/stream boundary: ``tf``/``dl`` rows
+    are identical integers (each document tokenizes in exactly one
+    epoch), N is the accumulated count, and avgdl = avg over the
+    unioned ``doc_len`` table — a long-summed integer average, so the
+    double division is bit-identical to the batch's."""
+    from rapids_and_rivers_spark.operators.retrieval import bm25_from_parts
+
+    qt = [t.lower() for t in query_terms]
+    tf = read_epoch_table(spark, os.path.join(state_dir, "doc_tf")).filter(
+        F.col("token").isin(qt)
+    )
+    doclen = read_epoch_table(spark, os.path.join(state_dir, "doc_len"))
+    n_docs = int(
+        spark.read.parquet(_latest_version(state_dir, "n_docs")).first()["n"]
+    )
+    avgdl = doclen.agg(F.avg("dl")).first()[0]
+    return bm25_from_parts(tf, doclen, n_docs, avgdl, k1, b, ndigits)
 
 
 def kmv_distinct_stream(

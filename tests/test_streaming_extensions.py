@@ -2508,3 +2508,76 @@ def test_triangles_stream_matches_batch_on_purchase_graph(spark, tmp_path):
         for r in triangles(e.select("src", "dst")).collect()
     }
     assert got == expected and len(got) > 100
+
+
+def test_bm25_stream_duality_against_batch(spark, tmp_path):
+    """BM25 duality law: two ingest epochs through the incremental index
+    (bm25_index_foreach_batch) scored by bm25_from_stats must equal the
+    batch retrieval.bm25_scores over the union corpus — same tf/dl
+    integers, same accumulated N, same long-summed avgdl, same scoring
+    core (retrieval.bm25_from_parts is shared, not duplicated)."""
+    from rapids_and_rivers_spark.operators.retrieval import bm25_scores
+    from rapids_and_rivers_spark.streaming.duals import (
+        bm25_from_stats,
+        bm25_index_foreach_batch,
+    )
+
+    rows = [
+        (1, "spark window batch spark"),
+        (2, "window to the batch world"),
+        (3, "no hits at all here"),
+        (4, "spark spark spark tiny"),
+        (5, "a very long document about batch processing and window functions repeated " * 3),
+    ]
+    b1 = spark.createDataFrame(rows[:3], "doc_id long, text string")
+    b2 = spark.createDataFrame(rows[3:], "doc_id long, text string")
+    state_dir = str(tmp_path / "bm25")
+    stage = bm25_index_foreach_batch(state_dir)
+    stage(b1, 0)
+    stage(b2, 1)
+    got = {
+        (r.doc_id, r.n_hits, r.score)
+        for r in bm25_from_stats(
+            spark, state_dir, ["spark", "window", "batch"]
+        ).collect()
+    }
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {
+        (r.doc_id, r.n_hits, r.score)
+        for r in bm25_scores(full, ["spark", "window", "batch"]).collect()
+    }
+    assert got == expected and len(got) == 4  # doc 3 never matches
+
+
+def test_bm25_stream_epoch_replay_is_idempotent(spark, tmp_path):
+    """Replaying an epoch (foreachBatch at-least-once) must not
+    double-count tf, dl, df, or N in the BM25 index."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        _latest_version,
+        bm25_from_stats,
+        bm25_index_foreach_batch,
+    )
+
+    state_dir = str(tmp_path / "bm25")
+    stage = bm25_index_foreach_batch(state_dir)
+    b1 = spark.createDataFrame(
+        [(1, "spark window batch"), (2, "batch only text")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "window window spark")], "doc_id long, text string"
+    )
+    stage(b1, 0)
+    stage(b2, 1)
+    once = {
+        (r.doc_id, r.n_hits, r.score)
+        for r in bm25_from_stats(spark, state_dir, ["spark", "window"]).collect()
+    }
+    stage(b2, 1)  # crash-replay
+    replayed = {
+        (r.doc_id, r.n_hits, r.score)
+        for r in bm25_from_stats(spark, state_dir, ["spark", "window"]).collect()
+    }
+    assert replayed == once
+    n = spark.read.parquet(_latest_version(state_dir, "n_docs")).first()["n"]
+    assert n == 3
