@@ -7154,6 +7154,55 @@ def bigram_lm_score(spark, sf_dir):
 
 
 @register(
+    "ccnet_perplexity_buckets",
+    None,  # oracle composed below from bigram_lm_score's (registered after)
+    doc="CCNet's defining step (Wenzek et al. LREC'20): bucket every "
+    "document into head/middle/tail by LM perplexity PERCENTILE WITHIN "
+    "ITS SOURCE — absolute perplexity thresholds misclassify whole "
+    "domains (legal text scores 'worse' than news at equal quality), "
+    "so CCNet cuts each language/source at its own tertiles and "
+    "pretraining recipes keep head+middle. LM score = the corpus-"
+    "trained bigram log-likelihood (bigram_lm_score; swap in external "
+    "KenLM tables in production), tiers = ntile(3) per source over "
+    "(score DESC, doc_id) — the ordering key is the gate-stable "
+    "ROUNDED score, so the window is engine-deterministic. One "
+    "source-keyed window over the KB-scale per-doc score table; the "
+    "corpus itself is never re-shuffled. FULL value oracle reuses "
+    "bigram_lm_score's SQL as a CTE",
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    lm = R.bigram_logprob(docs)
+    joined = lm.join(docs.select("doc_id", "source"), "doc_id")
+    w = W.partitionBy("source").orderBy(F.desc("avg_logprob"), "doc_id")
+    tier = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.ntile(3).over(w),
+    )
+    return joined.select(
+        "doc_id", "source", "avg_logprob", tier.alias("tier")
+    )
+
+
+# CatalogQuery is frozen; rebuild the entry with the composed oracle
+# (bigram_lm_score's full SQL as a CTE + the per-source ntile cut)
+_REGISTRY["ccnet_perplexity_buckets"] = CatalogQuery(
+    "ccnet_perplexity_buckets",
+    _REGISTRY["ccnet_perplexity_buckets"].fn,
+    f"""
+    WITH lm AS ({_REGISTRY["bigram_lm_score"].oracle})
+    SELECT lm.doc_id, d.source, lm.avg_logprob,
+           CASE ntile(3) OVER (PARTITION BY d.source
+                               ORDER BY lm.avg_logprob DESC, lm.doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS tier
+    FROM lm JOIN documents d USING (doc_id)
+    """,
+    _REGISTRY["ccnet_perplexity_buckets"].doc,
+)
+
+
+@register(
     "scd2_user_state",
     f"""
     WITH ordered AS (

@@ -118,3 +118,28 @@ def test_ql_scores_fraction(spark):
     )
     rows = {r.doc_id: r.score for r in ql_scores(df, ["spark"]).collect()}
     assert rows == {1: 0.5}
+
+
+def test_ccnet_tiers_are_balanced_per_source(spark):
+    """CCNet bucketing invariants on the real documents table: within
+    every source the head/middle/tail tiers differ in size by at most 1
+    (ntile(3) contract), every scored doc gets exactly one tier, and the
+    worst head score is >= the best tail score (the cut is monotone in
+    the LM score)."""
+    from rapids_and_rivers_spark import catalog
+
+    out = catalog.queries()["ccnet_perplexity_buckets"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) > 0
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rows in by_source.items():
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in rows:
+            sizes[r.tier] += 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (source, sizes)
+        worst_head = min(r.avg_logprob for r in rows if r.tier == "head")
+        best_tail = max(r.avg_logprob for r in rows if r.tier == "tail")
+        assert worst_head >= best_tail, source

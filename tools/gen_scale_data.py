@@ -152,16 +152,47 @@ def gen_embeddings(mult: int, out_dir: str, base_dir: str) -> None:
     )
 
 
+def gen_dims(mult: int, out_dir: str, base_dir: str) -> None:
+    """Dimension tables, FK-consistent with the scaled facts: customer
+    replicates with the SAME per-replica key offset orders applies to
+    o_custkey (the customer population scales with the data);
+    region/nation/supplier/part copy verbatim (suppliers and parts are
+    shared across replicas — their degree grows with scale, matching
+    gen_orders_lineitem). This is what lets the relational TPC-H family
+    run at the synthesized SFs, not just the document/graph operators."""
+    import pandas as pd
+
+    cust = _base("customer", base_dir)
+    parts = []
+    for r in range(mult):
+        d = cust.to_pandas()
+        d["c_custkey"] = d["c_custkey"] + r * KEY_SPAN
+        parts.append(d)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(parts, ignore_index=True), schema=cust.schema),
+        os.path.join(out_dir, "customer.parquet"),
+    )
+    for t in ("region", "nation", "supplier", "part"):
+        pq.write_table(_base(t, base_dir), os.path.join(out_dir, f"{t}.parquet"))
+
+
 def main() -> int:
-    mult = int(sys.argv[1])
-    out_dir = sys.argv[2]
-    base_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    dims_only = "--dims-only" in sys.argv
+    argv = [a for a in sys.argv if a != "--dims-only"]
+    mult = int(argv[1])
+    out_dir = argv[2]
+    base_dir = argv[3] if len(argv) > 3 else "/root/testdata/sf0.1"
     os.makedirs(out_dir, exist_ok=True)
-    gen_orders_lineitem(mult, out_dir, base_dir)
-    gen_events(mult, out_dir, base_dir)
-    gen_documents(mult, out_dir, base_dir)
-    gen_embeddings(mult, out_dir, base_dir)
-    for t in ("orders", "lineitem", "events", "documents", "embeddings"):
+    if not dims_only:
+        gen_orders_lineitem(mult, out_dir, base_dir)
+        gen_events(mult, out_dir, base_dir)
+        gen_documents(mult, out_dir, base_dir)
+        gen_embeddings(mult, out_dir, base_dir)
+    gen_dims(mult, out_dir, base_dir)
+    tables = ("customer", "supplier", "part") if dims_only else (
+        "orders", "lineitem", "events", "documents", "embeddings", "customer"
+    )
+    for t in tables:
         n = pq.read_metadata(os.path.join(out_dir, f"{t}.parquet")).num_rows
         print(f"{t}: {n} rows")
     return 0
