@@ -74,14 +74,19 @@ class PreStopHook:
 def prometheus_text(
     counters: Mapping[str, float] | None = None,
     timers: Mapping[str, Mapping[str, float]] | None = None,
+    gauges: Mapping[str, float] | None = None,
 ) -> str:
     """Minimal Prometheus text exposition: plain counters plus
     ``PacketTimer.snapshot()``-shaped ``{label: {count, total_seconds}}``
     timers rendered as ``*_count`` / ``*_seconds_sum`` pairs with a
-    ``listener`` label (the Micrometer timer exposition shape)."""
+    ``listener`` label (the Micrometer timer exposition shape), plus
+    point-in-time gauges (state-store health: rows, bytes)."""
     lines: list[str] = []
     for name, value in sorted((counters or {}).items()):
         lines.append(f"# TYPE {name} counter")
+        lines.append(f"{name} {value}")
+    for name, value in sorted((gauges or {}).items()):
+        lines.append(f"# TYPE {name} gauge")
         lines.append(f"{name} {value}")
     if timers:
         lines.append("# TYPE on_packet_seconds summary")
@@ -109,6 +114,7 @@ class MetricsCollector:
         self._names = set(observation_names or [])
         self._lock = threading.Lock()
         self.counters: dict[str, float] = {}
+        self.gauges: dict[str, float] = {}
 
     def record(self, observation: str, metrics: Mapping[str, float]) -> None:
         with self._lock:
@@ -117,9 +123,20 @@ class MetricsCollector:
                     key = f"{observation}_{k}"
                     self.counters[key] = self.counters.get(key, 0) + v
 
+    def gauge(self, key: str, value: float) -> None:
+        """Point-in-time overwrite (state rows/bytes are levels, not
+        monotone counts — summing them across progress events would
+        fabricate growth)."""
+        with self._lock:
+            self.gauges[key] = value
+
     def snapshot(self) -> dict[str, float]:
         with self._lock:
             return dict(self.counters)
+
+    def snapshot_gauges(self) -> dict[str, float]:
+        with self._lock:
+            return dict(self.gauges)
 
     def listener(self):
         """A StreamingQueryListener feeding this collector (imported
@@ -137,6 +154,25 @@ class MetricsCollector:
                     if collector._names and name not in collector._names:
                         continue
                     collector.record(name, row.asDict())
+                # state-store health: with the RocksDB backend as the
+                # default, "is my keyed state bounded?" is THE 100 TB
+                # operational question — surface per-operator rows/bytes
+                # (and the RocksDB custom metrics) as gauges
+                for i, op in enumerate(event.progress.stateOperators or []):
+                    label = getattr(op, "operatorName", None) or f"op{i}"
+                    label = str(label).replace(" ", "_")
+                    for attr in ("numRowsTotal", "numRowsUpdated",
+                                 "memoryUsedBytes"):
+                        v = getattr(op, attr, None)
+                        if isinstance(v, (int, float)):
+                            collector.gauge(f"state_{label}_{attr}", v)
+                    for k, v in (getattr(op, "customMetrics", None) or {}).items():
+                        # skip per-partition detail metrics (dotted names
+                        # like SnapshotLastUploaded.partition_N — hundreds
+                        # of keys at real parallelism, and dots are invalid
+                        # in Prometheus metric names)
+                        if isinstance(v, (int, float)) and "." not in k:
+                            collector.gauge(f"state_{label}_{k}", v)
 
             def onQueryIdle(self, event):
                 pass
@@ -263,6 +299,7 @@ def attach_ops(
         metrics = lambda: prometheus_text(  # noqa: E731
             counters=metrics_collector.snapshot() if metrics_collector else None,
             timers=packet_timer.snapshot() if packet_timer else None,
+            gauges=metrics_collector.snapshot_gauges() if metrics_collector else None,
         )
     server = OpsServer(
         alive_check=alive, metrics_provider=metrics, pre_stop=pre_stop, port=port

@@ -363,3 +363,64 @@ def test_metrics_collector_feeds_endpoint(spark, tmp_path):
         assert "river_metrics_passed 1" in body
     finally:
         srv.close()
+
+
+def test_state_store_gauges_reach_metrics_endpoint(spark, tmp_path):
+    """A stateful streaming query's state-store health (rows, bytes,
+    RocksDB custom metrics) must surface on /metrics as gauges: with
+    RocksDB as the default backend, bounded-state observability is the
+    100 TB operational question, and levels must OVERWRITE (gauge), not
+    accumulate (counter), across progress events."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.streaming.ops import (
+        MetricsCollector,
+        OpsServer,
+        prometheus_text,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "m.jsonl"), "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"k": f"key{i % 3}"}) + "\n")
+
+    collector = MetricsCollector()
+    feed = collector.listener()
+    spark.streams.addListener(feed)
+    try:
+        raw = spark.readStream.format("text").load(src)
+        keyed = raw.select(F.get_json_object("value", "$.k").alias("k"))
+        counts = keyed.groupBy("k").count()
+        q = (
+            counts.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        deadline = time.time() + 15
+        while not collector.snapshot_gauges() and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(feed)
+    gauges = collector.snapshot_gauges()
+    rows_keys = [k for k in gauges if k.endswith("_numRowsTotal")]
+    assert rows_keys, f"no state gauges captured: {sorted(gauges)[:10]}"
+    assert gauges[rows_keys[0]] == 3  # three distinct keys in state
+    assert any(k.endswith("_memoryUsedBytes") for k in gauges)
+    srv = OpsServer(
+        metrics_provider=lambda: prometheus_text(
+            gauges=collector.snapshot_gauges()
+        )
+    )
+    try:
+        code, body = _get(srv.port, "/metrics")
+    finally:
+        srv.close()
+    assert code == 200
+    assert "# TYPE " in body and "_numRowsTotal" in body
