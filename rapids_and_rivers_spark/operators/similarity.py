@@ -1171,3 +1171,230 @@ def sq8_topk(
         .filter(F.col("rn2") <= topk)
         .select(query_id, cand_id, F.col("ip").cast("double").alias("score"))
     )
+
+
+def binary_codes(vec: Column, dim: int, word_bits: int = 32) -> Column:
+    """1-bit (sign) binary-quantization codes: component ``i`` contributes
+    bit ``1`` when ``v[i] >= 0``, packed big-endian into ``dim/word_bits``
+    int64 words — the binary-quantization tier vector stores ship for
+    32x memory compression (sign of a centered/rotated embedding keeps
+    most of the angular information; Charikar's SRP with axis-aligned
+    planes).
+
+    Words hold ``word_bits`` (default 32) bits each so the ``acc*2 + bit``
+    fold never exceeds 2^32 — ANSI-overflow-safe in any engine — and the
+    pack is a pure integer fold over a slice: bit-reproducible, which is
+    what gives :func:`binary_topk` its full value oracle.  ``dim`` must be
+    a multiple of ``word_bits``.
+    """
+    if dim % word_bits:
+        raise ValueError(f"dim {dim} not a multiple of word_bits {word_bits}")
+    words = []
+    for w in range(0, dim, word_bits):
+        bits = F.slice(vec, w + 1, word_bits)
+        words.append(
+            F.aggregate(
+                bits,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc * 2
+                + F.when(x >= 0, F.lit(1).cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                ),
+            )
+        )
+    return F.array(*words)
+
+
+def hamming_words(a: Column, b: Column) -> Column:
+    """Total Hamming distance between two packed-word code arrays:
+    ``sum(bit_count(xor(word_a, word_b)))`` — pure JVM bit ops inside
+    whole-stage codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    topk: int = 5,
+    rerank: int = 0,
+    rerank_scale: int = 1000,
+    word_bits: int = 32,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+) -> DataFrame:
+    """Binary-quantization (1-bit) approximate top-k, the most compressed
+    rung of the quantized-ANN ladder (brute -> SQ8 -> PQ -> 1-bit): each
+    vector packs to ``dim`` SIGN BITS (32x smaller than float32), the
+    first-pass score is ``dim - hamming`` over the packed words — xor +
+    bit_count inside whole-stage codegen, the cheapest comparator that
+    exists — and ``rerank=R`` restores accuracy with the exact quantized
+    integer inner product of the top-R shortlist (the two-stage
+    binary-quantization + rescore design vector DBs ship for RAM-resident
+    search over disk-resident vectors).
+
+    Scale shape: NO training at all (the sign needs no range, no
+    codebook, no sample) so ingest never blocks on a fit; query codes
+    ride the plan as an array literal (the brute_force_topk broadcast-
+    batch contract), candidates stay partitioned in place — no join, no
+    shuffle, no Python until the final per-query top-k window, and the
+    only bytes the first pass touches per candidate are dim/8.
+
+    Determinism: the pack is an integer fold, both score passes are
+    int64 sums — bit-reproducible in any engine, so both modes keep a
+    FULL value oracle (catalog._binary_oracle_sql replays the identical
+    fold and both passes).
+
+    Output: ``(query_id, neighbor_id, score double)`` in both modes (the
+    pq_topk/sq8_topk schema contract): without rerank ``score`` is the
+    Hamming similarity ``dim - distance``, with rerank the exact
+    quantized inner product — both integral doubles, cast lossless.
+    """
+    # bounded-collect: the query batch (brute_force_topk contract)
+    qrows = (
+        queries.select(
+            query_id,
+            binary_codes(F.col("q_emb"), dim, word_bits).alias("qc"),
+        )
+        .collect()
+    )
+    qid_arr = F.array(*[F.lit(r[query_id]) for r in qrows])
+    qcode_arr = F.array(
+        *[F.array(*[F.lit(int(v)) for v in r["qc"]]) for r in qrows]
+    )
+
+    coded = candidates.withColumn(
+        "cc", binary_codes(F.col("c_emb"), dim, word_bits)
+    )
+    exploded = (
+        coded.withColumn(
+            "__sims",
+            F.transform(
+                qcode_arr,
+                lambda qc: F.lit(dim).cast("bigint")
+                - hamming_words(qc, F.col("cc")),
+            ),
+        )
+        .select(cand_id, F.posexplode("__sims").alias("__qi", "__sim"))
+        .select(
+            F.element_at(qid_arr, F.col("__qi") + 1).alias(query_id),
+            F.col(cand_id),
+            F.col("__sim"),
+        )
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("__sim").desc(), F.col(cand_id))
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    if not rerank or rerank <= topk:
+        return ranked.filter(F.col("rn") <= topk).select(
+            query_id, cand_id, F.col("__sim").cast("double").alias("score")
+        )
+    int_dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qz = lambda c: F.transform(c, lambda x: F.floor(x * rerank_scale))
+    shortlist = ranked.filter(F.col("rn") <= rerank).select(query_id, cand_id)
+    paired = (
+        candidates.join(F.broadcast(shortlist), cand_id)
+        .join(F.broadcast(queries.select(query_id, "q_emb")), query_id)
+        .withColumn("ip", int_dot(qz(F.col("q_emb")), qz(F.col("c_emb"))))
+    )
+    w2 = W.partitionBy(query_id).orderBy(F.col("ip").desc(), F.col(cand_id))
+    return (
+        paired.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= topk)
+        .select(query_id, cand_id, F.col("ip").cast("double").alias("score"))
+    )
+
+
+def matryoshka_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    prefix_dim: int,
+    topk: int = 5,
+    rerank: int = 0,
+    scale: int = 1000,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+) -> DataFrame:
+    """Matryoshka (prefix-truncation) approximate top-k: score the first
+    ``prefix_dim`` components only, then exact-rerank the top-R shortlist
+    at full dimension — the adaptive-retrieval pattern for
+    Matryoshka-representation embeddings (Kusupati et al., NeurIPS 2022:
+    MRL-trained vectors pack coarse-to-fine information front-first, so a
+    dim/4 prefix preserves ranking quality at 1/4 the compute and
+    bandwidth). For non-MRL embeddings the prefix is still an unbiased
+    random projection — recall floors are pinned per corpus in
+    tests/test_ann_recall.py.
+
+    Scale shape: zero training; the stage-1 scan reads ``prefix_dim``
+    components per candidate (with columnar layouts this is genuinely
+    less I/O, not just less arithmetic); query prefixes ride the plan as
+    an array literal, candidates never shuffle; the rerank is the
+    standard broadcast-shortlist second pass.
+
+    Determinism: both passes are int64 sums of ``floor(v*scale)``
+    products (< 2^53) — bit-reproducible, FULL value oracle
+    (catalog._matryoshka_oracle_sql).
+
+    Output: ``(query_id, neighbor_id, score double)`` in both modes:
+    without rerank ``score`` is the quantized prefix inner product, with
+    rerank the quantized full-dimension inner product.
+    """
+    int_dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qz = lambda c: F.transform(c, lambda x: F.floor(x * scale))
+
+    # bounded-collect: the query batch (brute_force_topk contract)
+    qrows = (
+        queries.select(
+            query_id,
+            qz(F.slice(F.col("q_emb"), 1, prefix_dim)).alias("qp"),
+        )
+        .collect()
+    )
+    qid_arr = F.array(*[F.lit(r[query_id]) for r in qrows])
+    qpre_arr = F.array(
+        *[F.array(*[F.lit(int(v)) for v in r["qp"]]) for r in qrows]
+    )
+
+    pre = candidates.withColumn(
+        "cp", qz(F.slice(F.col("c_emb"), 1, prefix_dim))
+    )
+    exploded = (
+        pre.withColumn(
+            "__ips", F.transform(qpre_arr, lambda qp: int_dot(qp, F.col("cp")))
+        )
+        .select(cand_id, F.posexplode("__ips").alias("__qi", "__ip"))
+        .select(
+            F.element_at(qid_arr, F.col("__qi") + 1).alias(query_id),
+            F.col(cand_id),
+            F.col("__ip"),
+        )
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("__ip").desc(), F.col(cand_id))
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    if not rerank or rerank <= topk:
+        return ranked.filter(F.col("rn") <= topk).select(
+            query_id, cand_id, F.col("__ip").cast("double").alias("score")
+        )
+    shortlist = ranked.filter(F.col("rn") <= rerank).select(query_id, cand_id)
+    paired = (
+        candidates.join(F.broadcast(shortlist), cand_id)
+        .join(F.broadcast(queries.select(query_id, "q_emb")), query_id)
+        .withColumn("ip", int_dot(qz(F.col("q_emb")), qz(F.col("c_emb"))))
+    )
+    w2 = W.partitionBy(query_id).orderBy(F.col("ip").desc(), F.col(cand_id))
+    return (
+        paired.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= topk)
+        .select(query_id, cand_id, F.col("ip").cast("double").alias("score"))
+    )
