@@ -9499,3 +9499,44 @@ def stream_bm25_search(spark, sf_dir):
     stage(docs.filter(par == 0), 0)
     stage(docs.filter(par == 1), 1)
     return bm25_from_stats(spark, state_dir, ["spark", "window", "batch"])
+
+
+@register(
+    "stream_decontaminate",
+    _REGISTRY["decontaminate_overlap"].oracle,
+    doc="the STREAMING decontamination dual, driver-checkable: the "
+    "documents table (benchmark rows = doc_id %% 97 = 0, riding the "
+    "same stream tagged is_bench) split into two ingest epochs by "
+    "doc_id hash parity and driven through "
+    "duals.contamination_index_foreach_batch — benchmark shingles "
+    "merge into an epoch-versioned distinct-hash snapshot, corpus "
+    "shingle postings are written exactly once per epoch (each "
+    "document normalizes/tokenizes/shingles exactly once on arrival), "
+    "then the drained index is screened via "
+    "duals.contamination_from_index, which calls the IDENTICAL "
+    "dedup.contamination_from_parts scoring tail the batch query uses "
+    "— one formula, no drift. Corpus docs that arrived before a "
+    "benchmark did are still screened against it, so the drained "
+    "result must equal batch decontaminate_overlap over the union — "
+    "proved against its DuckDB oracle verbatim. FULL value oracle. "
+    "This is the freshness story of train/test-overlap screening "
+    "under ingest: eval sets register over time, the corpus never "
+    "re-reads, and the screen stays one 8-byte-key hash join",
+)
+def stream_decontaminate(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        contamination_from_index,
+        contamination_index_foreach_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_bench", F.col("doc_id") % 97 == 0
+    )
+    state_dir = tempfile.mkdtemp(prefix="rars_stream_decon_")
+    stage = contamination_index_foreach_batch(state_dir)
+    par = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2))
+    stage(docs.filter(par == 0), 0)
+    stage(docs.filter(par == 1), 1)
+    return contamination_from_index(spark, state_dir, threshold=0.5)

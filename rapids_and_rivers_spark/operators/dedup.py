@@ -580,6 +580,21 @@ def contamination_check(
     postings = corpus_sh.select(
         "id", F.size("shingles").alias("n_shingles"), F.explode_outer("shingles").alias("sh")
     )
+    return contamination_from_parts(postings, bench_shingles, threshold, ndigits)
+
+
+def contamination_from_parts(
+    postings: DataFrame,
+    bench_shingles: DataFrame,
+    threshold: float = 0.5,
+    ndigits: int = 4,
+) -> DataFrame:
+    """The decontamination screen's scoring tail, shared by the batch
+    query (:func:`contamination_check`) and the streaming dual
+    (streaming/duals.py contamination_from_index) — one formula, no
+    drift: ``postings`` is (id, n_shingles, sh nullable), ``bench_shingles``
+    the distinct benchmark shingle set (sh); output is the per-doc hit
+    count, overlap fraction, and contaminated flag."""
     hits = (
         postings.join(
             bench_shingles.withColumn("__hit", F.lit(1)), "sh", "left"

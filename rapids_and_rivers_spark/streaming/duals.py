@@ -2523,3 +2523,88 @@ def read_latest_core(spark, state_dir: str) -> DataFrame:
     if p is None:
         raise FileNotFoundError(f"no core snapshots under {state_dir}/core")
     return spark.read.parquet(p)
+
+
+def contamination_index_foreach_batch(
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_col: str = "is_bench",
+    shingle_n: int = 3,
+):
+    """foreachBatch stage maintaining an incremental DECONTAMINATION
+    index — the streaming dual of the batch train/test-overlap screen
+    (operators/dedup.py contamination_check, the GPT-3 13-gram / PaLM
+    8-gram check): both sides of the screen grow under ingest (new
+    corpus documents arrive continuously; new benchmark/eval sets get
+    registered over time), and each document must be shingled exactly
+    once on arrival.
+
+    The batch carries a boolean ``bench_col`` marking benchmark rows.
+    Benchmark shingles merge into an epoch-versioned distinct-hash
+    snapshot (``bench_sh/v{E}`` — atomic directory swap, merge base
+    strictly below E, so at-least-once epoch replay never
+    double-counts); corpus shingle postings are written exactly once
+    under the epoch's own subdir (``corpus_sh/v{E}``, overwrite —
+    replay-idempotent). The heavy work (normalize + tokenize + shingle
+    hash) happens once per document; what accumulates is O(distinct
+    benchmark shingles) + O(corpus postings), and the final screen is
+    one 8-byte-key hash join — never a re-read of any text.
+    """
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        from rapids_and_rivers_spark.operators.dedup import shingled
+
+        spark = batch_df.sparkSession
+        sh = shingled(
+            batch_df, text_col, id_col, extra_cols=[bench_col], n=shingle_n
+        )
+        corpus = sh.filter(~F.col(bench_col)).select(
+            "id",
+            F.size("shingles").alias("n_shingles"),
+            F.explode_outer("shingles").alias("sh"),
+        )
+        corpus.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "corpus_sh", f"v{epoch_id}")
+        )
+        batch_bench = (
+            sh.filter(F.col(bench_col))
+            .select(F.explode("shingles").alias("sh"))
+            .distinct()
+        )
+        prev = _latest_version(state_dir, "bench_sh", before_epoch=epoch_id)
+        if prev is not None:
+            merged = (
+                spark.read.parquet(prev).unionByName(batch_bench).distinct()
+            )
+        else:
+            merged = batch_bench
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "bench_sh", f"v{epoch_id}")
+        )
+
+    return stage
+
+
+def contamination_from_index(
+    spark, state_dir: str, threshold: float = 0.5, ndigits: int = 4
+) -> DataFrame:
+    """Final contamination screen from the incrementally-maintained
+    index — scores the ACCUMULATED corpus postings against the LATEST
+    benchmark shingle snapshot via the identical scoring tail the batch
+    query uses (dedup.contamination_from_parts — one formula, no
+    drift). Corpus documents that arrived before a benchmark did are
+    still screened against it, exactly like the batch screen over the
+    union corpus."""
+    from rapids_and_rivers_spark.operators.dedup import (
+        contamination_from_parts,
+    )
+
+    postings = read_epoch_table(spark, os.path.join(state_dir, "corpus_sh"))
+    bp = _latest_version(state_dir, "bench_sh")
+    bench = (
+        spark.read.parquet(bp)
+        if bp is not None
+        else spark.createDataFrame([], "sh long")
+    )
+    return contamination_from_parts(postings, bench, threshold, ndigits)

@@ -2581,3 +2581,108 @@ def test_bm25_stream_epoch_replay_is_idempotent(spark, tmp_path):
     assert replayed == once
     n = spark.read.parquet(_latest_version(state_dir, "n_docs")).first()["n"]
     assert n == 3
+
+
+def test_decontamination_stream_duality_against_batch(spark, tmp_path):
+    """Decontamination duality law: two ingest epochs (each carrying a
+    mix of corpus and benchmark rows) through the incremental index
+    (contamination_index_foreach_batch) screened by
+    contamination_from_index must equal the batch
+    dedup.contamination_check over the union — including corpus docs
+    that arrived BEFORE the benchmark that contaminates them (epoch-0
+    doc vs epoch-1 benchmark), which is the case a naive
+    screen-on-arrival design gets wrong."""
+    from rapids_and_rivers_spark.operators.dedup import contamination_check
+    from rapids_and_rivers_spark.streaming.duals import (
+        contamination_from_index,
+        contamination_index_foreach_batch,
+    )
+
+    rows = [
+        # epoch 0: two corpus docs, one benchmark doc
+        (1, "the quick brown fox jumps over the lazy dog", False),
+        (2, "completely unrelated corpus text with no overlap at all", False),
+        (10, "the quick brown fox jumps high", True),
+        # epoch 1: a corpus doc contaminated by the LATER benchmark, and
+        # a late benchmark that retroactively contaminates doc 1
+        (3, "state store rocks everything always", False),
+        (11, "jumps over the lazy dog indeed", True),
+        (12, "state store rocks everything", True),
+    ]
+    schema = "doc_id long, text string, is_bench boolean"
+    b1 = spark.createDataFrame(rows[:3], schema)
+    b2 = spark.createDataFrame(rows[3:], schema)
+    state_dir = str(tmp_path / "decon")
+    stage = contamination_index_foreach_batch(state_dir)
+    stage(b1, 0)
+    stage(b2, 1)
+    got = {
+        tuple(r)
+        for r in contamination_from_index(spark, state_dir, threshold=0.5).collect()
+    }
+    full = spark.createDataFrame(rows, schema)
+    expected = {
+        tuple(r)
+        for r in contamination_check(
+            full.filter(~F.col("is_bench")),
+            full.filter(F.col("is_bench")),
+            shingle_n=3,
+            threshold=0.5,
+        ).collect()
+    }
+    assert got == expected and len(got) == 3
+    flagged = {r[0] for r in got if r[4]}
+    assert 1 in flagged and 3 in flagged and 2 not in flagged
+
+
+def test_decontamination_stream_epoch_replay_is_idempotent(spark, tmp_path):
+    """Replaying an epoch (foreachBatch at-least-once) must not
+    double-count corpus postings or benchmark shingles."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        contamination_from_index,
+        contamination_index_foreach_batch,
+    )
+
+    schema = "doc_id long, text string, is_bench boolean"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", False), (10, "alpha beta gamma", True)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(2, "beta gamma delta epsilon", False)], schema
+    )
+    state_dir = str(tmp_path / "decon")
+    stage = contamination_index_foreach_batch(state_dir)
+    stage(b1, 0)
+    stage(b2, 1)
+    once = {
+        tuple(r)
+        for r in contamination_from_index(spark, state_dir).collect()
+    }
+    stage(b2, 1)  # crash-replay
+    replayed = {
+        tuple(r)
+        for r in contamination_from_index(spark, state_dir).collect()
+    }
+    assert replayed == once and len(once) == 2
+
+
+def test_decontamination_stream_empty_benchmark(spark, tmp_path):
+    """Before any benchmark registers, nothing is contaminated and
+    every corpus doc still reports its shingle count."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        contamination_from_index,
+        contamination_index_foreach_batch,
+    )
+
+    schema = "doc_id long, text string, is_bench boolean"
+    b1 = spark.createDataFrame(
+        [(1, "some corpus words here now", False)], schema
+    )
+    state_dir = str(tmp_path / "decon")
+    stage = contamination_index_foreach_batch(state_dir)
+    stage(b1, 0)
+    out = contamination_from_index(spark, state_dir).collect()
+    assert len(out) == 1
+    assert out[0].n_hit == 0 and not out[0].contaminated
+    assert out[0].n_shingles > 0
