@@ -1558,8 +1558,10 @@ def q22_global_sales_opportunity(spark, sf_dir):
     """
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
-             sum(l_extendedprice) / sum(l_quantity) AS supplycost,
-             round(sum(l_extendedprice), 2) AS cost_price,
+             CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS DOUBLE)
+               / CAST(sum(l_quantity) AS DOUBLE) AS supplycost,
+             round(sum(floor(l_extendedprice * 100 + 0.5)) / 100.0, 2)
+               AS cost_price,
              CAST(sum(l_quantity) AS BIGINT) AS cost_qty
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
@@ -1591,17 +1593,22 @@ def q2_min_cost_supplier(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    # derived supply cost = volume-weighted unit price. The argmin filter
-    # compares UNROUNDED ratios — a within-engine comparison, safe because
-    # per-part supplier costs are distinct by far more than float noise —
-    # while the OUTPUT exposes the exact (rounded-sum, integer-qty) pair
-    # instead of the ratio: rounding a quotient lands on exact decimal
-    # midpoints where engines' rounding rules diverge (observed at both
-    # 4dp and 2dp at sf0.1), but a sum of 2-decimal prices has no 2dp
-    # midpoints, so its round is cross-engine stable
+    # derived supply cost = volume-weighted unit price. The argmin compares
+    # the ratio of EXACT integer aggregates: prices carry 2 decimals, so
+    # sum(floor(price*100 + 0.5)) is an exact cents total and the single
+    # double division is IEEE-identical in every engine. A plain
+    # sum(l_extendedprice) ratio is NOT — float sums are accumulation-order
+    # dependent, and the sf1 sweep caught exactly that: an ulp-level
+    # cross-engine difference flipped one argmin tie (394 vs 393 rows)
+    # that sf0.01/sf0.1 never exposed. cost_price likewise derives from
+    # the cents total (an at-most-2dp value, so its round has no
+    # midpoint ambiguity either)
+    cents = F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
     cost = l.groupBy("l_partkey", "l_suppkey").agg(
-        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("supplycost"),
-        F.round(F.sum("l_extendedprice"), 2).alias("cost_price"),
+        (cents.cast("double") / F.sum("l_quantity").cast("double")).alias(
+            "supplycost"
+        ),
+        F.round(cents / F.lit(100.0), 2).alias("cost_price"),
         F.sum("l_quantity").cast("long").alias("cost_qty"),
     )
     eur_supp = (
