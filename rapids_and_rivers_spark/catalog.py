@@ -1420,19 +1420,25 @@ def q13_customer_distribution(spark, sf_dir):
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+             sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5))
+               AS rev_e4
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           round(r.rev_e4 / 10000.0, 4) AS total_revenue
     FROM supplier s
     JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE r.rev_e4 = (SELECT max(rev_e4) FROM revenue)
     """,
     doc="TPC-H Q15: top supplier by quarterly revenue; the scalar max is a "
-    "broadcast scalar subquery over the pre-aggregated (small) revenue view",
+    "broadcast scalar subquery over the pre-aggregated (small) revenue "
+    "view. The argmax compares EXACT integer 1e-4-unit revenue sums "
+    "(price and discount carry <= 4 decimals combined), not float sums — "
+    "the q2 sf1 lesson: float aggregates are accumulation-order "
+    "dependent, so cross-engine argmax/argmin must never compare them",
 )
 def q15_top_supplier(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem").filter(
@@ -1440,15 +1446,22 @@ def q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # exact integer 1e-4-unit revenue: the argmax equality below is an
+    # int64 comparison, immune to float accumulation order (see q2)
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "total_revenue"
-        )
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                + F.lit(0.5)
+            )
+        ).alias("rev_e4")
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
-    top = revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx")).drop("mx")
+    mx = revenue.agg(F.max("rev_e4").alias("mx"))
+    top = revenue.join(F.broadcast(mx), F.col("rev_e4") == F.col("mx")).drop("mx")
     return F.broadcast(s).join(top, F.col("s_suppkey") == F.col("supplier_no")).select(
-        "s_suppkey", "s_name", "total_revenue"
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("rev_e4") / F.lit(10000.0), 4).alias("total_revenue"),
     )
 
 
@@ -1525,31 +1538,42 @@ def q19_discounted_revenue(spark, sf_dir):
     "q22_global_sales_opportunity",
     """
     WITH avg_bal AS (
-      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+      SELECT sum(floor(c_acctbal * 100 + 0.5)) AS total_cents,
+             count(*) AS n_pos
+      FROM customer WHERE c_acctbal > 0
     )
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS numcust,
-           round(sum(c.c_acctbal), 4) AS totacctbal
+           round(sum(floor(c.c_acctbal * 100 + 0.5)) / 100.0, 4) AS totacctbal
     FROM customer c, avg_bal
-    WHERE c.c_acctbal > avg_bal.ab
+    WHERE floor(c.c_acctbal * 100 + 0.5) * avg_bal.n_pos > avg_bal.total_cents
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                       AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY c.c_mktsegment
     """,
     doc="TPC-H Q22 (adapted: segment instead of phone prefix): scalar avg "
-    "subquery broadcast + left-anti join for the NOT EXISTS",
+    "subquery broadcast + left-anti join for the NOT EXISTS. The "
+    "above-average test is the PURE INTEGER comparison "
+    "cents * n > total_cents (cents sums are exact; the q2 sf1 lesson) — "
+    "a float avg is accumulation-order dependent and a balance within an "
+    "ulp of it could flip cross-engine at scale",
 )
 def q22_global_sales_opportunity(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
     ).select("o_custkey")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
-    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("total_cents"), F.count(F.lit(1)).alias("n_pos")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        cents * F.col("n_pos") > F.col("total_cents")
+    )
     no_recent = rich.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
     return no_recent.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        F.round(F.sum(cents) / F.lit(100.0), 4).alias("totacctbal"),
     )
 
 
@@ -1779,21 +1803,25 @@ def q9_product_type_profit(spark, sf_dir):
     "q11_important_stock",
     """
     WITH value_by_part AS (
-      SELECT l.l_partkey, sum(l.l_extendedprice) AS part_value
+      SELECT l.l_partkey,
+             sum(floor(l.l_extendedprice * 100 + 0.5)) AS value_cents
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       WHERE n.n_regionkey = 2
       GROUP BY l.l_partkey
     )
-    SELECT l_partkey, round(part_value, 4) AS part_value
+    SELECT l_partkey, round(value_cents / 100.0, 4) AS part_value
     FROM value_by_part
-    WHERE part_value > (SELECT sum(part_value) * 0.0007 FROM value_by_part)
+    WHERE value_cents > (SELECT sum(value_cents) * 0.0007 FROM value_by_part)
     """,
     doc="TPC-H Q11 (adapted: stock value derived from lineitem revenue per "
     "part for Asian suppliers): HAVING against a scalar fraction-of-total "
     "subquery — the total is a broadcast scalar over the already-aggregated "
-    "(small) per-part view, so the fact scans once",
+    "(small) per-part view, so the fact scans once. Both sides of the "
+    "threshold derive from EXACT integer cents sums (the q2 sf1 lesson): "
+    "a float part_value within an ulp of the float threshold could flip "
+    "cross-engine at scale",
 )
 def q11_important_stock(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem").select(
@@ -1807,13 +1835,20 @@ def q11_important_stock(spark, sf_dir):
     per_part = (
         l.join(F.broadcast(asian), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum("l_extendedprice").alias("part_value"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))).alias(
+                "value_cents"
+            )
+        )
     )
-    total = per_part.agg((F.sum("part_value") * 0.0007).alias("threshold"))
+    total = per_part.agg((F.sum("value_cents") * 0.0007).alias("threshold"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
-        .select("l_partkey", F.round("part_value", 4).alias("part_value"))
+        .filter(F.col("value_cents") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_cents") / F.lit(100.0), 4).alias("part_value"),
+        )
     )
 
 
