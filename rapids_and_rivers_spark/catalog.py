@@ -9582,3 +9582,36 @@ def stream_decontaminate(spark, sf_dir):
     stage(docs.filter(par == 0), 0)
     stage(docs.filter(par == 1), 1)
     return contamination_from_index(spark, state_dir, threshold=0.5)
+
+
+@register(
+    "stream_pack_sequences",
+    _REGISTRY["pack_training_sequences"].oracle,
+    doc="the STREAMING sequence-packing dual, driver-checkable: the "
+    "documents table split into two ingest epochs by doc_id hash "
+    "parity and driven through duals.packing_foreach_batch — each "
+    "document tokenizes to a count exactly once on arrival; the "
+    "per-source prefix-sum packing recomputes per epoch over the "
+    "TOUCHED sources' accumulated (doc_id, n_tokens) pairs only "
+    "(16-byte rows, never text; a late small-id arrival shifts every "
+    "later offset in its source, so per-doc patching is unsound by "
+    "construction — recompute over count pairs IS the honest "
+    "incremental unit, the k-core argument). The drained per-source "
+    "snapshots must equal batch pack_training_sequences over the "
+    "union corpus — its DuckDB oracle verbatim. FULL value oracle",
+)
+def stream_pack_sequences(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        packing_foreach_batch,
+        packing_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state_dir = tempfile.mkdtemp(prefix="rars_stream_pack_")
+    stage = packing_foreach_batch(state_dir)
+    par = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2))
+    stage(docs.filter(par == 0), 0)
+    stage(docs.filter(par == 1), 1)
+    return packing_from_index(spark, state_dir)

@@ -36,6 +36,7 @@ is small, which is the precondition for Bloom pruning anyway).
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 from typing import Iterator
@@ -2608,3 +2609,94 @@ def contamination_from_index(
         else spark.createDataFrame([], "sh long")
     )
     return contamination_from_parts(postings, bench, threshold, ndigits)
+
+
+def packing_foreach_batch(
+    state_dir: str,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """foreachBatch stage maintaining INCREMENTAL training-sequence
+    packing — the streaming dual of the batch ``pack_training_sequences``
+    catalog query: documents concatenate per source, in deterministic
+    doc_id order, into fixed ``seq_len``-token windows.
+
+    Packing offsets are prefix sums, so one late-arriving small-id
+    document shifts every later offset in its source — per-document
+    patching is unsound by construction (the k-core argument). The
+    honest incremental split: the HEAVY work (tokenizing the text to a
+    count) happens exactly once on arrival (``sized/v{E}``, write-once
+    per epoch, replay-idempotent); the packing prefix-sum recomputes per
+    epoch, but only over the TOUCHED sources' accumulated (doc_id,
+    n_tokens) pairs — 16-byte rows, not text — written as per-source
+    epoch-versioned snapshots (``packing/s{md5(source)}/v{E}``), so an
+    epoch that only carries source-A documents never rewrites source B's
+    packing (pinned in tests). Batch-duality is exact because packing is
+    a pure function of the accumulated sized table.
+    """
+    from rapids_and_rivers_spark.operators.text import token_count
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        spark = batch_df.sparkSession
+        sized = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        spath = os.path.join(state_dir, "sized")
+        sized.write.mode("overwrite").parquet(
+            os.path.join(spath, f"v{epoch_id}")
+        )
+        # bounded-collect: distinct sources are the stratum set (low
+        # cardinality by construction; the packing is per-stratum)
+        touched = sorted(
+            r.source for r in sized.select("source").distinct().collect()
+        )
+        if not touched:
+            return
+        spark.catalog.refreshByPath(spath)
+        acc = read_epoch_table(spark, spath).filter(
+            F.col("source").isin(list(touched))
+        )
+        w = (
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        cum = acc.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        start = F.col("cum_tokens") - F.col("n_tokens")
+        packed = cum.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(start / seq_len).cast("long").alias("seq_id"),
+            (start - F.floor(start / seq_len) * seq_len)
+            .cast("long")
+            .alias("seq_offset"),
+        )
+        for src in touched:
+            key = hashlib.md5(str(src).encode()).hexdigest()[:16]
+            packed.filter(F.col("source") == src).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(state_dir, "packing", f"s{key}", f"v{epoch_id}"))
+
+    return stage
+
+
+def packing_from_index(spark, state_dir: str) -> DataFrame:
+    """Union of the latest per-source packing snapshots written by
+    :func:`packing_foreach_batch` — each source at the version of the
+    last epoch that touched it."""
+    root = os.path.join(state_dir, "packing")
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"no packing snapshots under {root}")
+    out = None
+    for d in sorted(os.listdir(root)):
+        p = _latest_version(os.path.join(state_dir, "packing"), d)
+        df = spark.read.parquet(p)
+        out = df if out is None else out.unionByName(df)
+    return out

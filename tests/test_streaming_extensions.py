@@ -2686,3 +2686,103 @@ def test_decontamination_stream_empty_benchmark(spark, tmp_path):
     assert len(out) == 1
     assert out[0].n_hit == 0 and not out[0].contaminated
     assert out[0].n_shingles > 0
+
+
+def test_packing_stream_duality_and_late_small_id(spark, tmp_path):
+    """Packing duality law: two ingest epochs through
+    packing_foreach_batch must equal batch pack_training_sequences over
+    the union — including a small-id document arriving in epoch 1,
+    which shifts every later offset in its source (the case per-doc
+    patching cannot handle)."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        packing_foreach_batch,
+        packing_from_index,
+    )
+
+    schema = "doc_id long, source string, text string"
+    rows = [
+        (5, "a", "one two three"),
+        (9, "a", "four five six seven"),
+        (3, "b", "just b tokens"),
+        # epoch 1: doc 2 lands BEFORE 5 and 9 in source a's doc_id order
+        (2, "a", "early words arriving late"),
+        (12, "b", "more b text here"),
+    ]
+    b1 = spark.createDataFrame(rows[:3], schema)
+    b2 = spark.createDataFrame(rows[3:], schema)
+    state_dir = str(tmp_path / "pack")
+    stage = packing_foreach_batch(state_dir, seq_len=5)
+    stage(b1, 0)
+    stage(b2, 1)
+    got = {tuple(r) for r in packing_from_index(spark, state_dir).collect()}
+
+    from pyspark.sql import Window as W
+    from rapids_and_rivers_spark.operators.text import token_count
+
+    full = spark.createDataFrame(rows, schema)
+    sized = full.select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    expected = {
+        tuple(r)
+        for r in cum.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(start / 5).cast("long").alias("seq_id"),
+            (start - F.floor(start / 5) * 5).cast("long").alias("seq_offset"),
+        ).collect()
+    }
+    assert got == expected and len(got) == 5
+    # doc 5's offset must reflect doc 2's later arrival: start = 4 -> seq 0 off 4
+    by_id = {r[0]: r for r in got}
+    assert by_id[5][3:] == (0, 4) and by_id[9][3:] == (1, 2)
+
+
+def test_packing_stream_prunes_untouched_sources(spark, tmp_path):
+    """An epoch carrying only source-a documents must not rewrite
+    source b's packing snapshot (touched-bucket pruning)."""
+    import hashlib
+    import os
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        packing_foreach_batch,
+        packing_from_index,
+    )
+
+    schema = "doc_id long, source string, text string"
+    b1 = spark.createDataFrame(
+        [(1, "a", "alpha beta"), (2, "b", "gamma delta")], schema
+    )
+    b2 = spark.createDataFrame([(3, "a", "more a text")], schema)
+    state_dir = str(tmp_path / "pack")
+    stage = packing_foreach_batch(state_dir, seq_len=4)
+    stage(b1, 0)
+    stage(b2, 1)
+    kb = hashlib.md5(b"b").hexdigest()[:16]
+    ka = hashlib.md5(b"a").hexdigest()[:16]
+    assert sorted(os.listdir(os.path.join(state_dir, "packing", f"s{kb}"))) == ["v0"]
+    assert sorted(os.listdir(os.path.join(state_dir, "packing", f"s{ka}"))) == ["v0", "v1"]
+    assert packing_from_index(spark, state_dir).count() == 3
+
+
+def test_packing_stream_epoch_replay_is_idempotent(spark, tmp_path):
+    from rapids_and_rivers_spark.streaming.duals import (
+        packing_foreach_batch,
+        packing_from_index,
+    )
+
+    schema = "doc_id long, source string, text string"
+    b1 = spark.createDataFrame([(1, "a", "alpha beta gamma")], schema)
+    b2 = spark.createDataFrame([(2, "a", "delta epsilon")], schema)
+    state_dir = str(tmp_path / "pack")
+    stage = packing_foreach_batch(state_dir, seq_len=4)
+    stage(b1, 0)
+    stage(b2, 1)
+    once = {tuple(r) for r in packing_from_index(spark, state_dir).collect()}
+    stage(b2, 1)  # crash-replay
+    replayed = {tuple(r) for r in packing_from_index(spark, state_dir).collect()}
+    assert replayed == once and len(once) == 2
