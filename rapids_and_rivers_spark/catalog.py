@@ -8871,7 +8871,7 @@ def bpe_train_merges(spark, sf_dir):
         FROM documents
       ) WHERE len(word) BETWEEN 1 AND 12
     ),
-    words AS (
+    words AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS n FROM dw GROUP BY word
     ),
     t0 AS (
@@ -9615,3 +9615,187 @@ def stream_pack_sequences(spark, sf_dir):
     stage(docs.filter(par == 0), 0)
     stage(docs.filter(par == 1), 1)
     return packing_from_index(spark, state_dir)
+
+
+# --- Unigram-LM tokenizer (SentencePiece-style) ------------------------------
+
+_UNIGRAM_BASE_SQL = r"""
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE len(word) BETWEEN 1 AND 12
+          AND regexp_matches(word, '^[a-z0-9]+$')
+    ),
+    words AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM dw GROUP BY word
+    ),
+    chars AS (
+      SELECT substr(word, CAST(pos + 1 AS INT), 1) AS piece,
+             CAST(1 AS INT) AS plen, CAST(sum(n) AS BIGINT) AS cnt
+      FROM (SELECT word, n, unnest(range(length(word))) AS pos FROM words)
+      GROUP BY 1
+    ),
+    multi AS (
+      SELECT piece, plen, cnt FROM (
+        SELECT substr(word, CAST(i - l + 1 AS INT), CAST(l AS INT)) AS piece,
+               CAST(l AS INT) AS plen, CAST(sum(n) AS BIGINT) AS cnt
+        FROM (SELECT word, n, i, unnest(range(2, least(4, i) + 1)) AS l
+              FROM (SELECT word, n,
+                           unnest(range(1, length(word) + 1)) AS i
+                    FROM words)
+              WHERE i >= 2)
+        GROUP BY 1, 2
+      ) ORDER BY cnt DESC, piece LIMIT 48
+    ),
+    vocab AS MATERIALIZED (SELECT * FROM chars UNION ALL SELECT * FROM multi)"""
+
+
+def _unigram_dp_sql(max_word_len: int = 12) -> str:
+    """Unrolled integer-exact Viterbi DP (min pieces, max frequency mass,
+    lexicographic path) over word positions 1..max_word_len — the SQL
+    mirror of operators/text.py unigram_viterbi's higher-order-aggregate
+    accumulator, one CTE per position with the identical (pieces,
+    negsum, path) ordering."""
+    parts = [
+        r"""
+    spans AS MATERIALIZED (
+      SELECT s.word, s.i, s.l, v.cnt, v.piece
+      FROM (
+        SELECT word, i, l,
+               substr(word, CAST(i - l + 1 AS INT), CAST(l AS INT)) AS piece
+        FROM (SELECT word, i, unnest(range(1, least(4, i) + 1)) AS l
+              FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i
+                    FROM words))
+      ) s JOIN vocab v ON s.piece = v.piece
+    ),
+    b0 AS (SELECT word, CAST(0 AS INT) AS pieces,
+                  CAST(0 AS BIGINT) AS negsum, '' AS path FROM words)"""
+    ]
+    for i in range(1, max_word_len + 1):
+        unions = "\n        UNION ALL".join(
+            f"""
+        SELECT s.word, b.pieces + 1 AS pieces,
+               b.negsum - s.cnt AS negsum,
+               CASE WHEN b.pieces = 0 THEN s.piece
+                    ELSE b.path || '|' || s.piece END AS path
+        FROM spans s JOIN b{i - l} b
+          ON s.word = b.word AND s.i = {i} AND s.l = {l}"""
+            for l in range(1, min(4, i) + 1)
+        )
+        parts.append(
+            f"""
+    b{i} AS MATERIALIZED (
+      SELECT word, pieces, negsum, path FROM (
+        SELECT word, pieces, negsum, path,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY pieces, negsum, path) AS rn
+        FROM ({unions})
+      ) WHERE rn = 1
+    )"""
+        )
+    fins = "\n      UNION ALL".join(
+        f"""
+      SELECT b.word, b.pieces FROM b{i} b
+      JOIN words w ON w.word = b.word AND length(w.word) = {i}"""
+        for i in range(1, max_word_len + 1)
+    )
+    parts.append(f"""
+    fin AS ({fins})""")
+    return ",".join(parts)
+
+
+def _unigram_doc_words(docs):
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("word"),
+    ).filter(
+        F.length("word").between(1, 12)
+        & F.col("word").rlike("^[a-z0-9]+$")
+    )
+
+
+@register(
+    "unigram_train_vocab",
+    "WITH" + _UNIGRAM_BASE_SQL + """
+    SELECT piece, plen, cnt FROM vocab
+    """,
+    doc="unigram-LM tokenizer VOCABULARY training (Kudo 2018, the "
+    "SentencePiece model family — the other production tokenizer next "
+    "to the BPE pair in this catalog): candidate pieces are every "
+    "substring occurrence of length 2..4 weighted by word frequency, "
+    "counted on the |vocab|-sized word-count table (never the corpus — "
+    "the bpe_train_merges scale shape); the vocabulary is ALL single "
+    "characters (guarantees every word segments) plus the top-48 "
+    "multi-character pieces, tie-broken (cnt desc, piece) so the "
+    "budget cut is deterministic cross-engine. Output is the bounded "
+    "selected vocabulary (piece, length, corpus count). Full value "
+    "oracle: DuckDB recomputes candidates and the budget cut verbatim",
+)
+def unigram_train_vocab(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        _unigram_doc_words(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return T.unigram_vocab(words, top_v=48, max_len=4).select(
+        "piece",
+        F.col("plen").cast("int").alias("plen"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+@register(
+    "unigram_encode_counts",
+    "WITH" + _UNIGRAM_BASE_SQL + "," + _unigram_dp_sql(12) + """
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(fin.pieces) AS BIGINT) AS n_tokens,
+           CAST(sum(len(dw.word)) AS BIGINT) AS n_chars,
+           round(sum(len(dw.word)) / CAST(sum(fin.pieces) AS DOUBLE), 4)
+             AS compression
+    FROM dw JOIN fin USING (word)
+    GROUP BY dw.doc_id
+    """,
+    doc="unigram-LM ENCODING: optimal Viterbi segmentation of every "
+    "distinct word under the trained vocabulary (unigram_train_vocab "
+    "on the same corpus), then per-document token counts via one "
+    "corpus-sized equi-join — the corpus is never re-segmented row by "
+    "row (the bpe_encode_counts scale shape). The Viterbi objective "
+    "is INTEGER-EXACT: minimize (piece count, -sum of piece "
+    "frequencies, lexicographic path) — float log-prob scores flip "
+    "argmins cross-engine (the q2 lesson), integer tuples cannot. The "
+    "DP is a single JVM-side higher-order aggregate over positions "
+    "with an array-of-structs accumulator (operators/text.py "
+    "unigram_viterbi): ONE broadcast span-join + ONE word-keyed agg, "
+    "no per-round shuffle, parallel across the distinct-word table. "
+    "Full value oracle: DuckDB unrolls the identical DP per position "
+    "with the identical tuple ordering",
+)
+def unigram_encode_counts(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = _unigram_doc_words(docs)
+    words = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    vocab = T.unigram_vocab(words, top_v=48, max_len=4)
+    seg = T.unigram_viterbi(words, vocab)
+    return (
+        doc_words.join(seg.select("word", "pieces"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("pieces").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "compression",
+            F.round(F.col("n_chars") / F.col("n_tokens"), 4),
+        )
+    )

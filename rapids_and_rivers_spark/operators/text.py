@@ -440,3 +440,170 @@ def bpe_apply_merge(tokens, x: str, y: str):
     return kept.select(
         "word", "n", (F.row_number().over(w) - 1).alias("p"), "t"
     )
+
+
+# --- Unigram-LM tokenizer (SentencePiece-style vocabulary + Viterbi) ---------
+
+
+def unigram_candidate_pieces(words, max_len: int = 4):
+    """Word-count table ``(word, n)`` -> substring-piece counts
+    ``(piece, plen, cnt)`` for pieces of length 2..max_len.
+
+    The unigram trainer's candidate set (Kudo 2018, SentencePiece):
+    every substring occurrence, weighted by word frequency. Like the
+    BPE trainer (bpe_char_tokens), this runs on the |vocab|-sized
+    word-count table, never the corpus, so the candidate scan is
+    megabytes at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    spans = (
+        words.select(
+            "word",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        # guard BEFORE the length sequence: sequence(2, least(4, i)) with
+        # i=1 would be the DESCENDING [2, 1] in Spark, not empty
+        .filter(F.col("i") >= 2)
+        .select(
+            "word",
+            "n",
+            "i",
+            F.explode(
+                F.sequence(F.lit(2), F.least(F.lit(max_len), F.col("i")))
+            ).alias("l"),
+        )
+    )
+    return spans.select(
+        F.substring(
+            F.col("word"), F.col("i") - F.col("l") + 1, F.col("l")
+        ).alias("piece"),
+        F.col("l").alias("plen"),
+        "n",
+    ).groupBy("piece", "plen").agg(F.sum("n").alias("cnt"))
+
+
+def unigram_vocab(words, top_v: int = 48, max_len: int = 4):
+    """Select the tokenizer vocabulary: ALL single characters present
+    (guarantees every word segments) plus the top_v most frequent
+    multi-character substrings, tie-broken (cnt desc, piece asc) so
+    selection is deterministic cross-engine.
+
+    Returns ``(piece, plen, cnt)``. The limit is a bounded top-k
+    (top_v rows), the standard vocabulary-budget contract of
+    SentencePiece's trainer.
+    """
+    from pyspark.sql import functions as F
+
+    chars = (
+        words.select(
+            F.explode(F.split(F.col("word"), "")).alias("piece"), "n"
+        )
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+        .select("piece", F.lit(1).alias("plen"), "cnt")
+    )
+    multi = (
+        unigram_candidate_pieces(words, max_len)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(top_v)
+    )
+    return chars.unionByName(multi.select("piece", "plen", "cnt"))
+
+
+def unigram_viterbi(words, vocab):
+    """Optimal segmentation of every distinct word under the vocabulary:
+    minimize (piece count, -sum of piece frequencies, path) — an
+    integer-exact Viterbi objective (min tokens, frequency tie-break,
+    lexicographic final tie-break) chosen so the DP is bit-reproducible
+    across engines (float log-prob scores flip argmins cross-engine;
+    see the q2 lesson).
+
+    Shape: ONE equi-join (word-spans x vocab on the substring) and ONE
+    word-keyed agg; the DP itself is a single JVM-side higher-order
+    ``aggregate`` over positions with an array-of-structs accumulator —
+    no Python in the loop, no per-round shuffle, parallel across the
+    distinct-word table. Returns ``(word, n, pieces, negsum, path)``.
+
+    Reference anchor: tokenizer-training parity target set next to the
+    BPE family (bpe_char_tokens/bpe_apply_merge); the reference itself
+    has no tokenizer — this is pipeline surface (SURVEY §2 extensions).
+    """
+    from pyspark.sql import functions as F
+
+    spans = words.select(
+        "word",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+    ).select(
+        "word",
+        "n",
+        "i",
+        F.explode(F.sequence(F.lit(1), F.least(F.lit(4), F.col("i")))).alias(
+            "l"
+        ),
+    ).select(
+        "word",
+        "n",
+        "i",
+        "l",
+        F.substring(
+            F.col("word"), F.col("i") - F.col("l") + 1, F.col("l")
+        ).alias("piece"),
+    )
+    matched = spans.join(
+        F.broadcast(vocab.select("piece", "cnt")), "piece"
+    ).select(
+        "word",
+        "n",
+        F.struct(
+            "i", "l", F.col("cnt").cast("long").alias("cnt"), "piece"
+        ).alias("s"),
+    )
+    per_word = matched.groupBy("word", "n").agg(
+        F.collect_list("s").alias("spans")
+    )
+    zero = F.array(
+        F.struct(
+            F.lit(0).alias("pieces"),
+            F.lit(0).cast("long").alias("negsum"),
+            F.lit("").alias("path"),
+        )
+    )
+
+    def step(acc, i):
+        def cand(s):
+            prev = F.element_at(acc, s["i"] - s["l"] + 1)
+            return F.struct(
+                (prev["pieces"] + 1).alias("pieces"),
+                (prev["negsum"] - s["cnt"]).alias("negsum"),
+                F.when(prev["pieces"] == 0, s["piece"])
+                .otherwise(F.concat(prev["path"], F.lit("|"), s["piece"]))
+                .alias("path"),
+            )
+
+        best = F.array_min(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["i"] == i), cand
+            )
+        )
+        return F.concat(acc, F.array(best))
+
+    dp = per_word.select(
+        "word",
+        "n",
+        F.element_at(
+            F.aggregate(
+                F.sequence(F.lit(1), F.length("word")), zero, step
+            ),
+            F.length("word") + 1,
+        ).alias("fin"),
+    )
+    return dp.select(
+        "word",
+        "n",
+        F.col("fin.pieces").alias("pieces"),
+        F.col("fin.negsum").alias("negsum"),
+        F.col("fin.path").alias("path"),
+    )

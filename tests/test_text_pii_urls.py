@@ -207,3 +207,73 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     # (a,a): 2 adjacent pairs in 'aaa' x2 + 1 in 'aa' x5 = 9
     assert pc[("a", "a")] == 9
     assert pc[("a", "n")] == 2 and pc[("n", "a")] == 2 and pc[("b", "a")] == 1
+
+
+def test_unigram_viterbi_optimal_segmentation(spark):
+    """Hand-checkable DP: vocab {a,b,c,ab,bc,abc} with counts chosen so
+    'abcb' must take abc|b (2 pieces beats any 3-piece path) and 'abab'
+    breaks its piece-count tie (ab|ab vs a|bab...) by frequency mass."""
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.operators import text as T
+
+    words = spark.createDataFrame(
+        [("abcb", 5), ("abab", 3), ("z", 1)], "word string, n long"
+    )
+    vocab = spark.createDataFrame(
+        [
+            ("a", 1, 100),
+            ("b", 1, 90),
+            ("c", 1, 80),
+            ("z", 1, 1),
+            ("ab", 2, 60),
+            ("bc", 2, 70),
+            ("abc", 3, 40),
+        ],
+        "piece string, plen int, cnt long",
+    )
+    seg = {r["word"]: r for r in T.unigram_viterbi(words, vocab).collect()}
+    assert seg["abcb"]["pieces"] == 2
+    assert seg["abcb"]["path"] == "abc|b"  # 2 pieces beats a|bc|b etc.
+    assert seg["abab"]["pieces"] == 2
+    assert seg["abab"]["path"] == "ab|ab"
+    assert seg["abab"]["negsum"] == -120
+    assert seg["z"]["path"] == "z" and seg["z"]["pieces"] == 1
+
+
+def test_unigram_vocab_budget_and_char_guarantee(spark):
+    """Every character present survives the budget cut (so every word
+    segments) and the multi-piece cut is exactly top_v with the
+    deterministic (cnt desc, piece) tie-break."""
+    from rapids_and_rivers_spark.operators import text as T
+
+    words = spark.createDataFrame(
+        [("aaaa", 10), ("aabb", 5), ("q", 1)], "word string, n long"
+    )
+    v = T.unigram_vocab(words, top_v=2, max_len=3).collect()
+    chars = {r["piece"] for r in v if r["plen"] == 1}
+    assert chars == {"a", "b", "q"}
+    multi = [(r["piece"], r["cnt"]) for r in v if r["plen"] > 1]
+    # aa: 10*3 + 5*1 = 35; aaa: 10*2 = 20; ab: 5; bb: 5; aab: 5 ...
+    assert sorted(multi, key=lambda t: (-t[1], t[0])) == [("aa", 35), ("aaa", 20)]
+
+
+def test_unigram_encode_counts_invariants(spark):
+    """Viterbi tokens per doc never exceed chars, never beat words
+    (each word >= 1 piece), multi-char pieces strictly help somewhere,
+    and compression is exactly round(chars/tokens, 4)."""
+    from rapids_and_rivers_spark import catalog
+    from rapids_and_rivers_spark.streaming.duals import _round_half_up
+
+    sf = "/root/testdata/sf0.001"
+    rows = catalog.unigram_encode_counts(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
+        # Spark F.round is HALF_UP (45/32 = 1.40625 -> 1.4063), Python's
+        # builtin round is banker's — compare with the engines' rule
+        assert (
+            abs(r["compression"] - _round_half_up(r["n_chars"] / r["n_tokens"], 4))
+            < 1e-9
+        )
+    assert any(r["n_tokens"] < r["n_chars"] for r in rows)
