@@ -9799,3 +9799,112 @@ def unigram_encode_counts(spark, sf_dir):
             F.round(F.col("n_chars") / F.col("n_tokens"), 4),
         )
     )
+
+
+# --- Closed-form linear-model training (normal equations) --------------------
+
+
+@register(
+    "linreg_price_model",
+    r"""
+    WITH q AS (
+      SELECT CAST(l_quantity AS HUGEINT) AS qv,
+             CAST(round(l_discount * 100) AS HUGEINT) AS dv,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS yv
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(qv) AS sq, sum(dv) AS sd, sum(yv) AS sy,
+             sum(qv * qv) AS sqq, sum(qv * dv) AS sqd,
+             sum(dv * dv) AS sdd,
+             sum(qv * yv) AS sqy, sum(dv * yv) AS sdy
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(sy * (sqq * sdd - sqd * sqd)
+                    - sq * (sqy * sdd - sqd * sdy)
+                    + sd * (sqy * sqd - sqq * sdy) AS DOUBLE)
+               / CAST(n * (sqq * sdd - sqd * sqd)
+                    - sq * (sq * sdd - sd * sqd)
+                    + sd * (sq * sqd - sd * sqq) AS DOUBLE) / 100, 6)
+             AS beta0,
+           round(CAST(n * (sqy * sdd - sqd * sdy)
+                    - sy * (sq * sdd - sd * sqd)
+                    + sd * (sq * sdy - sd * sqy) AS DOUBLE)
+               / CAST(n * (sqq * sdd - sqd * sqd)
+                    - sq * (sq * sdd - sd * sqd)
+                    + sd * (sq * sqd - sd * sqq) AS DOUBLE) / 100, 6)
+             AS beta_qty,
+           round(CAST(n * (sqq * sdy - sqy * sqd)
+                    - sq * (sq * sdy - sd * sqy)
+                    + sy * (sq * sqd - sd * sqq) AS DOUBLE)
+               / CAST(n * (sqq * sdd - sqd * sqd)
+                    - sq * (sq * sdd - sd * sqd)
+                    + sd * (sq * sqd - sd * sqq) AS DOUBLE), 6)
+             AS beta_disc100
+    FROM s
+    """,
+    doc="distributed CLOSED-FORM linear-model training via normal "
+    "equations: extendedprice ~ intercept + quantity + discount on "
+    "lineitem. The 9 sufficient statistics (X'X, X'y) reduce in ONE "
+    "map-side-combined aggregation — the corpus never moves, 9 scalars "
+    "do (the quantized_gram shape, operators/linalg.py:41, d=3 "
+    "specialization); the 3x3 solve is Cramer's rule on the driver "
+    "plan as pure column arithmetic. EVERY statistic is an exact "
+    "integer (quantity integral; discount/price quantized x100 — "
+    "memory: exact-integer-aggregates-for-cross-engine-compares), "
+    "determinants expand in DECIMAL(38,0)/HUGEINT (~1e31 << 1e38, no "
+    "overflow), and only the final beta ratios touch floats — IEEE "
+    "division of identical integers is deterministic cross-engine. "
+    "beta0/beta_qty are de-quantized back to price units (/100); "
+    "beta_disc100 is per discount-percentage-point. Full value oracle",
+)
+def linreg_price_model(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    q = li.select(
+        F.col("l_quantity").cast("long").cast(dec).alias("qv"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").cast(dec).alias("dv"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").cast(dec).alias("yv"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("qv").alias("sq"),
+        F.sum("dv").alias("sd"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("qv") * F.col("qv")).alias("sqq"),
+        F.sum(F.col("qv") * F.col("dv")).alias("sqd"),
+        F.sum(F.col("dv") * F.col("dv")).alias("sdd"),
+        F.sum(F.col("qv") * F.col("yv")).alias("sqy"),
+        F.sum(F.col("dv") * F.col("yv")).alias("sdy"),
+    )
+    n, sq, sd, sy = F.col("n"), F.col("sq"), F.col("sd"), F.col("sy")
+    sqq, sqd, sdd = F.col("sqq"), F.col("sqd"), F.col("sdd")
+    sqy, sdy = F.col("sqy"), F.col("sdy")
+    det = (
+        n * (sqq * sdd - sqd * sqd)
+        - sq * (sq * sdd - sd * sqd)
+        + sd * (sq * sqd - sd * sqq)
+    ).cast("double")
+    det0 = (
+        sy * (sqq * sdd - sqd * sqd)
+        - sq * (sqy * sdd - sqd * sdy)
+        + sd * (sqy * sqd - sqq * sdy)
+    ).cast("double")
+    det1 = (
+        n * (sqy * sdd - sqd * sdy)
+        - sy * (sq * sdd - sd * sqd)
+        + sd * (sq * sdy - sd * sqy)
+    ).cast("double")
+    det2 = (
+        n * (sqq * sdy - sqy * sqd)
+        - sq * (sq * sdy - sd * sqy)
+        + sy * (sq * sqd - sd * sqq)
+    ).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(det0 / det / 100, 6).alias("beta0"),
+        F.round(det1 / det / 100, 6).alias("beta_qty"),
+        F.round(det2 / det, 6).alias("beta_disc100"),
+    )

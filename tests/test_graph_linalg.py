@@ -208,3 +208,31 @@ def test_ppr_uniform_reset_equals_standard_pagerank(spark):
     std = {r["node"]: r["pr"] for r in G.pagerank(edges, iters=3).collect()}
     for k in std:
         assert abs(ppr[k] - std[k]) < 1e-12
+
+
+def test_linreg_normal_equations_recovers_exact_plane(spark, tmp_path):
+    """y = 40 + 2*qty + 0.07*d100 (in price units) generated exactly on
+    a quantized grid must be recovered exactly by the Cramer solve —
+    the determinant algebra is integer-exact, so betas are not
+    approximate when the data is noiseless."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark import catalog
+
+    rows = [
+        (float(q), d / 100.0, 40.0 + 2.0 * q + 0.07 * (d))
+        for q in range(1, 21)
+        for d in range(0, 11)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_extendedprice double"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "lineitem.parquet"))
+    out = catalog.linreg_price_model(spark, sf).collect()[0]
+    assert out["n"] == 220
+    assert out["beta0"] == 40.0
+    assert out["beta_qty"] == 2.0
+    assert out["beta_disc100"] == 7.0  # 0.07 price units per discount point
