@@ -9739,10 +9739,14 @@ def unigram_train_vocab(spark, sf_dir):
     from rapids_and_rivers_spark.operators import text as T
 
     docs = load_table(spark, sf_dir, "documents")
+    # persist the |vocab|-sized word-count table: it feeds chars AND
+    # multi-piece candidates, and without the cache each use re-explodes
+    # the corpus (2 full documents scans instead of 1)
     words = (
         _unigram_doc_words(docs)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     return T.unigram_vocab(words, top_v=48, max_len=4).select(
         "piece",
@@ -9783,7 +9787,13 @@ def unigram_encode_counts(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     doc_words = _unigram_doc_words(docs)
-    words = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    # persist the |vocab|-sized word-count table: it feeds the char
+    # pieces, the multi-piece candidates AND the Viterbi span table —
+    # uncached, each use re-explodes the corpus (4 documents scans
+    # instead of 2: one to build words, one for the final doc join)
+    words = (
+        doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("n")).persist()
+    )
     vocab = T.unigram_vocab(words, top_v=48, max_len=4)
     seg = T.unigram_viterbi(words, vocab)
     return (
@@ -9908,3 +9918,50 @@ def linreg_price_model(spark, sf_dir):
         F.round(det1 / det / 100, 6).alias("beta_qty"),
         F.round(det2 / det, 6).alias("beta_disc100"),
     )
+
+
+@register(
+    "stream_unigram_encode",
+    _REGISTRY["unigram_encode_counts"].oracle,
+    doc="the STREAMING unigram-encoding dual, driver-checkable: the "
+    "vocabulary trains once on the full corpus (unigram_train_vocab "
+    "semantics — a bounded <=84-row collect), then the documents "
+    "table splits into two ingest epochs by doc_id hash parity and "
+    "drives duals.unigram_encode_foreach_batch — each epoch Viterbi-"
+    "segments only ITS batch's distinct words against the frozen "
+    "(piece, cnt) table and writes per-epoch overwrite outputs, so "
+    "replay is idempotent. The drained epoch union must equal batch "
+    "unigram_encode_counts over the whole corpus — its DuckDB oracle "
+    "verbatim. FULL value oracle",
+)
+def stream_unigram_encode(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.operators import text as T
+    from rapids_and_rivers_spark.streaming.duals import (
+        read_epoch_table,
+        unigram_encode_foreach_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # persist: words feeds both vocab candidate scans (see
+    # unigram_train_vocab); the collect below materializes it once
+    words = (
+        _unigram_doc_words(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    # bounded-collect: the trained vocabulary is <= |charset| + 48 rows
+    vocab_rows = [
+        (r["piece"], r["cnt"])
+        for r in T.unigram_vocab(words, top_v=48, max_len=4)
+        .select("piece", "cnt")
+        .collect()
+    ]
+    out_dir = tempfile.mkdtemp(prefix="rars_stream_unigram_")
+    stage = unigram_encode_foreach_batch(vocab_rows, out_dir)
+    par = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2))
+    stage(docs.filter(par == 0), 0)
+    stage(docs.filter(par == 1), 1)
+    return read_epoch_table(spark, out_dir)

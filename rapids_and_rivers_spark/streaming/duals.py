@@ -2700,3 +2700,68 @@ def packing_from_index(spark, state_dir: str) -> DataFrame:
         df = spark.read.parquet(p)
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def unigram_encode_foreach_batch(
+    vocab_rows: list,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming unigram-LM encoding with a FROZEN trained vocabulary —
+    the streaming dual of the batch ``unigram_encode_counts`` catalog
+    query, completing the tokenizer family's dual pair next to
+    :func:`bpe_encode_foreach_batch`: train once (``unigram_train_vocab``
+    semantics), then Viterbi-segment every arriving document against the
+    fixed (piece, cnt) table.
+
+    Segmentation is stateless given the vocabulary, so per micro-batch
+    only the batch's DISTINCT words pay the span-join + higher-order-
+    aggregate DP (operators/text.py unigram_viterbi — the identical
+    integer-exact (pieces, -freq-mass, path) objective the batch query
+    and its DuckDB oracle use), then the batch's doc->word rows pick up
+    per-word piece counts via one equi-join and a doc-keyed aggregation.
+
+    Per-epoch overwrite writes (``v{E}``) make at-least-once epoch
+    replay idempotent; read back with :func:`read_epoch_table`. A doc
+    re-arriving later re-encodes to an identical row (frozen vocab ->
+    deterministic segmentation).
+    """
+    from rapids_and_rivers_spark.operators import text as T
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vocab = spark.createDataFrame(
+            [(p, int(c)) for p, c in vocab_rows], "piece string, cnt long"
+        )
+        doc_words = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word"),
+        ).filter(
+            F.length("word").between(1, 12)
+            & F.col("word").rlike("^[a-z0-9]+$")
+        )
+        words = (
+            doc_words.select("word")
+            .distinct()
+            .withColumn("n", F.lit(1).cast("long"))
+        )
+        seg = T.unigram_viterbi(words, vocab).select("word", "pieces")
+        out = (
+            doc_words.join(seg, "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("pieces").cast("long").alias("n_tokens"),
+                F.sum(F.length("word")).cast("long").alias("n_chars"),
+            )
+            .withColumn(
+                "compression",
+                F.round(F.col("n_chars") / F.col("n_tokens"), 4),
+            )
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{epoch_id}"))
+
+    return stage
