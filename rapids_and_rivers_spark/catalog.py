@@ -9965,3 +9965,49 @@ def stream_unigram_encode(spark, sf_dir):
     stage(docs.filter(par == 0), 0)
     stage(docs.filter(par == 1), 1)
     return read_epoch_table(spark, out_dir)
+
+
+@register(
+    "training_shard_stats",
+    r"""
+    WITH sized AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || 'epoch1') AS shuffle_key,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT) % 16
+                AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(shuffle_key) AS first_key
+    FROM sized
+    GROUP BY 1
+    """,
+    doc="deterministic training-shard layout audit — the write-side "
+    "contract of sources/ingest.py training_shards/write_training_shards "
+    "(the pipeline's last stage: global pseudorandom shuffle + "
+    "size-balanced shard assignment for training readers). Shard = "
+    "md5-prefix bucket of (doc_id || epoch-salt), within-shard order = "
+    "the full md5 hex — a permutation fixed by the data alone, so "
+    "re-runs/retries/cluster resizes produce byte-identical shards "
+    "(Spark's rand()/sample()/repartition orderings are all "
+    "seed+partition dependent; a hash IS the only reproducible shuffle "
+    "at 100 TB). Output: per-shard doc/token totals + the first "
+    "shuffle key (pins the permutation, not just the partition "
+    "function). Full value oracle: identical md5 bucket + min-key in "
+    "DuckDB",
+)
+def training_shard_stats(spark, sf_dir):
+    from rapids_and_rivers_spark.sources.ingest import training_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    sharded = training_shards(docs, "doc_id", n_shards=16, salt="epoch1")
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("shuffle_key").alias("first_key"),
+    )

@@ -331,3 +331,59 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source — schema carried by the files, pushdown verified by
     test (PushedFilters reaches the OrcScan exactly as with parquet)."""
     return spark.read.orc(path)
+
+
+def training_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    output — the last stage of a pretraining data pipeline: after
+    dedup/filter/pack, examples must land in size-balanced shards in a
+    reproducible pseudorandom order.
+
+    ``shard``       = md5-prefix bucket of the example key (the engine's
+                      cross-engine hash contract — text.token_hash_bucket;
+                      Spark's rand()/sample() are seed+partition dependent
+                      and repartition alone is not reproducible).
+    ``shuffle_key`` = the full md5 hex of (key || salt): ordering by it
+                      within a shard IS a uniform random permutation fixed
+                      by the data alone — re-runs, retries and cluster
+                      resizes produce byte-identical shard contents.
+
+    ``salt`` reshuffles between epochs ("epoch1", "epoch2", ...) without
+    any RNG state. At 100 TB: one hash-partitioned shuffle on the shard
+    id, each shard sorts locally (no global sort), writers emit
+    sequential runs — pair with write_training_shards for bounded file
+    sizes.
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    out = df.withColumn("shuffle_key", h).withColumn(
+        "shard",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).cast(
+            "int"
+        ),
+    )
+    return out.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "shuffle_key"
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Materialize :func:`training_shards` as one directory per shard
+    (``shard=N/``) with deterministic file contents; setting
+    ``max_records_per_file`` bounds individual file sizes so a skewed
+    shard still emits readable-sized parquet at scale."""
+    w = training_shards(df, key_col, n_shards, salt).write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.partitionBy("shard").parquet(path)

@@ -248,3 +248,62 @@ def test_orc_round_trip_preserves_values_and_pushes_filters(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_training_shards_deterministic_and_balanced(spark, tmp_path):
+    """Two independent writes of the same corpus produce identical
+    per-shard row sequences (the reproducible-shuffle contract); shards
+    are size-balanced; within-shard order is the md5 permutation; salt
+    changes the permutation; maxRecordsPerFile bounds files."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.sources.ingest import (
+        training_shards,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source"
+    )
+    n = docs.count()
+
+    def dump(path):
+        write_training_shards(
+            docs, path, "doc_id", n_shards=8, salt="e1", max_records_per_file=40
+        )
+        out = {}
+        for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+            rows = []
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                t = pq.read_table(f)
+                assert t.num_rows <= 40  # maxRecordsPerFile respected
+                rows.extend(
+                    zip(t.column("doc_id").to_pylist(),
+                        t.column("shuffle_key").to_pylist())
+                )
+            out[d.rsplit("=", 1)[1]] = rows
+        return out
+
+    a = dump(str(tmp_path / "w1"))
+    b = dump(str(tmp_path / "w2"))
+    assert a == b  # byte-identical shard sequences across runs
+    sizes = [len(v) for v in a.values()]
+    assert len(sizes) == 8 and sum(sizes) == n
+    assert max(sizes) <= 2.0 * (n / 8)  # md5 balance at 500 rows
+    for rows in a.values():
+        keys = [k for _, k in rows]
+        assert keys == sorted(keys)  # the md5 permutation, per shard
+
+    # a different epoch salt is a different permutation of the same rows
+    s2 = training_shards(docs, "doc_id", 8, salt="e2")
+    first_e2 = s2.filter("shard = 0").limit(3).collect()
+    ids_e1_shard0 = {i for i, _ in a.get("0", [])}
+    assert {r["doc_id"] for r in first_e2} != set() and (
+        {r["doc_id"] for r in first_e2} - ids_e1_shard0 != set()
+        or [r["shuffle_key"] for r in first_e2]
+        != [k for _, k in a.get("0", [])[:3]]
+    )
