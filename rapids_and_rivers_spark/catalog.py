@@ -9871,52 +9871,29 @@ def unigram_encode_counts(spark, sf_dir):
     "beta_disc100 is per discount-percentage-point. Full value oracle",
 )
 def linreg_price_model(spark, sf_dir):
+    from rapids_and_rivers_spark.operators.linalg import (
+        linreg_solve,
+        linreg_sufficient_stats,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    dec = "decimal(38,0)"
-    q = li.select(
-        F.col("l_quantity").cast("long").cast(dec).alias("qv"),
-        F.round(F.col("l_discount") * 100, 0).cast("long").cast(dec).alias("dv"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").cast(dec).alias("yv"),
+    stats = linreg_sufficient_stats(_linreg_quantized(li))
+    return linreg_solve(stats).select(
+        "n",
+        F.round(F.col("b0") / 100, 6).alias("beta0"),
+        F.round(F.col("b1") / 100, 6).alias("beta_qty"),
+        F.round(F.col("b2"), 6).alias("beta_disc100"),
     )
-    s = q.agg(
-        F.count(F.lit(1)).cast(dec).alias("n"),
-        F.sum("qv").alias("sq"),
-        F.sum("dv").alias("sd"),
-        F.sum("yv").alias("sy"),
-        F.sum(F.col("qv") * F.col("qv")).alias("sqq"),
-        F.sum(F.col("qv") * F.col("dv")).alias("sqd"),
-        F.sum(F.col("dv") * F.col("dv")).alias("sdd"),
-        F.sum(F.col("qv") * F.col("yv")).alias("sqy"),
-        F.sum(F.col("dv") * F.col("yv")).alias("sdy"),
-    )
-    n, sq, sd, sy = F.col("n"), F.col("sq"), F.col("sd"), F.col("sy")
-    sqq, sqd, sdd = F.col("sqq"), F.col("sqd"), F.col("sdd")
-    sqy, sdy = F.col("sqy"), F.col("sdy")
-    det = (
-        n * (sqq * sdd - sqd * sqd)
-        - sq * (sq * sdd - sd * sqd)
-        + sd * (sq * sqd - sd * sqq)
-    ).cast("double")
-    det0 = (
-        sy * (sqq * sdd - sqd * sqd)
-        - sq * (sqy * sdd - sqd * sdy)
-        + sd * (sqy * sqd - sqq * sdy)
-    ).cast("double")
-    det1 = (
-        n * (sqy * sdd - sqd * sdy)
-        - sy * (sq * sdd - sd * sqd)
-        + sd * (sq * sdy - sd * sqy)
-    ).cast("double")
-    det2 = (
-        n * (sqq * sdy - sqy * sqd)
-        - sq * (sq * sdy - sd * sqy)
-        + sy * (sq * sqd - sd * sqq)
-    ).cast("double")
-    return s.select(
-        F.col("n").cast("long").alias("n"),
-        F.round(det0 / det / 100, 6).alias("beta0"),
-        F.round(det1 / det / 100, 6).alias("beta_qty"),
-        F.round(det2 / det, 6).alias("beta_disc100"),
+
+
+def _linreg_quantized(li):
+    """lineitem -> exact-integer model columns (quantity; discount x100;
+    extendedprice x100 — memory:
+    exact-integer-aggregates-for-cross-engine-compares)."""
+    return li.select(
+        F.col("l_quantity").cast("long").alias("qv"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("dv"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("yv"),
     )
 
 
@@ -10010,4 +9987,41 @@ def training_shard_stats(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.min("shuffle_key").alias("first_key"),
+    )
+
+
+@register(
+    "stream_linreg_price",
+    _REGISTRY["linreg_price_model"].oracle,
+    doc="the STREAMING closed-form-training dual, driver-checkable: "
+    "lineitem splits into two ingest epochs by l_orderkey hash parity "
+    "and drives duals.linreg_stats_foreach_batch — each epoch reduces "
+    "to its own nine exact-decimal sufficient statistics (the SAME "
+    "linalg.linreg_sufficient_stats accumulator as the batch query) "
+    "written under an epoch-versioned path; the model is the "
+    "component-wise decimal sum of the epoch partials plus one Cramer "
+    "solve (duals.linreg_from_stats). Mergeable sufficient statistics "
+    "make online training exact: the drained model must equal batch "
+    "linreg_price_model over the union — its DuckDB oracle verbatim. "
+    "FULL value oracle",
+)
+def stream_linreg_price(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        linreg_from_stats,
+        linreg_stats_foreach_batch,
+    )
+
+    rows = load_table(spark, sf_dir, "lineitem")
+    par = F.pmod(F.xxhash64(F.col("l_orderkey").cast("string")), F.lit(2))
+    out_dir = tempfile.mkdtemp(prefix="rars_stream_linreg_")
+    stage = linreg_stats_foreach_batch(out_dir)
+    stage(_linreg_quantized(rows.filter(par == 0)), 0)
+    stage(_linreg_quantized(rows.filter(par == 1)), 1)
+    return linreg_from_stats(spark, out_dir).select(
+        "n",
+        F.round(F.col("b0") / 100, 6).alias("beta0"),
+        F.round(F.col("b1") / 100, 6).alias("beta_qty"),
+        F.round(F.col("b2"), 6).alias("beta_disc100"),
     )

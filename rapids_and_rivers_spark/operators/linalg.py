@@ -126,3 +126,75 @@ def project_on(
             lambda a, x: a + x,
         ),
     )
+
+
+def linreg_sufficient_stats(df):
+    """The nine sufficient statistics of a 2-feature + intercept linear
+    regression as ONE map-side-combined aggregation over quantized
+    integer columns ``(qv, dv, yv)`` -> a single row of DECIMAL(38,0)
+    exact sums (n, sq, sd, sy, sqq, sqd, sdd, sqy, sdy).
+
+    This is the d=3 specialization of :func:`quantized_gram`'s shape:
+    the corpus never moves, 9 scalars do — and the statistics are
+    MERGEABLE (component-wise +), which is what makes the streaming
+    dual a per-epoch partial write + exact decimal sum at read time.
+    """
+    from pyspark.sql import functions as F
+
+    dec = "decimal(38,0)"
+    q = df.select(
+        F.col("qv").cast(dec).alias("qv"),
+        F.col("dv").cast(dec).alias("dv"),
+        F.col("yv").cast(dec).alias("yv"),
+    )
+    return q.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("qv").alias("sq"),
+        F.sum("dv").alias("sd"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("qv") * F.col("qv")).alias("sqq"),
+        F.sum(F.col("qv") * F.col("dv")).alias("sqd"),
+        F.sum(F.col("dv") * F.col("dv")).alias("sdd"),
+        F.sum(F.col("qv") * F.col("yv")).alias("sqy"),
+        F.sum(F.col("dv") * F.col("yv")).alias("sdy"),
+    )
+
+
+def linreg_solve(stats_df):
+    """Cramer's-rule 3x3 solve of the normal equations over a 1-row
+    sufficient-statistics frame: every determinant expands in
+    DECIMAL(38,0) (exact integers, ~1e31 << 1e38), floats appear only
+    in the final ratios. Returns ``(n bigint, b0, b1, b2 double)``
+    UNROUNDED in quantized units — callers de-quantize and round once.
+    """
+    from pyspark.sql import functions as F
+
+    n, sq, sd, sy = F.col("n"), F.col("sq"), F.col("sd"), F.col("sy")
+    sqq, sqd, sdd = F.col("sqq"), F.col("sqd"), F.col("sdd")
+    sqy, sdy = F.col("sqy"), F.col("sdy")
+    det = (
+        n * (sqq * sdd - sqd * sqd)
+        - sq * (sq * sdd - sd * sqd)
+        + sd * (sq * sqd - sd * sqq)
+    ).cast("double")
+    det0 = (
+        sy * (sqq * sdd - sqd * sqd)
+        - sq * (sqy * sdd - sqd * sdy)
+        + sd * (sqy * sqd - sqq * sdy)
+    ).cast("double")
+    det1 = (
+        n * (sqy * sdd - sqd * sdy)
+        - sy * (sq * sdd - sd * sqd)
+        + sd * (sq * sdy - sd * sqy)
+    ).cast("double")
+    det2 = (
+        n * (sqq * sdy - sqy * sqd)
+        - sq * (sq * sdy - sd * sqy)
+        + sy * (sq * sqd - sd * sqq)
+    ).cast("double")
+    return stats_df.select(
+        F.col("n").cast("long").alias("n"),
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+    )

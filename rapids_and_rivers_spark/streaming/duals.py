@@ -2765,3 +2765,44 @@ def unigram_encode_foreach_batch(
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{epoch_id}"))
 
     return stage
+
+
+def linreg_stats_foreach_batch(out_dir: str):
+    """Streaming dual of closed-form linear-model training
+    (catalog ``linreg_price_model``): each micro-batch reduces to its
+    own nine sufficient statistics
+    (operators/linalg.py linreg_sufficient_stats — the SAME accumulator
+    the batch query uses; the gram_stream no-drift argument) and writes
+    the 1-row partial under an epoch-versioned path. The statistics are
+    component-wise MERGEABLE exact decimals, so the model over
+    everything seen is a sum of the epoch rows plus one 3x3 solve —
+    online training without ever revisiting a row.
+
+    Per-epoch overwrite keeps at-least-once replay idempotent; read the
+    current model with :func:`linreg_from_stats`.
+    """
+    from rapids_and_rivers_spark.operators.linalg import (
+        linreg_sufficient_stats,
+    )
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        linreg_sufficient_stats(batch_df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"v{epoch_id}")
+        )
+
+    return stage
+
+
+def linreg_from_stats(spark, out_dir: str) -> DataFrame:
+    """Merge the per-epoch sufficient-statistic partials (exact decimal
+    component-wise sum) and solve once — the read side of
+    :func:`linreg_stats_foreach_batch`. Returns the same unrounded
+    quantized-unit row shape as ``linalg.linreg_solve``."""
+    from rapids_and_rivers_spark.operators.linalg import linreg_solve
+
+    parts = read_epoch_table(spark, out_dir)
+    merged = parts.agg(
+        *[F.sum(c).alias(c) for c in
+          ("n", "sq", "sd", "sy", "sqq", "sqd", "sdd", "sqy", "sdy")]
+    )
+    return linreg_solve(merged)

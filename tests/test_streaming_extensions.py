@@ -2836,3 +2836,42 @@ def test_unigram_encode_stream_matches_batch_trained_vocab(spark, tmp_path):
 
     stage(even, 0)  # at-least-once replay of epoch 0
     assert as_map(read_epoch_table(spark, out_dir)) == expected
+
+
+def test_linreg_stream_matches_batch_and_replay(spark, tmp_path):
+    """Per-epoch sufficient-statistic partials merged by exact decimal
+    sum + one solve must equal the batch closed-form model bit for bit
+    (mergeable statistics), and replaying an epoch must not move it."""
+    from rapids_and_rivers_spark import catalog
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.streaming.duals import (
+        linreg_from_stats,
+        linreg_stats_foreach_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_table(spark, sf, "lineitem")
+    par = F.pmod(F.xxhash64(F.col("l_orderkey").cast("string")), F.lit(2))
+    out_dir = str(tmp_path / "lr")
+    stage = linreg_stats_foreach_batch(out_dir)
+    e0 = catalog._linreg_quantized(rows.filter(par == 0))
+    stage(e0, 0)
+    stage(catalog._linreg_quantized(rows.filter(par == 1)), 1)
+
+    def model(df):
+        r = df.collect()[0]
+        return (r["n"], r["b0"], r["b1"], r["b2"])
+
+    got = model(linreg_from_stats(spark, out_dir))
+    from rapids_and_rivers_spark.operators.linalg import (
+        linreg_solve,
+        linreg_sufficient_stats,
+    )
+
+    expected = model(
+        linreg_solve(linreg_sufficient_stats(catalog._linreg_quantized(rows)))
+    )
+    assert got == expected  # exact: decimal merge loses nothing
+
+    stage(e0, 0)  # at-least-once replay of epoch 0
+    assert model(linreg_from_stats(spark, out_dir)) == expected
