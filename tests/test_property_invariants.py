@@ -270,3 +270,54 @@ def test_quantile_sample_merge_and_determinism(spark, rows):
         n, vals = whole[g]
         assert n == len(merged)
         assert tuple(sorted(v for _, v in merged)) == vals
+
+
+# --- unigram Viterbi: DP equals brute-force over ALL segmentations ----------
+
+_ug_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=4
+)
+_ug_counts = st.lists(st.integers(1, 50), min_size=3, max_size=3)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(words=_ug_words, counts=_ug_counts)
+def test_unigram_viterbi_equals_bruteforce(spark, words, counts):
+    """The relational DP's (pieces, negsum, path) must equal the
+    brute-force minimum over EVERY possible segmentation — the
+    optimality contract, not just plausibility."""
+    from rapids_and_rivers_spark.operators import text as T
+
+    vocab = [
+        ("a", 1, counts[0]),
+        ("b", 1, counts[1]),
+        ("ab", 2, counts[2]),
+        ("ba", 2, 7),
+        ("aa", 2, 11),
+    ]
+    cnt = {p: c for p, _, c in vocab}
+    wdf = spark.createDataFrame(
+        [(w, 1) for w in sorted(set(words))], "word string, n long"
+    )
+    vdf = spark.createDataFrame(
+        vocab, "piece string, plen int, cnt long"
+    )
+    got = {
+        r["word"]: (r["pieces"], r["negsum"], r["path"])
+        for r in T.unigram_viterbi(wdf, vdf).collect()
+    }
+
+    def segs(w):
+        if not w:
+            yield []
+            return
+        for l in (1, 2):
+            if l <= len(w) and w[:l] in cnt:
+                for rest in segs(w[l:]):
+                    yield [w[:l]] + rest
+
+    for w in set(words):
+        best = min(
+            (len(s), -sum(cnt[p] for p in s), "|".join(s)) for s in segs(w)
+        )
+        assert got[w] == best, (w, got[w], best)
