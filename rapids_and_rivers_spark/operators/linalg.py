@@ -163,9 +163,19 @@ def linreg_sufficient_stats(df):
 def linreg_solve(stats_df):
     """Cramer's-rule 3x3 solve of the normal equations over a 1-row
     sufficient-statistics frame: every determinant expands in
-    DECIMAL(38,0) (exact integers, ~1e31 << 1e38), floats appear only
-    in the final ratios. Returns ``(n bigint, b0, b1, b2 double)``
-    UNROUNDED in quantized units — callers de-quantize and round once.
+    DECIMAL(38,0) (exact integers), floats appear only in the final
+    ratios. Returns ``(n bigint, b0, b1, b2 double)`` UNROUNDED in
+    quantized units — callers de-quantize and round once.
+
+    Exact-arithmetic bound, stated not guessed: determinant terms grow
+    like n^3 * (q_max^2 * d_max^2) ~ 2.5e5 * n^3, so DECIMAL(38,0)
+    stays exact up to n ~ 7e10 rows (multi-TB of lineitem) and
+    OVERFLOWS (Spark: null) beyond. The 100-TB path keeps the same
+    one-pass distributed accumulator — the 9 exact partials are what
+    shuffles either way — and moves only the final 3x3 solve to the
+    driver on the 9 collected scalars (a bounded collect) via LAPACK;
+    this in-plan decimal tier is the bit-reproducible configuration
+    the cross-engine oracle gates.
     """
     from pyspark.sql import functions as F
 
