@@ -7035,26 +7035,20 @@ def packing_efficiency(spark, sf_dir):
     "audit rightly flags",
 )
 def source_mix_temperature(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    from rapids_and_rivers_spark.operators.selection import mix_weights
+
+    per_src = _mix_per_source(load_table(spark, sf_dir, "documents"))
+    return mix_weights(per_src, tau=0.7)
+
+
+def _mix_per_source(docs):
+    """documents -> exact per-source (n_docs, n_tokens) counts — the
+    mergeable statistics the mixture weights derive from."""
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     n_toks = F.size(F.filter(toks, lambda t: F.length(t) > 0))
-    per_src = docs.select("source", n_toks.alias("nt")).groupBy("source").agg(
+    return docs.select("source", n_toks.alias("nt")).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nt").cast("bigint").alias("n_tokens"),
-    )
-    total = float(per_src.agg(F.sum("n_tokens")).first()[0])
-    p_raw = F.col("n_tokens") / F.lit(total)
-    z = float(
-        per_src.agg(F.sum(F.pow(F.col("n_tokens") / F.lit(total), F.lit(1.0 / 0.7)))).first()[0]
-    )
-    tempered = F.pow(p_raw, F.lit(1.0 / 0.7)) / F.lit(z)
-    return per_src.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(p_raw, 6).alias("p_raw"),
-        F.round(tempered, 6).alias("p_temp"),
-        F.round(tempered / p_raw, 4).alias("boost"),
     )
 
 
@@ -10025,3 +10019,35 @@ def stream_linreg_price(spark, sf_dir):
         F.round(F.col("b1") / 100, 6).alias("beta_qty"),
         F.round(F.col("b2"), 6).alias("beta_disc100"),
     )
+
+
+@register(
+    "stream_source_mix",
+    _REGISTRY["source_mix_temperature"].oracle,
+    doc="the STREAMING mixture-controller dual, driver-checkable: the "
+    "documents table splits into two ingest epochs by doc_id hash "
+    "parity and drives duals.mix_stats_foreach_batch — each epoch "
+    "reduces to exact per-source integer counts written under an "
+    "epoch-versioned path; the current sampling weights are the keyed "
+    "sum of the partials plus the SAME selection.mix_weights tail the "
+    "batch query uses (exact integer merge -> bit-identical floats). "
+    "The online data-mixing shape: tempered source weights re-derive "
+    "as token mass accumulates, without revisiting a document. The "
+    "drained weights must equal batch source_mix_temperature over the "
+    "union — its DuckDB oracle verbatim. FULL value oracle",
+)
+def stream_source_mix(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        mix_from_stats,
+        mix_stats_foreach_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = tempfile.mkdtemp(prefix="rars_stream_mix_")
+    stage = mix_stats_foreach_batch(out_dir)
+    par = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2))
+    stage(docs.filter(par == 0), 0)
+    stage(docs.filter(par == 1), 1)
+    return mix_from_stats(spark, out_dir, tau=0.7)

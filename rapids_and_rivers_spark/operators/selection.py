@@ -243,3 +243,35 @@ def negative_samples(
             "left_anti",
         )
     return cand.select("id", "slot", "neg_id")
+
+
+def mix_weights(per_src: DataFrame, tau: float = 0.7) -> DataFrame:
+    """Temperature-based sampling weights from a per-source count table
+    ``(source, n_docs, n_tokens)``: raw token share, tempered share
+    p_i^(1/tau) renormalized, and the boost factor.
+
+    The corpus total and the partition function are 1-row scalar
+    aggregates collected driver-side (bounded-collect; crossJoining the
+    1-row aggregates would plan BroadcastNestedLoopJoin). Shared by the
+    batch ``source_mix_temperature`` catalog query AND the streaming
+    mixture dual — the counts are exact integers, so any caller merging
+    partials by + reproduces the batch weights bit-for-bit.
+    """
+    # bounded-collect: 1-row global aggregate (corpus total)
+    total = float(per_src.agg(F.sum("n_tokens")).first()[0])
+    # bounded-collect: 1-row global aggregate (partition function)
+    z = float(
+        per_src.agg(
+            F.sum(F.pow(F.col("n_tokens") / F.lit(total), F.lit(1.0 / tau)))
+        ).first()[0]
+    )
+    p_raw = F.col("n_tokens") / F.lit(total)
+    tempered = F.pow(p_raw, F.lit(1.0 / tau)) / F.lit(z)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(tempered, 6).alias("p_temp"),
+        F.round(tempered / p_raw, 4).alias("boost"),
+    )

@@ -2806,3 +2806,52 @@ def linreg_from_stats(spark, out_dir: str) -> DataFrame:
           ("n", "sq", "sd", "sy", "sqq", "sqd", "sdd", "sqy", "sdy")]
     )
     return linreg_solve(merged)
+
+
+def mix_stats_foreach_batch(out_dir: str):
+    """Streaming dual of temperature-based mixture weighting
+    (catalog ``source_mix_temperature``): each micro-batch reduces to
+    its per-source exact integer counts ``(source, n_docs, n_tokens)``
+    written under an epoch-versioned path. Counts are component-wise
+    MERGEABLE, so the current mixture is a keyed sum of the epoch
+    partials plus the SAME ``selection.mix_weights`` tail the batch
+    query uses — the online mixture-controller shape: as a source's
+    token mass accumulates, its tempered sampling weight re-derives
+    from totals without revisiting a document.
+
+    Per-epoch overwrite keeps at-least-once replay idempotent; read the
+    current weights with :func:`mix_from_stats`.
+    """
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        n_toks = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+        per_src = (
+            batch_df.select("source", n_toks.alias("nt"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").cast("bigint").alias("n_tokens"),
+            )
+        )
+        per_src.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"v{epoch_id}")
+        )
+
+    return stage
+
+
+def mix_from_stats(spark, out_dir: str, tau: float = 0.7) -> DataFrame:
+    """Merge the per-epoch per-source count partials (exact integer
+    keyed sum) and derive the mixture weights once — the read side of
+    :func:`mix_stats_foreach_batch`, delegating to the same
+    ``selection.mix_weights`` as the batch query (one formula, no
+    drift)."""
+    from rapids_and_rivers_spark.operators.selection import mix_weights
+
+    parts = read_epoch_table(spark, out_dir)
+    merged = parts.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    return mix_weights(merged, tau=tau)

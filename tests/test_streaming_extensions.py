@@ -2875,3 +2875,34 @@ def test_linreg_stream_matches_batch_and_replay(spark, tmp_path):
 
     stage(e0, 0)  # at-least-once replay of epoch 0
     assert model(linreg_from_stats(spark, out_dir)) == expected
+
+
+def test_mix_stream_matches_batch_and_replay(spark, tmp_path):
+    """Per-epoch per-source count partials merged by exact integer sum
+    + the shared weights tail must equal the batch mixture bit for bit,
+    and replaying an epoch must not move it."""
+    from rapids_and_rivers_spark import catalog
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.streaming.duals import (
+        mix_from_stats,
+        mix_stats_foreach_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    out_dir = str(tmp_path / "mix")
+    stage = mix_stats_foreach_batch(out_dir)
+    par = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2))
+    e0 = docs.filter(par == 0)
+    stage(e0, 0)
+    stage(docs.filter(par == 1), 1)
+
+    def as_map(df):
+        return {r["source"]: tuple(r)[1:] for r in df.collect()}
+
+    expected = as_map(catalog.source_mix_temperature(spark, sf))
+    assert as_map(mix_from_stats(spark, out_dir)) == expected
+    assert len(expected) > 0
+
+    stage(e0, 0)  # at-least-once replay
+    assert as_map(mix_from_stats(spark, out_dir)) == expected
