@@ -9938,6 +9938,238 @@ def stream_unigram_encode(spark, sf_dir):
     return read_epoch_table(spark, out_dir)
 
 
+# --- WordPiece tokenizer (greedy longest-match, position-aware roles) --------
+
+_WORDPIECE_BASE_SQL = r"""
+    wp_chars AS (
+      SELECT c.piece, r.cont, CAST(1 AS INT) AS plen, c.cnt FROM (
+        SELECT substr(word, CAST(pos + 1 AS INT), 1) AS piece,
+               CAST(sum(n) AS BIGINT) AS cnt
+        FROM (SELECT word, n, unnest(range(length(word))) AS pos FROM words)
+        GROUP BY 1
+      ) c, (SELECT unnest([false, true]) AS cont) r
+    ),
+    wp_multi AS (
+      SELECT piece, cont, plen, cnt FROM (
+        SELECT piece, cont, plen, cnt,
+               row_number() OVER (PARTITION BY cont
+                                  ORDER BY cnt DESC, piece) AS rk
+        FROM (
+          SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece,
+                 s > 1 AS cont, CAST(l AS INT) AS plen,
+                 CAST(sum(n) AS BIGINT) AS cnt
+          FROM (SELECT word, n, s,
+                       unnest(range(2, least(4, length(word) - s + 1) + 1))
+                         AS l
+                FROM (SELECT word, n, unnest(range(1, length(word))) AS s
+                      FROM words WHERE length(word) >= 2))
+          GROUP BY 1, 2, 3
+        )
+      ) WHERE rk <= 32
+    ),
+    wp_vocab AS MATERIALIZED (
+      SELECT * FROM wp_chars UNION ALL SELECT * FROM wp_multi
+    )"""
+
+
+def _wordpiece_greedy_sql(max_word_len: int = 12) -> str:
+    """Unrolled greedy longest-match-first walk over word positions —
+    the SQL mirror of operators/text.py wordpiece_greedy's higher-order-
+    aggregate accumulator: one CTE per step, each advancing the cursor
+    past the LONGEST vocabulary piece matching at the cursor in the
+    correct start/continuation role (deterministic: at a fixed
+    (position, length) there is exactly one substring, so the max never
+    ties)."""
+    parts = [
+        r"""
+    wp_spans AS MATERIALIZED (
+      SELECT s.word, s.s, s.l,
+             CASE WHEN s.cont THEN '##' || s.piece ELSE s.piece END AS disp
+      FROM (
+        SELECT word, s, l,
+               substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece,
+               s > 1 AS cont
+        FROM (SELECT word, s,
+                     unnest(range(1, least(4, length(word) - s + 1) + 1))
+                       AS l
+              FROM (SELECT word, unnest(range(1, length(word) + 1)) AS s
+                    FROM words))
+      ) s JOIN wp_vocab v ON s.piece = v.piece AND s.cont = v.cont
+    ),
+    wg0 AS (SELECT word, CAST(1 AS INT) AS pos, CAST(0 AS INT) AS toks,
+                   '' AS path FROM words)"""
+    ]
+    for t in range(1, max_word_len + 1):
+        parts.append(
+            f"""
+    wg{t} AS MATERIALIZED (
+      SELECT word, pos, toks, path FROM (
+        SELECT g.word,
+               CASE WHEN s.word IS NULL THEN g.pos
+                    ELSE g.pos + s.l END AS pos,
+               CASE WHEN s.word IS NULL THEN g.toks
+                    ELSE g.toks + 1 END AS toks,
+               CASE WHEN s.word IS NULL THEN g.path
+                    WHEN g.toks = 0 THEN s.disp
+                    ELSE g.path || '|' || s.disp END AS path,
+               row_number() OVER (PARTITION BY g.word
+                                  ORDER BY s.l DESC NULLS LAST) AS rn
+        FROM wg{t - 1} g LEFT JOIN wp_spans s
+          ON s.word = g.word AND s.s = g.pos
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(f"""
+    wfin AS (SELECT word, toks, path,
+                    pos = length(word) + 1 AS ok FROM wg{max_word_len})""")
+    return ",".join(parts)
+
+
+@register(
+    "wordpiece_train_vocab",
+    "WITH" + _UNIGRAM_BASE_SQL.split(",\n    chars AS", 1)[0]
+    + "," + _WORDPIECE_BASE_SQL + """
+    SELECT piece, cont, plen, cnt FROM wp_vocab
+    """,
+    doc="WordPiece tokenizer VOCABULARY training (Wu et al. 2016; the "
+    "BERT tokenizer — completing the production-tokenizer triple next "
+    "to bpe_train_merges and unigram_train_vocab): pieces carry "
+    "POSITION-AWARE roles, a word-START occurrence being a different "
+    "vocabulary entry from the same string as a ##-CONTINUATION — the "
+    "defining WordPiece property the position-blind unigram vocabulary "
+    "lacks. ALL single characters enter both roles (greedy matching "
+    "can never dead-end), plus the top-32 multi-character pieces PER "
+    "ROLE, tie-broken (cnt desc, piece asc) so the budget cut is "
+    "deterministic cross-engine. Counting runs on the |vocab|-sized "
+    "word-count table, never the corpus (the bpe_char_tokens scale "
+    "shape). Full value oracle: DuckDB recomputes the role-split "
+    "candidates and both per-role budget cuts verbatim",
+)
+def wordpiece_train_vocab(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    # persist: the word-count table feeds the char scan AND the
+    # role-split span scan (2 corpus explosions -> 1 without it)
+    words = (
+        _unigram_doc_words(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    return T.wordpiece_vocab(words, top_v=32, max_len=4).select(
+        "piece",
+        "cont",
+        F.col("plen").cast("int").alias("plen"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+@register(
+    "wordpiece_encode_counts",
+    "WITH" + _UNIGRAM_BASE_SQL.split(",\n    chars AS", 1)[0]
+    + "," + _WORDPIECE_BASE_SQL + "," + _wordpiece_greedy_sql(12) + """
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(wfin.toks) AS BIGINT) AS n_tokens,
+           CAST(sum(len(dw.word)) AS BIGINT) AS n_chars,
+           round(sum(len(dw.word)) / CAST(sum(wfin.toks) AS DOUBLE), 4)
+             AS compression
+    FROM dw JOIN wfin USING (word)
+    GROUP BY dw.doc_id
+    """,
+    doc="WordPiece ENCODING: greedy longest-match-first segmentation "
+    "of every distinct word under the trained position-aware "
+    "vocabulary (wordpiece_train_vocab on the same corpus), then "
+    "per-document token counts via one corpus-sized equi-join — the "
+    "corpus is never re-segmented row by row (the bpe_encode_counts / "
+    "unigram_encode_counts scale shape). Greedy longest-match is "
+    "INTEGER-EXACT by construction: at a fixed (cursor, length) there "
+    "is exactly one substring, so the per-step max never ties and no "
+    "float score exists to flip cross-engine (the q2 lesson holds "
+    "vacuously). The walk is a single JVM-side higher-order aggregate "
+    "over positions carrying (pos, toks, path) "
+    "(operators/text.py wordpiece_greedy): ONE broadcast span-join + "
+    "ONE word-keyed agg, no per-round shuffle, parallel across the "
+    "distinct-word table. Full value oracle: DuckDB unrolls the "
+    "identical greedy walk per step (longest-match via one window per "
+    "step over the same span table)",
+)
+def wordpiece_encode_counts(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = _unigram_doc_words(docs)
+    # persist: words feeds the char scan, the role-split candidate
+    # scan AND the greedy span table (4 corpus explosions -> 2)
+    words = (
+        doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("n")).persist()
+    )
+    vocab = T.wordpiece_vocab(words, top_v=32, max_len=4)
+    seg = T.wordpiece_greedy(words, vocab)
+    return (
+        doc_words.join(seg.select("word", "toks"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "compression",
+            F.round(F.col("n_chars") / F.col("n_tokens"), 4),
+        )
+    )
+
+
+@register(
+    "stream_wordpiece_encode",
+    _REGISTRY["wordpiece_encode_counts"].oracle,
+    doc="the STREAMING WordPiece-encoding dual, driver-checkable: the "
+    "position-aware vocabulary trains once on the full corpus "
+    "(wordpiece_train_vocab semantics — a bounded <=|charset|x2+64-row "
+    "collect), then the documents table splits into two ingest epochs "
+    "by doc_id hash parity and drives "
+    "duals.wordpiece_encode_foreach_batch — each epoch greedy-segments "
+    "only ITS batch's distinct words against the frozen (piece, cont) "
+    "table and writes per-epoch overwrite outputs, so replay is "
+    "idempotent. The drained epoch union must equal batch "
+    "wordpiece_encode_counts over the whole corpus — its DuckDB oracle "
+    "verbatim. FULL value oracle",
+)
+def stream_wordpiece_encode(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.operators import text as T
+    from rapids_and_rivers_spark.streaming.duals import (
+        read_epoch_table,
+        wordpiece_encode_foreach_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # persist: words feeds the char scan and the role-split candidate
+    # scan; the collect below materializes it once
+    words = (
+        _unigram_doc_words(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    # bounded-collect: the trained vocabulary is <= 2x|charset| + 64 rows
+    vocab_rows = [
+        (r["piece"], r["cont"])
+        for r in T.wordpiece_vocab(words, top_v=32, max_len=4)
+        .select("piece", "cont")
+        .collect()
+    ]
+    out_dir = tempfile.mkdtemp(prefix="rars_stream_wordpiece_")
+    stage = wordpiece_encode_foreach_batch(vocab_rows, out_dir)
+    par = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2))
+    stage(docs.filter(par == 0), 0)
+    stage(docs.filter(par == 1), 1)
+    return read_epoch_table(spark, out_dir)
+
+
 @register(
     "training_shard_stats",
     r"""

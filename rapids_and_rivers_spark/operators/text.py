@@ -607,3 +607,186 @@ def unigram_viterbi(words, vocab):
         F.col("fin.negsum").alias("negsum"),
         F.col("fin.path").alias("path"),
     )
+
+
+# --- WordPiece tokenizer (greedy longest-match-first) ------------------------
+
+
+def wordpiece_vocab(words, top_v: int = 32, max_len: int = 4):
+    """Word-count table ``(word, n)`` -> WordPiece vocabulary
+    ``(piece, cont, plen, cnt)`` with POSITION-AWARE roles: a piece
+    occurring at the start of a word (``cont = false``) is a different
+    vocabulary entry from the same string continuing a word
+    (``cont = true`` — rendered ``##piece`` by convention). That split
+    is the defining WordPiece property (Wu et al. 2016; BERT's
+    tokenizer) and what distinguishes this from the position-blind
+    unigram vocabulary above.
+
+    ALL single characters present in the corpus enter BOTH roles
+    (guarantees greedy matching never dead-ends), plus the ``top_v``
+    most frequent multi-character pieces PER ROLE, tie-broken
+    (cnt desc, piece asc) so the budget cut is deterministic
+    cross-engine. Counting runs on the |vocab|-sized word table, never
+    the corpus (the bpe_char_tokens scale shape).
+    """
+    from pyspark.sql import Window, functions as F
+
+    chars = (
+        words.select(
+            F.explode(F.split(F.col("word"), "")).alias("piece"), "n"
+        )
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    both_roles = chars.select(
+        "piece", F.lit(False).alias("cont"), F.lit(1).alias("plen"), "cnt"
+    ).unionByName(
+        chars.select(
+            "piece", F.lit(True).alias("cont"), F.lit(1).alias("plen"), "cnt"
+        )
+    )
+    spans = (
+        # guard: sequence(1, len-1) with len=1 is the DESCENDING [1, 0]
+        # in Spark, not empty (same pitfall unigram_candidate_pieces
+        # documents) — words shorter than 2 chars carry no multi-piece
+        words.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "n",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("s"),
+        )
+        .select(
+            "word",
+            "n",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.lit(2),
+                    F.least(
+                        F.lit(max_len),
+                        F.length("word") - F.col("s") + 1,
+                    ),
+                )
+            ).alias("l"),
+        )
+        .select(
+            F.substring(F.col("word"), F.col("s"), F.col("l")).alias(
+                "piece"
+            ),
+            (F.col("s") > 1).alias("cont"),
+            F.col("l").alias("plen"),
+            "n",
+        )
+        .groupBy("piece", "cont", "plen")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    w = Window.partitionBy("cont").orderBy(F.desc("cnt"), "piece")
+    multi = (
+        spans.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_v)
+        .drop("rk")
+    )
+    return both_roles.unionByName(
+        multi.select("piece", "cont", "plen", "cnt")
+    )
+
+
+def wordpiece_greedy(words, vocab, max_len: int = 4):
+    """Greedy longest-match-first segmentation of every distinct word
+    under a position-aware WordPiece vocabulary: starting at position
+    1, repeatedly take the LONGEST vocabulary piece that matches at the
+    cursor in the correct role (start vs ``##``-continuation), advance
+    past it. Deterministic by construction — at a fixed (position,
+    length) there is exactly one substring, so "longest match" never
+    ties (no float scores, no argmin instability; memory:
+    exact-integer-aggregates-for-cross-engine-compares).
+
+    Shape mirrors :func:`unigram_viterbi`: ONE broadcast equi-join
+    (word spans x vocab on (piece, role)) and ONE word-keyed agg; the
+    greedy walk is a single JVM-side higher-order ``aggregate`` whose
+    accumulator carries ``(pos, toks, path)`` — length(word) fixed
+    iterations, each consuming >= 1 character, no Python in the loop,
+    parallel across the distinct-word table.
+
+    Returns ``(word, n, toks, path, ok)``; ``ok = false`` marks a word
+    the vocabulary cannot segment (maps to [UNK] downstream — cannot
+    happen when the vocab came from :func:`wordpiece_vocab` on the
+    same corpus, since every character holds both roles).
+    """
+    from pyspark.sql import functions as F
+
+    spans = words.select(
+        "word",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
+    ).select(
+        "word",
+        "n",
+        "s",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(max_len), F.length("word") - F.col("s") + 1),
+            )
+        ).alias("l"),
+    ).select(
+        "word",
+        "n",
+        "s",
+        "l",
+        F.substring(F.col("word"), F.col("s"), F.col("l")).alias("piece"),
+        (F.col("s") > 1).alias("cont"),
+    )
+    matched = spans.join(
+        F.broadcast(vocab.select("piece", "cont")), ["piece", "cont"]
+    ).select(
+        "word",
+        "n",
+        F.struct(
+            "s",
+            "l",
+            F.when(F.col("cont"), F.concat(F.lit("##"), F.col("piece")))
+            .otherwise(F.col("piece"))
+            .alias("disp"),
+        ).alias("m"),
+    )
+    per_word = matched.groupBy("word", "n").agg(
+        F.collect_list("m").alias("ms")
+    )
+    zero = F.struct(
+        F.lit(1).alias("pos"),
+        F.lit(0).alias("toks"),
+        F.lit("").alias("path"),
+    )
+
+    def step(acc, _):
+        here = F.filter(F.col("ms"), lambda m: m["s"] == acc["pos"])
+        best = F.array_max(
+            F.transform(
+                here, lambda m: F.struct(m["l"].alias("l"), m["disp"].alias("disp"))
+            )
+        )
+        return F.when(
+            (acc["pos"] > F.length("word")) | (F.size(here) == 0), acc
+        ).otherwise(
+            F.struct(
+                (acc["pos"] + best["l"]).alias("pos"),
+                (acc["toks"] + 1).alias("toks"),
+                F.when(acc["toks"] == 0, best["disp"])
+                .otherwise(F.concat(acc["path"], F.lit("|"), best["disp"]))
+                .alias("path"),
+            )
+        )
+
+    fin = F.aggregate(
+        F.sequence(F.lit(1), F.length("word")), zero, step
+    )
+    return per_word.select(
+        "word",
+        "n",
+        fin["toks"].alias("toks"),
+        fin["path"].alias("path"),
+        (fin["pos"] == F.length("word") + 1).alias("ok"),
+    )

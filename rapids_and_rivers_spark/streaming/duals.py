@@ -2767,6 +2767,74 @@ def unigram_encode_foreach_batch(
     return stage
 
 
+def wordpiece_encode_foreach_batch(
+    vocab_rows: list,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming WordPiece encoding with a FROZEN trained position-aware
+    vocabulary — the streaming dual of the batch ``wordpiece_encode_counts``
+    catalog query, closing the tokenizer family's dual triple next to
+    :func:`bpe_encode_foreach_batch` and
+    :func:`unigram_encode_foreach_batch`: train once
+    (``wordpiece_train_vocab`` semantics), then greedy-longest-match
+    segment every arriving document against the fixed (piece, cont)
+    table.
+
+    Segmentation is stateless given the vocabulary, so per micro-batch
+    only the batch's DISTINCT words pay the span-join + higher-order-
+    aggregate greedy walk (operators/text.py wordpiece_greedy — the
+    identical deterministic longest-match objective the batch query and
+    its DuckDB oracle use), then the batch's doc->word rows pick up
+    per-word token counts via one equi-join and a doc-keyed aggregation.
+
+    Per-epoch overwrite writes (``v{E}``) make at-least-once epoch
+    replay idempotent; read back with :func:`read_epoch_table`. A doc
+    re-arriving later re-encodes to an identical row (frozen vocab ->
+    deterministic segmentation).
+    """
+    from rapids_and_rivers_spark.operators import text as T
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vocab = spark.createDataFrame(
+            [(p, bool(c)) for p, c in vocab_rows],
+            "piece string, cont boolean",
+        )
+        doc_words = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word"),
+        ).filter(
+            F.length("word").between(1, 12)
+            & F.col("word").rlike("^[a-z0-9]+$")
+        )
+        words = (
+            doc_words.select("word")
+            .distinct()
+            .withColumn("n", F.lit(1).cast("long"))
+        )
+        seg = T.wordpiece_greedy(words, vocab).select("word", "toks")
+        out = (
+            doc_words.join(seg, "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("toks").cast("long").alias("n_tokens"),
+                F.sum(F.length("word")).cast("long").alias("n_chars"),
+            )
+            .withColumn(
+                "compression",
+                F.round(F.col("n_chars") / F.col("n_tokens"), 4),
+            )
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{epoch_id}"))
+
+    return stage
+
+
 def linreg_stats_foreach_batch(out_dir: str):
     """Streaming dual of closed-form linear-model training
     (catalog ``linreg_price_model``): each micro-batch reduces to its

@@ -321,3 +321,69 @@ def test_unigram_viterbi_equals_bruteforce(spark, words, counts):
             (len(s), -sum(cnt[p] for p in s), "|".join(s)) for s in segs(w)
         )
         assert got[w] == best, (w, got[w], best)
+
+
+# --- WordPiece greedy: aggregate walk equals reference longest-match --------
+
+_wp_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=5
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(words=_wp_words, start_ab=st.booleans(), cont_ba=st.booleans())
+def test_wordpiece_greedy_equals_bruteforce(spark, words, start_ab, cont_ba):
+    """The higher-order-aggregate greedy walk must equal a reference
+    longest-match-first scan for every word, under a POSITION-AWARE
+    vocabulary (start pieces distinct from ##-continuations) whose
+    multi-char membership hypothesis varies per example."""
+    from rapids_and_rivers_spark.operators import text as T
+
+    vocab = [("a", False), ("b", False), ("a", True), ("b", True),
+             ("ab", True), ("aba", False)]
+    if start_ab:
+        vocab.append(("ab", False))
+    if cont_ba:
+        vocab.append(("ba", True))
+    V = set(vocab)
+    wdf = spark.createDataFrame(
+        [(w, 1) for w in sorted(set(words))], "word string, n long"
+    )
+    vdf = spark.createDataFrame(vocab, "piece string, cont boolean")
+    got = {
+        r["word"]: (r["toks"], r["path"], r["ok"])
+        for r in T.wordpiece_greedy(wdf, vdf).collect()
+    }
+
+    def ref(w):
+        pos, path = 0, []
+        while pos < len(w):
+            for l in range(min(4, len(w) - pos), 0, -1):
+                if (w[pos:pos + l], pos > 0) in V:
+                    path.append(("##" + w[pos:pos + l]) if pos else w[pos:pos + l])
+                    pos += l
+                    break
+            else:
+                return len(path), "|".join(path), False
+        return len(path), "|".join(path), True
+
+    for w in set(words):
+        assert got[w] == ref(w), (w, got[w], ref(w))
+
+
+def test_wordpiece_greedy_dead_end_marks_unk(spark):
+    """A word the vocabulary cannot continue must come back ok=false
+    with the walk frozen at the dead end — the [UNK] contract (cannot
+    arise when the vocab came from wordpiece_vocab on the same corpus,
+    where every char holds both roles)."""
+    from rapids_and_rivers_spark.operators import text as T
+
+    wdf = spark.createDataFrame([("ba", 1), ("ab", 1)], "word string, n long")
+    # 'b' can START a word but nothing can CONTINUE past position 1
+    vdf = spark.createDataFrame(
+        [("a", False), ("b", False)], "piece string, cont boolean"
+    )
+    got = {r["word"]: (r["toks"], r["path"], r["ok"])
+           for r in T.wordpiece_greedy(wdf, vdf).collect()}
+    assert got["ba"] == (1, "b", False)
+    assert got["ab"] == (1, "a", False)

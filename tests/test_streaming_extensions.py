@@ -2906,3 +2906,53 @@ def test_mix_stream_matches_batch_and_replay(spark, tmp_path):
 
     stage(e0, 0)  # at-least-once replay
     assert as_map(mix_from_stats(spark, out_dir)) == expected
+
+
+def test_wordpiece_encode_stream_matches_batch_trained_vocab(spark, tmp_path):
+    """Streaming WordPiece encoding over the REAL sf0.001 documents
+    table: train the position-aware vocabulary once on the full corpus
+    (the wordpiece_train_vocab recipe), freeze it, encode the docs in
+    two micro-batches split by doc_id parity — the per-epoch union must
+    equal the batch wordpiece_encode_counts query doc for doc, and
+    replaying an epoch must leave the read-back unchanged."""
+    from rapids_and_rivers_spark import catalog
+    from rapids_and_rivers_spark.operators import text as T
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.streaming.duals import (
+        read_epoch_table,
+        wordpiece_encode_foreach_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    words = (
+        catalog._unigram_doc_words(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab_rows = [
+        (r["piece"], r["cont"])
+        for r in T.wordpiece_vocab(words, top_v=32, max_len=4)
+        .select("piece", "cont")
+        .collect()
+    ]
+
+    out_dir = str(tmp_path / "wpenc")
+    stage = wordpiece_encode_foreach_batch(vocab_rows, out_dir)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    stage(even, 0)
+    stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+
+    def as_map(df):
+        return {
+            r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"], r["compression"])
+            for r in df.collect()
+        }
+
+    got = as_map(read_epoch_table(spark, out_dir))
+    expected = as_map(catalog.wordpiece_encode_counts(spark, sf))
+    assert got == expected
+    assert len(got) > 0
+
+    stage(even, 0)  # at-least-once replay of epoch 0
+    assert as_map(read_epoch_table(spark, out_dir)) == expected
