@@ -7594,12 +7594,12 @@ def zorder_cluster_stats(spark, sf_dir):
 @register(
     "graph_triangles",
     """
-    WITH cs AS (
+    WITH cs AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
     ok AS (SELECT c FROM cs GROUP BY c HAVING count(*) <= 40),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.s AS a, b.s AS b, CAST(count(*) AS BIGINT) AS shared
       FROM cs a JOIN ok USING (c) JOIN cs b USING (c)
       WHERE a.s < b.s
@@ -7618,7 +7618,7 @@ def zorder_cluster_stats(spark, sf_dir):
         FROM directed
       ) WHERE rk <= 8
     ),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn
     ),
     deg AS (
@@ -7630,7 +7630,7 @@ def zorder_cluster_stats(spark, sf_dir):
       SELECT und.a, und.b, da.deg AS dega, db.deg AS degb
       FROM und JOIN deg da ON und.a = da.node JOIN deg db ON und.b = db.node
     ),
-    oriented AS (
+    oriented AS MATERIALIZED (
       SELECT CASE WHEN dega < degb OR (dega = degb AND a < b) THEN a ELSE b END AS lo,
              CASE WHEN dega < degb OR (dega = degb AND a < b) THEN b ELSE a END AS hi,
              CASE WHEN dega < degb OR (dega = degb AND a < b) THEN degb ELSE dega END AS deghi
