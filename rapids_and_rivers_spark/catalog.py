@@ -4883,6 +4883,78 @@ def image_ahash(spark, sf_dir):
     return M.ahash_signatures(media, grid=8)
 
 
+def _dct_values_literal() -> str:
+    """The frozen fixed-point DCT basis as a DuckDB VALUES literal —
+    generated from the SAME operators/multimodal.dct_coeff_table the
+    executor UDF uses, so both engines share one integer matrix by
+    construction (the frozen-merges pattern)."""
+    rows = []
+    for k, row in enumerate(M.dct_coeff_table(8)):
+        for n, c in enumerate(row):
+            rows.append(f"({k}, {n}, {c})")
+    return ", ".join(rows)
+
+
+@register(
+    "image_phash",
+    f"""
+    WITH ct(k, n, c) AS (VALUES {_dct_values_literal()}),
+    cell AS (
+      SELECT d.doc_id, gy.range AS gy, gx.range AS gx,
+             (gy.range * 9) // 8 AS y, (gx.range * 15) // 8 AS x
+      FROM documents d, range(8) gy, range(8) gx
+    ),
+    lum AS MATERIALIZED (
+      SELECT doc_id, gy, gx,
+             299 * ((doc_id * 7  + y * 5 + x * 3)  % 256)
+           + 587 * ((doc_id * 11 + y * 2 + x * 13) % 256)
+           + 114 * ((doc_id * 17 + y * 3 + x * 7)  % 256) AS luma
+      FROM cell
+    ),
+    dct AS MATERIALIZED (
+      SELECT l.doc_id, cu.k * 8 + cv.k AS i,
+             sum(CAST(cu.c AS BIGINT) * l.luma * cv.c) AS d
+      FROM lum l JOIN ct cu ON cu.n = l.gy JOIN ct cv ON cv.n = l.gx
+      GROUP BY 1, 2
+    ),
+    thr AS (
+      SELECT doc_id, d AS t FROM (
+        SELECT doc_id, d,
+               row_number() OVER (PARTITION BY doc_id ORDER BY d) AS rk
+        FROM dct) WHERE rk = 32
+    )
+    SELECT dct.doc_id, 15 AS width, 9 AS height,
+           CAST(sum(CASE WHEN d > t AND i < 32
+                         THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+                         ELSE 0 END) AS BIGINT) AS phash_lo,
+           CAST(sum(CASE WHEN d > t AND i >= 32
+                         THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT)
+                         ELSE 0 END) AS BIGINT) AS phash_hi
+    FROM dct JOIN thr USING (doc_id)
+    GROUP BY dct.doc_id
+    """,
+    doc="perceptual DCT hash per image (pHash, Zauner 2010 — the "
+    "standard image near-dup signature next to image_ahash's "
+    "average-hash): REAL BMP byte parsing -> integer luma -> 8x8 "
+    "nearest-neighbor thumbnail -> 2-D FIXED-POINT integer DCT-II "
+    "(D = C @ L @ C.T with a shared round(2^14 cos) basis, "
+    "operators/multimodal.py dct_coeff_table — an exact int64 GEMM, "
+    "< 2^52 per coefficient, on BOTH engines; float cosines each "
+    "engine rounds its own way would flip bits) -> one bit per "
+    "coefficient vs the 32nd-smallest coefficient (lower median: a "
+    "pure integer order statistic — float median averaging of an "
+    "even count is exactly the cross-engine tie trap the q2 lesson "
+    "names). DCT bits key on low-frequency STRUCTURE, surviving "
+    "uniform brightness shifts that flip aHash bits (pinned in "
+    "tests). Candidates ride the SAME SimHash pigeonhole machinery. "
+    "FULL value oracle: DuckDB recomputes the transform from the "
+    "closed-form pixel formula and the identical VALUES basis",
+)
+def image_phash(spark, sf_dir):
+    media = media_corpus(spark, sf_dir)
+    return M.phash_signatures(media, grid=8)
+
+
 @register(
     "multimodal_resize",
     """

@@ -450,6 +450,88 @@ def ahash_signatures(media: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
+def dct_coeff_table(grid: int = 8, scale: int = 16384):
+    """The SHARED fixed-point DCT-II basis: ``C[k][n] = round(scale *
+    cos(pi * (2n + 1) * k / (2 * grid)))`` as plain Python ints.
+
+    Both the executor-side pHash UDF and the DuckDB oracle's literal
+    VALUES table come from THIS function, so the transform is an exact
+    integer GEMM on both engines by construction — the frozen-constant
+    pattern (like BPE's frozen merges), not a float cosine each engine
+    rounds its own way. |C| <= 2^14 and luma < 2^18, so a full 8x8
+    coefficient is < 64 * 2^46 = 2^52: int64-exact, no overflow.
+    """
+    import math
+
+    return [
+        [
+            int(round(scale * math.cos(math.pi * (2 * n + 1) * k / (2 * grid))))
+            for n in range(grid)
+        ]
+        for k in range(grid)
+    ]
+
+
+def phash_signatures(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual DCT hash per image (pHash; Zauner 2010 / the standard
+    image near-dup signature next to average-hash): decode the BMP
+    bytes, integer-scaled luma (299r+587g+114b), nearest-neighbor
+    ``grid x grid`` thumbnail (the resize_nn floor-index map aHash
+    uses), then a 2-D fixed-point integer DCT-II
+    (``D = C @ L @ C.T`` with the shared :func:`dct_coeff_table`
+    basis), and one bit per coefficient: ``D[i] > T`` where ``T`` is
+    the 32nd-smallest of the 64 coefficients (the lower median — a
+    pure integer order statistic, so no float median averaging can
+    flip a bit cross-engine). Unlike aHash's per-cell brightness, the
+    DCT bits key on low-frequency STRUCTURE, so they survive uniform
+    brightness/contrast shifts that flip aHash bits.
+
+    Returns ``(doc_id, width, height, phash_lo, phash_hi)`` with the
+    64 bits split into two 32-bit halves clear of the sign bit.
+    Candidate pairs ride the same pigeonhole chunk machinery as text
+    SimHash (operators/dedup.simhash_pairs).
+    """
+
+    C = dct_coeff_table(grid)
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        basis = np.array(C, dtype=np.int64)
+        for pdf in batches:
+            payloads = pdf["payload"].tolist()
+            ids = pdf["doc_id"].tolist()
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "phash_lo": [], "phash_hi": [],
+            }
+            for doc_id, payload in zip(ids, payloads):
+                px = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                luma = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+                sy = (np.arange(grid) * h) // grid
+                sx = (np.arange(grid) * w) // grid
+                thumb = luma[np.ix_(sy, sx)]
+                d = basis @ thumb @ basis.T  # exact int64 GEMM
+                flat = d.ravel()
+                thr = np.sort(flat)[grid * grid // 2 - 1]
+                bits = (flat > thr).astype(np.int64)
+                lo = int((bits[:32] << np.arange(32)).sum())
+                hi = int((bits[32:64] << np.arange(len(bits[32:64]))).sum())
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["phash_lo"].append(lo)
+                out["phash_hi"].append(hi)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen,
+        "doc_id long, width int, height int, phash_lo long, phash_hi long",
+    )
+
+
 # --- audio: RIFF/WAV 16-bit PCM ----------------------------------------------
 #
 # The audio twin of the BMP path: REAL dependency-free container parsing

@@ -422,3 +422,63 @@ def test_decode_wav_round_trip_and_chunk_walk():
     )
     with pytest.raises(ValueError, match="unsupported"):
         M.decode_wav(bad)
+
+
+def test_phash_near_dup_locality_and_brightness_robustness(spark):
+    """Perceptual DCT hash on a TEXTURED image (a smooth gradient is
+    degenerate: its vertical frequencies are exactly zero, so the
+    median threshold sits on a field of zeros and any perturbation
+    flips bits): an unsampled-pixel edit hashes identically, a small
+    sampled-pixel edit moves few bits, a uniform brightness shift
+    leaves the structure bits nearly intact (DC moves, AC terms do
+    not — the property aHash's per-cell-vs-mean bits don't have), and
+    a mirror flips half the bits. Also pins the exact int64 GEMM:
+    identical payloads hash identically across runs."""
+    import numpy as np
+
+    base = np.zeros((16, 16, 3), dtype=np.uint8)
+    for y in range(16):
+        for x in range(16):
+            base[y, x] = [(y * 37 + x * 11) % 256,
+                          (y * 5 + x * 29) % 256,
+                          (y * 13 + x * 3) % 256]
+    near_unsampled = base.copy()
+    near_unsampled[1, 1] = [255, 255, 255]   # odd coords: not in the 8x8 map
+    near_small = base.copy()
+    near_small[0, 2] = np.clip(base[0, 2].astype(int) + 3, 0, 255)
+    brighter = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    different = base[:, ::-1, :].copy()       # mirrored texture
+
+    rows = [
+        (1, bytearray(M.encode_bmp(base))),
+        (2, bytearray(M.encode_bmp(near_unsampled))),
+        (3, bytearray(M.encode_bmp(near_small))),
+        (4, bytearray(M.encode_bmp(brighter))),
+        (5, bytearray(M.encode_bmp(different))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sigs = {r.doc_id: (r.phash_lo, r.phash_hi)
+            for r in M.phash_signatures(media).collect()}
+
+    def hamming(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert hamming(sigs[1], sigs[2]) == 0     # unsampled edit: identical
+    assert hamming(sigs[1], sigs[3]) <= 4     # small sampled edit: few bits
+    assert hamming(sigs[1], sigs[4]) <= 8     # uniform shift: structure holds
+    assert hamming(sigs[1], sigs[5]) >= 16    # mirror: many bits flip
+    # deterministic re-run
+    again = {r.doc_id: (r.phash_lo, r.phash_hi)
+             for r in M.phash_signatures(media).collect()}
+    assert sigs == again
+
+
+def test_dct_coeff_table_is_frozen_integer_basis():
+    """The shared fixed-point basis: DC row constant at the scale,
+    symmetric magnitudes, and values stable (a changed basis would
+    silently desync the oracle literal from the UDF)."""
+    C = M.dct_coeff_table(8)
+    assert all(c == 16384 for c in C[0])
+    assert C[4][0] == -C[4][1] == C[4][3]  # cos(pi*(2n+1)/4) pattern
+    flat = [c for row in C for c in row]
+    assert max(abs(c) for c in flat) == 16384
