@@ -4956,6 +4956,116 @@ def image_phash(spark, sf_dir):
 
 
 @register(
+    "image_neardup_phash",
+    'WITH sigs AS MATERIALIZED (' + _REGISTRY["image_phash"].oracle + """),
+    chunked AS (
+      SELECT doc_id, phash_lo, phash_hi, c.range AS chunk,
+             CASE WHEN c.range < 2
+                  THEN (phash_lo >> CAST(16 * c.range AS INT)) & 65535
+                  ELSE (phash_hi >> CAST(16 * (c.range - 2) AS INT)) & 65535
+             END AS chunk_val
+      FROM sigs, range(4) c
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             bit_count(xor(l.phash_lo, r.phash_lo))
+           + bit_count(xor(l.phash_hi, r.phash_hi)) AS dist
+      FROM chunked l JOIN chunked r
+        ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val
+       AND l.doc_id < r.doc_id
+      WHERE bit_count(xor(l.phash_lo, r.phash_lo))
+          + bit_count(xor(l.phash_hi, r.phash_hi)) <= 3
+    ),
+    touched AS (
+      SELECT id_a AS doc_id, id_b AS partner, dist FROM cand
+      UNION ALL
+      SELECT id_b, id_a, dist FROM cand
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_neardups,
+           CAST(min(partner) AS BIGINT) AS min_partner,
+           CAST(min(dist) AS BIGINT) AS min_dist
+    FROM touched
+    GROUP BY doc_id
+    """,
+    doc="IMAGE near-duplicate detection end-to-end — the image twin of "
+    "dedup_simhash, closing the loop the image_ahash/image_phash docs "
+    "point at: pHash signatures (exact integer DCT, see image_phash) "
+    "-> pigeonhole banding (the signature splits into 4x16-bit chunks; "
+    "any pair within hamming 3 must agree on a whole chunk, so "
+    "candidates come from an equi-join on (chunk, value), NEVER a "
+    "cross product — the simhash_pairs blocking contract, which is "
+    "what survives 100 TB of images) -> exact hamming verify "
+    "(bit_count of the xor on both 32-bit halves) -> per-document "
+    "aggregate (near-dup degree, smallest partner, closest distance) "
+    "so the output stays linear in documents at every scale factor. "
+    "The synthetic corpus has true dup classes by construction "
+    "(doc_ids congruent mod 256 render identical pixels), so the "
+    "query returns real clusters, not an empty result. FULL value "
+    "oracle: DuckDB recomputes signatures from the closed-form pixel "
+    "formula + the shared DCT basis, then the identical banding, "
+    "verify, and aggregation",
+)
+def image_neardup_phash(spark, sf_dir):
+    media = media_corpus(spark, sf_dir)
+    sigs = M.phash_signatures(media, grid=8).select(
+        "doc_id", "phash_lo", "phash_hi"
+    )
+    chunked = sigs.select(
+        "doc_id",
+        "phash_lo",
+        "phash_hi",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(
+                            F.col("phash_lo" if c < 2 else "phash_hi"),
+                            16 * (c % 2),
+                        )
+                        .bitwiseAND(F.lit(65535))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "phash_lo", "phash_hi", "cc.chunk", "cc.chunk_val")
+    l, r = chunked.alias("l"), chunked.alias("r")
+    dist = F.bit_count(
+        F.col("l.phash_lo").bitwiseXOR(F.col("r.phash_lo"))
+    ) + F.bit_count(F.col("l.phash_hi").bitwiseXOR(F.col("r.phash_hi")))
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+        .distinct()
+    )
+    touched = cand.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("partner"), "dist"
+    ).unionByName(
+        cand.select(
+            F.col("id_b").alias("doc_id"), F.col("id_a").alias("partner"), "dist"
+        )
+    )
+    return touched.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardups"),
+        F.min("partner").cast("long").alias("min_partner"),
+        F.min("dist").cast("long").alias("min_dist"),
+    )
+
+
+@register(
     "multimodal_resize",
     """
     WITH px AS (
