@@ -2956,3 +2956,32 @@ def test_wordpiece_encode_stream_matches_batch_trained_vocab(spark, tmp_path):
 
     stage(even, 0)  # at-least-once replay of epoch 0
     assert as_map(read_epoch_table(spark, out_dir)) == expected
+
+
+def test_phash_signatures_runs_unchanged_on_stream(spark, tmp_path):
+    """Image pHash is pure mapInPandas — the SAME function runs on a
+    streaming DataFrame (the image path's batch/stream duality, like
+    the aHash twin above), and per-batch signatures equal the batch
+    run bit for bit (the integer DCT has no nondeterminism to hide)."""
+    from rapids_and_rivers_spark.operators import multimodal as M
+
+    ids = list(range(12))
+    payloads = M.encode_bmp_batch(ids, width=15, height=9)
+    rows = [(i, bytearray(p)) for i, p in zip(ids, payloads)]
+    batch_df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    src = str(tmp_path / "in")
+    batch_df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(src)
+    q = (
+        M.phash_signatures(stream)
+        .writeStream.format("memory")
+        .queryName("phash_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM phash_out").collect()))
+    want = sorted(map(tuple, M.phash_signatures(batch_df).collect()))
+    assert got == want and len(got) == 12
