@@ -10399,6 +10399,185 @@ def training_shard_stats(spark, sf_dir):
 
 
 @register(
+    "bt_supplier_strength",
+    """
+    WITH bt_lines AS MATERIALIZED (
+      SELECT l_orderkey AS o, l_suppkey AS s,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS p
+      FROM lineitem GROUP BY 1, 2
+    ),
+    bt_pairs AS MATERIALIZED (
+      SELECT a.s AS i, b.s AS j,
+             CASE WHEN a.p >= b.p THEN a.s ELSE b.s END AS w
+      FROM bt_lines a JOIN bt_lines b ON a.o = b.o AND a.s < b.s
+    ),
+    bt_games AS MATERIALIZED (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM bt_pairs GROUP BY 1, 2
+    ),
+    bt_wins AS MATERIALIZED (
+      SELECT w AS s, CAST(count(*) AS BIGINT) AS wn FROM bt_pairs GROUP BY 1
+    ),
+    btr0 AS (
+      SELECT DISTINCT s, CAST(1000000 AS BIGINT) AS th FROM (
+        SELECT i AS s FROM bt_games UNION ALL SELECT j FROM bt_games)
+    ),
+    t1 AS (
+      SELECT node, sum(term) AS denom FROM (
+        SELECT g.i AS node,
+               g.n * CAST(1000000000000 AS BIGINT) // (ri.th + rj.th) AS term
+        FROM bt_games g JOIN btr0 ri ON g.i = ri.s
+                        JOIN btr0 rj ON g.j = rj.s
+        UNION ALL
+        SELECT g.j,
+               g.n * CAST(1000000000000 AS BIGINT) // (ri.th + rj.th)
+        FROM bt_games g JOIN btr0 ri ON g.i = ri.s
+                        JOIN btr0 rj ON g.j = rj.s
+      ) GROUP BY node
+    ),
+    btr1 AS MATERIALIZED (
+      SELECT t.node AS s,
+             greatest(coalesce(w.wn, 0) * CAST(1000000000000 AS BIGINT)
+                        // t.denom,
+                      CAST(1 AS BIGINT)) AS th
+      FROM t1 t LEFT JOIN bt_wins w ON w.s = t.node
+    ),
+    t2 AS (
+      SELECT node, sum(term) AS denom FROM (
+        SELECT g.i AS node,
+               g.n * CAST(1000000000000 AS BIGINT) // (ri.th + rj.th) AS term
+        FROM bt_games g JOIN btr1 ri ON g.i = ri.s
+                        JOIN btr1 rj ON g.j = rj.s
+        UNION ALL
+        SELECT g.j,
+               g.n * CAST(1000000000000 AS BIGINT) // (ri.th + rj.th)
+        FROM bt_games g JOIN btr1 ri ON g.i = ri.s
+                        JOIN btr1 rj ON g.j = rj.s
+      ) GROUP BY node
+    ),
+    btr2 AS MATERIALIZED (
+      SELECT t.node AS s,
+             greatest(coalesce(w.wn, 0) * CAST(1000000000000 AS BIGINT)
+                        // t.denom,
+                      CAST(1 AS BIGINT)) AS th
+      FROM t2 t LEFT JOIN bt_wins w ON w.s = t.node
+    ),
+    t3 AS (
+      SELECT node, sum(term) AS denom FROM (
+        SELECT g.i AS node,
+               g.n * CAST(1000000000000 AS BIGINT) // (ri.th + rj.th) AS term
+        FROM bt_games g JOIN btr2 ri ON g.i = ri.s
+                        JOIN btr2 rj ON g.j = rj.s
+        UNION ALL
+        SELECT g.j,
+               g.n * CAST(1000000000000 AS BIGINT) // (ri.th + rj.th)
+        FROM bt_games g JOIN btr2 ri ON g.i = ri.s
+                        JOIN btr2 rj ON g.j = rj.s
+      ) GROUP BY node
+    ),
+    btr3 AS MATERIALIZED (
+      SELECT t.node AS s,
+             greatest(coalesce(w.wn, 0) * CAST(1000000000000 AS BIGINT)
+                        // t.denom,
+                      CAST(1 AS BIGINT)) AS th
+      FROM t3 t LEFT JOIN bt_wins w ON w.s = t.node
+    )
+    SELECT r.s AS s_suppkey,
+           CAST(coalesce(w.wn, 0) AS BIGINT) AS wins,
+           CAST(pl.games AS BIGINT) AS games,
+           CAST(r.th AS BIGINT) AS rating
+    FROM btr3 r
+    JOIN (SELECT s, sum(n) AS games FROM (
+            SELECT i AS s, n FROM bt_games
+            UNION ALL SELECT j, n FROM bt_games) GROUP BY s) pl
+      ON pl.s = r.s
+    LEFT JOIN bt_wins w ON w.s = r.s
+    """,
+    doc="Bradley-Terry preference-strength training (Hunter 2004 MM) — "
+    "the PREFERENCE-DATA operator of the pipeline family, next to "
+    "linreg_price_model's closed-form training: suppliers sharing an "
+    "order contest pairwise (higher order-total price in cents wins; "
+    "ties to the smaller suppkey — a documented deterministic break), "
+    "the corpus reduces ONCE to two tiny MERGEABLE sufficient tables "
+    "(per-pair game counts, per-player win counts: the same property "
+    "that makes the linreg dual exact), and 3 MM rounds run on "
+    "|players|-sized data as broadcast joins unrolled into one plan "
+    "(the pagerank round pattern). The update is INTEGER-EXACT: "
+    "strengths in int64 micro-units, per-round terms n*10^12 DIV "
+    "(th_i + th_j) summed as integers (order-free — float sums are "
+    "not, the q2 lesson), zero-win players floored at 1 so no edge "
+    "divides by zero. Full value oracle: DuckDB unrolls the identical "
+    "integer rounds",
+)
+def bt_supplier_strength(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import rating as R
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = (
+        li.select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_suppkey").alias("s"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("pc"),
+        )
+        .groupBy("o", "s")
+        .agg(F.sum("pc").alias("p"))
+    )
+    games, wins = R.bt_sufficient_stats(R.bt_contests(lines))
+    return R.bt_mm_ratings(games, wins, rounds=3).select(
+        F.col("s").alias("s_suppkey"), "wins", "games", "rating"
+    )
+
+
+@register(
+    "stream_bt_strength",
+    _REGISTRY["bt_supplier_strength"].oracle,
+    doc="the STREAMING preference-training dual, driver-checkable: "
+    "lineitem splits into two ingest epochs by l_orderkey hash parity "
+    "(orders never straddle epochs, so within-order contests stay "
+    "intact) and drives duals.bt_stats_foreach_batch — each epoch "
+    "reduces ITS contests to per-pair game counts and per-player win "
+    "counts under an epoch-versioned path; both tables are "
+    "component-wise MERGEABLE integer counts, so the model over "
+    "everything seen is a keyed sum of the epoch partials plus the "
+    "SAME 3 integer MM rounds the batch query runs "
+    "(operators/rating.bt_mm_ratings — one shared tail, no drift). "
+    "The drained result must equal batch bt_supplier_strength over "
+    "the union — its DuckDB oracle verbatim. FULL value oracle",
+)
+def stream_bt_strength(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.operators import rating as R
+    from rapids_and_rivers_spark.streaming.duals import (
+        bt_ratings_from_stats,
+        bt_stats_foreach_batch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = (
+        li.select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_suppkey").alias("s"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("pc"),
+        )
+        .groupBy("o", "s")
+        .agg(F.sum("pc").alias("p"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="rars_stream_bt_")
+    stage = bt_stats_foreach_batch(out_dir)
+    par = F.pmod(F.xxhash64(F.col("o").cast("string")), F.lit(2))
+    stage(lines.filter(par == 0), 0)
+    stage(lines.filter(par == 1), 1)
+    return bt_ratings_from_stats(spark, out_dir, rounds=3).select(
+        F.col("s").alias("s_suppkey"), "wins", "games", "rating"
+    )
+
+
+@register(
     "stream_linreg_price",
     _REGISTRY["linreg_price_model"].oracle,
     doc="the STREAMING closed-form-training dual, driver-checkable: "

@@ -1,0 +1,152 @@
+"""Bradley-Terry preference-strength training (integer-exact MM).
+
+The preference-data operator of the pipeline family: given pairwise
+contests (A beat B), estimate a latent strength per player via the
+Bradley-Terry model's minorization-maximization update (Hunter 2004,
+"MM algorithms for generalized Bradley-Terry models"):
+
+    theta_i  <-  W_i / sum_j ( n_ij / (theta_i + theta_j) )
+
+where W_i = wins of i and n_ij = games between i and j. This is the
+standard fit for preference/comparison data (the same model family
+behind pairwise human-preference ranking), and at pipeline scale the
+inputs reduce to two tiny MERGEABLE tables — per-pair game counts and
+per-player win counts — so the expensive corpus pass happens once and
+the MM rounds run on |players|-sized data.
+
+Cross-engine exactness (the q2 lesson, memory:
+exact-integer-aggregates-for-cross-engine-compares): the textbook
+update divides floats, and float SUMS are order-dependent, so a DuckDB
+oracle would drift from Spark. Here strengths are int64 MICRO-units
+(theta0 = 1_000_000) and each round is pure integer arithmetic:
+
+    term_ij  = (n_ij * 10^12) DIV (theta_i + theta_j)   -- int64, exact
+    denom_i  = SUM_j term_ij                            -- int sum: order-free
+    theta_i' = GREATEST((W_i * 10^12) DIV denom_i, 1)   -- zero-win floor
+
+Every quantity is an exact integer, so Spark and the unrolled SQL
+oracle agree bit for bit at every round. Bounds: n_ij * 10^12 and
+W_i * 10^12 stay under 2^63 while n_ij, W_i < ~9.2e6; above that
+(extreme corpus scale) switch the two products to DECIMAL(38,0) —
+the linreg_price_model pattern.
+
+Reference anchor: extension surface (SURVEY §2 pipeline family) next
+to linreg_price_model's closed-form training; the reference engine has
+no model fitting — the parity target is the mergeable-statistics
+shape its aggregations establish.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MICRO = 1_000_000
+SCALE = 10**12
+
+
+def bt_contests(lines: DataFrame) -> DataFrame:
+    """Per-order supplier contests from ``(o, s, p)`` rows (order key,
+    player key, integer score): every pair of distinct players inside
+    one order plays one game, won by the higher score — ties go to the
+    smaller player key (a documented deterministic tie-break; float
+    scores are the caller's bug, pass integer cents).
+
+    Returns ``(i, j, w)`` with ``i < j`` and ``w`` the winner. ONE
+    self-equi-join on the order key; players-per-order is bounded (7
+    suppliers per TPC-H order), so pair volume is linear in orders.
+    """
+    a, b = lines.alias("a"), lines.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+    ).select(
+        F.col("a.s").alias("i"),
+        F.col("b.s").alias("j"),
+        F.when(F.col("a.p") >= F.col("b.p"), F.col("a.s"))
+        .otherwise(F.col("b.s"))
+        .alias("w"),
+    )
+
+
+def bt_sufficient_stats(contests: DataFrame):
+    """Contests -> the two MERGEABLE tables the MM rounds need:
+    ``games (i, j, n)`` with ``i < j`` and ``wins (s, wn)``. Both are
+    component-wise addable across shards/epochs (the linreg
+    sufficient-statistics property), which is what makes the streaming
+    dual exact."""
+    games = contests.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wins = contests.groupBy(F.col("w").alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("wn")
+    )
+    return games, wins
+
+
+def bt_mm_ratings(games: DataFrame, wins: DataFrame, rounds: int = 3) -> DataFrame:
+    """Run ``rounds`` integer-exact MM updates and return
+    ``(s, wins, games, rating)`` — rating in int64 micro-units.
+
+    Scale shape: the round loop never touches the corpus — ``games`` is
+    |player-pairs|-sized and each round is two broadcast-sized
+    equi-joins plus one integer-keyed agg, unrolled into a single plan
+    (the pagerank_purchase_graph round pattern). Zero-win players floor
+    at rating 1 (GREATEST guard), so no round divides by zero: a games
+    edge always has at least one past winner on it.
+    """
+    players = (
+        games.select(F.col("i").alias("s"))
+        .unionByName(games.select(F.col("j").alias("s")))
+        .distinct()
+    )
+    r = players.withColumn("th", F.lit(MICRO).cast("long"))
+    for _ in range(rounds):
+        e = (
+            games.join(
+                F.broadcast(r.select(F.col("s").alias("i"), F.col("th").alias("ti"))),
+                "i",
+            )
+            .join(
+                F.broadcast(r.select(F.col("s").alias("j"), F.col("th").alias("tj"))),
+                "j",
+            )
+            .withColumn(
+                "term",
+                F.expr(f"n * CAST({SCALE} AS BIGINT) DIV (ti + tj)"),
+            )
+        )
+        denom = (
+            e.select(F.col("i").alias("s"), "term")
+            .unionByName(e.select(F.col("j").alias("s"), "term"))
+            .groupBy("s")
+            .agg(F.sum("term").alias("denom"))
+        )
+        r = (
+            denom.join(F.broadcast(wins), "s", "left")
+            .select(
+                "s",
+                F.greatest(
+                    F.expr(
+                        f"coalesce(wn, CAST(0 AS BIGINT)) * CAST({SCALE} AS BIGINT)"
+                        " DIV denom"
+                    ),
+                    F.lit(1).cast("long"),
+                ).alias("th"),
+            )
+        )
+    plays = (
+        games.select(F.col("i").alias("s"), "n")
+        .unionByName(games.select(F.col("j").alias("s"), "n"))
+        .groupBy("s")
+        .agg(F.sum("n").alias("games"))
+    )
+    return (
+        r.join(plays, "s")
+        .join(F.broadcast(wins), "s", "left")
+        .select(
+            "s",
+            F.coalesce(F.col("wn"), F.lit(0).cast("long")).alias("wins"),
+            F.col("games").cast("long").alias("games"),
+            F.col("th").cast("long").alias("rating"),
+        )
+    )

@@ -2876,6 +2876,56 @@ def linreg_from_stats(spark, out_dir: str) -> DataFrame:
     return linreg_solve(merged)
 
 
+def bt_stats_foreach_batch(out_dir: str):
+    """Streaming dual of Bradley-Terry preference training (catalog
+    ``bt_supplier_strength``): each micro-batch of per-order player
+    scores ``(o, s, p)`` reduces to ITS pairwise-contest sufficient
+    statistics — per-pair game counts and per-player win counts
+    (operators/rating.bt_sufficient_stats, the SAME accumulator the
+    batch query uses) — written under epoch-versioned paths. Both
+    tables are component-wise MERGEABLE integer counts, so the current
+    model is a keyed sum of the epoch partials plus the shared integer
+    MM tail — online preference training without revisiting a contest.
+
+    Contract: orders must not straddle epochs (route by order-key hash),
+    or within-order contests would be lost at the boundary. Per-epoch
+    overwrite keeps at-least-once replay idempotent; read the current
+    ratings with :func:`bt_ratings_from_stats`.
+    """
+    from rapids_and_rivers_spark.operators import rating as R
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        games, wins = R.bt_sufficient_stats(R.bt_contests(batch_df))
+        games.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "games", f"v{epoch_id}")
+        )
+        wins.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "wins", f"v{epoch_id}")
+        )
+
+    return stage
+
+
+def bt_ratings_from_stats(spark, out_dir: str, rounds: int = 3) -> DataFrame:
+    """Merge the per-epoch Bradley-Terry partials (exact integer keyed
+    sums) and run the SAME MM rounds the batch query runs
+    (operators/rating.bt_mm_ratings — one shared tail, no drift risk) —
+    the read side of :func:`bt_stats_foreach_batch`."""
+    from rapids_and_rivers_spark.operators.rating import bt_mm_ratings
+
+    games = (
+        read_epoch_table(spark, os.path.join(out_dir, "games"))
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"))
+    )
+    wins = (
+        read_epoch_table(spark, os.path.join(out_dir, "wins"))
+        .groupBy("s")
+        .agg(F.sum("wn").alias("wn"))
+    )
+    return bt_mm_ratings(games, wins, rounds=rounds)
+
+
 def mix_stats_foreach_batch(out_dir: str):
     """Streaming dual of temperature-based mixture weighting
     (catalog ``source_mix_temperature``): each micro-batch reduces to

@@ -2985,3 +2985,76 @@ def test_phash_signatures_runs_unchanged_on_stream(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT * FROM phash_out").collect()))
     want = sorted(map(tuple, M.phash_signatures(batch_df).collect()))
     assert got == want and len(got) == 12
+
+
+def test_bt_stream_matches_batch_and_replay(spark, tmp_path):
+    """Bradley-Terry per-epoch sufficient statistics (pair game counts +
+    win counts) merged by exact integer keyed sums, then the SAME
+    integer MM rounds, must equal the batch fit bit for bit — and
+    replaying an epoch must not move it (mergeable statistics, the
+    linreg dual contract). Epochs split by ORDER key so no contest
+    straddles the boundary."""
+    from rapids_and_rivers_spark import catalog
+    from rapids_and_rivers_spark.operators import rating as R
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.streaming.duals import (
+        bt_ratings_from_stats,
+        bt_stats_foreach_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    lines = (
+        li.select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_suppkey").alias("s"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pc"),
+        )
+        .groupBy("o", "s")
+        .agg(F.sum("pc").alias("p"))
+    )
+    out_dir = str(tmp_path / "bt")
+    stage = bt_stats_foreach_batch(out_dir)
+    even = lines.filter(F.col("o") % 2 == 0)
+    stage(even, 0)
+    stage(lines.filter(F.col("o") % 2 == 1), 1)
+
+    def as_map(df):
+        return {r["s"]: (r["wins"], r["games"], r["rating"]) for r in df.collect()}
+
+    got = as_map(bt_ratings_from_stats(spark, out_dir, rounds=3))
+    games, wins = R.bt_sufficient_stats(R.bt_contests(lines))
+    expected = as_map(R.bt_mm_ratings(games, wins, rounds=3))
+    assert got == expected and len(got) > 0
+
+    stage(even, 0)  # at-least-once replay of epoch 0
+    assert as_map(bt_ratings_from_stats(spark, out_dir, rounds=3)) == expected
+
+
+def test_bt_mm_orders_round_robin_by_skill(spark):
+    """On a constructed double-round-robin where player k beats every
+    player with a larger key, MM ratings must strictly order by skill —
+    the model-recovery sanity contract — and must be invariant to input
+    partitioning (exact integer arithmetic has no order dependence)."""
+    from rapids_and_rivers_spark.operators import rating as R
+
+    # orders: one per (a, b) pair, twice; player min(a,b) always wins
+    rows = []
+    o = 0
+    for rep in range(2):
+        for a in range(1, 6):
+            for b in range(a + 1, 6):
+                o += 1
+                rows.append((o, a, 200))   # stronger: higher score
+                rows.append((o, b, 100))
+    lines = spark.createDataFrame(rows, "o long, s long, p long")
+    games, wins = R.bt_sufficient_stats(R.bt_contests(lines))
+    ratings = {r["s"]: r["rating"] for r in R.bt_mm_ratings(games, wins).collect()}
+    assert ratings[1] > ratings[2] > ratings[3] > ratings[4] > ratings[5]
+    again = {
+        r["s"]: r["rating"]
+        for r in R.bt_mm_ratings(*(
+            R.bt_sufficient_stats(R.bt_contests(lines.repartition(7)))
+        )).collect()
+    }
+    assert ratings == again
