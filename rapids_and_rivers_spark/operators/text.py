@@ -752,8 +752,21 @@ def wordpiece_greedy(words, vocab, max_len: int = 4):
             .alias("disp"),
         ).alias("m"),
     )
-    per_word = matched.groupBy("word", "n").agg(
-        F.collect_list("m").alias("ms")
+    # LEFT join from the word table: a word with NO matching span at
+    # all (every character missing from the vocab's start role) must
+    # still come back ok=false — an inner groupBy would silently drop
+    # it, diverging from the SQL oracle's LEFT-JOIN walk
+    per_word = words.select("word", "n").join(
+        matched.groupBy("word").agg(F.collect_list("m").alias("ms")),
+        "word",
+        "left",
+    ).select(
+        "word",
+        "n",
+        F.coalesce(
+            F.col("ms"),
+            F.array().cast("array<struct<s:int,l:int,disp:string>>"),
+        ).alias("ms"),
     )
     zero = F.struct(
         F.lit(1).alias("pos"),

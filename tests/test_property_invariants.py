@@ -387,3 +387,20 @@ def test_wordpiece_greedy_dead_end_marks_unk(spark):
            for r in T.wordpiece_greedy(wdf, vdf).collect()}
     assert got["ba"] == (1, "b", False)
     assert got["ab"] == (1, "a", False)
+
+
+def test_wordpiece_greedy_keeps_fully_unmatched_words(spark):
+    """A word whose characters are entirely absent from the vocabulary's
+    start role must still come back (toks=0, ok=false) — an inner join
+    would silently drop it, diverging from the SQL oracle's LEFT-JOIN
+    walk (which keeps every word)."""
+    from rapids_and_rivers_spark.operators import text as T
+
+    wdf = spark.createDataFrame([("zz", 1), ("ab", 1)], "word string, n long")
+    vdf = spark.createDataFrame(
+        [("a", False), ("b", True)], "piece string, cont boolean"
+    )
+    got = {r["word"]: (r["toks"], r["path"], r["ok"])
+           for r in T.wordpiece_greedy(wdf, vdf).collect()}
+    assert got["zz"] == (0, "", False)
+    assert got["ab"] == (2, "a|##b", True)
