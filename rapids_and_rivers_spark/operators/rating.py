@@ -94,6 +94,11 @@ def bt_mm_ratings(games: DataFrame, wins: DataFrame, rounds: int = 3) -> DataFra
     at rating 1 (GREATEST guard), so no round divides by zero: a games
     edge always has at least one past winner on it.
     """
+    # deliberately NOT persisted: games/wins recur in every round, but
+    # Catalyst's ReusedExchange already dedupes the repeated contest
+    # subplan — measured at sf0.1, caching them is 4x SLOWER (31 s vs
+    # 7 s median: InMemoryRelation blocks the exchange reuse and the
+    # broadcast pipelines)
     players = (
         games.select(F.col("i").alias("s"))
         .unionByName(games.select(F.col("j").alias("s")))
