@@ -998,36 +998,65 @@ def dedup_first_event(spark, sf_dir):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(CAST(sum(qv) AS DOUBLE) / 100, 4) AS sum_qty,
+           round(CAST(sum(pv) AS DOUBLE) / 100, 4) AS sum_base_price,
+           round(CAST(sum(pv * (100 - dv)) AS DOUBLE) / 10000, 4)
+             AS sum_disc_price,
+           round(CAST(sum(pv * (100 - dv) * (100 + tv)) AS DOUBLE) / 1000000,
+                 4) AS sum_charge,
+           round(CAST(sum(qv) AS DOUBLE) / (100.0 * count(*)), 4) AS avg_qty,
+           round(CAST(sum(pv) AS DOUBLE) / (100.0 * count(*)), 4) AS avg_price,
+           round(CAST(sum(dv) AS DOUBLE) / (100.0 * count(*)), 4) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qv,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pv,
+             CAST(round(l_discount * 100) AS BIGINT) AS dv,
+             CAST(round(l_tax * 100) AS BIGINT) AS tv
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1 pricing summary: full-scan aggregation, map-side partial agg",
+    doc="TPC-H Q1 pricing summary: full-scan aggregation, map-side "
+    "partial agg. INTEGER-EXACT accumulation (the q2 lesson, caught "
+    "for THIS query by the round-6 sf1 sweep: float sums over 6M rows "
+    "drift by partial-agg order between engines and round(.,4) exposes "
+    "the ulp): quantity/price/discount/tax quantize to x100 longs, "
+    "every SUM is an exact integer (charge bound ~6.6e17 < 2^63 at "
+    "sf1; DECIMAL(38,0) above), and only the final de-quantizing "
+    "divisions touch floats — IEEE division of identical integers is "
+    "deterministic cross-engine",
 )
 def q1_pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    q = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qv"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pv"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("dv"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tv"),
+    )
+    n = F.count(F.lit(1))
+    return q.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("qv") / 100, 4).alias("sum_qty"),
+        F.round(F.sum("pv") / 100, 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("pv") * (100 - F.col("dv"))) / 10000, 4).alias(
+            "sum_disc_price"
+        ),
+        F.round(
+            F.sum(F.col("pv") * (100 - F.col("dv")) * (100 + F.col("tv")))
+            / 1000000,
+            4,
+        ).alias("sum_charge"),
+        F.round(F.sum("qv") / (100.0 * n), 4).alias("avg_qty"),
+        F.round(F.sum("pv") / (100.0 * n), 4).alias("avg_price"),
+        F.round(F.sum("dv") / (100.0 * n), 4).alias("avg_disc"),
+        n.cast("long").alias("count_order"),
     )
 
 
