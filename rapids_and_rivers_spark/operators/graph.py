@@ -71,6 +71,8 @@ def pagerank(
         F.col(weight).cast("double").alias("w"),
     )
     out_w = both.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     norm = (
         both.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
@@ -163,6 +165,8 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     ``(node, degree, tri)`` for every node with degree ≥ 1, where ``tri``
     is the number of triangles through the node.
     """
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -187,6 +191,8 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     a_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
     )
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     oriented = keyed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
@@ -237,6 +243,8 @@ def kcore_peel(
     every round persists — lineage recompute otherwise compounds
     3^rounds (measured 34 s -> ~5 s on the catalog query).
     """
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -245,6 +253,9 @@ def kcore_peel(
             e.join(alive, "src")
             .join(alive.select(F.col("src").alias("dst")), "dst")
             .select("src", "dst")
+            # persist-scope: per-round handle — each round references the
+            # previous round's edges three times (see docstring); the final
+            # round's frame feeds the returned plan
             .persist()
         )
     return (
@@ -291,6 +302,8 @@ def label_propagation(
 
     Output: (node, label) after ``iters`` rounds.
     """
+    # persist-scope: returned plan — multiple consumers in the lazy plan this
+    # function returns; the caller materializes once, LRU reclaims after
     both = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),

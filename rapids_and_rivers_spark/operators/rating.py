@@ -133,7 +133,13 @@ def bt_mm_ratings(games: DataFrame, wins: DataFrame, rounds: int = 3) -> DataFra
                 F.greatest(
                     F.expr(
                         f"coalesce(wn, CAST(0 AS BIGINT)) * CAST({SCALE} AS BIGINT)"
-                        " DIV denom"
+                        # denom is also floored at 1: if a round inflated
+                        # some theta enough that EVERY term for a node
+                        # floors to 0, Spark's DIV would yield NULL while
+                        # DuckDB's // raises — a cross-engine divergence
+                        # on pathological preference data (ADVICE r6).
+                        # The oracle SQL carries the identical guard.
+                        " DIV greatest(denom, CAST(1 AS BIGINT))"
                     ),
                     F.lit(1).cast("long"),
                 ).alias("th"),

@@ -257,8 +257,21 @@ def mix_weights(per_src: DataFrame, tau: float = 0.7) -> DataFrame:
     mixture dual — the counts are exact integers, so any caller merging
     partials by + reproduces the batch weights bit-for-bit.
     """
-    # bounded-collect: 1-row global aggregate (corpus total)
-    total = float(per_src.agg(F.sum("n_tokens")).first()[0])
+    # bounded-collect: 1-row global aggregate (corpus total). SUM over an
+    # empty/all-null table is NULL -> short-circuit to an empty weight
+    # table instead of float(None) (ADVICE r6).
+    total_row = per_src.agg(F.sum("n_tokens")).first()[0]
+    empty = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.lit(None).cast("double").alias("p_raw"),
+        F.lit(None).cast("double").alias("p_temp"),
+        F.lit(None).cast("double").alias("boost"),
+    ).limit(0)
+    if total_row is None or float(total_row) <= 0.0:
+        return empty
+    total = float(total_row)
     # bounded-collect: 1-row global aggregate (partition function)
     z = float(
         per_src.agg(
@@ -273,5 +286,10 @@ def mix_weights(per_src: DataFrame, tau: float = 0.7) -> DataFrame:
         "n_tokens",
         F.round(p_raw, 6).alias("p_raw"),
         F.round(tempered, 6).alias("p_temp"),
-        F.round(tempered / p_raw, 4).alias("boost"),
+        # a source whose documents are all empty-text has p_raw = 0:
+        # 0/0 would be NaN, so the boost is defined only where p_raw > 0
+        # (ADVICE r6)
+        F.round(
+            F.when(p_raw > 0, tempered / p_raw).otherwise(F.lit(None)), 4
+        ).alias("boost"),
     )

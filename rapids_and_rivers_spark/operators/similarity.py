@@ -659,7 +659,15 @@ def pq_topk(
         snap_dot_col(F.col("__adc")).desc(), F.col(cand_id)
     )
     ranked = exploded.withColumn("rn", F.row_number().over(w))
-    if not rerank or rerank <= topk:
+    if rerank and rerank <= topk:
+        # a positive rerank no bigger than topk is a no-op shortlist —
+        # silently returning un-reranked first-pass scores would mask a
+        # caller bug (ADVICE r6), so reject it loudly
+        raise ValueError(
+            f"rerank ({rerank}) must exceed topk ({topk}) to widen the "
+            "shortlist; pass rerank=0 to skip the exact rerank stage"
+        )
+    if not rerank:
         return ranked.filter(F.col("rn") <= topk).select(
             query_id, cand_id, F.round("__adc", ndigits).alias("score")
         )
@@ -1152,7 +1160,15 @@ def sq8_topk(
     )
     w = W.partitionBy(query_id).orderBy(F.col("__adc").desc(), F.col(cand_id))
     ranked = exploded.withColumn("rn", F.row_number().over(w))
-    if not rerank or rerank <= topk:
+    if rerank and rerank <= topk:
+        # a positive rerank no bigger than topk is a no-op shortlist —
+        # silently returning un-reranked first-pass scores would mask a
+        # caller bug (ADVICE r6), so reject it loudly
+        raise ValueError(
+            f"rerank ({rerank}) must exceed topk ({topk}) to widen the "
+            "shortlist; pass rerank=0 to skip the exact rerank stage"
+        )
+    if not rerank:
         return ranked.filter(F.col("rn") <= topk).select(
             query_id, cand_id, F.col("__adc").cast("double").alias("score")
         )
@@ -1288,7 +1304,15 @@ def binary_topk(
     )
     w = W.partitionBy(query_id).orderBy(F.col("__sim").desc(), F.col(cand_id))
     ranked = exploded.withColumn("rn", F.row_number().over(w))
-    if not rerank or rerank <= topk:
+    if rerank and rerank <= topk:
+        # a positive rerank no bigger than topk is a no-op shortlist —
+        # silently returning un-reranked first-pass scores would mask a
+        # caller bug (ADVICE r6), so reject it loudly
+        raise ValueError(
+            f"rerank ({rerank}) must exceed topk ({topk}) to widen the "
+            "shortlist; pass rerank=0 to skip the exact rerank stage"
+        )
+    if not rerank:
         return ranked.filter(F.col("rn") <= topk).select(
             query_id, cand_id, F.col("__sim").cast("double").alias("score")
         )
@@ -1382,7 +1406,15 @@ def matryoshka_topk(
     )
     w = W.partitionBy(query_id).orderBy(F.col("__ip").desc(), F.col(cand_id))
     ranked = exploded.withColumn("rn", F.row_number().over(w))
-    if not rerank or rerank <= topk:
+    if rerank and rerank <= topk:
+        # a positive rerank no bigger than topk is a no-op shortlist —
+        # silently returning un-reranked first-pass scores would mask a
+        # caller bug (ADVICE r6), so reject it loudly
+        raise ValueError(
+            f"rerank ({rerank}) must exceed topk ({topk}) to widen the "
+            "shortlist; pass rerank=0 to skip the exact rerank stage"
+        )
+    if not rerank:
         return ranked.filter(F.col("rn") <= topk).select(
             query_id, cand_id, F.col("__ip").cast("double").alias("score")
         )

@@ -22,10 +22,18 @@ the pod dies. Endpoint semantics mirror the reference exactly:
 
 from __future__ import annotations
 
+import re
 import threading
 from dataclasses import dataclass
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Mapping
+
+
+def _metric_name(raw: str) -> str:
+    """Prometheus exposition names allow only ``[a-zA-Z0-9_:]`` — any
+    other character (state-operator names carry '(', ')', '-', ...)
+    would emit a line scrapers reject (ADVICE r6)."""
+    return re.sub(r"[^a-zA-Z0-9_:]", "_", raw)
 
 
 @dataclass(frozen=True)
@@ -120,7 +128,7 @@ class MetricsCollector:
         with self._lock:
             for k, v in metrics.items():
                 if isinstance(v, (int, float)):
-                    key = f"{observation}_{k}"
+                    key = _metric_name(f"{observation}_{k}")
                     self.counters[key] = self.counters.get(key, 0) + v
 
     def gauge(self, key: str, value: float) -> None:
@@ -128,7 +136,7 @@ class MetricsCollector:
         monotone counts — summing them across progress events would
         fabricate growth)."""
         with self._lock:
-            self.gauges[key] = value
+            self.gauges[_metric_name(key)] = value
 
     def snapshot(self) -> dict[str, float]:
         with self._lock:
@@ -160,7 +168,7 @@ class MetricsCollector:
                 # (and the RocksDB custom metrics) as gauges
                 for i, op in enumerate(event.progress.stateOperators or []):
                     label = getattr(op, "operatorName", None) or f"op{i}"
-                    label = str(label).replace(" ", "_")
+                    label = _metric_name(str(label))
                     for attr in ("numRowsTotal", "numRowsUpdated",
                                  "memoryUsedBytes"):
                         v = getattr(op, attr, None)

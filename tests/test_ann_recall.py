@@ -603,3 +603,33 @@ def test_hamming_words(spark):
     df = spark.createDataFrame([([0b1011, 0], [0b1101, 1])], "a array<long>, b array<long>")
     got = df.select(S.hamming_words(F.col("a"), F.col("b")).alias("h")).first().h
     assert got == 3  # bits 1,2 differ in word0; bit 0 in word1
+
+
+def test_rerank_not_exceeding_topk_rejected(spark):
+    """ADVICE r6: a positive rerank <= topk is a no-op shortlist that
+    silently returned un-reranked scores — all four quantized tiers must
+    reject it loudly."""
+    import pytest
+
+    from rapids_and_rivers_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.25]) for i in range(8)],
+        "id long, embedding array<float>",
+    )
+    q = emb.limit(2).select(
+        F.col("id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    with pytest.raises(ValueError, match="rerank"):
+        S.sq8_topk(q, c, topk=5, rerank=5)
+    with pytest.raises(ValueError, match="rerank"):
+        S.binary_topk(q, c, dim=4, word_bits=4, topk=5, rerank=3)
+    with pytest.raises(ValueError, match="rerank"):
+        S.matryoshka_topk(q, c, prefix_dim=2, topk=5, rerank=5)
+    with pytest.raises(ValueError, match="rerank"):
+        S.pq_topk(q, c, dim=4, m=2, topk=5, rerank=4)

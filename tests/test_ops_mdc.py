@@ -424,3 +424,20 @@ def test_state_store_gauges_reach_metrics_endpoint(spark, tmp_path):
         srv.close()
     assert code == 200
     assert "# TYPE " in body and "_numRowsTotal" in body
+
+
+def test_gauge_and_counter_names_sanitized_for_prometheus():
+    """Operator names with characters outside [a-zA-Z0-9_:] — e.g.
+    'dedupeWithinWatermark(keys=[...])' — must reach the exposition as
+    valid metric names (ADVICE r6: a single malformed line makes
+    scrapers reject the whole scrape)."""
+    from rapids_and_rivers_spark.streaming.ops import MetricsCollector
+
+    c = MetricsCollector()
+    c.gauge("state_flatMapGroupsWithState(keys=[user-id])_numRowsTotal", 5)
+    c.record("river (main)", {"ok-count": 2})
+    names = list(c.snapshot_gauges()) + list(c.snapshot())
+    import re as _re
+
+    for n in names:
+        assert _re.fullmatch(r"[a-zA-Z_:][a-zA-Z0-9_:]*", n), n

@@ -3058,3 +3058,142 @@ def test_bt_mm_orders_round_robin_by_skill(spark):
         )).collect()
     }
     assert ratings == again
+
+
+def test_mix_weights_empty_and_zero_token_sources(spark):
+    """ADVICE r6: an empty per-source table must return an empty weight
+    table (not crash on float(None)), and an all-empty-text source
+    (n_tokens=0) must carry a NULL boost, never NaN."""
+    import math
+
+    from rapids_and_rivers_spark.operators.selection import mix_weights
+
+    schema = "source string, n_docs long, n_tokens long"
+    empty = mix_weights(spark.createDataFrame([], schema))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "source", "n_docs", "n_tokens", "p_raw", "p_temp", "boost",
+    ]
+    # a table whose total is zero also short-circuits
+    allzero = mix_weights(
+        spark.createDataFrame([("a", 3, 0), ("b", 1, 0)], schema)
+    )
+    assert allzero.count() == 0
+    rows = {
+        r["source"]: r
+        for r in mix_weights(
+            spark.createDataFrame([("a", 3, 90), ("b", 2, 0)], schema)
+        ).collect()
+    }
+    assert rows["b"]["boost"] is None
+    assert rows["a"]["boost"] is not None
+    assert not math.isnan(rows["a"]["boost"])
+
+
+def test_bt_mm_many_rounds_no_nulls(spark):
+    """The denominator floor (ADVICE r6) keeps every round's integer
+    division defined: on a totally dominated graph (one player wins
+    every game), no rating may come back NULL (Spark's DIV-by-zero is a
+    silent NULL while DuckDB raises — the guard removes the
+    divergence). Rounds stay at the catalog's 3+2: each unrolled round
+    references the rating table twice, so the LOGICAL plan doubles per
+    round — rounds=10 costs 2^10 analyzer copies (measured: one
+    CheckAnalysis pass burned 19 CPU-minutes), which is the documented
+    reason bt_supplier_strength fixes rounds=3."""
+    from rapids_and_rivers_spark.operators import rating as R
+
+    rows = []
+    # player 1 beats everyone, everyone else never wins a game
+    for o, b in enumerate(range(2, 8), start=1):
+        rows.append((o, 1, 200))
+        rows.append((o, b, 100))
+    lines = spark.createDataFrame(rows, "o long, s long, p long")
+    games, wins = R.bt_sufficient_stats(R.bt_contests(lines))
+    got = R.bt_mm_ratings(games, wins, rounds=5).collect()
+    assert len(got) == 7
+    assert all(r["rating"] is not None and r["rating"] >= 1 for r in got)
+
+
+def test_resolve_buckets_sizing_and_pin(tmp_path):
+    """VERDICT r6 #1: bucket counts must GROW with the corpus (the
+    round-5 blocking-cardinality law applied to bucket counts), resolve
+    to powers of two with a floor, and PIN for the stream's lifetime —
+    a restart with different sizing params must reuse the stored
+    layout, since the bucket id is baked into epoch directories."""
+    from rapids_and_rivers_spark.streaming.duals import resolve_buckets
+
+    d1 = str(tmp_path / "a")
+    assert resolve_buckets(d1, expected_rows=1_000) == 64  # floor
+    d2 = str(tmp_path / "b")
+    assert resolve_buckets(d2, expected_rows=10_000_000) == 128
+    d3 = str(tmp_path / "c")
+    assert resolve_buckets(d3, expected_rows=10_000_000_000) == 131072
+    # pinned: a recreated factory with different params resolves the same
+    assert resolve_buckets(d2, expected_rows=10_000_000_000) == 128
+    assert resolve_buckets(d2, explicit=16) == 128
+    d4 = str(tmp_path / "d")
+    assert resolve_buckets(d4, explicit=512) == 512
+    # target_bucket_rows is the documented knob
+    d5 = str(tmp_path / "e")
+    assert resolve_buckets(
+        d5, expected_rows=10_000_000, target_bucket_rows=1_000_000
+    ) == 64
+
+
+def test_bucket_prune_literal_and_join_paths_agree(spark):
+    """bucket_prune must return identical rows whichever mechanism it
+    picks (<=1024 values: literal IN partition pruning; above: broadcast
+    semi-join), so the switchover can never change results."""
+    from rapids_and_rivers_spark.streaming.duals import bucket_prune
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), F.pmod(F.col("id"), F.lit(2048)).alias("bkt")
+    )
+    few = list(range(10))
+    many = list(range(1500))
+    got_few = {r.id for r in bucket_prune(df, "bkt", few).collect()}
+    assert got_few == {i for i in range(5000) if i % 2048 in set(few)}
+    got_many = {r.id for r in bucket_prune(df, "bkt", many).collect()}
+    assert got_many == {i for i in range(5000) if i % 2048 in set(many)}
+
+
+def test_triangles_dual_sized_buckets_same_result(spark, tmp_path):
+    """The duality law must hold regardless of the resolved bucket
+    count: a corpus-sized bucket count (forced past the old fixed 64 via
+    a tiny target_bucket_rows) partitions the adjacency store
+    differently but drains to the identical triangle counts."""
+    from rapids_and_rivers_spark.operators.graph import triangles
+    from rapids_and_rivers_spark.streaming.duals import (
+        read_latest_tricounts,
+        triangles_foreach_batch,
+    )
+
+    rows = []
+    # two clique families sharing node 0 plus a path tail
+    for a in range(6):
+        for b in range(a + 1, 6):
+            rows.append((f"n{a}", f"n{b}"))
+    for a in range(6, 12):
+        for b in range(a + 1, 12):
+            rows.append((f"n{a}", f"n{b}"))
+    rows += [("n0", "n20"), ("n20", "n21"), ("n21", "n0")]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    state_dir = str(tmp_path / "tri_sized")
+    stage = triangles_foreach_batch(
+        state_dir, expected_adj_rows=100_000, target_bucket_rows=100
+    )
+    import json
+
+    with open(f"{state_dir}/buckets.json") as f:
+        assert json.load(f)["n_buckets"] == 1024
+    par = F.pmod(F.xxhash64(F.concat_ws("|", "src", "dst")), F.lit(2))
+    stage(e.filter(par == 0), 0)
+    stage(e.filter(par == 1), 1)
+    got = {
+        (r.node, r.deg, r.tri)
+        for r in read_latest_tricounts(spark, state_dir).collect()
+    }
+    expected = {
+        (r.node, r.deg, r.tri) for r in triangles(e).collect()
+    }
+    assert got == expected and len(got) == 14

@@ -370,3 +370,94 @@ class TestCollectAudit:
             text=True,
         )
         assert r.returncode == 0, r.stdout + r.stderr
+
+
+class TestPersistAudit:
+    """Persist-hygiene rule (VERDICT r6 #2): a .persist()/.cache() must
+    be unpersisted in its function or carry a persist-scope annotation —
+    the cached-block-leak class recurred (BPE in r5, graph duals in r6),
+    so it gets a gate like the collect class did."""
+
+    def _audit(self, code: str):
+        return collect_audit.audit_source(textwrap.dedent(code))
+
+    def test_persist_without_unpersist_flagged(self):
+        bad = self._audit(
+            """
+            def q(spark, sf_dir):
+                cs = build(spark).distinct().persist()
+                do_stuff(cs)
+                return read_back(spark)
+            """
+        )
+        assert len(bad) == 1 and "cs" in bad[0][2]
+
+    def test_persist_with_unpersist_clean(self):
+        ok = self._audit(
+            """
+            def q(spark, sf_dir):
+                cs = build(spark).persist()
+                result = consume(cs)
+                cs.unpersist()
+                return result
+            """
+        )
+        assert ok == []
+
+    def test_cache_is_also_checked(self):
+        bad = self._audit("def q(df):\n    x = df.cache()\n    return x\n")
+        assert len(bad) == 1
+
+    def test_annotated_persist_clean(self):
+        ok = self._audit(
+            """
+            def q(spark):
+                # persist-scope: session — shared input corpus cache
+                df = build(spark).persist()
+                return df
+            """
+        )
+        assert ok == []
+
+    def test_unbound_chain_persist_flagged(self):
+        bad = self._audit(
+            "def q(df):\n    return consume(df.distinct().persist())\n"
+        )
+        assert len(bad) == 1 and "unbound" in bad[0][2]
+
+    def test_rolling_alias_needs_annotation(self):
+        # prev.unpersist() does NOT release the name 'tokens' — alias
+        # release is exactly the subtle case that must be written down
+        bad = self._audit(
+            """
+            def q(df):
+                tokens = df.persist()
+                for _ in range(3):
+                    prev = tokens
+                    tokens = step(tokens).persist()
+                    prev.unpersist()
+                return tokens
+            """
+        )
+        assert len(bad) == 2
+
+    def test_functools_lru_cache_call_not_flagged(self):
+        # cache(...) with arguments is not the DataFrame method
+        ok = self._audit("wrapped = functools.cache(fn)\n")
+        assert ok == []
+
+
+def test_driver_gate_prefix_covers_every_family():
+    """The first 50 catalog queries ARE the driver's correctness gate —
+    pin that the prefix stays exactly DRIVER_GATE (50 names, all
+    registered, all full-oracle) so a new registration can't silently
+    reshuffle which queries get driver-side evidence."""
+    from rapids_and_rivers_spark import catalog
+
+    gate = catalog.DRIVER_GATE
+    assert len(gate) == 50 and len(set(gate)) == 50
+    qs = list(catalog.queries())
+    assert qs[:50] == gate
+    oracles = catalog.oracle_sql()
+    assert all(n in oracles for n in gate)
+    assert list(oracles)[:50] == gate
