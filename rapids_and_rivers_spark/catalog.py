@@ -3148,7 +3148,8 @@ def sim_ann_lsh(spark, sf_dir):
 
 
 def _ivf_oracle_sql(
-    dim=64, n_cells=16, nprobe=4, k=5, seed=13, sample=512, iters=8, q=1024
+    dim=64, n_cells=16, nprobe=4, k=5, seed=13, sample=512, iters=8, q=1024,
+    train_where="vec_id >= 10",
 ) -> str:
     """Generate the DuckDB oracle for the IVF queries: a FULL value
     oracle for an approximate operator, possible because every step is
@@ -3184,7 +3185,7 @@ def _ivf_oracle_sql(
     WITH sample AS (
       SELECT CAST(embedding AS DOUBLE[]) AS emb,
              row_number() OVER (ORDER BY {order}) AS sid
-      FROM embeddings WHERE vec_id >= 10
+      FROM embeddings WHERE {train_where}
       ORDER BY {order} LIMIT {sample}
     ),
     snorm AS (
@@ -4019,6 +4020,51 @@ def sim_ann_ivf(spark, sf_dir):
         queries, candidates, dim=64, k=5, n_cells=16, nprobe=4,
         codebook=codebook,
     )
+
+
+@register(
+    "stream_ivf_index",
+    _ivf_oracle_sql(train_where="vec_id >= 10 AND vec_id % 2 = 0"),
+    doc="the STREAMING inverted-file ANN index, driver-checkable: "
+    "similarity search under INGEST. Candidates (vec_id >= 10) arrive "
+    "in two epochs by vec_id parity through "
+    "duals.ivf_index_foreach_batch — the coarse quantizer trains ONCE "
+    "on epoch 0's md5-ordered sample and FREEZES (the faiss ingest "
+    "pattern: retraining per batch would re-bucket the accumulated "
+    "index, an O(corpus) rewrite per epoch; the frozen-structure twin "
+    "of the frozen-vocab tokenizer-encode duals), each epoch pays one "
+    "assignment pass over its own vectors and appends cell-partitioned "
+    "postings. Queries (vec_id < 10) probe the drained index through "
+    "the SAME similarity.ivf_probe_rank core as batch ivf_topk. FULL "
+    "value oracle: the sim_ann_ivf codebook/probe/rank chain with the "
+    "training sample restricted to the epoch-0 subset — every "
+    "centroid, assignment, probe and rounded cosine reproduced by "
+    "DuckDB",
+)
+def stream_ivf_index(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        ivf_index_foreach_batch,
+        ivf_query_from_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    candidates = spread(
+        emb.filter(F.col("vec_id") >= 10), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    index_dir = tempfile.mkdtemp(prefix="rars_stream_ivf_")
+    stage = ivf_index_foreach_batch(index_dir, dim=64, n_cells=16)
+    stage(candidates.filter(F.col("neighbor_id") % 2 == 0), 0)
+    stage(candidates.filter(F.col("neighbor_id") % 2 == 1), 1)
+    return ivf_query_from_index(spark, index_dir, queries, k=5, nprobe=4)
 
 
 @register(

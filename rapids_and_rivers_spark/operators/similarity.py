@@ -350,6 +350,32 @@ def ivf_topk(
             [list(r["c_emb"]) for r in sampled], dim, n_cells, lloyd_iters, seed
         )
 
+    # candidates: argmax cell (array_position is 1-based; ties -> first)
+    c = assign_cells(candidates, cents, emb_col="c_emb")
+    return ivf_probe_rank(
+        queries, c, cents, k=k, nprobe=nprobe, query_id=query_id,
+        cand_id=cand_id, ndigits=ndigits,
+    )
+
+
+def ivf_probe_rank(
+    queries: DataFrame,
+    assigned: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    ndigits: int = 4,
+) -> DataFrame:
+    """The query half of the IVF path over an ALREADY-ASSIGNED candidate
+    table ``(cand_id, c_emb, cell)`` — shared verbatim by batch
+    :func:`ivf_topk` and the streaming inverted-file index dual, so the
+    probe-selection and ranking semantics cannot drift between them
+    (one formula, the tokenizer-dual lesson). Probe dots snap to
+    :data:`SCORE_GRID` exactly like :func:`assign_cells` and the DuckDB
+    oracle."""
+
     def scores_of(col: Column) -> Column:
         # probe-ranking dots snapped to the shared grid (SCORE_GRID) so
         # probe selection matches assign_cells and the SQL oracle exactly
@@ -360,11 +386,7 @@ def ivf_topk(
             ]
         )
 
-    # candidates: argmax cell (array_position is 1-based; ties -> first)
-    c = assign_cells(candidates, cents, emb_col="c_emb").withColumn(
-        "c_nrm", norm(F.col("c_emb"))
-    )
-
+    c = assigned.withColumn("c_nrm", norm(F.col("c_emb")))
     # queries: probe the nprobe best cells (scores bound to an attribute
     # BEFORE the transform — HOF lambdas re-evaluate outer expressions)
     q = queries.withColumn("__scores", scores_of(F.col("q_emb")))

@@ -3088,3 +3088,107 @@ def mix_from_stats(spark, out_dir: str, tau: float = 0.7) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
     return mix_weights(merged, tau=tau)
+
+
+def ivf_index_foreach_batch(
+    index_dir: str,
+    dim: int,
+    n_cells: int = 16,
+    seed: int = 13,
+    sample_per_cell: int = 32,
+    lloyd_iters: int = 8,
+    quantize: int | None = 1024,
+    cand_id: str = "neighbor_id",
+    emb_col: str = "c_emb",
+):
+    """Streaming inverted-file (IVF) ANN index: similarity search under
+    INGEST — the ANN twin of the frozen-vocab tokenizer-encode duals.
+
+    The coarse quantizer trains ONCE, on the first epoch's deterministic
+    md5-ordered sample (``similarity.build_codebook_table`` — the same
+    chain the batch ``sim_ann_ivf`` runs), and is FROZEN to
+    ``index_dir/codebook`` for the stream's lifetime: this is how
+    production IVF systems ingest (faiss trains the quantizer offline,
+    then `add()` only assigns — retraining per batch would re-bucket
+    the whole accumulated index, an O(corpus) rewrite per epoch). Each
+    epoch then pays exactly one assignment pass over ITS OWN vectors
+    (``similarity.assign_cells`` — Arrow-batched argmax against the
+    KB-scale codebook) and appends cell-partitioned postings under
+    ``postings/epoch=E/cell=C``; epoch-dir overwrite keeps at-least-once
+    replay idempotent, and a replayed epoch 0 retrains the identical
+    codebook (deterministic sample, grid-quantized Lloyd) so the freeze
+    is replay-stable too.
+
+    Duality law (pinned by test + FULL DuckDB oracle): once drained,
+    :func:`ivf_query_from_index` equals batch ``similarity.ivf_topk``
+    over the union corpus with the SAME frozen codebook — both sides
+    call the identical ``ivf_probe_rank`` core, so probe selection and
+    ranking cannot drift.
+
+    At 100 TB: per-epoch cost is O(|batch| x n_cells) assignment dots +
+    one partitioned append — the accumulated index is never read, let
+    alone rewritten; queries read nprobe/n_cells of the postings via
+    partition pruning on the cell directory key.
+    """
+    from rapids_and_rivers_spark.operators.similarity import (
+        assign_cells,
+        build_codebook_table,
+        codebook_from_table,
+    )
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cb_dir = os.path.join(index_dir, "codebook")
+        if not os.path.isdir(cb_dir):
+            build_codebook_table(
+                batch_df,
+                dim,
+                n_cells=n_cells,
+                lloyd_iters=lloyd_iters,
+                seed=seed,
+                sample_per_cell=sample_per_cell,
+                cand_id=cand_id,
+                emb_col=emb_col,
+                quantize=quantize,
+            ).write.mode("overwrite").parquet(cb_dir)
+        spark.catalog.refreshByPath(cb_dir)
+        cents = codebook_from_table(spark.read.parquet(cb_dir))
+        assign_cells(batch_df, cents, emb_col=emb_col).select(
+            cand_id, emb_col, "cell"
+        ).write.partitionBy("cell").mode("overwrite").parquet(
+            os.path.join(index_dir, "postings", f"epoch={int(epoch_id)}")
+        )
+
+    return stage
+
+
+def ivf_query_from_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    emb_col: str = "c_emb",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Probe the accumulated streaming IVF index: read the postings
+    (cell is a partition-directory key — a query batch's nprobe cells
+    prune to nprobe/n_cells of the stored corpus), then run the SAME
+    ``similarity.ivf_probe_rank`` core as batch ``ivf_topk``."""
+    from rapids_and_rivers_spark.operators.similarity import (
+        codebook_from_table,
+        ivf_probe_rank,
+    )
+
+    cents = codebook_from_table(
+        spark.read.parquet(os.path.join(index_dir, "codebook"))
+    )
+    assigned = spark.read.parquet(os.path.join(index_dir, "postings")).select(
+        cand_id, emb_col, "cell"
+    )
+    return ivf_probe_rank(
+        queries, assigned, cents, k=k, nprobe=nprobe, query_id=query_id,
+        cand_id=cand_id, ndigits=ndigits,
+    )

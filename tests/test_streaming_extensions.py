@@ -3197,3 +3197,96 @@ def test_triangles_dual_sized_buckets_same_result(spark, tmp_path):
         (r.node, r.deg, r.tri) for r in triangles(e).collect()
     }
     assert got == expected and len(got) == 14
+
+
+def _ivf_embeddings(spark, sf="/root/testdata/sf0.001"):
+    from rapids_and_rivers_spark.operators import similarity as S
+    from rapids_and_rivers_spark.sources import load_table, spread
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    candidates = spread(emb.filter(F.col("vec_id") >= 10), "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    return queries, candidates
+
+
+def test_ivf_index_stream_matches_batch_with_frozen_codebook(spark, tmp_path):
+    """IVF duality law: two ingest epochs through ivf_index_foreach_batch
+    (codebook trained on epoch 0, frozen), then ivf_query_from_index over
+    the drained postings must equal batch ivf_topk over the union
+    candidates with the SAME frozen codebook — both sides call the one
+    ivf_probe_rank core, so this pins that ingest-then-query and
+    batch-index-then-query are the same operator."""
+    from rapids_and_rivers_spark.operators import similarity as S
+    from rapids_and_rivers_spark.streaming.duals import (
+        ivf_index_foreach_batch,
+        ivf_query_from_index,
+    )
+
+    queries, candidates = _ivf_embeddings(spark)
+    index_dir = str(tmp_path / "ivf")
+    stage = ivf_index_foreach_batch(index_dir, dim=64, n_cells=16)
+    stage(candidates.filter(F.col("neighbor_id") % 2 == 0), 0)
+    stage(candidates.filter(F.col("neighbor_id") % 2 == 1), 1)
+    got = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in ivf_query_from_index(
+            spark, index_dir, queries, k=5, nprobe=4
+        ).collect()
+    }
+    frozen = S.codebook_from_table(
+        spark.read.parquet(f"{index_dir}/codebook")
+    )
+    expected = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in S.ivf_topk(
+            queries, candidates, dim=64, k=5, n_cells=16, nprobe=4,
+            codebook=frozen,
+        ).collect()
+    }
+    assert got == expected and len(got) == 50  # 10 queries x k=5
+
+
+def test_ivf_index_codebook_frozen_and_replay_idempotent(spark, tmp_path):
+    """The epoch-0 codebook must NOT move when later epochs arrive
+    (retraining would re-bucket the accumulated postings — the O(corpus)
+    rewrite the freeze exists to avoid), and an at-least-once replay of
+    either epoch must leave postings and query results byte-identical."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        ivf_index_foreach_batch,
+        ivf_query_from_index,
+    )
+
+    queries, candidates = _ivf_embeddings(spark)
+    index_dir = str(tmp_path / "ivf")
+    even = candidates.filter(F.col("neighbor_id") % 2 == 0)
+    odd = candidates.filter(F.col("neighbor_id") % 2 == 1)
+    stage = ivf_index_foreach_batch(index_dir, dim=64, n_cells=16)
+    stage(even, 0)
+    cb0 = sorted(
+        (r.cell, tuple(r.centroid))
+        for r in spark.read.parquet(f"{index_dir}/codebook").collect()
+    )
+    stage(odd, 1)
+    cb1 = sorted(
+        (r.cell, tuple(r.centroid))
+        for r in spark.read.parquet(f"{index_dir}/codebook").collect()
+    )
+    assert cb0 == cb1  # frozen
+    def q():
+        return {
+            (r.query_id, r.neighbor_id, r.cos)
+            for r in ivf_query_from_index(
+                spark, index_dir, queries, k=5, nprobe=4
+            ).collect()
+        }
+    before = q()
+    stage(even, 0)  # replay epoch 0: retrains identical codebook,
+    stage(odd, 1)   # overwrites identical postings
+    spark.catalog.refreshByPath(f"{index_dir}/postings")
+    assert q() == before
