@@ -10837,3 +10837,146 @@ def stream_source_mix(spark, sf_dir):
     stage(docs.filter(par == 0), 0)
     stage(docs.filter(par == 1), 1)
     return mix_from_stats(spark, out_dir, tau=0.7)
+
+
+_NB_ORACLE = r"""
+    WITH nb_toks AS MATERIALIZED (
+      SELECT doc_id, source AS cls,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    nb_counts AS (
+      SELECT cls, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM nb_toks GROUP BY 1, 2
+    ),
+    nb_totals AS (
+      SELECT cls, sum(cnt) AS total FROM nb_counts GROUP BY 1
+    ),
+    nb_cls_docs AS (
+      SELECT source AS cls, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    nb_grid AS (
+      SELECT cls, r.range AS bucket FROM nb_cls_docs, range(64) r
+    ),
+    nb_w AS (
+      SELECT g.cls, g.bucket,
+             CAST(floor(ln((coalesce(c.cnt, 0) + 1.0)
+                           / (coalesce(t.total, 0) + 64.0))
+                        * 1000000.0 + 0.5) AS BIGINT) AS w
+      FROM nb_grid g
+      LEFT JOIN nb_counts c ON c.cls = g.cls AND c.bucket = g.bucket
+      LEFT JOIN nb_totals t ON t.cls = g.cls
+    ),
+    nb_priors AS (
+      SELECT cls,
+             CAST(floor(ln(n_docs / (SELECT sum(n_docs) FROM nb_cls_docs))
+                        * 1000000.0 + 0.5) AS BIGINT) AS prior
+      FROM nb_cls_docs
+    ),
+    nb_db AS (
+      SELECT doc_id AS id, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM nb_toks GROUP BY 1, 2
+    ),
+    nb_tok_scores AS (
+      SELECT db.id, w.cls, sum(db.n * w.w) AS tok_score
+      FROM nb_db db JOIN nb_w w ON w.bucket = db.bucket GROUP BY 1, 2
+    ),
+    nb_scored AS (
+      SELECT d.doc_id AS id, p.cls,
+             p.prior + coalesce(ts.tok_score, 0) AS score
+      FROM documents d CROSS JOIN nb_priors p
+      LEFT JOIN nb_tok_scores ts ON ts.id = d.doc_id AND ts.cls = p.cls
+    ),
+    nb_pred AS (
+      SELECT id, cls AS pred FROM (
+        SELECT id, cls,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY score DESC, cls) AS rn
+        FROM nb_scored) WHERE rn = 1
+    )
+    SELECT d.source AS true_source, nb_pred.pred AS pred_source,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN nb_pred ON nb_pred.id = d.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "nb_source_confusion",
+    _NB_ORACLE,
+    doc="Naive Bayes classifier TRAINING on mergeable sufficient "
+    "statistics (operators/classify.py) — the missing half of the "
+    "classifier story next to hashed_linear_score's inference: the "
+    "fastText-style quality/domain filter of CCNet/GPT-3 pipelines, "
+    "trained corpus-scale. Training IS one aggregation (per-class "
+    "hashed-token counts + per-class doc counts — component-wise "
+    "addable, the linreg/BT property); weights quantize ONCE to int64 "
+    "micro-nats (Laplace-smoothed log-likelihoods, floor(ln(.)*1e6+.5)) "
+    "so every document score is an order-free INTEGER sum — bit-equal "
+    "in any engine (the q2 lesson applied to classification). Output: "
+    "the source-vs-predicted confusion matrix of the self-trained "
+    "classifier — the domain-separability readout a mixture designer "
+    "reads before reweighting. FULL value oracle: DuckDB retrains the "
+    "identical model and reproduces every argmax",
+)
+def nb_source_confusion(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import classify as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts, cls_docs = C.nb_sufficient_stats(docs)
+    weights, priors = C.nb_model(counts, cls_docs)
+    pred = C.nb_classify(
+        docs.select(F.col("doc_id").alias("id")),
+        C.nb_doc_buckets(docs),
+        weights,
+        priors,
+    )
+    return (
+        docs.select(F.col("doc_id").alias("id"), "source")
+        .join(pred, "id")
+        .groupBy(
+            F.col("source").alias("true_source"),
+            F.col("pred").alias("pred_source"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_source", "pred_source")
+    )
+
+
+@register(
+    "stream_nb_confusion",
+    _NB_ORACLE,
+    doc="the STREAMING classifier-training dual, driver-checkable: the "
+    "documents table splits into two ingest epochs by doc_id hash "
+    "parity and drives duals.nb_stats_foreach_batch — each epoch "
+    "reduces its documents ONCE to the mergeable sufficient statistics "
+    "(per-class hashed-token counts, per-class doc counts) plus the "
+    "tokenize-once per-document feature table; the model re-derives "
+    "from the merged integer counts and classifies every ingested "
+    "document without re-reading its text. Integer micro-nat scores "
+    "make the merge exact (order-free sums), so the drained confusion "
+    "must equal batch nb_source_confusion over the union corpus — its "
+    "DuckDB oracle verbatim. FULL value oracle. This is continual "
+    "quality-filter training under ingest: the filter sharpens as "
+    "corpus statistics accumulate, at per-epoch cost O(|new docs|)",
+)
+def stream_nb_confusion(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        nb_confusion_from_stats,
+        nb_stats_foreach_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = tempfile.mkdtemp(prefix="rars_stream_nb_")
+    stage = nb_stats_foreach_batch(out_dir)
+    par = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2))
+    stage(docs.filter(par == 0), 0)
+    stage(docs.filter(par == 1), 1)
+    return nb_confusion_from_stats(spark, out_dir)

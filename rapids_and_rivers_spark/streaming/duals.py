@@ -3192,3 +3192,89 @@ def ivf_query_from_index(
         queries, assigned, cents, k=k, nprobe=nprobe, query_id=query_id,
         cand_id=cand_id, ndigits=ndigits,
     )
+
+
+def nb_stats_foreach_batch(
+    out_dir: str,
+    text_col: str = "text",
+    class_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """Streaming Naive Bayes trainer: per micro-batch, reduce the NEW
+    documents to the classifier's MERGEABLE sufficient statistics
+    (per-class hashed-token counts + per-class doc counts —
+    operators/classify.py) plus the tokenize-once per-document feature
+    table, all epoch-versioned with overwrite (idempotent replay). The
+    model itself is never stored: weights re-derive from the merged
+    integer counts in :func:`nb_confusion_from_stats`, so partial and
+    final models are the SAME formula over bigger counts — the
+    linreg/BT/mixture sufficient-statistics pattern applied to
+    classifier training. Each document tokenizes exactly once, on
+    arrival."""
+    from rapids_and_rivers_spark.operators.classify import (
+        nb_doc_buckets,
+        nb_sufficient_stats,
+    )
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        counts, cls_docs = nb_sufficient_stats(
+            batch_df, text_col=text_col, class_col=class_col,
+            n_buckets=n_buckets,
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "counts", f"v{epoch_id}")
+        )
+        cls_docs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "cls_docs", f"v{epoch_id}")
+        )
+        nb_doc_buckets(
+            batch_df, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "doc_buckets", f"v{epoch_id}")
+        )
+        batch_df.select(
+            F.col(id_col).alias("id"), F.col(class_col).alias("cls")
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "doc_cls", f"v{epoch_id}")
+        )
+
+    return stage
+
+
+def nb_confusion_from_stats(spark, out_dir: str, n_buckets: int = 64) -> DataFrame:
+    """Merge the per-epoch sufficient statistics (exact integer keyed
+    sums), derive the integer micro-nat model once, classify every
+    ingested document from its stored feature table, and roll up the
+    (true, predicted) confusion — must equal the batch
+    ``nb_source_confusion`` over the union corpus (same
+    classify.nb_model/nb_classify core; integer scores are order-free,
+    so the merge is exact)."""
+    from rapids_and_rivers_spark.operators.classify import (
+        nb_classify,
+        nb_model,
+    )
+
+    counts = (
+        read_epoch_table(spark, os.path.join(out_dir, "counts"))
+        .groupBy("cls", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    cls_docs = (
+        read_epoch_table(spark, os.path.join(out_dir, "cls_docs"))
+        .groupBy("cls")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+    weights, priors = nb_model(counts, cls_docs, n_buckets=n_buckets)
+    doc_buckets = read_epoch_table(spark, os.path.join(out_dir, "doc_buckets"))
+    doc_cls = read_epoch_table(spark, os.path.join(out_dir, "doc_cls"))
+    pred = nb_classify(doc_cls.select("id"), doc_buckets, weights, priors)
+    return (
+        doc_cls.join(pred, "id")
+        .groupBy(
+            F.col("cls").alias("true_source"),
+            F.col("pred").alias("pred_source"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_source", "pred_source")
+    )

@@ -3290,3 +3290,71 @@ def test_ivf_index_codebook_frozen_and_replay_idempotent(spark, tmp_path):
     stage(odd, 1)   # overwrites identical postings
     spark.catalog.refreshByPath(f"{index_dir}/postings")
     assert q() == before
+
+
+def test_nb_classifier_recovers_separable_classes(spark):
+    """Model-recovery sanity: on vocabulary-disjoint classes the
+    self-trained Naive Bayes must classify every document to its own
+    class (a diagonal confusion), and a zero-token document must
+    classify on priors alone (majority class) instead of erroring."""
+    from rapids_and_rivers_spark.operators import classify as C
+
+    rows = []
+    for i in range(12):
+        rows.append((i, "alpha beta gamma beta", "A"))
+    for i in range(12, 20):
+        rows.append((i, "delta epsilon zeta zeta", "B"))
+    rows.append((99, "   ", "B"))  # tokenizes to nothing
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    counts, cls_docs = C.nb_sufficient_stats(docs)
+    weights, priors = C.nb_model(counts, cls_docs)
+    pred = {
+        r.id: r.pred
+        for r in C.nb_classify(
+            docs.select(F.col("doc_id").alias("id")),
+            C.nb_doc_buckets(docs),
+            weights,
+            priors,
+        ).collect()
+    }
+    assert len(pred) == 21
+    for i in range(12):
+        assert pred[i] == "A"
+    for i in range(12, 20):
+        assert pred[i] == "B"
+    # 13 A-docs vs 8 B-docs -> prior argmax is A for the empty doc
+    assert pred[99] == "A"
+
+
+def test_nb_stream_confusion_matches_batch_and_replay(spark, tmp_path):
+    """Sufficient-statistics duality: two ingest epochs of sufficient
+    stats merged by + must give the identical confusion as batch
+    training over the union corpus (integer micro-nat scores are
+    order-free), and an at-least-once epoch replay must not change it."""
+    from rapids_and_rivers_spark import catalog
+    from rapids_and_rivers_spark.streaming.duals import (
+        nb_confusion_from_stats,
+        nb_stats_foreach_batch,
+    )
+    from rapids_and_rivers_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    out_dir = str(tmp_path / "nb")
+    stage = nb_stats_foreach_batch(out_dir)
+    par = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2))
+    even, odd = docs.filter(par == 0), docs.filter(par == 1)
+    stage(even, 0)
+    stage(odd, 1)
+
+    def as_map(df):
+        return {
+            (r.true_source, r.pred_source): r.n_docs for r in df.collect()
+        }
+
+    got = as_map(nb_confusion_from_stats(spark, out_dir))
+    expected = as_map(catalog.nb_source_confusion(spark, sf))
+    assert got == expected and sum(got.values()) == docs.count()
+
+    stage(even, 0)  # at-least-once replay of epoch 0
+    assert as_map(nb_confusion_from_stats(spark, out_dir)) == expected
