@@ -10980,3 +10980,38 @@ def stream_nb_confusion(spark, sf_dir):
     stage(docs.filter(par == 0), 0)
     stage(docs.filter(par == 1), 1)
     return nb_confusion_from_stats(spark, out_dir)
+
+
+@register(
+    "stream_er_entities",
+    _REGISTRY["entity_resolution"].oracle,
+    doc="the STREAMING entity-resolution dual, driver-checkable: the "
+    "documents table splits into two ingest epochs by doc_id parity "
+    "and drives duals.er_index_foreach_batch — new records pay "
+    "blocking cost once (monotone prefix-Jaccard index entries; "
+    "touched-block sorted-neighborhood recompute over the corpus-sized "
+    "bucket store, resolve_buckets-pinned), match edges accumulate "
+    "epoch-versioned, and duals.er_current_entities re-derives the "
+    "entity keep-list by connected components. The drained entities "
+    "must equal the batch entity_resolution pipeline over the union "
+    "corpus — its FULL chained DuckDB oracle verbatim (both evidence "
+    "channels, the recursive-CTE closure, the per-entity rollup)",
+)
+def stream_er_entities(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        er_current_entities,
+        er_index_foreach_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = tempfile.mkdtemp(prefix="rars_stream_er_")
+    # corpus-sized record buckets (VERDICT r6 #1 rule): documents count
+    # is a metadata-cheap scan
+    stage = er_index_foreach_batch(
+        index_dir, expected_records=docs.count()
+    )
+    stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    return er_current_entities(spark, index_dir)
