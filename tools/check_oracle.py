@@ -39,6 +39,13 @@ def normalize(df):
     return sorted(rows)
 
 
+def _dump(json_out: str, results: dict) -> None:
+    import json
+
+    with open(json_out, "w") as f:
+        json.dump(results, f, indent=2, sort_keys=True)
+
+
 def main():
     args = sys.argv[1:]
     json_out = None
@@ -47,7 +54,8 @@ def main():
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    # ordered, deduped: the caller's order IS the sweep order
+    only = list(dict.fromkeys(args[1:]))
     results: dict[str, dict] = {}
     spark = build_session("check_oracle")
 
@@ -66,9 +74,13 @@ def main():
     qs = catalog.queries()
     oracles = catalog.oracle_sql()
     failures = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    # iterate in the CALLER'S order (long sweeps put never-verified
+    # queries first; the incremental dump below makes a partial run a
+    # usable artifact)
+    for name in (only or list(qs)):
+        if json_out and results:
+            _dump(json_out, results)  # partial artifact survives a kill
+        fn = qs[name]
         try:
             spark_df = fn(spark, sf_dir).toPandas()
         except Exception as exc:
@@ -134,10 +146,7 @@ def main():
         print(f"OK    {name}: {len(spark_df)} rows")
 
     if json_out:
-        import json
-
-        with open(json_out, "w") as f:
-            json.dump(results, f, indent=2, sort_keys=True)
+        _dump(json_out, results)
         print(f"\nwrote {len(results)} rows to {json_out}")
 
     print()
