@@ -2271,19 +2271,24 @@ def range_join_error_views(spark, sf_dir):
     """
     SELECT o_orderstatus, o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 4) AS total_price
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4)
+             AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     doc="CUBE grouping sets (extension surface §2.6): all 4 grouping "
     "combinations in one pass — Spark expands to a single shuffle with a "
-    "grouping-id column, not 4 scans",
+    "grouping-id column, not 4 scans. INTEGER-EXACT money sum (the q1 "
+    "lesson, caught at sf1 round 7): cents as int64, floats only in the "
+    "final de-quantizing division — a 1.5M-row double sum drifts by "
+    "partial-agg order between engines",
 )
 def cube_order_metrics(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        F.round(F.sum(cents) / 100.0, 4).alias("total_price"),
     )
 
 
@@ -2815,18 +2820,21 @@ def set_ops_segments(spark, sf_dir):
     """
     SELECT o_orderpriority, o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(o_totalprice), 4) AS total
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4)
+             AS total
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
     doc="ROLLUP grouping sets (§2.6): hierarchical subtotals in one pass "
-    "(partial aggregation still applies per grouping set)",
+    "(partial aggregation still applies per grouping set). INTEGER-EXACT "
+    "money sum (the q1 lesson, caught at sf1 round 7)",
 )
 def rollup_order_status(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.round(F.sum(cents) / 100.0, 4).alias("total"),
     )
 
 
