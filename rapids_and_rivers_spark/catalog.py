@@ -8401,29 +8401,39 @@ def embedding_gram_matrix(spark, sf_dir):
       UNION ALL
       SELECT j AS i, i AS j, gsum AS g FROM gram0 WHERE i < j
     ),
-    u1 AS (SELECT i, sum(g * 0.125) AS u FROM gram GROUP BY i),
-    n1 AS (SELECT sqrt(sum(u * u)) AS nm FROM u1),
-    v1 AS (SELECT i, round(u / nm, 8) AS v FROM u1, n1),
-    u2 AS (SELECT gram.i AS i, sum(gram.g * v1.v) AS u
+    u1 AS (SELECT i, sum(CAST(g AS HUGEINT)) AS u FROM gram GROUP BY i),
+    m1 AS (SELECT max(abs(u)) AS m FROM u1),
+    v1 AS (SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                  * ((abs(u) * CAST(100000000 AS HUGEINT)) // m) AS v
+           FROM u1, m1),
+    u2 AS (SELECT gram.i AS i, sum(CAST(gram.g AS HUGEINT) * v1.v) AS u
            FROM gram JOIN v1 ON gram.j = v1.i GROUP BY gram.i),
-    n2 AS (SELECT sqrt(sum(u * u)) AS nm FROM u2),
-    v2 AS (SELECT i, round(u / nm, 8) AS v FROM u2, n2)
+    m2 AS (SELECT max(abs(u)) AS m FROM u2),
+    w2 AS (SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                  * ((abs(u) * CAST(100000000 AS HUGEINT)) // m) AS w
+           FROM u2, m2),
+    n2 AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nm FROM w2)
     SELECT q.vec_id AS vec_id,
-           round(sum((q.qv / 1000.0) * v2.v), 4) AS proj
-    FROM q JOIN v2 ON q.pos = v2.i
-    GROUP BY q.vec_id ORDER BY vec_id
+           round(CAST(sum(q.qv * w2.w) AS DOUBLE) / n2.nm / 1000.0, 4)
+             + 0.0 AS proj
+    FROM q JOIN w2 ON q.pos = w2.i, n2
+    GROUP BY q.vec_id, n2.nm ORDER BY vec_id
     """,
     doc="top-principal-component projection: 2 power-method rounds over "
     "the quantized integer Gramian (collected to the driver — d^2 = "
     "4096 longs, BOUNDED independent of corpus size, exactly how MLlib "
-    "RowMatrix.computePrincipalComponents does it), each iterate "
-    "normalized and rounded HALF-UP to 8 digits — the rounding "
-    "re-synchronizes 1-ulp summation drift so a SQL engine unrolling "
-    "the same two rounds reproduces the component digit-for-digit. "
-    "Start vector 1/sqrt(64) = 0.125, an exact binary double. The "
-    "per-row projection is a pure zip_with/aggregate Column expression "
-    "over the quantized components — JVM-side, no shuffle, the "
-    "component rides in as a 64-double literal. Full value oracle",
+    "RowMatrix.computePrincipalComponents does it). EVERY iterate is "
+    "exact integer arithmetic (matvec + max-abs rescale to |V|<=1e8, "
+    "linalg.power_component_int), so the SQL oracle unrolling the same "
+    "two rounds in HUGEINT reproduces the integer component verbatim — "
+    "floats appear only in the terminal norm + projection divisions, "
+    "single IEEE ops on identical operands in both engines (the "
+    "linreg/Cramer exactness pattern applied to the power method; the "
+    "earlier round-to-8-decimals re-sync drifted at sf1 Gramian "
+    "magnitudes). The per-row projection folds sum(qv*W) in exact "
+    "int64 (d=64, |qv|<=1000, |W|<=1e8 -> < 2^53) via zip_with/"
+    "aggregate — JVM-side, no shuffle, the component a 64-long "
+    "literal. Full value oracle",
 )
 def embedding_pca_project(spark, sf_dir):
     from rapids_and_rivers_spark.operators import linalg as LA
@@ -8432,10 +8442,13 @@ def embedding_pca_project(spark, sf_dir):
     gram = LA.quantized_gram(emb, "embedding", dim=64, scale=1000)
     # bounded-collect: d(d+1)/2 = 2080 Gramian rows, independent of n
     rows = [(r["i"], r["j"], r["gsum"]) for r in gram.collect()]
-    v, _ = LA.power_component(rows, dim=64, iters=2)
+    w, nrm, _ = LA.power_component_int(rows, dim=64, iters=2)
+    # + 0.0 canonicalizes IEEE negative zero: DuckDB's round keeps the
+    # sign bit on tiny negatives (-2e-05 -> -0.0000) while Spark's
+    # BigDecimal round does not — same trick as duals z-scores
     return (
-        LA.project_on(emb, "embedding", v, scale=1000)
-        .select("vec_id", F.round("proj", 4).alias("proj"))
+        LA.project_on_exact(emb, "embedding", w, nrm, scale=1000)
+        .select("vec_id", (F.round("proj", 4) + F.lit(0.0)).alias("proj"))
         .orderBy("vec_id")
     )
 

@@ -15,10 +15,11 @@ Cross-engine determinism: components are QUANTIZED to integers
 an EXACT integer sum — partitioning-, order-, and engine-invariant (the
 same trick as the centroid operator in
 :mod:`rapids_and_rivers_spark.operators.similarity`). The power
-iteration on top rounds each iterate to 8 decimals (half-up, matching
-SQL ``round``), which re-synchronizes any 1-ulp summation drift between
-engines each round — an oracle engine unrolling the same iterations in
-SQL reproduces the component bit-for-bit at the rounded precision.
+iteration on top is ALSO exact-integer per iterate (matvec + max-abs
+rescale, :func:`power_component_int`), so an oracle engine unrolling
+the same rounds in SQL reproduces the component bit-for-bit — floats
+appear only in the terminal norm/projection divisions, which are
+single IEEE ops on identical operands in both engines.
 """
 
 from __future__ import annotations
@@ -72,32 +73,76 @@ def quantized_gram(
     return parts.groupBy("i", "j").agg(F.sum("g").alias("gsum"))
 
 
-def power_component(
-    gram_rows: list[tuple[int, int, int]], dim: int, iters: int = 2
-) -> tuple[list[float], float]:
+def power_component_int(
+    gram_rows: list[tuple[int, int, int]],
+    dim: int,
+    iters: int = 2,
+    vscale: int = 10**8,
+) -> tuple[list[int], float, float]:
     """Top principal direction by ``iters`` power-method rounds over the
-    integer Gramian, each iterate normalized and rounded HALF-UP to 8
-    decimals (the cross-engine re-synchronization point — SQL ``round``
-    and this helper agree digit-for-digit).
+    integer Gramian — EVERY iterate is exact integer arithmetic, so a
+    SQL engine unrolling the same rounds reproduces the final vector
+    bit-for-bit regardless of summation order (no float appears until
+    the terminal norm).
 
-    Start vector 1/sqrt(d) uniform — for d a power of 4 that is an exact
-    binary double (d=64 -> 0.125). Plain Python O(d^2) per round on
-    driver-side data that is bounded by construction. Returns
-    ``(component, eigenvalue_estimate)`` where the estimate is the
-    Rayleigh-style ||G v|| of the LAST un-normalized iterate (in
-    quantized-integer units).
+    Per round (all exact, Python bignum / SQL HUGEINT):
+
+    - ``U_i = sum_j g_ij * V_j``            (exact integer matvec)
+    - ``M   = max_i |U_i|``                  (order-invariant)
+    - ``V'_i = sign(U_i) * (|U_i| * vscale // M)``  (rescale to
+      ``[-vscale, vscale]``; trunc == floor on the non-negative
+      operands, sidestepping SQL-vs-Python division semantics)
+
+    The rescale replaces per-round float normalization: power iteration
+    only needs the direction, and dividing by the max keeps magnitudes
+    bounded (``|V| <= vscale``) so the next matvec cannot overflow —
+    at vscale=1e8 and 100 B quantized rows the matvec terms stay well
+    inside 128-bit. Start vector is the all-ones integer (same
+    direction as the uniform 1/sqrt(d) start).
+
+    Returns ``(W, nrm, lam)``: the final integer iterate, its float
+    L2 norm (``W/nrm`` is the unit component; ``sum W_i^2`` is exact
+    and <= d * vscale^2, so the int->double conversion is the same
+    round-to-nearest in every engine), and a Rayleigh-style eigenvalue
+    estimate ``||G W_prev|| / ||W_prev||`` in quantized-integer units.
+
+    This is the exactness discipline of :func:`linreg_solve` (Cramer
+    over DECIMAL sufficient statistics) applied to the power method:
+    exact integers inside, floats only at the boundary. Supersedes the
+    earlier round-to-8-decimals re-sync, which stopped absorbing
+    64-term float-sum order differences once Gramian magnitudes crossed
+    ~1e11 (the sf1 drift found by the scale sweep).
     """
     g = [[0] * dim for _ in range(dim)]
     for i, j, s in gram_rows:
-        g[i][j] = s
-        g[j][i] = s
-    v = [1.0 / math.sqrt(dim)] * dim
-    norm = 0.0
+        g[i][j] = int(s)
+        g[j][i] = int(s)
+    v = [1] * dim
+    lam = 0.0
     for _ in range(iters):
         u = [sum(g[i][j] * v[j] for j in range(dim)) for i in range(dim)]
-        norm = math.sqrt(sum(x * x for x in u))
-        v = [_half_up(x / norm, 8) for x in u]
-    return v, norm
+        lam = math.sqrt(sum(x * x for x in u)) / math.sqrt(
+            sum(x * x for x in v)
+        )
+        m = max(abs(x) for x in u)
+        if m == 0:
+            return [0] * dim, 0.0, 0.0
+        v = [(1 if x >= 0 else -1) * (abs(x) * vscale // m) for x in u]
+    nrm = math.sqrt(sum(x * x for x in v))
+    return v, nrm, lam
+
+
+def power_component(
+    gram_rows: list[tuple[int, int, int]], dim: int, iters: int = 2
+) -> tuple[list[float], float]:
+    """Float view of :func:`power_component_int`: the unit top component
+    and a Rayleigh eigenvalue estimate. Callers that must match a SQL
+    oracle bit-for-bit should use the integer form + one terminal
+    division instead (see ``embedding_pca_project``)."""
+    w, nrm, lam = power_component_int(gram_rows, dim, iters=iters)
+    if nrm == 0.0:
+        return [0.0] * dim, 0.0
+    return [x / nrm for x in w], lam
 
 
 def project_on(
@@ -125,6 +170,41 @@ def project_on(
             F.lit(0.0),
             lambda a, x: a + x,
         ),
+    )
+
+
+def project_on_exact(
+    df: DataFrame,
+    vec_col: str,
+    w_int: list[int],
+    nrm: float,
+    scale: int = 1000,
+) -> DataFrame:
+    """Bit-reproducible per-row projection onto an INTEGER component
+    iterate ``W`` (from :func:`power_component_int`): the dot product
+    ``sum_i floor(x_i*scale) * W_i`` folds in exact int64 (order
+    invariant — |qv| <= scale, |W| <= 1e8, d=64 terms stay < 2^53), and
+    the only floats are the two terminal divisions
+    ``dot / nrm / scale`` — single IEEE ops on identical operands in
+    every engine, so a SQL oracle computing
+    ``CAST(sum(qv*w) AS DOUBLE) / nm / scale`` reproduces ``proj``
+    bit-for-bit before any display rounding.
+
+    Same JVM-side shape as :func:`project_on`: the component rides in
+    as a 64-long literal array; zip_with/aggregate, no shuffle, no UDF.
+    """
+    lit_w = F.array(*[F.lit(int(c)) for c in w_int])
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale).cast("long"),
+    )
+    dot = F.aggregate(
+        F.zip_with(q, lit_w, lambda x, w: x * w),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return df.withColumn(
+        "proj", dot.cast("double") / F.lit(float(nrm)) / F.lit(float(scale))
     )
 
 

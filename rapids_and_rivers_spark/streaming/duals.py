@@ -3139,7 +3139,11 @@ def ivf_index_foreach_batch(
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         cb_dir = os.path.join(index_dir, "codebook")
-        if not os.path.isdir(cb_dir):
+        # freeze-gate on the committer's _SUCCESS marker, not bare dir
+        # existence: Spark creates the directory before committing, so a
+        # crash mid-epoch-0 write would otherwise leave a partial dir
+        # that a replay mistakes for a frozen codebook (ADVICE r7)
+        if not os.path.isfile(os.path.join(cb_dir, "_SUCCESS")):
             build_codebook_table(
                 batch_df,
                 dim,

@@ -30,10 +30,14 @@ from typing import Callable, Mapping
 
 
 def _metric_name(raw: str) -> str:
-    """Prometheus exposition names allow only ``[a-zA-Z0-9_:]`` — any
-    other character (state-operator names carry '(', ')', '-', ...)
-    would emit a line scrapers reject (ADVICE r6)."""
-    return re.sub(r"[^a-zA-Z0-9_:]", "_", raw)
+    """Prometheus exposition names must match ``[a-zA-Z_:][a-zA-Z0-9_:]*``
+    — any other character (state-operator names carry '(', ')', '-',
+    ...) would emit a line scrapers reject, and a LEADING digit is just
+    as illegal as a stray one (ADVICE r6 + r7)."""
+    name = re.sub(r"[^a-zA-Z0-9_:]", "_", raw)
+    if not name or name[0].isdigit():
+        name = "_" + name
+    return name
 
 
 @dataclass(frozen=True)

@@ -236,3 +236,67 @@ def test_linreg_normal_equations_recovers_exact_plane(spark, tmp_path):
     assert out["beta0"] == 40.0
     assert out["beta_qty"] == 2.0
     assert out["beta_disc100"] == 7.0  # 0.07 price units per discount point
+
+
+def test_power_component_int_matches_duckdb_unroll():
+    """Cross-engine exactness pin: the integer power iterates (matvec +
+    max-abs rescale) computed by power_component_int must equal a DuckDB
+    HUGEINT unroll of the same two rounds VERBATIM — the invariant the
+    embedding_pca_project oracle depends on at sf1 Gramian magnitudes
+    (where the earlier round-to-8-decimals re-sync drifted)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(7)
+    dim = 8
+    # sf1-scale magnitudes: gram entries up to ~2e11
+    rows = [
+        (i, j, rng.randint(-(2 * 10**11), 2 * 10**11))
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    w, nrm, _ = LA.power_component_int(rows, dim=dim, iters=2)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE gram0 (i INT, j INT, g BIGINT)")
+    con.executemany("INSERT INTO gram0 VALUES (?, ?, ?)", rows)
+    got = con.execute(
+        """
+        WITH gram AS (
+          SELECT i, j, g FROM gram0
+          UNION ALL
+          SELECT j AS i, i AS j, g FROM gram0 WHERE i < j
+        ),
+        u1 AS (SELECT i, sum(CAST(g AS HUGEINT)) AS u FROM gram GROUP BY i),
+        m1 AS (SELECT max(abs(u)) AS m FROM u1),
+        v1 AS (SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                      * ((abs(u) * CAST(100000000 AS HUGEINT)) // m) AS v
+               FROM u1, m1),
+        u2 AS (SELECT gram.i AS i, sum(CAST(gram.g AS HUGEINT) * v1.v) AS u
+               FROM gram JOIN v1 ON gram.j = v1.i GROUP BY gram.i),
+        m2 AS (SELECT max(abs(u)) AS m FROM u2),
+        w2 AS (SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                      * ((abs(u) * CAST(100000000 AS HUGEINT)) // m) AS w
+               FROM u2, m2)
+        SELECT i, w FROM w2 ORDER BY i
+        """
+    ).fetchall()
+    assert [int(x) for _, x in got] == w
+    assert nrm == math.sqrt(sum(x * x for x in w))
+
+
+def test_power_component_int_zero_gram_guard():
+    w, nrm, lam = LA.power_component_int([(0, 0, 0)], dim=3, iters=2)
+    assert w == [0, 0, 0] and nrm == 0.0 and lam == 0.0
+
+
+def test_project_on_exact_matches_manual_dot(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125])], "id long, vec array<float>"
+    )
+    w = [70000000, -50000000, 30000000]
+    nrm = math.sqrt(sum(x * x for x in w))
+    got = LA.project_on_exact(df, "vec", w, nrm, scale=1000).collect()[0]["proj"]
+    q = [math.floor(x * 1000) for x in [0.5, -0.25, 0.125]]
+    assert got == sum(a * b for a, b in zip(q, w)) / nrm / 1000.0

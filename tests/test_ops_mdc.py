@@ -441,3 +441,14 @@ def test_gauge_and_counter_names_sanitized_for_prometheus():
 
     for n in names:
         assert _re.fullmatch(r"[a-zA-Z_:][a-zA-Z0-9_:]*", n), n
+
+
+def test_metric_name_sanitizes_leading_digit():
+    # Prometheus names must match [a-zA-Z_:][a-zA-Z0-9_:]* — a leading
+    # digit is as illegal as a stray '(' (ADVICE r7)
+    from rapids_and_rivers_spark.streaming.ops import _metric_name
+
+    assert _metric_name("0-state(op)") == "_0_state_op_"
+    assert _metric_name("9lives") == "_9lives"
+    assert _metric_name("ok_name:x") == "ok_name:x"
+    assert _metric_name("") == "_"

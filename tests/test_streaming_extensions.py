@@ -3358,3 +3358,27 @@ def test_nb_stream_confusion_matches_batch_and_replay(spark, tmp_path):
 
     stage(even, 0)  # at-least-once replay of epoch 0
     assert as_map(nb_confusion_from_stats(spark, out_dir)) == expected
+
+
+def test_ivf_index_partial_codebook_dir_retrains(spark, tmp_path):
+    """Crash-safety of the epoch-0 codebook freeze (ADVICE r7): Spark
+    creates the output directory BEFORE committing, so a crash mid-write
+    leaves a partial dir with no _SUCCESS marker. A replay must retrain
+    (the freeze gates on the commit marker, not bare dir existence) —
+    otherwise the index silently reads an empty codebook forever."""
+    import os as _os
+
+    from rapids_and_rivers_spark.streaming.duals import ivf_index_foreach_batch
+
+    _, candidates = _ivf_embeddings(spark)
+    index_dir = str(tmp_path / "ivf_partial")
+    # simulate the crash artifact: dir exists, no _SUCCESS, no data
+    cb_dir = _os.path.join(index_dir, "codebook")
+    _os.makedirs(cb_dir)
+    with open(_os.path.join(cb_dir, "part-00000.parquet.tmp"), "w") as f:
+        f.write("")
+    stage = ivf_index_foreach_batch(index_dir, dim=64, n_cells=16)
+    stage(candidates, 0)
+    assert _os.path.isfile(_os.path.join(cb_dir, "_SUCCESS"))
+    cb = spark.read.parquet(cb_dir)
+    assert cb.count() > 0

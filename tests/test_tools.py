@@ -461,3 +461,26 @@ def test_driver_gate_prefix_covers_every_family():
     oracles = catalog.oracle_sql()
     assert all(n in oracles for n in gate)
     assert list(oracles)[:50] == gate
+
+
+def test_check_oracle_rejects_unknown_query_names_before_session():
+    """Fail-fast contract (ADVICE r7): a typo'd query name must exit 2
+    with the offending names listed BEFORE any Spark session builds —
+    not KeyError mid-sweep hours in."""
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            _sys.executable,
+            os.path.join(root, "tools", "check_oracle.py"),
+            "/root/testdata/sf0.001",
+            "not_a_real_query",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 2
+    assert "not_a_real_query" in r.stdout

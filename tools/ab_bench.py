@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import subprocess
 import sys
 import tempfile
@@ -65,11 +66,17 @@ def run_side(root: str, queries: list[str]) -> dict[str, float]:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(_CHILD)
         script = f.name
+    # PYTHONPATH (not just the child's sys.path) so PySpark WORKER
+    # processes also import this side's revision — otherwise any
+    # mapInPandas/pandas-UDF stage silently executes the other side's
+    # executor-side code and contaminates the A/B (ADVICE r7)
+    env = {**os.environ, "PYTHONPATH": root}
     r = subprocess.run(
         [sys.executable, script, root, ",".join(queries)],
         capture_output=True,
         text=True,
         timeout=1800,
+        env=env,
     )
     if r.returncode != 0:
         raise RuntimeError(f"{root}: {r.stderr[-500:]}")

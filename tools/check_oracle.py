@@ -56,6 +56,12 @@ def main():
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     # ordered, deduped: the caller's order IS the sweep order
     only = list(dict.fromkeys(args[1:]))
+    # fail fast on typo'd names BEFORE the session builds — a KeyError
+    # at row 150 of a multi-hour sweep wastes the whole budget (ADVICE r7)
+    unknown = [n for n in only if n not in catalog.queries()]
+    if unknown:
+        print(f"unknown query names (not in catalog.queries()): {unknown}")
+        sys.exit(2)
     results: dict[str, dict] = {}
     spark = build_session("check_oracle")
 

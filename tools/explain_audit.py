@@ -49,6 +49,11 @@ SCALAR_CROSS_OK = {
     "survival_time_to_purchase",  # Kaplan-Meier triangular self-joins over
     # the <= 31-row horizon-day rollup: bounded like gap_filled_daily_counts
     "sketch_ams_f2",  # 1-row estimate x 1-row exact-F2 scalar cross
+    "nb_source_confusion",  # doc_ids x broadcast(priors) prior cross:
+    # |classes| rows (KB-sized) per doc — bounded 1 x N like the scalar
+    # crosses above; zero-token docs must still score on priors alone,
+    # so a left join can't replace it (classify.py nb_classify)
+    "stream_nb_confusion",  # same nb_classify prior cross, streaming dual
 }
 
 # Time-truncation expressions that bound an aggregate's group count by
