@@ -66,6 +66,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: while keeping the full reference-surface core; everything else stays
 #: in registration order and is verified by the committed
 #: CORRECTNESS_local artifacts at sf0.01/sf0.1(/sf1 subset).
+#:
+#: ROTATION (VERDICT r7 #6): membership rotates each round so repeated
+#: rounds cumulatively give driver-visible evidence for more of the
+#: 201. Round-8 rotation (14 swaps): OUT the rows with the LONGEST
+#: driver history — the 5 window/streaming-dedup rows and 8 of the 9
+#: TPC-H reps (driver-green r1-r7; q1 stays as the flagship) — IN the
+#: never-driver-checked members of each family: the four rewritten
+#: inverted-index dedup oracles (ngram_jaccard/containment/ssjoin/
+#: entity_resolution), fuzzy_name_match (SymSpell oracle), the PQ and
+#: MMR similarity tiers, gopher_quality_flags, bpe_encode_counts,
+#: nb_source_confusion, pagerank_purchase_graph, and the two round-7
+#: streaming duals (stream_er_entities, stream_ivf_index). Every
+#: displaced row remains green in the committed CORRECTNESS_local
+#: artifacts at sf0.01 + sf0.1.
 DRIVER_GATE: list[str] = [
     # reference surface: river predicate/verdict engine (16)
     "river_require_value", "river_require_any", "river_forbid",
@@ -77,31 +91,35 @@ DRIVER_GATE: list[str] = [
     # reference surface: envelope/protocol (5)
     "republish_open_schema", "envelope_stamp", "pingpong",
     "behov_protocol", "behov_solution_join",
-    # windows + streaming dedup (5)
-    "window_tumbling_agg", "window_sliding_agg", "window_sessionize",
-    "window_session_native", "dedup_first_event",
-    # TPC-H adaptation representatives (9; all 22 stay local-verified)
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q9_product_type_profit", "q18_large_volume",
-    "top_orders_per_customer", "asof_prev_click",
-    # dedup family (2)
-    "dedup_minhash", "semantic_dedup",
-    # ANN / similarity (2)
-    "sim_ann_ivf", "label_noise_probe",
+    # TPC-H flagship (the other 21 adaptations: driver-green r1-r7,
+    # still local-verified at 3 scale factors)
+    "q1_pricing_summary",
+    # dedup family (6) — incl. the four r8 inverted-index oracles
+    "dedup_minhash", "semantic_dedup", "dedup_ngram_jaccard",
+    "dedup_containment", "ssjoin_prefix", "entity_resolution",
+    # fuzzy string matching (1) — r8 SymSpell-identity oracle
+    "fuzzy_name_match",
+    # ANN / similarity (4)
+    "sim_ann_ivf", "label_noise_probe", "sim_ann_pq",
+    "mmr_rerank_diverse",
     # retrieval + sketch (2)
     "bm25_search", "heavy_hitters_cms",
-    # tokenizers (1)
-    "wordpiece_encode_counts",
-    # model training on mergeable stats (2)
-    "linreg_price_model", "bt_supplier_strength",
+    # text quality (1)
+    "gopher_quality_flags",
+    # tokenizers (2)
+    "wordpiece_encode_counts", "bpe_encode_counts",
+    # model training on mergeable stats (3)
+    "linreg_price_model", "bt_supplier_strength", "nb_source_confusion",
     # multimodal (1)
     "image_neardup_phash",
     # training-data pipeline (1)
     "training_shard_stats",
-    # streaming duals incl. the graph family (4)
+    # batch graph (1)
+    "pagerank_purchase_graph",
+    # streaming duals incl. the graph family (6)
     "scd2_user_state", "stream_triangles_copurchase",
     "stream_kcore_purchase", "stream_communities_labelprop",
+    "stream_er_entities", "stream_ivf_index",
 ]
 
 
@@ -4519,12 +4537,16 @@ def _shingle_cte(extra_cols: str = "") -> str:
     from the others. ``extra_cols`` carries additional document columns
     (e.g. source) through both CTEs."""
     cols = "doc_id" + (f", {extra_cols}" if extra_cols else "")
+    # MATERIALIZED: several consumers reference sh 2-3x (postings + both
+    # sides of the length lookup); non-materialized CTEs inline per
+    # consumer in DuckDB, re-tokenizing the corpus each time — at sf1
+    # that's the difference between minutes and a disk-fill
     return rf"""
     WITH toks AS (
       SELECT {cols}, string_split_regex(trim(lower(text)), '\s+') AS t
       FROM documents
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT {cols},
              CASE WHEN len(t) >= 3
                   THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -4534,23 +4556,56 @@ def _shingle_cte(extra_cols: str = "") -> str:
     ),"""
 
 
+def _shingle_pairs_cte(block: str = "") -> str:
+    """Candidate-pair CTEs for the all-pairs Jaccard/containment oracles
+    via the inverted-index identity: any pair with ``|A ∩ B| >= 1`` — a
+    NECESSARY condition for Jaccard or containment ``>= t`` at any
+    ``t > 0`` — is enumerated by grouping the exploded shingle postings
+    on ``(id_a, id_b)``, and ``count(*) = |A ∩ B|`` exactly because
+    ``shingles`` is list_distinct. Mathematically the SAME pair set and
+    intersection sizes as the O(n^2) cross join (zero-overlap pairs
+    fail every threshold), at sum-over-shingles-of-count^2 cost —
+    measured 35.5M postings-join rows at sf1 (max shingle frequency
+    91) vs 1.25e9 crosses, which is what makes the sf1 sweep of this
+    oracle family feasible. Emits ``pairs0 (id_a, id_b, inter, sa,
+    sb)``; each consumer applies its own threshold expression verbatim,
+    so rounded-vs-unrounded compare semantics are untouched."""
+    key = "a.s = b.s AND a.doc_id < b.doc_id"
+    extra = f", {block}" if block else ""
+    if block:
+        key += f" AND a.{block} = b.{block}"
+    return f"""
+    sh_post AS (
+      SELECT doc_id{extra}, unnest(shingles) AS s
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sh_cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM sh_post a JOIN sh_post b ON {key}
+      GROUP BY 1, 2
+    ),
+    pairs0 AS (
+      SELECT c.id_a, c.id_b, c.inter,
+             len(sa.shingles) AS sa, len(sb.shingles) AS sb
+      FROM sh_cand c
+      JOIN sh sa ON c.id_a = sa.doc_id
+      JOIN sh sb ON c.id_b = sb.doc_id
+    ),"""
+
+
 @register(
     "dedup_minhash",
-    _shingle_cte() + r"""
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.shingles, b.shingles)) AS inter,
-             len(a.shingles) AS sa, len(b.shingles) AS sb
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-    )
+    _shingle_cte() + _shingle_pairs_cte() + r"""
+    pairs AS (SELECT id_a, id_b, inter, sa, sb FROM pairs0)
     SELECT id_a, id_b, round(inter / CAST(sa + sb - inter AS DOUBLE), 4) AS jaccard
     FROM pairs WHERE inter / CAST(sa + sb - inter AS DOUBLE) >= 0.3
     """,
     doc="MinHash + banded LSH near-dup candidates, Jaccard-verified "
     "(numpy multiply-shift signatures per row, candidates via "
     "band-bucket equi-join). The oracle computes ALL pairs >= threshold "
-    "via exact string-shingle Jaccard (O(n^2), oracle-scale only) — a "
+    "via exact string-shingle Jaccard (inverted-index identity, "
+    "_shingle_pairs_cte — same pair set as the O(n^2) cross) — a "
     "FULL value match, valid because banded LSH has recall 1 on this "
     "corpus: every true pair here has jaccard >= 0.89, where the "
     "8-band x 4-row miss probability is (1 - 0.89^4)^8 ~ 4e-4 per pair "
@@ -4621,14 +4676,8 @@ def dedup_simhash(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
-    _shingle_cte("source") + r"""
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.shingles, b.shingles)) AS inter,
-             len(a.shingles) AS sa, len(b.shingles) AS sb
-      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-    )
+    _shingle_cte("source") + _shingle_pairs_cte("source") + r"""
+    pairs AS (SELECT id_a, id_b, inter, sa, sb FROM pairs0)
     SELECT id_a, id_b, round(inter / CAST(sa + sb - inter AS DOUBLE), 4) AS jaccard
     FROM pairs WHERE inter / CAST(sa + sb - inter AS DOUBLE) >= 0.15
     """,
@@ -4648,14 +4697,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @register(
     "ssjoin_prefix",
-    _shingle_cte() + r"""
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.shingles, b.shingles)) AS inter,
-             len(a.shingles) AS sa, len(b.shingles) AS sb
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-    )
+    _shingle_cte() + _shingle_pairs_cte() + r"""
+    pairs AS (SELECT id_a, id_b, inter, sa, sb FROM pairs0)
     SELECT id_a, id_b,
            round(inter / CAST(sa + sb - inter AS DOUBLE), 4) AS jaccard
     FROM pairs
@@ -4727,14 +4770,10 @@ def dedup_shared_spans(spark, sf_dir):
 
 @register(
     "dedup_keep_list",
-    _shingle_cte() + r"""
+    _shingle_cte() + _shingle_pairs_cte() + r"""
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-        AND len(list_intersect(a.shingles, b.shingles))
-            / CAST(len(a.shingles) + len(b.shingles)
-                   - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.3
+      SELECT id_a, id_b FROM pairs0
+      WHERE inter / CAST(sa + sb - inter AS DOUBLE) >= 0.3
     ),
     edges AS (
       SELECT id_a AS u, id_b AS v FROM pairs
@@ -4754,18 +4793,27 @@ def dedup_shared_spans(spark, sf_dir):
     SELECT d.doc_id FROM documents d
     ANTI JOIN dropped x ON d.doc_id = x.doc_id
     """,
-    doc="END-TO-END dedup pipeline: MinHash-LSH pairs -> connected "
-    "components -> keep-list (every doc except non-canonical cluster "
-    "members) — the artifact a training pipeline actually consumes. "
-    "Composition of three already-verified operators in one plan; the "
-    "oracle chains the all-pairs Jaccard + recursive-CTE closure + anti "
-    "join (valid per the dedup_minhash recall-1 note)",
+    doc="END-TO-END dedup pipeline: exact prefix-filter pairs (Bayardo "
+    "ssjoin, lossless at any threshold) -> connected components -> "
+    "keep-list (every doc except non-canonical cluster members) — the "
+    "artifact a training pipeline actually consumes. Candidate "
+    "generation switched from MinHash-LSH in round 8: the sf1 sweep's "
+    "first-ever exact ground truth at 10x measured the 8x4 banding at "
+    "recall 0.25 over the borderline J in [0.3, 0.6) pairs that corpus "
+    "grows (S-curve midpoint (1/8)^(1/4) = 0.60 — exactly the regime "
+    "the dedup_minhash doc warned about), and a keep-list artifact "
+    "must be candidate-lossless. prefix_filter_pairs is exact BY "
+    "CONSTRUCTION at every scale, so the unchanged oracle (true "
+    "all-pairs Jaccard + recursive-CTE closure + anti join) now holds "
+    "at sf1 too. LSH remains the right generator when the dup "
+    "distribution is known high-similarity; the exact ssjoin is the "
+    "default for an artifact",
 )
 def dedup_keep_list(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(
-        docs, col="text", id_col="doc_id", num_hashes=32, bands=8, threshold=0.3
-    )
+    pairs = D.prefix_filter_pairs(
+        docs, col="text", id_col="doc_id", shingle_n=3, threshold=0.3
+    ).select("id_a", "id_b")
     clusters = D.duplicate_clusters(pairs)
     dropped = clusters.filter(F.col("node") != F.col("cluster")).select(
         F.col("node").alias("doc_id")
@@ -5885,18 +5933,33 @@ from rapids_and_rivers_spark.operators import fuzzy as FZ  # noqa: E402
 @register(
     "fuzzy_name_match",
     """
-    WITH names AS (SELECT DISTINCT p_name AS n FROM part)
-    SELECT a.n AS s_a, b.n AS s_b,
-           CAST(levenshtein(a.n, b.n) AS INT) AS dist
-    FROM names a JOIN names b ON a.n < b.n
-    WHERE levenshtein(a.n, b.n) <= 1
+    WITH names AS MATERIALIZED (SELECT DISTINCT p_name AS n FROM part),
+    vars AS (
+      SELECT n, n AS v FROM names
+      UNION ALL
+      SELECT n, substr(n, 1, i - 1) || substr(n, i + 1) AS v
+      FROM names, LATERAL (SELECT unnest(range(1, length(n) + 1)) AS i) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.n AS s_a, b.n AS s_b
+      FROM vars a JOIN vars b ON a.v = b.v AND a.n < b.n
+    )
+    SELECT s_a, s_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(s_a, s_b) <= 1
     """,
     doc="approximate string-match join (operators/fuzzy.py symspell_join): "
     "all part-name pairs within edit distance 1 via SymSpell 1-deletion "
     "neighborhoods — explode to <=len+1 variants, equi-join on the "
     "variant, exact-levenshtein verify. Candidates are O(sum-of-lengths) "
-    "join keys, never the O(n^2) cross product the (tiny-domain) oracle "
-    "uses; same bucket-then-verify shape as MinHash-LSH",
+    "join keys, never the O(n^2) cross product. The oracle uses the same "
+    "PUBLISHED identity (lev(a,b) <= 1 implies a 1-deletion variant "
+    "collision — substitution at i: del(a,i)=del(b,i); indel: the "
+    "shorter string IS a variant of the longer), which is candidate-"
+    "lossless, and the final exact-levenshtein filter is the ground "
+    "truth either way — variant collisions with lev 2 (e.g. 'ab'/'ba') "
+    "are rejected by it in both engines. The earlier O(n^2) oracle "
+    "cross was 4e10 levenshteins at sf1; this form sweeps",
 )
 def fuzzy_name_match(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")
@@ -6227,16 +6290,11 @@ def data_quality_checks(spark, sf_dir):
 
 @register(
     "contrastive_negatives",
-    _shingle_cte() + r"""
+    _shingle_cte() + _shingle_pairs_cte() + r"""
     dup AS (
-      SELECT least(a.doc_id, b.doc_id) AS lo,
-             greatest(a.doc_id, b.doc_id) AS hi
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-        AND round(len(list_intersect(a.shingles, b.shingles))
-                  / CAST(len(a.shingles) + len(b.shingles)
-                         - len(list_intersect(a.shingles, b.shingles))
-                         AS DOUBLE), 4) >= 0.5
+      SELECT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi
+      FROM pairs0
+      WHERE round(inter / CAST(sa + sb - inter AS DOUBLE), 4) >= 0.5
     ),
     ids AS (SELECT doc_id FROM documents),
     reps AS (
@@ -6290,15 +6348,10 @@ def contrastive_negatives(spark, sf_dir):
 
 @register(
     "entity_resolution",
-    _shingle_cte() + r"""
+    _shingle_cte() + _shingle_pairs_cte() + r"""
     ssj AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-        AND round(len(list_intersect(a.shingles, b.shingles))
-                  / CAST(len(a.shingles) + len(b.shingles)
-                         - len(list_intersect(a.shingles, b.shingles))
-                         AS DOUBLE), 4) >= 0.5
+      SELECT id_a, id_b FROM pairs0
+      WHERE round(inter / CAST(sa + sb - inter AS DOUBLE), 4) >= 0.5
     ),
     rn AS (
       SELECT doc_id,
@@ -9481,14 +9534,8 @@ def sketch_ams_f2(spark, sf_dir):
 
 @register(
     "dedup_containment",
-    _shingle_cte("source") + r"""
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.shingles, b.shingles)) AS inter,
-             len(a.shingles) AS sa, len(b.shingles) AS sb
-      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-    )
+    _shingle_cte("source") + _shingle_pairs_cte("source") + r"""
+    pairs AS (SELECT id_a, id_b, inter, sa, sb FROM pairs0)
     SELECT id_a, id_b,
            round(inter / CAST(sa AS DOUBLE), 4) AS cont_a_in_b,
            round(inter / CAST(sb AS DOUBLE), 4) AS cont_b_in_a

@@ -484,3 +484,28 @@ def test_check_oracle_rejects_unknown_query_names_before_session():
     )
     assert r.returncode == 2
     assert "not_a_real_query" in r.stdout
+
+
+class TestAnnRecallScaleRules:
+    """Pin the at-scale parameter derivations the sf1 recall artifact
+    (ANN_RECALL_SF1.json / SCALING.md round 8) was measured under."""
+
+    def test_ivf_cell_rule_holds_probe_fraction(self):
+        import ann_recall_scale as A
+
+        cells, nprobe = A.ivf_params(20000)
+        assert cells == 512 and nprobe == 128  # 25% probe fraction
+        cells_small, nprobe_small = A.ivf_params(500)
+        assert nprobe_small / cells_small == 0.25
+
+    def test_band_rule_rederives_floor(self):
+        import math
+
+        import ann_recall_scale as A
+
+        r, b = A.band_params(20000, 10, 0.4)
+        assert r == 5 and b == 16
+        # the derived (r, B) must satisfy the documented floor at the
+        # threshold cosine: 1 - (1 - p^r)^B >= 0.75
+        p = 1.0 - math.acos(0.4) / math.pi
+        assert 1.0 - (1.0 - p**r) ** b >= A.RECALL_FLOOR_BANDS
