@@ -9695,7 +9695,9 @@ def psi_value_drift(spark, sf_dir):
     lab AS (SELECT DISTINCT vec_id, label FROM qv),
     dis AS (
       SELECT knn.t,
-             avg(CASE WHEN lt.label <> lc.label THEN 1.0 ELSE 0.0 END) AS dis
+             CAST(sum(CASE WHEN lt.label <> lc.label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS kk
       FROM knn
       JOIN lab lt ON knn.t = lt.vec_id
       JOIN lab lc ON knn.c = lc.vec_id
@@ -9703,9 +9705,10 @@ def psi_value_drift(spark, sf_dir):
     )
     SELECT lab.label,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           round(avg(dis.dis), 4) AS avg_disagreement,
-           CAST(sum(CASE WHEN dis.dis >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_suspects
+           round(CAST(sum(dis.m) AS DOUBLE)
+                 / CAST(sum(dis.kk) AS DOUBLE), 4) AS avg_disagreement,
+           CAST(sum(CASE WHEN 5 * dis.m >= 4 * dis.kk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suspects
     FROM dis JOIN lab ON dis.t = lab.vec_id
     GROUP BY lab.label ORDER BY lab.label
     """,
@@ -9734,17 +9737,30 @@ def label_noise_knn(spark, sf_dir):
     pairs = knn_self_join(
         emb, dim=64, k=5, n_cells=8, nprobe=None, payload="label"
     )
+    # integer-exact disagreement stats (memory rule: never float-sum
+    # into a rounded/thresholded compare — the r8 sf1 numpy differential
+    # caught label 9's pooled mean landing EXACTLY on the .00005
+    # round-4 tie, where engine summation order decided the digit):
+    # m = disagreeing neighbors (0..5), kk = neighbors; the label mean
+    # is ONE division of exact integer sums, and the 80% suspect cut is
+    # the integer compare 5m >= 4kk
     dis = pairs.groupBy("t", "t_pay").agg(
-        F.avg(
-            F.when(F.col("c_pay") != F.col("t_pay"), 1.0).otherwise(0.0)
-        ).alias("dis")
+        F.sum(
+            F.when(F.col("c_pay") != F.col("t_pay"), 1).otherwise(0)
+        ).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("kk"),
     )
     return (
         dis.groupBy(F.col("t_pay").alias("label"))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("dis"), 4).alias("avg_disagreement"),
-            F.sum(F.when(F.col("dis") >= 0.8, 1).otherwise(0))
+            F.round(
+                F.sum("m").cast("double") / F.sum("kk").cast("double"), 4
+            ).alias("avg_disagreement"),
+            F.sum(
+                F.when(F.lit(5) * F.col("m") >= F.lit(4) * F.col("kk"), 1)
+                .otherwise(0)
+            )
             .cast("long")
             .alias("n_suspects"),
         )
