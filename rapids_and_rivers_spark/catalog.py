@@ -116,9 +116,10 @@ DRIVER_GATE: list[str] = [
     "training_shard_stats",
     # batch graph (1)
     "pagerank_purchase_graph",
-    # streaming duals incl. the graph family (6)
+    # streaming duals incl. the graph family (6) — labelprop
+    # (driver-green r7) rotated out for the r8 PageRank dual
     "scd2_user_state", "stream_triangles_copurchase",
-    "stream_kcore_purchase", "stream_communities_labelprop",
+    "stream_kcore_purchase", "stream_pagerank_purchase",
     "stream_er_entities", "stream_ivf_index",
 ]
 
@@ -9944,6 +9945,49 @@ def stream_communities_labelprop(spark, sf_dir):
         )
         .orderBy(F.desc("n_members"), "community")
         .limit(50)
+    )
+
+
+@register(
+    "stream_pagerank_purchase",
+    _REGISTRY["pagerank_purchase_graph"].oracle,
+    doc="the STREAMING PageRank dual, driver-checkable (promoted from "
+    "pytest-only evidence like stream_er_entities was in r7): all "
+    "purchase-graph edges arrive in epoch 0, two quiet epochs advance "
+    "convergence one warm round each (duals.pagerank_foreach_batch, "
+    "iters_per_epoch=1) — by the pinned composition law warm(1) after "
+    "cold(i) walks the IDENTICAL float path as cold(i+1), so three "
+    "epochs equal the batch pagerank_purchase_graph's cold 3-round run "
+    "and share its 3-round-unrolled DuckDB oracle verbatim. Completes "
+    "the driver-visible streaming graph family (triangles/k-core/"
+    "label-prop/ER/PageRank). Epoch-versioned rank snapshots; replay "
+    "re-derives from the snapshot strictly below the epoch. FULL "
+    "value oracle",
+)
+def stream_pagerank_purchase(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        pagerank_foreach_batch,
+        read_latest_ranks,
+    )
+
+    edges = _purchase_edges(spark, sf_dir)
+    n_nodes = edges.select("src").distinct().count()  # one scalar
+    state_dir = tempfile.mkdtemp(prefix="rars_stream_pr_")
+    stage = pagerank_foreach_batch(state_dir, iters_per_epoch=1)
+    stage(edges, 0)
+    empty = spark.createDataFrame([], "src string, dst string, weight double")
+    stage(empty, 1)
+    stage(empty, 2)
+    ranks = read_latest_ranks(spark, state_dir)
+    return (
+        ranks.select(
+            "node",
+            F.round(F.col("pr") * F.lit(float(n_nodes)), 4).alias("pr_scaled"),
+        )
+        .orderBy(F.desc("pr_scaled"), "node")
+        .limit(20)
     )
 
 
