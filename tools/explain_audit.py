@@ -15,12 +15,22 @@ flags patterns that would hurt at 100 TB:
   slow path; only `ArrowEvalPython` / `MapInPandas` / `FlatMapGroupsInPandas`
   are acceptable Python operators.
 
-Usage: python tools/explain_audit.py [sf_dir] [query ...]
-Exit code 1 if any *unexpected* red flag is found (whitelist below).
+Shuffle-budget regression pinning (round 8): PLAN_BUDGETS.json records
+each query's executed-plan shuffle count at sf0.001 (deterministic data
+-> deterministic AQE decisions). A full-catalog audit FAILS any query
+whose observed count EXCEEDS its recorded budget — the "someone added a
+needless repartition/groupBy to a hot path" regression that correctness
+gates can't see. Run with --record to re-baseline after an intentional
+plan change (the diff shows up in git, so a re-baseline is reviewable).
+
+Usage: python tools/explain_audit.py [--record] [sf_dir] [query ...]
+Exit code 1 if any *unexpected* red flag is found (whitelist below) or
+any shuffle budget is exceeded.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import sys
@@ -213,11 +223,25 @@ def audit_plan(name: str, plan: str) -> tuple[list[str], dict[str, int]]:
     return flags, stats
 
 
+BUDGETS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "PLAN_BUDGETS.json",
+)
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    record = "--record" in argv
+    if record:
+        argv.remove("--record")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    budgets: dict[str, int] = {}
+    if not record and os.path.exists(BUDGETS_PATH):
+        budgets = json.load(open(BUDGETS_PATH))
     spark = build_session("explain_audit")
     failures = 0
+    observed: dict[str, int] = {}
     for name, fn in catalog.queries().items():
         if only and name not in only:
             continue
@@ -232,6 +256,16 @@ def main() -> int:
             failures += 1
             continue
         flags, stats = audit_plan(name, plan)
+        observed[name] = stats["shuffles"]
+        # budgets are recorded at sf0.001 (deterministic data ->
+        # deterministic AQE decisions); only compare at that SF
+        if name in budgets and "sf0.001" in sf_dir:
+            if stats["shuffles"] > budgets[name]:
+                flags.append(
+                    f"shuffle budget exceeded: {stats['shuffles']} > "
+                    f"{budgets[name]} (re-baseline with --record if "
+                    f"intentional)"
+                )
         line = (
             f"{name}: shuffles={stats['shuffles']} "
             f"broadcasts={stats['broadcasts']} scans={stats['scans']} "
@@ -242,6 +276,16 @@ def main() -> int:
             print(f"FLAG  {line}  <<< {', '.join(flags)}")
         else:
             print(f"ok    {line}")
+    if record:
+        if only:  # partial re-baseline: merge into the existing file
+            merged = {}
+            if os.path.exists(BUDGETS_PATH):
+                merged = json.load(open(BUDGETS_PATH))
+            merged.update(observed)
+            observed = merged
+        with open(BUDGETS_PATH, "w") as f:
+            json.dump(dict(sorted(observed.items())), f, indent=1)
+        print(f"\nrecorded {len(observed)} shuffle budgets -> {BUDGETS_PATH}")
     print(f"\n{failures} flagged" if failures else "\nall plans clean")
     return 1 if failures else 0
 
