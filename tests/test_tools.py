@@ -509,3 +509,67 @@ class TestAnnRecallScaleRules:
         # threshold cosine: 1 - (1 - p^r)^B >= 0.75
         p = 1.0 - math.acos(0.4) / math.pi
         assert 1.0 - (1.0 - p**r) ** b >= A.RECALL_FLOOR_BANDS
+
+
+class TestShinglePairsIdentity:
+    """Oracle-of-the-oracle: the round-8 inverted-index candidate CTE
+    (catalog._shingle_pairs_cte) must enumerate the IDENTICAL
+    (id_a, id_b, inter, sa, sb) set as the brute-force cross join it
+    replaced, on corpora designed to stress the identity (empty docs,
+    <3-token docs, exact dupes, disjoint docs, shared-boilerplate
+    shingles, multi-block)."""
+
+    DOCS = [
+        (1, "a", "the quick brown fox jumps over the lazy dog"),
+        (2, "a", "the quick brown fox jumps over the lazy cat"),
+        (3, "a", "completely different words entirely here now"),
+        (4, "a", ""),                      # empty -> no shingles
+        (5, "a", "two words"),             # <3 tokens -> no shingles
+        (6, "b", "the quick brown fox jumps over the lazy dog"),  # dupe, other block
+        (7, "b", "the quick brown fox jumps over the lazy dog"),  # exact dupe of 6
+        (8, "b", "boilerplate header the quick brown boilerplate footer"),
+    ]
+
+    def _run(self, block):
+        import duckdb
+
+        from rapids_and_rivers_spark import catalog as C
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, source VARCHAR, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", self.DOCS)
+        blk_join = "AND a.source = b.source " if block else ""
+        brute = con.execute(
+            C._shingle_cte("source") + f"""
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.shingles, b.shingles)) AS inter,
+                     len(a.shingles) AS sa, len(b.shingles) AS sb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id {blk_join}
+              WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+                AND len(list_intersect(a.shingles, b.shingles)) >= 1
+            )
+            SELECT * FROM pairs ORDER BY id_a, id_b
+            """
+        ).fetchall()
+        inv = con.execute(
+            C._shingle_cte("source")
+            + C._shingle_pairs_cte("source" if block else "")
+            + """
+            pairs AS (SELECT id_a, id_b, inter, sa, sb FROM pairs0
+                      WHERE inter >= 1)
+            SELECT * FROM pairs ORDER BY id_a, id_b
+            """
+        ).fetchall()
+        return brute, inv
+
+    def test_blocked_identity(self):
+        brute, inv = self._run(block=True)
+        assert brute == inv and len(brute) > 0
+
+    def test_unblocked_identity(self):
+        brute, inv = self._run(block=False)
+        assert brute == inv
+        # the dupe pair must carry full-overlap intersection counts
+        full = [r for r in brute if r[0] == 6 and r[1] == 7]
+        assert full and full[0][2] == full[0][3] == full[0][4]
