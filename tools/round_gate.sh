@@ -8,7 +8,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
-ROUND="${ROUND:-7}"
+ROUND="${ROUND:-8}"
 
 echo "== 1/6 pytest =="
 python -m pytest tests/ -q
