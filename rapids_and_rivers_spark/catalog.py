@@ -11143,3 +11143,418 @@ def stream_er_entities(spark, sf_dir):
     stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
     stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
     return er_current_entities(spark, index_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round 8 additions: pattern mining (association rules, decision stump),
+# link prediction + BFS reach on the co-order graph, TextRank keywords,
+# exponential-smoothing forecast. Extension surface (SURVEY §2.6) — the
+# reference has no data operators; anchors cited per entry are public
+# papers, the repo exactness idioms are reused by name in each doc.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "assoc_rules_brands",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+    nb AS (SELECT count(DISTINCT basket) AS n FROM bi),
+    ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c_item FROM bi GROUP BY 1),
+    freq AS (SELECT * FROM ic WHERE c_item >= 50),
+    bif AS (SELECT bi.basket, bi.item FROM bi JOIN freq USING (item)),
+    pairs AS (SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS c_ab
+              FROM bif a JOIN bif b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2
+              HAVING count(*) >= 20),
+    directed AS (SELECT ia AS antecedent, ib AS consequent, c_ab FROM pairs
+                 UNION ALL SELECT ib AS antecedent, ia AS consequent, c_ab FROM pairs)
+    SELECT antecedent, consequent, c_ab, fa.c_item AS c_a, fb.c_item AS c_b,
+           round(CAST(c_ab AS DOUBLE) / CAST(fa.c_item AS DOUBLE), 4) AS confidence,
+           round(CAST(c_ab * nb.n AS DOUBLE) / CAST(fa.c_item * fb.c_item AS DOUBLE), 4) AS lift
+    FROM directed
+    JOIN freq fa ON antecedent = fa.item
+    JOIN freq fb ON consequent = fb.item
+    CROSS JOIN nb
+    WHERE CAST(c_ab AS DOUBLE) / CAST(fa.c_item AS DOUBLE) >= 0.02
+    ORDER BY antecedent, consequent
+    """,
+    doc="market-basket association rules (Agrawal & Srikant VLDB'94) "
+    "over order->brand baskets: support / confidence / lift for every "
+    "frequent brand pair, both rule directions. The apriori prune "
+    "(frequent items only) runs BEFORE the per-basket self-join, so "
+    "candidate fan-out is C(k,2) per basket — bounded by basket width, "
+    "never |items|² — and item marginals broadcast. confidence and "
+    "lift are each ONE double division of exact integer counts (the "
+    "PMI family's exactness rule), so the FULL oracle reproduces them "
+    "bit-for-bit. operators/mining.py association_rules",
+)
+def assoc_rules_brands(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import mining as MN
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bi = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    # basket-universe size: one bounded scalar collect (the pagerank-N
+    # class the plan auditor whitelists)
+    n_baskets = bi.select("basket").distinct().count()
+    return MN.association_rules(
+        bi,
+        n_baskets,
+        min_item_support=50,
+        min_pair_support=20,
+        min_confidence=0.02,
+    )
+
+
+_STUMP_ORACLE = """
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(l_linenumber AS BIGINT) AS linenum,
+             CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+    melt AS (
+      SELECT 'qty' AS feature, qty AS value, y FROM base
+      UNION ALL SELECT 'disc_pct', disc_pct, y FROM base
+      UNION ALL SELECT 'linenum', linenum, y FROM base
+      UNION ALL SELECT 'ship_year', ship_year, y FROM base),
+    stats AS (SELECT feature, value, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS pos FROM melt GROUP BY 1, 2),
+    tot AS (SELECT feature, sum(n) AS tn, sum(pos) AS tpos FROM stats GROUP BY 1),
+    cand AS (
+      SELECT s.feature, s.value,
+             sum(s.n) OVER w AS nl, sum(s.pos) OVER w AS posl, t.tn, t.tpos
+      FROM stats s JOIN tot t USING (feature)
+      WINDOW w AS (PARTITION BY s.feature ORDER BY s.value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    scored AS (
+      SELECT feature, value AS threshold,
+             CAST(nl AS BIGINT) AS n_left, CAST(posl AS BIGINT) AS pos_left,
+             CAST(tn - nl AS BIGINT) AS n_right,
+             CAST(tpos - posl AS BIGINT) AS pos_right,
+             round(CAST((CAST(posl AS HUGEINT) * posl
+                         + CAST(nl - posl AS HUGEINT) * (nl - posl)) * (tn - nl)
+                 + (CAST(tpos - posl AS HUGEINT) * (tpos - posl)
+                    + CAST((tn - nl) - (tpos - posl) AS HUGEINT)
+                      * ((tn - nl) - (tpos - posl))) * nl AS DOUBLE)
+                 / CAST(CAST(nl AS HUGEINT) * (tn - nl) AS DOUBLE), 6) AS score
+      FROM cand WHERE nl < tn)
+    SELECT feature, threshold, n_left, pos_left, n_right, pos_right, score
+    FROM scored ORDER BY score DESC, feature, threshold LIMIT 10
+"""
+
+
+def _stump_base(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"),
+        F.col("l_linenumber").cast("long").alias("linenum"),
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+
+
+_STUMP_FEATURES = ["qty", "disc_pct", "linenum", "ship_year"]
+
+
+@register(
+    "decision_stump_returns",
+    _STUMP_ORACLE,
+    doc="decision-stump training (CART depth 1, Breiman et al. 1984) "
+    "for 'will this lineitem be returned': every threshold split "
+    "`feature <= v` over four ordinal features, ranked by exact-count "
+    "Gini gain. The sufficient statistic is the (feature, value) -> "
+    "(n, pos) integer grid — O(Σ|values|) rows independent of corpus "
+    "size, mergeable by plain sum (the linreg/BT/NB discipline), which "
+    "is what the streaming dual accumulates. Split scores compare "
+    "exact integer-derived rationals via one double division each "
+    "(numerators DECIMAL(38,0): counts²·counts clears BIGINT past "
+    "~3e6 rows); deterministic (score, feature, value) tiebreak. FULL "
+    "oracle: DuckDB rebuilds the grid, the cumulative window, and the "
+    "HUGEINT score arithmetic. operators/mining.py stump_stats/best_stump",
+)
+def decision_stump_returns(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import mining as MN
+
+    stats = MN.stump_stats(_stump_base(spark, sf_dir), _STUMP_FEATURES, "y")
+    return MN.best_stump(stats, top_k=10)
+
+
+#: shared co-order part graph for the two graph queries below: distinct
+#: (order, part) -> per-order part pairs -> per-node top-8 neighbors by
+#: (pair count DESC, partner) -> re-symmetrized. The kNN cap is the
+#: triangles idiom: candidate fan-out through any node is bounded, so
+#: two-hop joins stay linear in nodes at any corpus size.
+_COORDER_GRAPH_SQL = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2),
+    directed AS (SELECT pa AS src, pb AS dst, cnt FROM prs
+                 UNION ALL SELECT pb AS src, pa AS dst, cnt FROM prs),
+    kept AS (SELECT src, dst FROM (
+               SELECT src, dst,
+                      row_number() OVER (PARTITION BY src
+                                         ORDER BY cnt DESC, dst) AS rk
+               FROM directed) WHERE rk <= 8),
+    e AS (SELECT src, dst FROM kept
+          UNION SELECT dst AS src, src AS dst FROM kept)
+"""
+
+
+def _coorder_part_edges(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    directed = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "cnt"
+    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "cnt"))
+    wk = W.partitionBy("src").orderBy(F.desc("cnt"), "dst")
+    kept = (
+        directed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 8)
+        .select("src", "dst")
+    )
+    return kept.unionByName(
+        kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+@register(
+    "link_prediction_parts",
+    f"""
+    WITH {_COORDER_GRAPH_SQL},
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    wz AS (SELECT src AS z,
+                  CASE WHEN deg >= 2
+                       THEN CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)
+                       ELSE 1000000 END AS w_micro
+           FROM deg),
+    cand AS (SELECT a.dst AS node_a, b.dst AS node_b,
+                    CAST(count(*) AS BIGINT) AS common_neighbors,
+                    CAST(sum(w_micro) AS BIGINT) AS aa_micro
+             FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+             JOIN wz ON wz.z = a.src
+             GROUP BY 1, 2),
+    pred AS (SELECT cand.* FROM cand
+             LEFT JOIN e ON cand.node_a = e.src AND cand.node_b = e.dst
+             WHERE e.src IS NULL)
+    SELECT node_a, node_b, common_neighbors, aa_micro FROM pred
+    ORDER BY aa_micro DESC, node_a, node_b LIMIT 100
+    """,
+    doc="link prediction on the co-order part graph (Adamic & Adar "
+    "2003; Liben-Nowell & Kleinberg CIKM'03): common-neighbor count + "
+    "Adamic-Adar affinity for the top-100 NON-adjacent part pairs — "
+    "'products bought together with the same partners but never yet "
+    "together', the related-item recommendation primitive. Candidates "
+    "come from ONE two-hop equi-join through the shared neighbor; the "
+    "per-node top-8 kNN cap (triangles idiom) bounds fan-out at any "
+    "corpus size. Exactness: each neighbor contributes the INTEGER "
+    "round(1e6/ln(deg)) micro-units (the NB integer-micro-nat trick), "
+    "so the pair score is an order-free exact integer sum — no float "
+    "accumulation. FULL oracle. operators/graph.py adamic_adar",
+)
+def link_prediction_parts(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import graph as G
+
+    edges = _coorder_part_edges(spark, sf_dir)
+    return (
+        G.adamic_adar(edges)
+        .orderBy(F.desc("aa_micro"), "node_a", "node_b")
+        .limit(100)
+    )
+
+
+@register(
+    "bfs_part_reach",
+    f"""
+    WITH RECURSIVE {_COORDER_GRAPH_SQL},
+    seeds AS (SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#11'),
+    walk(node, hop) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, walk.hop + 1 FROM walk JOIN e ON e.src = walk.node
+      WHERE walk.hop < 3
+    )
+    SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node
+    ORDER BY hop, node
+    """,
+    doc="multi-source BFS over the co-order part graph: minimum hop "
+    "distance from the Brand#11 seed set, levels 0-3 — the "
+    "neighborhood-expansion primitive behind 'related products within "
+    "k degrees' and graph-based labeling. Per hop: ONE frontier "
+    "equi-join + one anti-join against visited (each node labeled "
+    "exactly once, at its minimal hop), the Pregel superstep as a "
+    "DataFrame plan; hop count fixed so the walk is 3 joins, no "
+    "driver-side convergence loop. Exact integers end-to-end. FULL "
+    "oracle: DuckDB walks the same graph with a recursive CTE and "
+    "takes min(hop) per node. operators/graph.py bfs_levels",
+)
+def bfs_part_reach(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import graph as G
+
+    edges = _coorder_part_edges(spark, sf_dir)
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    return (
+        G.bfs_levels(edges, seeds, max_hops=3)
+        .select("node", F.col("hop").cast("int").alias("hop"))
+        .orderBy("hop", "node")
+    )
+
+
+@register(
+    "textrank_keywords",
+    r"""
+    WITH darr AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+                  FROM documents),
+    adj AS (SELECT arr[CAST(i + 1 AS BIGINT)] AS ta, arr[CAST(i + 2 AS BIGINT)] AS tb
+            FROM (SELECT doc_id, arr, unnest(range(len(arr) - 1)) AS i FROM darr)),
+    fpairs AS (SELECT least(ta, tb) AS ua, greatest(ta, tb) AS ub,
+                      CAST(count(*) AS DOUBLE) AS w
+               FROM adj WHERE length(ta) >= 4 AND length(tb) >= 4 AND ta <> tb
+               GROUP BY 1, 2),
+    e AS (SELECT ua AS src, ub AS dst, w FROM fpairs
+          UNION ALL SELECT ub AS src, ua AS dst, w FROM fpairs),
+    ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+    p AS (SELECT e.src, e.dst, e.w / ow.out_w AS p FROM e JOIN ow ON e.src = ow.src),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    c1 AS (SELECT p.dst, sum(p.p * r0.pr) AS c
+           FROM p JOIN r0 ON p.src = r0.node GROUP BY 1),
+    r1 AS (SELECT node, (1.0 - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * coalesce(c1.c, 0.0) AS pr
+           FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.dst),
+    c2 AS (SELECT p.dst, sum(p.p * r1.pr) AS c
+           FROM p JOIN r1 ON p.src = r1.node GROUP BY 1),
+    r2 AS (SELECT node, (1.0 - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * coalesce(c2.c, 0.0) AS pr
+           FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.dst),
+    c3 AS (SELECT p.dst, sum(p.p * r2.pr) AS c
+           FROM p JOIN r2 ON p.src = r2.node GROUP BY 1),
+    r3 AS (SELECT node, (1.0 - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * coalesce(c3.c, 0.0) AS pr
+           FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.dst)
+    SELECT node AS token, round(pr * nn.n, 4) AS rank_scaled
+    FROM r3 CROSS JOIN nn
+    ORDER BY rank_scaled DESC, token
+    LIMIT 30
+    """,
+    doc="TextRank keyword extraction (Mihalcea & Tarau EMNLP'04): "
+    "corpus-wide token co-occurrence graph (adjacent tokens of length "
+    ">= 4, undirected, count-weighted) ranked by 3 rounds of weighted "
+    "PageRank (operators/graph.py pagerank — the SAME operator as the "
+    "purchase-graph query, composed onto text). Per round one "
+    "node-keyed join + agg; the co-occurrence graph is vocabulary-"
+    "keyed, so its size tracks vocab (Heaps' law sub-linear), not "
+    "corpus rows — the plan that extracts corpus keywords at 100 TB. "
+    "FULL oracle: the pagerank_purchase_graph unrolled-CTE oracle over "
+    "the token graph (round(.,4) absorbs contribution-sum order "
+    "drift)",
+)
+def textrank_keywords(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wn = W.partitionBy("doc_id").orderBy("pos")
+    adj = toks.withColumn("nxt", F.lead("tok").over(wn)).filter(
+        (F.length("tok") >= 4)
+        & (F.length("nxt") >= 4)
+        & (F.col("tok") != F.col("nxt"))
+    )
+    pairs = (
+        adj.select(
+            F.least("tok", "nxt").alias("ua"), F.greatest("tok", "nxt").alias("ub")
+        )
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e = pairs.select(
+        F.col("ua").alias("src"), F.col("ub").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("ub").alias("src"), F.col("ua").alias("dst"), "w"))
+    pr = G.pagerank(e, iters=3, damping=0.85, weight="w")
+    n_nodes = e.select("src").distinct().count()
+    return (
+        pr.select(
+            F.col("node").alias("token"),
+            F.round(F.col("pr") * F.lit(float(n_nodes)), 4).alias("rank_scaled"),
+        )
+        .orderBy(F.desc("rank_scaled"), "token")
+        .limit(30)
+    )
+
+
+@register(
+    "ses_forecast_events",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    rk AS (SELECT key, cents,
+                  row_number() OVER (PARTITION BY key ORDER BY day) AS r
+           FROM daily),
+    nn AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM rk GROUP BY 1),
+    fold(key, r, s, err) AS (
+      SELECT key, CAST(1 AS BIGINT), CAST(cents AS DOUBLE),
+             CAST(0.0 AS DOUBLE)
+      FROM rk WHERE r = 1
+      UNION ALL
+      SELECT rk.key, rk.r, 0.5 * CAST(rk.cents AS DOUBLE) + 0.5 * f.s,
+             f.err + abs(CAST(rk.cents AS DOUBLE) - f.s)
+      FROM fold f JOIN rk ON rk.key = f.key AND rk.r = f.r + 1)
+    SELECT f.key AS key, nn.n AS n_obs, round(f.s / 100.0, 4) AS level,
+           CASE WHEN nn.n >= 2
+                THEN round(f.err / (CAST(nn.n - 1 AS DOUBLE) * 100.0), 4) END AS mae
+    FROM fold f JOIN nn ON f.key = nn.key AND f.r = nn.n
+    ORDER BY f.key
+    """,
+    doc="simple-exponential-smoothing forecast (Brown 1956; alpha=0.5) "
+    "with one-step-ahead backtest MAE, per event type over exact daily "
+    "cent totals. SES is a sequential recurrence, so the float path is "
+    "ONE ordered fold per key (F.aggregate over the day-sorted integer "
+    "series — the linreg ordered-fold discipline applied to time "
+    "series); DuckDB replays the identical walk as a recursive CTE, "
+    "making level and MAE bit-identical before the boundary round(.,4). "
+    "Daily rollup is the usual keyed integer-sum shuffle; keys fold "
+    "independently — at 100 TB the fold touches |keys| x |days| tiny "
+    "structs, never raw rows. FULL oracle. operators/forecast.py "
+    "ses_backtest",
+)
+def ses_forecast_events(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import forecast as FC
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("event_type").alias("key"), F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    )
+    return FC.ses_backtest(daily, alpha=0.5)

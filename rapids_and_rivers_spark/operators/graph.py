@@ -329,3 +329,108 @@ def label_propagation(
             .select(F.col("nd").alias("node"), "label")
         )
     return labels
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Link prediction over an undirected graph: common-neighbor count
+    and Adamic-Adar affinity (Adamic & Adar 2003) for every NON-adjacent
+    candidate pair that shares at least one neighbor.
+
+    ``edges`` must carry BOTH orientations (the kcore/label-prop
+    contract). Candidates come from one two-hop equi-join through the
+    shared neighbor z — fan-out per z is deg(z)², so callers bound the
+    hub degree when building ``edges`` (the triangles kNN-cap idiom);
+    nothing here is all-pairs. Existing edges and self-pairs are
+    anti-joined out (link PREDICTION scores absent edges only).
+
+    Exactness — the NB integer-micro-nat trick applied to AA: the usual
+    ``Σ_z 1/ln(deg z)`` is a float SUM whose partition order an engine
+    does not fix, so instead each neighbor z contributes the INTEGER
+    ``round(weight_scale / ln(deg z))`` micro-units (one deterministic
+    double op per distinct degree value — bit-identical in any IEEE
+    engine) and the pair score is an order-free exact integer sum.
+
+    Output: (node_a, node_b, common_neighbors, aa_micro) with
+    node_a < node_b.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # one integer micro-weight per shared neighbor: deterministic scalar
+    # double math (lit / ln) then HALF_UP round — never a float SUM
+    wz = deg.select(
+        F.col("src").alias("z"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(F.lit(float(weight_scale)) / F.log(F.col("deg").cast("double")), 0),
+        )
+        .otherwise(F.lit(float(weight_scale)))
+        .cast("long")
+        .alias("w_micro"),
+    )
+    a = e.select(F.col("dst").alias("na"), F.col("src").alias("z"))
+    b = e.select(F.col("src").alias("z2"), F.col("dst").alias("nb"))
+    cand = (
+        a.join(b, (F.col("z") == F.col("z2")) & (F.col("na") < F.col("nb")))
+        .join(F.broadcast(wz), "z")
+        .groupBy(F.col("na").alias("node_a"), F.col("nb").alias("node_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum("w_micro").cast("long").alias("aa_micro"),
+        )
+    )
+    existing = e.select(
+        F.col("src").alias("node_a"), F.col("dst").alias("node_b")
+    )
+    return cand.join(existing, ["node_a", "node_b"], "left_anti")
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from the seed set, levels
+    0..``max_hops``.
+
+    ``edges`` must carry both orientations; ``seeds`` is a (node)
+    DataFrame. Classic frontier expansion — per hop ONE equi-join of the
+    current frontier against edges plus one anti-join against the
+    visited set, the plan Pregel runs per superstep; hop count is
+    bounded so the whole walk is ``max_hops`` joins, no driver-side
+    convergence check. Nodes reached at several hops keep the MINIMUM
+    (frontier nodes are anti-joined out as soon as visited, so each node
+    is labeled exactly once, at its first — minimal — hop).
+
+    Output: (node, hop) — exact integers, engine-independent.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    # persist-scope: per-level handle — each level feeds BOTH the next
+    # frontier join and the final union; the last level's frame feeds the
+    # returned plan, LRU reclaims after the caller materializes
+    frontier = frontier.persist()
+    visited = frontier.withColumn("hop", F.lit(0))
+    levels = [visited]
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .persist()  # persist-scope: per-level handle (see above)
+        )
+        lvl = nxt.withColumn("hop", F.lit(h))
+        levels.append(lvl)
+        visited = visited.unionByName(lvl)
+        frontier = nxt
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out
