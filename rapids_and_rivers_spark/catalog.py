@@ -11558,3 +11558,102 @@ def ses_forecast_events(spark, sf_dir):
         .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
     )
     return FC.ses_backtest(daily, alpha=0.5)
+
+
+@register(
+    "stream_decision_stump",
+    _STUMP_ORACLE,
+    doc="the STREAMING stump-training dual, driver-checkable: lineitem "
+    "splits into two ingest epochs by row-hash parity and drives "
+    "duals.stump_stats_foreach_batch — each epoch reduces its rows "
+    "ONCE to the mergeable (feature, value) -> (n, pos) integer grid; "
+    "the best split re-derives from the merged counts "
+    "(duals.stump_from_stats, same mining.best_stump core). Integer "
+    "sufficient statistics make the merge order-free and exact, so the "
+    "drained stump must equal batch decision_stump_returns over the "
+    "union corpus — its DuckDB oracle verbatim. FULL value oracle. "
+    "This is continual model refresh under ingest: the split sharpens "
+    "as label counts accumulate, at per-epoch cost O(|new rows|) and "
+    "state bounded by the feature grid, not the corpus",
+)
+def stream_decision_stump(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        stump_from_stats,
+        stump_stats_foreach_batch,
+    )
+
+    base = _stump_base(spark, sf_dir).withColumn(
+        "par",
+        F.pmod(
+            F.xxhash64(
+                F.concat_ws(
+                    ":", F.col("qty").cast("string"), F.col("linenum").cast("string"),
+                    F.col("disc_pct").cast("string"), F.col("ship_year").cast("string"),
+                )
+            ),
+            F.lit(2),
+        ),
+    )
+    out_dir = tempfile.mkdtemp(prefix="rars_stream_stump_")
+    stage = stump_stats_foreach_batch(out_dir, _STUMP_FEATURES, "y")
+    stage(base.filter(F.col("par") == 0), 0)
+    stage(base.filter(F.col("par") == 1), 1)
+    return stump_from_stats(spark, out_dir, top_k=10)
+
+
+@register(
+    "stream_assoc_rules",
+    _REGISTRY["assoc_rules_brands"].oracle,
+    doc="the STREAMING market-basket dual, driver-checkable: the "
+    "(order, brand) memberships split into two ingest epochs by "
+    "membership-hash parity — so baskets genuinely STRADDLE epochs — "
+    "and drive duals.assoc_items_foreach_batch: each unordered brand "
+    "pair inside a basket is counted exactly once, when its LATER "
+    "member arrives (new×new within the batch + new×prior against the "
+    "touched baskets only, read via corpus-sized bucket pruning); the "
+    "membership store stays monotone-distinct by anti-join. Rules "
+    "re-derive from the merged integer counts with the batch formula "
+    "verbatim (mining.rules_from_counts), and the apriori prune moves "
+    "to the reader — pruning at write time would undercount items "
+    "that turn frequent later. Must equal batch assoc_rules_brands "
+    "over the union corpus — its FULL DuckDB oracle verbatim",
+)
+def stream_assoc_rules(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        assoc_items_foreach_batch,
+        assoc_rules_from_store,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mem = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("p_brand").alias("item"),
+        F.pmod(
+            F.xxhash64(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_partkey").cast("string"),
+                )
+            ),
+            F.lit(2),
+        ).alias("par"),
+    )
+    store_dir = tempfile.mkdtemp(prefix="rars_stream_assoc_")
+    # corpus-sized membership buckets (VERDICT r6 #1 rule): lineitem
+    # row count is a metadata-cheap scan
+    stage = assoc_items_foreach_batch(store_dir, expected_items=li.count())
+    stage(mem.filter(F.col("par") == 0), 0)
+    stage(mem.filter(F.col("par") == 1), 1)
+    return assoc_rules_from_store(
+        spark,
+        store_dir,
+        min_item_support=50,
+        min_pair_support=20,
+        min_confidence=0.02,
+    )

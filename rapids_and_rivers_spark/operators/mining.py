@@ -31,9 +31,58 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 __all__ = [
     "association_rules",
+    "rules_from_counts",
     "stump_stats",
     "best_stump",
 ]
+
+
+def rules_from_counts(
+    item_counts: DataFrame,
+    pair_counts: DataFrame,
+    n_baskets: int,
+    min_item_support: int = 2,
+    min_pair_support: int = 2,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Derive rules from pre-aggregated counts — the shared core of
+    :func:`association_rules` and the streaming dual's store reader.
+
+    ``item_counts``: (item, c_item); ``pair_counts``: (ia, ib, c_ab)
+    with ia < ib. Counts are exact integers (the mergeable sufficient
+    statistic); support/confidence thresholds and the one-division
+    exactness rule apply here so batch and stream share the formula
+    verbatim.
+    """
+    frequent = item_counts.filter(
+        F.col("c_item") >= F.lit(int(min_item_support))
+    )
+    pairs = pair_counts.filter(F.col("c_ab") >= F.lit(int(min_pair_support)))
+    directed = pairs.select(
+        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "c_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("ib").alias("antecedent"), F.col("ia").alias("consequent"), "c_ab"
+        )
+    )
+    ca = frequent.select(F.col("item").alias("antecedent"), F.col("c_item").alias("c_a"))
+    cb = frequent.select(F.col("item").alias("consequent"), F.col("c_item").alias("c_b"))
+    n = F.lit(int(n_baskets)).cast("long")
+    conf = F.col("c_ab").cast("double") / F.col("c_a").cast("double")
+    lift = (F.col("c_ab") * n).cast("double") / (
+        F.col("c_a") * F.col("c_b")
+    ).cast("double")
+    return (
+        directed.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .withColumn("confidence", F.round(conf, 4))
+        .withColumn("lift", F.round(lift, 4))
+        .filter(conf >= F.lit(float(min_confidence)))
+        .select(
+            "antecedent", "consequent", "c_ab", "c_a", "c_b", "confidence", "lift"
+        )
+        .orderBy("antecedent", "consequent")
+    )
 
 
 def association_rules(
@@ -79,33 +128,14 @@ def association_rules(
         )
         .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
-        .filter(F.col("c_ab") >= F.lit(int(min_pair_support)))
     )
-    # both rule directions from each unordered frequent pair
-    directed = pairs.select(
-        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "c_ab"
-    ).unionByName(
-        pairs.select(
-            F.col("ib").alias("antecedent"), F.col("ia").alias("consequent"), "c_ab"
-        )
-    )
-    ca = frequent.select(F.col("item").alias("antecedent"), F.col("c_item").alias("c_a"))
-    cb = frequent.select(F.col("item").alias("consequent"), F.col("c_item").alias("c_b"))
-    n = F.lit(int(n_baskets)).cast("long")
-    conf = F.col("c_ab").cast("double") / F.col("c_a").cast("double")
-    lift = (F.col("c_ab") * n).cast("double") / (
-        F.col("c_a") * F.col("c_b")
-    ).cast("double")
-    return (
-        directed.join(F.broadcast(ca), "antecedent")
-        .join(F.broadcast(cb), "consequent")
-        .withColumn("confidence", F.round(conf, 4))
-        .withColumn("lift", F.round(lift, 4))
-        .filter(conf >= F.lit(float(min_confidence)))
-        .select(
-            "antecedent", "consequent", "c_ab", "c_a", "c_b", "confidence", "lift"
-        )
-        .orderBy("antecedent", "consequent")
+    return rules_from_counts(
+        item_counts,
+        pairs,
+        n_baskets,
+        min_item_support=min_item_support,
+        min_pair_support=min_pair_support,
+        min_confidence=min_confidence,
     )
 
 

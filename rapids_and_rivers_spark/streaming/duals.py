@@ -3282,3 +3282,194 @@ def nb_confusion_from_stats(spark, out_dir: str, n_buckets: int = 64) -> DataFra
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("true_source", "pred_source")
     )
+
+
+def stump_stats_foreach_batch(
+    out_dir: str,
+    feature_cols: list[str],
+    label_col: str = "y",
+):
+    """Streaming decision-stump trainer: per micro-batch, reduce the NEW
+    rows to the stump's MERGEABLE sufficient statistic — the
+    (feature, value) -> (n, pos) exact integer grid
+    (operators/mining.py stump_stats) — written epoch-versioned with
+    overwrite (idempotent replay). The model is never stored: the best
+    split re-derives from the merged counts in
+    :func:`stump_from_stats`, so partial and final stumps are the SAME
+    formula over bigger counts (the linreg/BT/NB sufficient-statistics
+    pattern applied to tree training). Each row is touched exactly
+    once, on arrival; per-epoch state growth is O(new distinct feature
+    values), bounded by the feature grid, not the corpus."""
+    from rapids_and_rivers_spark.operators.mining import stump_stats
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        stump_stats(batch_df, feature_cols, label_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "stats", f"v{epoch_id}"))
+
+    return stage
+
+
+def stump_from_stats(spark, out_dir: str, top_k: int = 10) -> DataFrame:
+    """Merge the per-epoch stump grids (exact integer keyed sums) and
+    rank splits once — must equal the batch stump over the union corpus
+    (integer counts are order-free, so the merge is exact; same
+    mining.best_stump core)."""
+    from rapids_and_rivers_spark.operators.mining import best_stump
+
+    stats = (
+        read_epoch_table(spark, os.path.join(out_dir, "stats"))
+        .groupBy("feature", "value")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("pos"),
+        )
+    )
+    return best_stump(stats, top_k=top_k)
+
+
+def assoc_items_foreach_batch(
+    store_dir: str,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    n_buckets: int | None = None,
+    expected_items: int | None = None,
+    target_bucket_rows: int = 100_000,
+):
+    """Streaming market-basket miner: per micro-batch, only the NEW
+    (basket, item) memberships pay pair-generation cost.
+
+    The store is the monotone distinct membership set, Hive-partitioned
+    ``epoch=E/bkt=B`` with the bucket count corpus-sized via
+    :func:`resolve_buckets` (VERDICT r6 #1). Per epoch:
+
+    - ``new`` = batch memberships anti-joined against PRIOR epochs'
+      store (strictly ``epoch < this`` — a replay therefore recomputes
+      the identical ``new`` set and overwrites its own directories
+      byte-identically).
+    - pair DELTAS: every unordered item pair within a basket is
+      created exactly once, when the LATER member arrives — new×new
+      pairs within the batch plus new×prior pairs against the touched
+      baskets only (the store read prunes to the touched buckets via
+      the directory key, so per-epoch cost is O(|new| × basket width),
+      never O(accumulated)).
+
+    Pair-count deltas are plain integers, so they merge by sum and the
+    reader (:func:`assoc_rules_from_store`) re-derives rules with the
+    batch formula verbatim. The apriori frequent-item prune must NOT
+    run here — an item infrequent at epoch 0 may become frequent later,
+    and pruning early would undercount its pairs; the prune belongs to
+    the reader, where current counts are known. (In batch the prune is
+    a pure optimization; in streaming correctness forbids it at write
+    time — per-epoch fan-out stays bounded by basket width regardless.)
+    """
+
+    n_buckets = resolve_buckets(
+        store_dir,
+        expected_rows=expected_items,
+        target_bucket_rows=target_bucket_rows,
+        explicit=n_buckets,
+        floor=64,
+    )
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = int(epoch_id)
+        bi = (
+            batch_df.select(
+                F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+            )
+            .distinct()
+            .withColumn(
+                "bkt", F.pmod(F.xxhash64(F.col("basket").cast("string")), F.lit(n_buckets))
+            )
+        )
+        items_root = os.path.join(store_dir, "items")
+        if epoch > 0 and os.path.isdir(items_root):
+            # touched-bucket prune: bounded collect of <= |batch baskets|
+            # distinct bucket ints, directory-pruned store read
+            bkts = [r["bkt"] for r in bi.select("bkt").distinct().collect()]
+            prior = (
+                spark.read.parquet(items_root)
+                .filter((F.col("epoch") < epoch) & F.col("bkt").isin(bkts))
+                .select("basket", "item")
+            )
+            new = bi.join(prior, ["basket", "item"], "left_anti").persist()
+            # persist-scope: in-function — unpersisted after the epoch's
+            # writes below
+            cross = (
+                new.alias("n")
+                .join(
+                    prior.alias("p"),
+                    (F.col("n.basket") == F.col("p.basket"))
+                    & (F.col("n.item") != F.col("p.item")),
+                )
+                .select(
+                    F.col("n.basket").alias("basket"),
+                    F.least(F.col("n.item"), F.col("p.item")).alias("ia"),
+                    F.greatest(F.col("n.item"), F.col("p.item")).alias("ib"),
+                )
+            )
+        else:
+            new = bi.persist()
+            cross = None
+        a, b = new.alias("a"), new.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        ).select(
+            F.col("a.basket").alias("basket"),
+            F.col("a.item").alias("ia"),
+            F.col("b.item").alias("ib"),
+        )
+        delta = within if cross is None else within.unionByName(cross)
+        delta.groupBy("ia", "ib").agg(
+            F.count(F.lit(1)).cast("long").alias("c_ab")
+        ).write.mode("overwrite").parquet(
+            os.path.join(store_dir, "pair_delta", f"v{epoch}")
+        )
+        new.select("basket", "item", "bkt").write.partitionBy("bkt").mode(
+            "overwrite"
+        ).parquet(os.path.join(items_root, f"epoch={epoch}"))
+        new.unpersist()
+
+    return stage
+
+
+def assoc_rules_from_store(
+    spark,
+    store_dir: str,
+    min_item_support: int = 2,
+    min_pair_support: int = 2,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Derive association rules from the accumulated membership store
+    and pair-count deltas (exact integer keyed sums; the apriori prune
+    and thresholds apply HERE, over current totals) — must equal the
+    batch ``mining.association_rules`` over the union corpus, same
+    ``rules_from_counts`` core."""
+    from rapids_and_rivers_spark.operators.mining import rules_from_counts
+
+    items = spark.read.parquet(os.path.join(store_dir, "items")).select(
+        "basket", "item"
+    )
+    # persist-scope: returned plan — item counts, the basket-universe
+    # scalar, and nothing else; the caller materializes once
+    item_counts = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("c_item")
+    )
+    n_baskets = items.select("basket").distinct().count()
+    pair_counts = (
+        read_epoch_table(spark, os.path.join(store_dir, "pair_delta"))
+        .groupBy("ia", "ib")
+        .agg(F.sum("c_ab").cast("long").alias("c_ab"))
+    )
+    return rules_from_counts(
+        item_counts,
+        pair_counts,
+        n_baskets,
+        min_item_support=min_item_support,
+        min_pair_support=min_pair_support,
+        min_confidence=min_confidence,
+    )

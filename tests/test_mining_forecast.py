@@ -1,0 +1,247 @@
+"""Round-8 additions: association rules, decision stump (+streaming
+duals), Adamic-Adar link prediction, BFS levels, SES forecast.
+
+Each operator gets (a) a hand-computable correctness check on crafted
+data, (b) where the design claims mergeability/duality, the merge or
+stream-equals-batch property pinned explicitly (the repo's duality
+discipline), and (c) replay idempotence for the stateful stages.
+"""
+
+import math
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from rapids_and_rivers_spark.operators import forecast as FC
+from rapids_and_rivers_spark.operators import graph as G
+from rapids_and_rivers_spark.operators import mining as MN
+from rapids_and_rivers_spark.streaming.duals import (
+    assoc_items_foreach_batch,
+    assoc_rules_from_store,
+    stump_from_stats,
+    stump_stats_foreach_batch,
+)
+
+
+# --------------------------------------------------------------------------
+# association rules
+# --------------------------------------------------------------------------
+
+
+def _baskets(spark):
+    # 4 baskets: {a,b,c}, {a,b}, {a,c}, {b} — hand-enumerable supports
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    return spark.createDataFrame(rows, "basket int, item string")
+
+
+def test_association_rules_hand_counts(spark):
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in MN.association_rules(
+            _baskets(spark), 4, min_item_support=1, min_pair_support=1
+        ).collect()
+    }
+    # c(a)=3, c(b)=3, c(c)=2, c(ab)=2, c(ac)=2, c(bc)=1
+    ab = out[("a", "b")]
+    assert ab["c_ab"] == 2 and ab["c_a"] == 3 and ab["c_b"] == 3
+    assert ab["confidence"] == round(2 / 3, 4)
+    assert ab["lift"] == round(2 * 4 / 9, 4)
+    ca = out[("c", "a")]
+    assert ca["confidence"] == 1.0  # c always co-occurs with a
+    assert ("b", "c") in out and out[("b", "c")]["c_ab"] == 1
+    # symmetric directions present
+    assert ("b", "a") in out and ("a", "c") in out
+
+
+def test_association_rules_thresholds_prune(spark):
+    rules = MN.association_rules(
+        _baskets(spark), 4, min_item_support=3, min_pair_support=2
+    ).collect()
+    # c has support 2 < 3: every rule touching c is gone; bc support 1 < 2
+    items = {r["antecedent"] for r in rules} | {r["consequent"] for r in rules}
+    assert items == {"a", "b"}
+    assert len(rules) == 2  # a->b and b->a only
+
+
+def test_assoc_stream_equals_batch_and_replay(spark):
+    """Baskets straddling epochs: pair counted once, at the later
+    member's arrival; replaying an epoch changes nothing."""
+    bi = _baskets(spark).withColumn("par", F.pmod(F.xxhash64(F.col("item")), F.lit(2)))
+    store = tempfile.mkdtemp(prefix="rars_t_assoc_")
+    stage = assoc_items_foreach_batch(store, expected_items=8)
+    stage(bi.filter(F.col("par") == 0).select("basket", "item"), 0)
+    stage(bi.filter(F.col("par") == 1).select("basket", "item"), 1)
+    got = assoc_rules_from_store(
+        spark, store, min_item_support=1, min_pair_support=1
+    ).collect()
+    want = MN.association_rules(
+        _baskets(spark), 4, min_item_support=1, min_pair_support=1
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # replay epoch 1: overwrite must be byte-idempotent at the result level
+    stage(bi.filter(F.col("par") == 1).select("basket", "item"), 1)
+    replay = assoc_rules_from_store(
+        spark, store, min_item_support=1, min_pair_support=1
+    ).collect()
+    assert sorted(map(tuple, replay)) == sorted(map(tuple, want))
+
+
+def test_assoc_stream_duplicate_membership_across_epochs(spark):
+    """The same (basket, item) arriving again in a later epoch must NOT
+    double-count (monotone store by anti-join)."""
+    rows0 = [(1, "a"), (1, "b")]
+    rows1 = [(1, "a"), (1, "c")]  # (1,a) repeats
+    store = tempfile.mkdtemp(prefix="rars_t_assoc_dup_")
+    stage = assoc_items_foreach_batch(store, expected_items=4)
+    stage(spark.createDataFrame(rows0, "basket int, item string"), 0)
+    stage(spark.createDataFrame(rows1, "basket int, item string"), 1)
+    got = {
+        (r["antecedent"], r["consequent"]): r["c_ab"]
+        for r in assoc_rules_from_store(
+            spark, store, min_item_support=1, min_pair_support=1
+        ).collect()
+    }
+    assert got[("a", "b")] == 1 and got[("a", "c")] == 1 and got[("b", "c")] == 1
+
+
+# --------------------------------------------------------------------------
+# decision stump
+# --------------------------------------------------------------------------
+
+
+def _labeled(spark):
+    # y == 1 iff x <= 3 (pure split at x=3); z is noise
+    rows = [(x, z, 1 if x <= 3 else 0) for x in range(1, 9) for z in (0, 1)]
+    return spark.createDataFrame(rows, "x int, z int, y int")
+
+
+def test_best_stump_finds_pure_split(spark):
+    stats = MN.stump_stats(_labeled(spark), ["x", "z"], "y")
+    best = MN.best_stump(stats, top_k=1).collect()[0]
+    assert best["feature"] == "x" and best["threshold"] == 3
+    assert best["n_left"] == 6 and best["pos_left"] == 6
+    assert best["n_right"] == 10 and best["pos_right"] == 0
+    # pure split: score = nL + nR = N
+    assert best["score"] == 16.0
+
+
+def test_stump_stats_merge_property(spark):
+    """Grid from two disjoint halves, summed, equals the full grid —
+    the mergeability the streaming dual relies on."""
+    df = _labeled(spark)
+    full = {
+        (r["feature"], r["value"]): (r["n"], r["pos"])
+        for r in MN.stump_stats(df, ["x", "z"], "y").collect()
+    }
+    h1 = MN.stump_stats(df.filter(F.col("x") <= 4), ["x", "z"], "y")
+    h2 = MN.stump_stats(df.filter(F.col("x") > 4), ["x", "z"], "y")
+    merged = {
+        (r["feature"], r["value"]): (r["n"], r["pos"])
+        for r in h1.unionByName(h2)
+        .groupBy("feature", "value")
+        .agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
+        .collect()
+    }
+    assert merged == full
+
+
+def test_stump_stream_equals_batch(spark):
+    df = _labeled(spark)
+    out_dir = tempfile.mkdtemp(prefix="rars_t_stump_")
+    stage = stump_stats_foreach_batch(out_dir, ["x", "z"], "y")
+    stage(df.filter(F.col("z") == 0), 0)
+    stage(df.filter(F.col("z") == 1), 1)
+    got = stump_from_stats(spark, out_dir, top_k=5).collect()
+    want = MN.best_stump(MN.stump_stats(df, ["x", "z"], "y"), top_k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # replay epoch 0: overwrite idempotence
+    stage(df.filter(F.col("z") == 0), 0)
+    replay = stump_from_stats(spark, out_dir, top_k=5).collect()
+    assert [tuple(r) for r in replay] == [tuple(r) for r in want]
+
+
+# --------------------------------------------------------------------------
+# adamic-adar + bfs
+# --------------------------------------------------------------------------
+
+
+def _path_graph(spark):
+    # path 1-2-3-4 plus edge 2-4's ABSENCE is what AA should score:
+    # 1-3 share {2}, 2-4 share {3}, 1-4 share nothing
+    und = [(1, 2), (2, 3), (3, 4)]
+    rows = und + [(b, a) for a, b in und]
+    return spark.createDataFrame(rows, "src int, dst int")
+
+
+def test_adamic_adar_path_graph(spark):
+    got = {
+        (r["node_a"], r["node_b"]): r
+        for r in G.adamic_adar(_path_graph(spark)).collect()
+    }
+    assert set(got) == {(1, 3), (2, 4)}
+    # shared neighbor 2 has deg 2 -> round(1e6/ln 2); neighbor 3 likewise
+    w = round(1_000_000 / math.log(2))
+    assert got[(1, 3)]["common_neighbors"] == 1
+    assert got[(1, 3)]["aa_micro"] == w
+    assert got[(2, 4)]["aa_micro"] == w
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    # triangle 1-2-3 plus pendant 4 on node 3: candidate (1,2) shares 3
+    # but IS an edge -> excluded; (1,4) and (2,4) share 3 -> included
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    rows = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(rows, "src int, dst int")
+    got = {(r["node_a"], r["node_b"]) for r in G.adamic_adar(e).collect()}
+    assert got == {(1, 4), (2, 4)}
+
+
+def test_bfs_levels_min_hop(spark):
+    # 1-2-3-4 path, seed {1}: hops 0,1,2,3; max_hops=2 drops node 4
+    e = _path_graph(spark)
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {r["node"]: r["hop"] for r in G.bfs_levels(e, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    # two seeds: node 3 reached at hop 1 from seed 4, not hop 2 from seed 1
+    seeds2 = spark.createDataFrame([(1,), (4,)], "node int")
+    got2 = {r["node"]: r["hop"] for r in G.bfs_levels(e, seeds2, max_hops=3).collect()}
+    assert got2 == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+# --------------------------------------------------------------------------
+# SES forecast
+# --------------------------------------------------------------------------
+
+
+def test_ses_backtest_closed_form(spark):
+    # series 100, 200, 400 cents (alpha .5):
+    # s1=100; err=|200-100|=100, s2=150; err+=|400-150|=250 -> 350
+    # level = 250/100? no: s3=(400+150)/2=275 -> 2.75; mae=350/(2*100)=1.75
+    daily = spark.createDataFrame(
+        [("k", 1, 100), ("k", 2, 200), ("k", 3, 400)], "key string, day int, cents int"
+    )
+    row = FC.ses_backtest(daily, alpha=0.5).collect()[0]
+    assert row["n_obs"] == 3
+    assert row["level"] == 2.75
+    assert row["mae"] == 1.75
+
+
+def test_ses_backtest_single_point_has_null_mae(spark):
+    daily = spark.createDataFrame([("k", 1, 500)], "key string, day int, cents int")
+    row = FC.ses_backtest(daily).collect()[0]
+    assert row["n_obs"] == 1 and row["level"] == 5.0 and row["mae"] is None
+
+
+def test_ses_fold_order_is_by_day_not_arrival(spark):
+    # rows deliberately out of day order: fold must sort by day
+    daily = spark.createDataFrame(
+        [("k", 3, 400), ("k", 1, 100), ("k", 2, 200)], "key string, day int, cents int"
+    )
+    row = FC.ses_backtest(daily, alpha=0.5).collect()[0]
+    assert row["level"] == 2.75 and row["mae"] == 1.75
