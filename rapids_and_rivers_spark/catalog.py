@@ -11657,3 +11657,178 @@ def stream_assoc_rules(spark, sf_dir):
         min_pair_support=20,
         min_confidence=0.02,
     )
+
+
+def _kcenter_oracle(k: int = 8, dim: int = 64) -> str:
+    """Unroll the greedy k-center selection as k CTE steps (the
+    pagerank unrolled-oracle pattern applied to an argmax recurrence —
+    every step integer-exact, so no rounding anywhere)."""
+
+    def d(t: str, s: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({t}.qv[i]-{s}.qv[i])*({t}.qv[i]-{s}.qv[i])))"
+        )
+
+    parts = [
+        "q AS (SELECT vec_id AS id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv "
+        "FROM embeddings)",
+        "s1 AS (SELECT id, qv FROM q ORDER BY id LIMIT 1)",
+        f"d1 AS (SELECT q.id, q.qv, {d('q', 's1')} AS mind FROM q, s1)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"s{r} AS (SELECT id, qv, mind FROM d{r - 1} "
+            f"ORDER BY mind DESC, id LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"d{r} AS (SELECT d{r - 1}.id, d{r - 1}.qv, "
+                f"least(d{r - 1}.mind, {d(f'd{r - 1}', f's{r}')}) AS mind "
+                f"FROM d{r - 1}, s{r})"
+            )
+    sels = [
+        "SELECT 1 AS sel_round, id AS center_id, "
+        "CAST(NULL AS BIGINT) AS radius FROM s1"
+    ]
+    for r in range(2, k + 1):
+        sels.append(
+            f"SELECT {r} AS sel_round, id AS center_id, mind AS radius FROM s{r}"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+        + "\nORDER BY sel_round"
+    )
+
+
+@register(
+    "kcenter_diverse_exemplars",
+    _kcenter_oracle(k=8, dim=64),
+    doc="greedy k-center diversity selection over the embedding corpus "
+    "(Gonzalez 1985; the coreset construction of Sener & Savarese "
+    "ICLR'18): seed at the minimum id, then 7 times pick the point "
+    "farthest from the chosen set — the training-data curation "
+    "primitive for maximally diverse exemplars, with the selection "
+    "radius trace (the k-center cost curve) as output. Exactness: "
+    "floor(x*1000)-quantized integer squared euclidean everywhere and "
+    "a (distance DESC, id) total-order argmax, so every selection is "
+    "engine-invariant — the oracle unrolls the same 8 steps as CTEs "
+    "(integer-exact, no rounding). Scale: one corpus map + one "
+    "TakeOrdered(1) per round against the new center's broadcast "
+    "literal (k bounded 1-row collects — the IVF-codebook class), "
+    "running-min distance column keeps it O(n·k·d), never pairwise. "
+    "operators/selection.py kcenter_greedy",
+)
+def kcenter_diverse_exemplars(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import selection as SEL
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trace = SEL.kcenter_greedy(emb, k=8)
+    return spark.createDataFrame(
+        trace, "sel_round int, center_id long, radius long"
+    )
+
+
+@register(
+    "stream_ses_forecast",
+    _REGISTRY["ses_forecast_events"].oracle,
+    doc="the STREAMING forecaster dual, driver-checkable: events split "
+    "into two ingest epochs by event_id parity and drive "
+    "duals.ses_daily_foreach_batch — each epoch reduces its raw rows "
+    "ONCE to per-(type, day) exact integer cent sums, the SES fold's "
+    "mergeable sufficient statistic; the level/MAE re-derive by "
+    "running the batch fold over the merged daily buckets "
+    "(duals.ses_from_store, same forecast.ses_backtest core). Integer "
+    "daily sums merge order-free, so the drained forecast must equal "
+    "batch ses_forecast_events over the union stream — its FULL "
+    "DuckDB oracle verbatim. Per-epoch cost O(|new rows|), state "
+    "bounded by |keys| x |days|, raw rows never stored",
+)
+def stream_ses_forecast(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        ses_daily_foreach_batch,
+        ses_from_store,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rows = ev.select(
+        F.col("event_type").alias("key"),
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.pmod(F.col("event_id"), F.lit(2)).alias("par"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="rars_stream_ses_")
+    stage = ses_daily_foreach_batch(out_dir)
+    stage(rows.filter(F.col("par") == 0), 0)
+    stage(rows.filter(F.col("par") == 1), 1)
+    return ses_from_store(spark, out_dir, alpha=0.5)
+
+
+@register(
+    "video_neardup_frames",
+    """
+    WITH fr AS (
+      SELECT d.doc_id, CAST(t.range AS INT) AS frame_no,
+             md5(substr(d.text, CAST(t.range AS INT) * 64 + 1, 64)) AS fp
+      FROM documents d, range(8) t
+      WHERE length(substr(d.text, CAST(t.range AS INT) * 64 + 1, 64)) > 0),
+    fcap AS (SELECT fp, frame_no FROM fr GROUP BY fp, frame_no
+             HAVING count(*) <= 100),
+    fr2 AS (SELECT fr.* FROM fr JOIN fcap USING (fp, frame_no)),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS shared_frames
+          FROM fr2 a JOIN fr2 b
+            ON a.fp = b.fp AND a.frame_no = b.frame_no
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, shared_frames FROM p WHERE shared_frames >= 4
+    ORDER BY doc_a, doc_b
+    """,
+    doc="video near-duplicate detection by aligned keyframe "
+    "fingerprints — the frame-sampling plumbing (multimodal.sample_"
+    "frames, stride-64 byte-slice stand-in decode) composed with the "
+    "dedup family's candidate discipline: fingerprint each sampled "
+    "frame (md5), equi-join on (fingerprint, position) so candidates "
+    "come only from docs sharing an identical aligned frame, cap "
+    "boilerplate frames appearing in > 100 docs (the common_gram_cap "
+    "rule — a hot intro/outro frame never generates quadratic "
+    "candidates), and keep pairs sharing >= 4 of 8 frames. Real video "
+    "swaps the byte-slice for a pHash of the decoded keyframe in the "
+    "same plan (the image_neardup_phash precedent). Exact integers + "
+    "md5 everywhere — FULL value oracle",
+)
+def video_neardup_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_media(docs, payload_from="text", id_col="doc_id")
+    fr = M.sample_frames(media, every_n_bytes=64, max_frames=8).select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.md5(F.col("frame")).alias("fp"),
+    )
+    # boilerplate-frame cap: a fingerprint carried by >100 docs at the
+    # same position is an intro/outro card, not a near-dup signal
+    fcap = (
+        fr.groupBy("fp", "frame_no")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .filter(F.col("nf") <= 100)
+        .select("fp", "frame_no")
+    )
+    fr2 = fr.join(fcap, ["fp", "frame_no"])
+    a, b = fr2.alias("a"), fr2.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.frame_no") == F.col("b.frame_no"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= 4)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -293,3 +293,66 @@ def mix_weights(per_src: DataFrame, tau: float = 0.7) -> DataFrame:
             F.when(p_raw > 0, tempered / p_raw).otherwise(F.lit(None)), 4
         ).alias("boost"),
     )
+
+
+def kcenter_greedy(
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> list[tuple[int, int, int | None]]:
+    """Greedy k-center diversity selection (Gonzalez 1985; the coreset
+    construction Sener & Savarese ICLR'18 use for active learning):
+    start from the minimum id, then k-1 times pick the point FARTHEST
+    from the chosen set — the classic 2-approximation that training-data
+    curation uses to pick maximally diverse exemplars.
+
+    Exactness: components quantize to floor(x*scale) integers (the
+    embedding_centroids idiom), distances are exact integer squared
+    euclidean, and the per-round argmax is a total order
+    (mind DESC, id) — every selection decision is engine-invariant, no
+    floats anywhere.
+
+    Scale: each round is one map over the corpus (zip_with/aggregate
+    against the new center's broadcast literal) + one TakeOrdered(1) —
+    k bounded collects of ONE row each (the IVF-codebook collect
+    class), never a pairwise matrix. The running min-distance column is
+    the standard trick that keeps greedy k-center O(n·k·d).
+
+    Returns the selection trace ``[(sel_round, center_id, radius)]``
+    where radius is the exact squared distance that made the center the
+    farthest point (None for the seed) — the k-center cost curve.
+    """
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+        ).alias("qv"),
+    ).persist()
+    # persist-scope: in-function — q feeds every round's distance map;
+    # unpersisted before return
+
+    def dist_to(center_vec: list[int]):
+        lit_vec = F.array([F.lit(int(v)) for v in center_vec])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), lit_vec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # bounded-collect: one seed row (the k-center start, deterministic
+    # minimum id)
+    seed = q.orderBy("id").limit(1).collect()[0]
+    trace: list[tuple[int, int, int | None]] = [(1, seed["id"], None)]
+    cur = q.withColumn("mind", dist_to(seed["qv"]))
+    for rnd in range(2, k + 1):
+        # bounded-collect: one argmax row per round (k rows total)
+        far = cur.orderBy(F.desc("mind"), "id").limit(1).collect()[0]
+        trace.append((rnd, far["id"], int(far["mind"])))
+        cur = cur.withColumn(
+            "mind", F.least(F.col("mind"), dist_to(far["qv"]))
+        )
+    q.unpersist()
+    return trace

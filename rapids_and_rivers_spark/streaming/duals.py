@@ -3473,3 +3473,41 @@ def assoc_rules_from_store(
         min_pair_support=min_pair_support,
         min_confidence=min_confidence,
     )
+
+
+def ses_daily_foreach_batch(
+    out_dir: str,
+    key_col: str = "key",
+    order_col: str = "day",
+    cents_col: str = "cents",
+):
+    """Streaming forecaster state: per micro-batch, reduce NEW raw rows
+    to per-(key, day) exact integer cent sums — the SES fold's
+    MERGEABLE sufficient statistic (daily buckets merge by integer sum
+    across epochs; only the tiny per-key ordered fold re-runs at read
+    time, over |days| structs, never raw rows). Epoch-versioned
+    overwrite = idempotent replay; the raw stream is never stored."""
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.groupBy(
+            F.col(key_col).alias("key"), F.col(order_col).alias("day")
+        ).agg(F.sum(F.col(cents_col).cast("long")).alias("cents")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "daily", f"v{epoch_id}"))
+
+    return stage
+
+
+def ses_from_store(spark, out_dir: str, alpha: float = 0.5) -> DataFrame:
+    """Merge the per-epoch daily sums (exact integer keyed sums) and run
+    the batch SES fold once — must equal batch ``forecast.ses_backtest``
+    over the union stream (integer daily sums are order-free; the fold
+    itself is the same day-ordered walk)."""
+    from rapids_and_rivers_spark.operators.forecast import ses_backtest
+
+    daily = (
+        read_epoch_table(spark, os.path.join(out_dir, "daily"))
+        .groupBy("key", "day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    return ses_backtest(daily, alpha=alpha)

@@ -245,3 +245,61 @@ def test_ses_fold_order_is_by_day_not_arrival(spark):
     )
     row = FC.ses_backtest(daily, alpha=0.5).collect()[0]
     assert row["level"] == 2.75 and row["mae"] == 1.75
+
+
+# --------------------------------------------------------------------------
+# k-center greedy + streaming SES
+# --------------------------------------------------------------------------
+
+
+def test_kcenter_greedy_picks_farthest(spark):
+    from rapids_and_rivers_spark.operators.selection import kcenter_greedy
+
+    # 1D embeddings at 0, 0.001, 0.9, 0.5 (ids 1..4): seed = id 1 (min),
+    # then the farthest-first picks. float32 0.9 is 0.89999997..., so
+    # floor(x*1000) quantizes to 899 (the oracle floors the SAME float32
+    # value): 2nd = id 3 (d=899^2), 3rd = id 4 (q=500, min d to {0,899}
+    # = 399^2 beats id 2's 1)
+    rows = [(1, [0.0]), (2, [0.001]), (3, [0.9]), (4, [0.5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    trace = kcenter_greedy(emb, k=3)
+    assert trace == [(1, 1, None), (2, 3, 899 * 899), (3, 4, 399 * 399)]
+
+
+def test_kcenter_radius_is_monotone_nonincreasing(spark):
+    from rapids_and_rivers_spark.operators.selection import kcenter_greedy
+
+    from rapids_and_rivers_spark.sources import load_table
+
+    emb = load_table(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"), "embeddings")
+    trace = kcenter_greedy(emb, k=5)
+    radii = [r for _, _, r in trace if r is not None]
+    assert radii == sorted(radii, reverse=True)
+    assert len({c for _, c, _ in trace}) == 5  # distinct centers
+
+
+def test_ses_stream_equals_batch_with_split_days(spark):
+    """A day whose rows straddle epochs must still sum exactly before
+    the fold (mergeable daily buckets)."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        ses_daily_foreach_batch,
+        ses_from_store,
+    )
+
+    rows = [("k", 1, 40), ("k", 1, 60), ("k", 2, 200), ("k", 3, 150), ("k", 3, 250)]
+    df = spark.createDataFrame(rows, "key string, day int, cents long")
+    out = tempfile.mkdtemp(prefix="rars_t_ses_")
+    stage = ses_daily_foreach_batch(out)
+    # split so days 1 and 3 straddle epochs
+    stage(spark.createDataFrame(rows[::2], "key string, day int, cents long"), 0)
+    stage(spark.createDataFrame(rows[1::2], "key string, day int, cents long"), 1)
+    got = ses_from_store(spark, out).collect()
+    want = FC.ses_backtest(
+        df.groupBy("key", "day").agg(F.sum("cents").alias("cents"))
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # replay epoch 0
+    stage(spark.createDataFrame(rows[::2], "key string, day int, cents long"), 0)
+    assert [tuple(r) for r in ses_from_store(spark, out).collect()] == [
+        tuple(r) for r in want
+    ]
