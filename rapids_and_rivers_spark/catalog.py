@@ -94,26 +94,40 @@ DRIVER_GATE: list[str] = [
     # TPC-H flagship (the other 21 adaptations: driver-green r1-r7,
     # still local-verified at 3 scale factors)
     "q1_pricing_summary",
-    # dedup family (6) — incl. the four r8 inverted-index oracles
-    "dedup_minhash", "semantic_dedup", "dedup_ngram_jaccard",
-    "dedup_containment", "ssjoin_prefix", "entity_resolution",
+    # ROTATION (r8 mid-round, VERDICT r7 #6 discipline): OUT 11 rows
+    # that are driver-green in BOTH r7 and r8 prefixes (dedup_minhash,
+    # semantic_dedup, sim_ann_ivf, label_noise_probe, bm25_search,
+    # heavy_hitters_cms, wordpiece_encode_counts, linreg_price_model,
+    # bt_supplier_strength, image_neardup_phash, training_shard_stats)
+    # — IN the 11 never-driver-checked round-8 additions below. Every
+    # displaced row stays green in the committed CORRECTNESS_local
+    # artifacts at sf0.01 + sf0.1 (+ the sf1 sweeps).
+    # dedup family (4) — the r8 inverted-index oracles
+    "dedup_ngram_jaccard", "dedup_containment", "ssjoin_prefix",
+    "entity_resolution",
     # fuzzy string matching (1) — r8 SymSpell-identity oracle
     "fuzzy_name_match",
-    # ANN / similarity (4)
-    "sim_ann_ivf", "label_noise_probe", "sim_ann_pq",
-    "mmr_rerank_diverse",
-    # retrieval + sketch (2)
-    "bm25_search", "heavy_hitters_cms",
+    # ANN / similarity (2)
+    "sim_ann_pq", "mmr_rerank_diverse",
+    # diversity selection (1, NEW r8)
+    "kcenter_diverse_exemplars",
     # text quality (1)
     "gopher_quality_flags",
-    # tokenizers (2)
-    "wordpiece_encode_counts", "bpe_encode_counts",
-    # model training on mergeable stats (3)
-    "linreg_price_model", "bt_supplier_strength", "nb_source_confusion",
-    # multimodal (1)
-    "image_neardup_phash",
-    # training-data pipeline (1)
-    "training_shard_stats",
+    # tokenizers (1)
+    "bpe_encode_counts",
+    # keyword extraction (1, NEW r8)
+    "textrank_keywords",
+    # model training on mergeable stats (3; stump NEW r8)
+    "nb_source_confusion", "decision_stump_returns",
+    "stream_decision_stump",
+    # pattern mining (2, NEW r8)
+    "assoc_rules_brands", "stream_assoc_rules",
+    # link prediction + reach (2, NEW r8)
+    "link_prediction_parts", "bfs_part_reach",
+    # forecasting (2, NEW r8)
+    "ses_forecast_events", "stream_ses_forecast",
+    # multimodal (1, NEW r8)
+    "video_neardup_frames",
     # batch graph (1)
     "pagerank_purchase_graph",
     # streaming duals incl. the graph family (6) — labelprop
@@ -11831,4 +11845,137 @@ def video_neardup_frames(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
         .filter(F.col("shared_frames") >= 4)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "phrase_search_positional",
+    r"""
+    WITH darr AS (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\s+') AS arr
+                  FROM documents),
+    post AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                    arr[CAST(i + 1 AS BIGINT)] AS token
+             FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM darr)
+             WHERE length(arr[CAST(i + 1 AS BIGINT)]) > 0),
+    adj AS (SELECT p1.doc_id, p1.token AS w1, p2.token AS w2
+            FROM post p1 JOIN post p2
+              ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1),
+    top5 AS (SELECT w1, w2, count(*) AS n
+             FROM adj GROUP BY 1, 2
+             ORDER BY n DESC, w1, w2 LIMIT 5)
+    SELECT a.w1, a.w2,
+           CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(a.doc_id) AS first_doc
+    FROM adj a JOIN top5 t ON a.w1 = t.w1 AND a.w2 = t.w2
+    GROUP BY a.w1, a.w2
+    ORDER BY n_occurrences DESC, a.w1, a.w2
+    """,
+    doc="exact phrase search over a POSITIONAL inverted index (Manning "
+    "et al. IR ch.2, the Lucene layout): retrieval.positional_postings "
+    "emits one (token, doc, pos) row per occurrence, and a phrase "
+    "answers as ONE self-equi-join on (doc, pos+1) — for a concrete "
+    "query each side pre-filters to one token, so the postings key "
+    "prunes the scan and the join touches |postings(w1)| + "
+    "|postings(w2)| rows, never the corpus. The query takes the 5 most "
+    "frequent corpus bigrams (deterministic n DESC, w1, w2 tiebreak) "
+    "and reports docs/occurrences/first-doc per phrase. Exact integers "
+    "throughout — FULL value oracle. Complements the bag-of-words "
+    "inverted_index_postings/bm25 family with the layout proximity "
+    "queries need",
+)
+def phrase_search_positional(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # persist-scope: returned plan — adj feeds both the top-5 selection
+    # and the answering aggregate; the caller materializes once
+    adj = R.phrase_adjacency(R.positional_postings(docs)).persist()
+    top5 = (
+        adj.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(5)
+    )
+    return (
+        adj.join(F.broadcast(top5.select("w1", "w2")), ["w1", "w2"])
+        .groupBy("w1", "w2")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy(F.desc("n_occurrences"), "w1", "w2")
+    )
+
+
+@register(
+    "cusum_changepoints",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    rk AS (SELECT key, day, cents,
+                  row_number() OVER (PARTITION BY key ORDER BY day) AS r
+           FROM daily),
+    tot AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS total
+            FROM rk GROUP BY 1),
+    fold(key, r, day, su, sd, s_up, s_dn) AS (
+      SELECT key, CAST(0 AS BIGINT), CAST(NULL AS DATE),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM tot
+      UNION ALL
+      SELECT rk.key, rk.r, rk.day,
+             greatest(CAST(0 AS BIGINT), f.s_up + (tot.n * rk.cents - tot.total)),
+             greatest(CAST(0 AS BIGINT), f.s_dn - (tot.n * rk.cents - tot.total)),
+             CASE WHEN 8 * greatest(CAST(0 AS BIGINT),
+                        f.s_up + (tot.n * rk.cents - tot.total)) > tot.total
+                  THEN CAST(0 AS BIGINT)
+                  ELSE greatest(CAST(0 AS BIGINT),
+                        f.s_up + (tot.n * rk.cents - tot.total)) END,
+             CASE WHEN 8 * greatest(CAST(0 AS BIGINT),
+                        f.s_dn - (tot.n * rk.cents - tot.total)) > tot.total
+                  THEN CAST(0 AS BIGINT)
+                  ELSE greatest(CAST(0 AS BIGINT),
+                        f.s_dn - (tot.n * rk.cents - tot.total)) END
+      FROM fold f
+      JOIN rk ON rk.key = f.key AND rk.r = f.r + 1
+      JOIN tot ON tot.key = f.key)
+    SELECT key, strftime(day, '%Y-%m-%d') AS day, direction, s_scaled FROM (
+      SELECT f.key AS key, f.day, 'up' AS direction, f.su AS s_scaled
+      FROM fold f JOIN tot ON tot.key = f.key
+      WHERE f.r >= 1 AND 8 * f.su > tot.total
+      UNION ALL
+      SELECT f.key AS key, f.day, 'down' AS direction, f.sd AS s_scaled
+      FROM fold f JOIN tot ON tot.key = f.key
+      WHERE f.r >= 1 AND 8 * f.sd > tot.total)
+    ORDER BY key, day, direction
+    """,
+    doc="two-sided CUSUM change-point alarms (Page 1954) per event type "
+    "over exact daily cent totals — the SEQUENTIAL drift monitor next "
+    "to event_zscore_outliers (pointwise) and psi_value_drift "
+    "(distributional): cumulative deviation from the series mean, "
+    "alarm-and-reset when it crosses an eighth of the series total "
+    "(T/8 fires on this corpus at every SF; noise shrinks with daily "
+    "volume). Exactness: "
+    "division-free integer CUSUM (d = n·x − T keeps the mean exact, "
+    "the alarm test is 8·S > T) — zero float ops, every alarm "
+    "engine-invariant; the fold is one day-ordered F.aggregate per key "
+    "(the SES discipline), replayed verbatim by the recursive-CTE "
+    "oracle. FULL value oracle. operators/forecast.py cusum_alarms",
+)
+def cusum_changepoints(spark, sf_dir):
+    from rapids_and_rivers_spark.operators import forecast as FC
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("event_type").alias("key"), F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    )
+    # dates leave queries as ISO strings (catalog rule)
+    return FC.cusum_alarms(daily).withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
     )

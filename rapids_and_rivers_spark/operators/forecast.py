@@ -97,3 +97,91 @@ def ses_backtest(
         .otherwise(F.lit(None).cast("double"))
         .alias("mae"),
     ).orderBy("key")
+
+
+def cusum_alarms(
+    daily: DataFrame,
+    key_col: str = "key",
+    order_col: str = "day",
+    value_col: str = "cents",
+    threshold_den: int = 8,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection (Page 1954) per key over
+    an exact-integer daily series — the sequential-monitoring companion
+    to the z-score/PSI drift operators: alarms fire when the cumulative
+    deviation from the series mean crosses the threshold, then the
+    accumulator resets (classic alarm-and-restart).
+
+    Exactness — division-free integer CUSUM: with n observations and
+    integer total T, the scaled deviation ``d_t = n·x_t − T`` keeps the
+    mean subtraction exact (Σd = 0 identically); the accumulators
+    ``S⁺ = max(0, S⁺ + d)`` / ``S⁻ = max(0, S⁻ − d)`` and the alarm
+    test ``threshold_den·S > T`` (threshold T/threshold_den without
+    dividing; default T/8) are all int64,
+    so every alarm decision is engine-invariant — the SES ordered-fold
+    discipline with zero float ops anywhere.
+
+    Scale: same shape as :func:`ses_backtest` — daily rollup is the
+    keyed integer-sum shuffle, the fold walks |keys| × |days| structs.
+
+    Output: one row per alarm (key, day, direction, s_scaled) where
+    s_scaled is the n-scaled cumulative excess at the alarm."""
+    series = (
+        daily.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("o"),
+                        F.col(value_col).cast("long").alias("v"),
+                    )
+                )
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(value_col).cast("long")).alias("total"),
+        )
+    )
+    # the empty-alarm array must carry the caller's order-column type
+    # (date in the catalog, plain int in tests) or concat type-mismatches
+    o_type = daily.schema[order_col].dataType.simpleString()
+    empty_alarms = F.array().cast(
+        f"array<struct<o:{o_type},dir:string,s:bigint>>"
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("s_up"),
+        F.lit(0).cast("long").alias("s_dn"),
+        empty_alarms.alias("al"),
+    )
+
+    def step(acc, x):
+        d = F.col("n") * x["v"] - F.col("total")
+        su = F.greatest(F.lit(0).cast("long"), acc["s_up"] + d)
+        sd = F.greatest(F.lit(0).cast("long"), acc["s_dn"] - d)
+        den = F.lit(int(threshold_den)).cast("long")
+        alarm_up = (den * su) > F.col("total")
+        alarm_dn = (den * sd) > F.col("total")
+        up_row = F.when(
+            alarm_up,
+            F.array(F.struct(x["o"].alias("o"), F.lit("up").alias("dir"), su.alias("s"))),
+        ).otherwise(empty_alarms)
+        dn_row = F.when(
+            alarm_dn,
+            F.array(
+                F.struct(x["o"].alias("o"), F.lit("down").alias("dir"), sd.alias("s"))
+            ),
+        ).otherwise(empty_alarms)
+        return F.struct(
+            F.when(alarm_up, F.lit(0).cast("long")).otherwise(su).alias("s_up"),
+            F.when(alarm_dn, F.lit(0).cast("long")).otherwise(sd).alias("s_dn"),
+            F.concat(acc["al"], up_row, dn_row).alias("al"),
+        )
+
+    folded = series.select(
+        "key", F.aggregate("xs", init, step).alias("acc")
+    )
+    return folded.select("key", F.explode(F.col("acc.al")).alias("a")).select(
+        "key",
+        F.col("a.o").alias("day"),
+        F.col("a.dir").alias("direction"),
+        F.col("a.s").alias("s_scaled"),
+    ).orderBy("key", "day", "direction")

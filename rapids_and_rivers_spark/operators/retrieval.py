@@ -282,3 +282,43 @@ def ql_scores(
         "doc_id",
         F.round(F.col("qtf") / F.col("dl").cast("double"), ndigits).alias("score"),
     )
+
+
+def positional_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted index: one (token, doc_id, pos) row per
+    token occurrence, positions being RAW split-array indices (empty
+    tokens are dropped from the postings but do not renumber later
+    positions — both engines see the identical index).
+
+    This is the index layout phrase and proximity queries need; the
+    non-positional :func:`inverted_postings` stays the cheaper layout
+    for bag-of-words scoring. At 100 TB the postings table partitions
+    by token (query terms prune by key); positions add one int per
+    occurrence, the standard Lucene-style cost."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "token"))
+        .filter(F.length("token") > 0)
+    )
+
+
+def phrase_adjacency(postings: DataFrame) -> DataFrame:
+    """Exact 2-token phrase occurrences from a positional index: ONE
+    self-equi-join on (doc, pos+1) — the classic positional-postings
+    merge (Manning, Raghavan & Schütze IR ch. 2). Returns one row per
+    occurrence: (doc_id, w1, w2, pos). For a CONCRETE phrase query the
+    same join runs with each side pre-filtered to one token — the
+    postings key prunes the scan; nothing here is corpus × corpus."""
+    p1, p2 = postings.alias("p1"), postings.alias("p2")
+    return p1.join(
+        p2,
+        (F.col("p1.doc_id") == F.col("p2.doc_id"))
+        & (F.col("p2.pos") == F.col("p1.pos") + 1),
+    ).select(
+        F.col("p1.doc_id").alias("doc_id"),
+        F.col("p1.token").alias("w1"),
+        F.col("p2.token").alias("w2"),
+        F.col("p1.pos").alias("pos"),
+    )

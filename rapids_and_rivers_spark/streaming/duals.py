@@ -3386,8 +3386,9 @@ def assoc_items_foreach_batch(
         )
         items_root = os.path.join(store_dir, "items")
         if epoch > 0 and os.path.isdir(items_root):
-            # touched-bucket prune: bounded collect of <= |batch baskets|
-            # distinct bucket ints, directory-pruned store read
+            # bounded-collect: touched-bucket prune — <= min(n_buckets,
+            # |batch baskets|) distinct bucket ints (the er_index bkt_rows
+            # class), fed to a directory-pruned store read
             bkts = [r["bkt"] for r in bi.select("bkt").distinct().collect()]
             prior = (
                 spark.read.parquet(items_root)

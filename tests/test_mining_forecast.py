@@ -303,3 +303,57 @@ def test_ses_stream_equals_batch_with_split_days(spark):
     assert [tuple(r) for r in ses_from_store(spark, out).collect()] == [
         tuple(r) for r in want
     ]
+
+
+# --------------------------------------------------------------------------
+# positional phrase search + CUSUM
+# --------------------------------------------------------------------------
+
+
+def test_phrase_adjacency_positions(spark):
+    from rapids_and_rivers_spark.operators.retrieval import (
+        phrase_adjacency,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "big data big data"), (2, "big big data")], "doc_id long, text string"
+    )
+    post = positional_postings(docs)
+    adj = {
+        (r["doc_id"], r["w1"], r["w2"], r["pos"])
+        for r in phrase_adjacency(post).collect()
+    }
+    # doc 1: (big,data)@0, (data,big)@1, (big,data)@2; doc 2: (big,big)@0, (big,data)@1
+    assert adj == {
+        (1, "big", "data", 0), (1, "data", "big", 1), (1, "big", "data", 2),
+        (2, "big", "big", 0), (2, "big", "data", 1),
+    }
+
+
+def test_cusum_detects_level_shift(spark):
+    from rapids_and_rivers_spark.operators.forecast import cusum_alarms
+
+    # 10 days at 100 then 10 days at 300 (global mean 200): the low
+    # half deviates DOWN from the mean, the high half UP — a two-sided
+    # CUSUM against the series mean must fire each direction only in
+    # its own half
+    rows = [("k", d, 100 if d <= 10 else 300) for d in range(1, 21)]
+    daily = spark.createDataFrame(rows, "key string, day int, cents long")
+    alarms = cusum_alarms(daily).collect()
+    assert any(a["direction"] == "up" and a["day"] > 10 for a in alarms)
+    assert any(a["direction"] == "down" and a["day"] <= 10 for a in alarms)
+    assert not any(a["direction"] == "up" and a["day"] <= 10 for a in alarms)
+    assert not any(a["direction"] == "down" and a["day"] > 10 for a in alarms)
+    # alarms are deterministic: re-run produces the identical rows
+    again = cusum_alarms(daily).collect()
+    assert [tuple(r) for r in alarms] == [tuple(r) for r in again]
+
+
+def test_cusum_flat_series_no_alarms(spark):
+    from rapids_and_rivers_spark.operators.forecast import cusum_alarms
+
+    daily = spark.createDataFrame(
+        [("k", d, 500) for d in range(1, 15)], "key string, day int, cents long"
+    )
+    assert cusum_alarms(daily).count() == 0
