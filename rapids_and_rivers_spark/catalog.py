@@ -11979,3 +11979,41 @@ def cusum_changepoints(spark, sf_dir):
     return FC.cusum_alarms(daily).withColumn(
         "day", F.date_format("day", "yyyy-MM-dd")
     )
+
+
+@register(
+    "stream_cusum_alarms",
+    _REGISTRY["cusum_changepoints"].oracle,
+    doc="the STREAMING change-point dual: the SAME per-(type, day) "
+    "integer daily store the SES dual accumulates "
+    "(duals.ses_daily_foreach_batch — one mergeable statistic, two "
+    "readers) replayed through forecast.cusum_alarms at read time "
+    "(duals.cusum_from_store). All-integer CUSUM makes merge and "
+    "alarms exact, so the drained alarms must equal batch "
+    "cusum_changepoints over the union stream — its FULL recursive-CTE "
+    "oracle verbatim. This is live drift monitoring under ingest at "
+    "per-epoch cost O(|new rows|)",
+)
+def stream_cusum_alarms(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        cusum_from_store,
+        ses_daily_foreach_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rows = ev.select(
+        F.col("event_type").alias("key"),
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.pmod(F.col("event_id"), F.lit(2)).alias("par"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="rars_stream_cusum_")
+    stage = ses_daily_foreach_batch(out_dir)
+    stage(rows.filter(F.col("par") == 0), 0)
+    stage(rows.filter(F.col("par") == 1), 1)
+    # dates leave queries as ISO strings (catalog rule)
+    return cusum_from_store(spark, out_dir).withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    )

@@ -3512,3 +3512,21 @@ def ses_from_store(spark, out_dir: str, alpha: float = 0.5) -> DataFrame:
         .agg(F.sum("cents").cast("long").alias("cents"))
     )
     return ses_backtest(daily, alpha=alpha)
+
+
+def cusum_from_store(
+    spark, out_dir: str, threshold_den: int = 8
+) -> DataFrame:
+    """CUSUM alarms over the accumulated daily-sum store — the monitor
+    twin of :func:`ses_from_store` on the SAME mergeable statistic
+    (one store, two readers: forecast level and change-point alarms).
+    Must equal batch ``forecast.cusum_alarms`` over the union stream;
+    all-integer, so the merge and every alarm decision are exact."""
+    from rapids_and_rivers_spark.operators.forecast import cusum_alarms
+
+    daily = (
+        read_epoch_table(spark, os.path.join(out_dir, "daily"))
+        .groupBy("key", "day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    return cusum_alarms(daily, threshold_den=threshold_den)

@@ -357,3 +357,26 @@ def test_cusum_flat_series_no_alarms(spark):
         [("k", d, 500) for d in range(1, 15)], "key string, day int, cents long"
     )
     assert cusum_alarms(daily).count() == 0
+
+
+def test_cusum_stream_equals_batch(spark):
+    """One daily store, two readers: the CUSUM reader over the merged
+    epochs equals batch alarms over the union (all-integer merge)."""
+    from rapids_and_rivers_spark.operators.forecast import cusum_alarms
+    from rapids_and_rivers_spark.streaming.duals import (
+        cusum_from_store,
+        ses_daily_foreach_batch,
+    )
+
+    rows = [("k", d, (100 if d <= 10 else 300) + (d % 3)) for d in range(1, 21)]
+    df = spark.createDataFrame(rows, "key string, day int, cents long")
+    out = tempfile.mkdtemp(prefix="rars_t_cusum_")
+    stage = ses_daily_foreach_batch(out)
+    stage(df.filter(F.col("day") % 2 == 0), 0)
+    stage(df.filter(F.col("day") % 2 == 1), 1)
+    got = cusum_from_store(spark, out).collect()
+    want = cusum_alarms(
+        df.groupBy("key", "day").agg(F.sum("cents").alias("cents"))
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) > 0  # the shift must actually fire

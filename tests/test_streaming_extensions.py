@@ -3382,3 +3382,52 @@ def test_ivf_index_partial_codebook_dir_retrains(spark, tmp_path):
     assert _os.path.isfile(_os.path.join(cb_dir, "_SUCCESS"))
     cb = spark.read.parquet(cb_dir)
     assert cb.count() > 0
+
+
+def test_assoc_rules_real_stream_foreach_batch(spark, tmp_path):
+    """The round-8 market-basket dual under the REAL streaming runtime:
+    two pinned micro-batches of (basket, item) memberships drive
+    assoc_items_foreach_batch via writeStream.foreachBatch; the drained
+    rules equal the batch operator over the union corpus even though
+    basket 1 straddles the micro-batch boundary."""
+    from rapids_and_rivers_spark.operators.mining import association_rules
+    from rapids_and_rivers_spark.streaming.duals import (
+        assoc_items_foreach_batch,
+        assoc_rules_from_store,
+    )
+
+    b1 = [
+        {"basket": 1, "item": "a"},
+        {"basket": 1, "item": "b"},
+        {"basket": 2, "item": "a"},
+    ]
+    b2 = [
+        {"basket": 1, "item": "c"},  # straddles: pairs (a,c),(b,c) form here
+        {"basket": 2, "item": "b"},
+        {"basket": 3, "item": "a"},
+    ]
+    rows = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [json.dumps(r) for r in b1],
+        [json.dumps(r) for r in b2],
+        "basket int, item string",
+    )
+    store = str(tmp_path / "store")
+    q = (
+        rows.writeStream.foreachBatch(assoc_items_foreach_batch(store, expected_items=6))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = assoc_rules_from_store(
+        spark, store, min_item_support=1, min_pair_support=1
+    ).collect()
+    union = spark.createDataFrame(
+        [(r["basket"], r["item"]) for r in b1 + b2], "basket int, item string"
+    )
+    want = association_rules(
+        union, 3, min_item_support=1, min_pair_support=1
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and len(want) > 0
