@@ -344,7 +344,11 @@ def kcenter_greedy(
 
     # bounded-collect: one seed row (the k-center start, deterministic
     # minimum id)
-    seed = q.orderBy("id").limit(1).collect()[0]
+    seed_rows = q.orderBy("id").limit(1).collect()
+    if not seed_rows:
+        q.unpersist()
+        return []
+    seed = seed_rows[0]
     trace: list[tuple[int, int, int | None]] = [(1, seed["id"], None)]
     cur = q.withColumn("mind", dist_to(seed["qv"]))
     for rnd in range(2, k + 1):

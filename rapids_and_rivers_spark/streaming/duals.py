@@ -3385,7 +3385,17 @@ def assoc_items_foreach_batch(
             )
         )
         items_root = os.path.join(store_dir, "items")
-        if epoch > 0 and os.path.isdir(items_root):
+
+        def _store_has_data() -> bool:
+            # an empty epoch writes only _SUCCESS (no part files) and
+            # schema inference over a part-less store throws; short-
+            # circuits on the first data file found
+            for r, _dirs, files in os.walk(items_root):
+                if any(f.endswith(".parquet") for f in files):
+                    return True
+            return False
+
+        if epoch > 0 and os.path.isdir(items_root) and _store_has_data():
             # bounded-collect: touched-bucket prune — <= min(n_buckets,
             # |batch baskets|) distinct bucket ints (the er_index bkt_rows
             # class), fed to a directory-pruned store read

@@ -380,3 +380,41 @@ def test_cusum_stream_equals_batch(spark):
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(want) > 0  # the shift must actually fire
+
+
+def test_adamic_adar_recovers_held_out_edges(spark):
+    """Quality, not just correctness: on two planted 6-cliques, remove
+    one edge from each; AA over the remainder must rank BOTH missing
+    edges at the very top (clique members share 4 neighbors; no other
+    non-adjacent pair shares more than 1)."""
+    cliq1 = [(a, b) for a in range(1, 7) for b in range(1, 7) if a < b]
+    cliq2 = [(a, b) for a in range(11, 17) for b in range(11, 17) if a < b]
+    bridge = [(6, 11)]
+    held_out = {(1, 2), (12, 13)}
+    kept = [e for e in cliq1 + cliq2 + bridge if e not in held_out]
+    rows = kept + [(b, a) for a, b in kept]
+    e = spark.createDataFrame(rows, "src int, dst int")
+    top = (
+        G.adamic_adar(e)
+        .orderBy(F.desc("aa_micro"), "node_a", "node_b")
+        .limit(2)
+        .collect()
+    )
+    assert {(r["node_a"], r["node_b"]) for r in top} == held_out
+
+
+def test_assoc_stream_empty_first_epoch(spark):
+    """An empty epoch-0 batch leaves a part-file-less store; epoch 1
+    must not crash on schema inference over it."""
+    store = tempfile.mkdtemp(prefix="rars_t_assoc_empty_")
+    stage = assoc_items_foreach_batch(store, expected_items=4)
+    empty = spark.createDataFrame([], "basket int, item string")
+    stage(empty, 0)
+    stage(spark.createDataFrame([(1, "a"), (1, "b")], "basket int, item string"), 1)
+    got = {
+        (r["antecedent"], r["consequent"]): r["c_ab"]
+        for r in assoc_rules_from_store(
+            spark, store, min_item_support=1, min_pair_support=1
+        ).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
