@@ -11510,9 +11510,14 @@ def textrank_keywords(spark, sf_dir):
         .groupBy("ua", "ub")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # persist-scope: returned plan — e feeds pagerank's normalization AND
+    # the n_nodes scalar below; unpersisted, the full tokenize+window+agg
+    # chain (the query's dominant cost) would run twice
     e = pairs.select(
         F.col("ua").alias("src"), F.col("ub").alias("dst"), "w"
-    ).unionByName(pairs.select(F.col("ub").alias("src"), F.col("ua").alias("dst"), "w"))
+    ).unionByName(
+        pairs.select(F.col("ub").alias("src"), F.col("ua").alias("dst"), "w")
+    ).persist()
     pr = G.pagerank(e, iters=3, damping=0.85, weight="w")
     n_nodes = e.select("src").distinct().count()
     return (
@@ -11817,11 +11822,14 @@ def stream_ses_forecast(spark, sf_dir):
 def video_neardup_frames(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_media(docs, payload_from="text", id_col="doc_id")
+    # persist-scope: returned plan — fr feeds THREE consumers (the
+    # boilerplate cap plus both self-join sides); without it the frame
+    # slicing + md5 over every document recomputes per consumer
     fr = M.sample_frames(media, every_n_bytes=64, max_frames=8).select(
         "doc_id",
         F.col("frame_no").cast("int").alias("frame_no"),
         F.md5(F.col("frame")).alias("fp"),
-    )
+    ).persist()
     # boilerplate-frame cap: a fingerprint carried by >100 docs at the
     # same position is an intro/outro card, not a near-dup signal
     fcap = (

@@ -11,9 +11,11 @@ from rapids_and_rivers_spark.operators import (
     bloomjoin,
     cdc,
     dedup,
+    forecast,
     fuzzy,
     graph,
     joins,
+    mining,
     multimodal,
     retrieval,
     selection,
@@ -28,9 +30,11 @@ __all__ = [
     "bloomjoin",
     "cdc",
     "dedup",
+    "forecast",
     "fuzzy",
     "graph",
     "joins",
+    "mining",
     "multimodal",
     "retrieval",
     "selection",

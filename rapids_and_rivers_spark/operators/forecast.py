@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ses_backtest"]
+__all__ = ["ses_backtest", "cusum_alarms"]
 
 
 def ses_backtest(

@@ -377,9 +377,13 @@ def adamic_adar(
     )
     a = e.select(F.col("dst").alias("na"), F.col("src").alias("z"))
     b = e.select(F.col("src").alias("z2"), F.col("dst").alias("nb"))
+    # no broadcast hint on wz: it has one row per NODE, which outgrows
+    # broadcast capacity on crawl-scale graphs — the join is keyed on z
+    # (already the two-hop join key, so co-partitioned) and AQE still
+    # auto-broadcasts when the vertex set is actually small
     cand = (
         a.join(b, (F.col("z") == F.col("z2")) & (F.col("na") < F.col("nb")))
-        .join(F.broadcast(wz), "z")
+        .join(wz, "z")
         .groupBy(F.col("na").alias("node_a"), F.col("nb").alias("node_b"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("common_neighbors"),

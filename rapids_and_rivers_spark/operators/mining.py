@@ -151,8 +151,13 @@ def stump_stats(
     clusters by plain integer sum, which is what lets the streaming
     dual train continually without revisiting data.
     """
+    # NULL feature values are dropped per feature: a NULL is not a
+    # threshold candidate, and engines disagree on NULL window order
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST) — admitting them would
+    # silently diverge every cumulative prefix from the oracle
     parts = [
-        df.groupBy(
+        df.filter(F.col(c).isNotNull())
+        .groupBy(
             F.lit(c).alias("feature"), F.col(c).cast("long").alias("value")
         ).agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -323,6 +323,12 @@ def kcenter_greedy(
     Returns the selection trace ``[(sel_round, center_id, radius)]``
     where radius is the exact squared distance that made the center the
     farthest point (None for the seed) — the k-center cost curve.
+
+    ``k`` must not exceed the number of distinct quantized points: once
+    every point is at distance 0 from the chosen set, the argmax ties at
+    0 and later rounds re-select the minimum id (radius 0). That fallback
+    is deliberate — the oracle unrolls a FIXED k steps, and both engines
+    walk the same tie, so a stop-early branch here would desync them.
     """
     q = emb.select(
         F.col(id_col).alias("id"),
@@ -350,13 +356,24 @@ def kcenter_greedy(
         return []
     seed = seed_rows[0]
     trace: list[tuple[int, int, int | None]] = [(1, seed["id"], None)]
-    cur = q.withColumn("mind", dist_to(seed["qv"]))
+    # persist-scope: per-round handle — without materializing the running
+    # min, round r re-evaluates all r-1 stacked distance layers and the
+    # claimed O(n·k·d) silently becomes O(n·k²·d); each round's collect
+    # materializes its frame, then the previous round's cache is dropped
+    cur = q.withColumn("mind", dist_to(seed["qv"])).persist()
+    prev = None
     for rnd in range(2, k + 1):
         # bounded-collect: one argmax row per round (k rows total)
         far = cur.orderBy(F.desc("mind"), "id").limit(1).collect()[0]
         trace.append((rnd, far["id"], int(far["mind"])))
-        cur = cur.withColumn(
+        nxt = cur.withColumn(
             "mind", F.least(F.col("mind"), dist_to(far["qv"]))
-        )
+        ).persist()  # persist-scope: per-round handle (see above)
+        if prev is not None:
+            prev.unpersist()
+        prev, cur = cur, nxt
     q.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    cur.unpersist()
     return trace
