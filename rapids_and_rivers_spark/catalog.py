@@ -11939,12 +11939,12 @@ def phrase_search_positional(spark, sf_dir):
              greatest(CAST(0 AS BIGINT), f.s_up + (tot.n * rk.cents - tot.total)),
              greatest(CAST(0 AS BIGINT), f.s_dn - (tot.n * rk.cents - tot.total)),
              CASE WHEN 8 * greatest(CAST(0 AS BIGINT),
-                        f.s_up + (tot.n * rk.cents - tot.total)) > tot.total
+                        f.s_up + (tot.n * rk.cents - tot.total)) > abs(tot.total)
                   THEN CAST(0 AS BIGINT)
                   ELSE greatest(CAST(0 AS BIGINT),
                         f.s_up + (tot.n * rk.cents - tot.total)) END,
              CASE WHEN 8 * greatest(CAST(0 AS BIGINT),
-                        f.s_dn - (tot.n * rk.cents - tot.total)) > tot.total
+                        f.s_dn - (tot.n * rk.cents - tot.total)) > abs(tot.total)
                   THEN CAST(0 AS BIGINT)
                   ELSE greatest(CAST(0 AS BIGINT),
                         f.s_dn - (tot.n * rk.cents - tot.total)) END
@@ -11954,11 +11954,11 @@ def phrase_search_positional(spark, sf_dir):
     SELECT key, strftime(day, '%Y-%m-%d') AS day, direction, s_scaled FROM (
       SELECT f.key AS key, f.day, 'up' AS direction, f.su AS s_scaled
       FROM fold f JOIN tot ON tot.key = f.key
-      WHERE f.r >= 1 AND 8 * f.su > tot.total
+      WHERE f.r >= 1 AND 8 * f.su > abs(tot.total)
       UNION ALL
       SELECT f.key AS key, f.day, 'down' AS direction, f.sd AS s_scaled
       FROM fold f JOIN tot ON tot.key = f.key
-      WHERE f.r >= 1 AND 8 * f.sd > tot.total)
+      WHERE f.r >= 1 AND 8 * f.sd > abs(tot.total))
     ORDER BY key, day, direction
     """,
     doc="two-sided CUSUM change-point alarms (Page 1954) per event type "
@@ -11969,7 +11969,7 @@ def phrase_search_positional(spark, sf_dir):
     "(T/8 fires on this corpus at every SF; noise shrinks with daily "
     "volume). Exactness: "
     "division-free integer CUSUM (d = n·x − T keeps the mean exact, "
-    "the alarm test is 8·S > T) — zero float ops, every alarm "
+    "the alarm test is 8·S > |T|) — zero float ops, every alarm "
     "engine-invariant; the fold is one day-ordered F.aggregate per key "
     "(the SES discipline), replayed verbatim by the recursive-CTE "
     "oracle. FULL value oracle. operators/forecast.py cusum_alarms",

@@ -116,10 +116,16 @@ def cusum_alarms(
     integer total T, the scaled deviation ``d_t = n·x_t − T`` keeps the
     mean subtraction exact (Σd = 0 identically); the accumulators
     ``S⁺ = max(0, S⁺ + d)`` / ``S⁻ = max(0, S⁻ − d)`` and the alarm
-    test ``threshold_den·S > T`` (threshold T/threshold_den without
-    dividing; default T/8) are all int64,
+    test ``threshold_den·S > |T|`` (threshold |T|/threshold_den without
+    dividing; default |T|/8) are all int64,
     so every alarm decision is engine-invariant — the SES ordered-fold
-    discipline with zero float ops anywhere.
+    discipline with zero float ops anywhere. The threshold is the
+    ABSOLUTE series total: a refund-heavy key whose cents sum to zero
+    or negative must not get a non-positive threshold (which would fire
+    both directions on every observation — an alarm storm); with
+    |T| = 0 the accumulators themselves stay 0 for constant-zero
+    series, and a mean-zero series alarms on any sustained drift,
+    which is the correct degenerate CUSUM behavior.
 
     Scale: same shape as :func:`ses_backtest` — daily rollup is the
     keyed integer-sum shuffle, the fold walks |keys| × |days| structs.
@@ -158,8 +164,10 @@ def cusum_alarms(
         su = F.greatest(F.lit(0).cast("long"), acc["s_up"] + d)
         sd = F.greatest(F.lit(0).cast("long"), acc["s_dn"] - d)
         den = F.lit(int(threshold_den)).cast("long")
-        alarm_up = (den * su) > F.col("total")
-        alarm_dn = (den * sd) > F.col("total")
+        # abs(): a zero/negative-total series must not make the
+        # threshold non-positive (ADVICE r8 — alarm storm otherwise)
+        alarm_up = (den * su) > F.abs(F.col("total"))
+        alarm_dn = (den * sd) > F.abs(F.col("total"))
         up_row = F.when(
             alarm_up,
             F.array(F.struct(x["o"].alias("o"), F.lit("up").alias("dir"), su.alias("s"))),

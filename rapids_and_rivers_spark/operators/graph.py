@@ -360,8 +360,16 @@ def adamic_adar(
     """
     # persist-scope: returned plan — e feeds FOUR consumers (degree agg,
     # both two-hop sides, the existing-edge anti-join); without it the
-    # caller's edge construction re-runs per consumer
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # caller's edge construction re-runs per consumer.
+    # .distinct() ENFORCES the deduplicated-edge contract instead of
+    # documenting it (ADVICE r8): duplicate rows silently inflate deg,
+    # common_neighbors and aa_micro — one extra shuffle on the edge
+    # projection, cheap next to the two-hop join it feeds
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # one integer micro-weight per shared neighbor: deterministic scalar
     # double math (lit / ln) then HALF_UP round — never a float SUM
@@ -419,8 +427,15 @@ def bfs_levels(
     """
     # persist-scope: returned plan — e is joined once per hop; without it
     # the caller's edge construction re-runs max_hops times and the
-    # level lineage compounds (measured 2032 -> ~40 shuffles at sf0.001)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # level lineage compounds (measured 2032 -> ~40 shuffles at sf0.001).
+    # .distinct() enforces the dedup contract (ADVICE r8); for BFS dup
+    # edges only waste work (the frontier is distinct'd per hop), but
+    # one shuffle on the persisted projection keeps the API honest
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
     frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     # persist-scope: per-level handle — each level feeds BOTH the next
     # frontier join and the final union; the last level's frame feeds the

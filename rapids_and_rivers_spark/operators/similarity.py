@@ -536,6 +536,57 @@ def lloyd_codebook_l2(
     return [list(map(float, c)) for c in C]
 
 
+def pq_min_subspaces(corpus_n: int, k_cells: int, dim: int) -> int:
+    """Minimal subspace count ``m`` whose total code bits satisfy the
+    corpus-scaled rule ``m * log2(k_cells) >= 2 * log2(corpus_n)``.
+
+    The rule is empirical but sharp (ANN_RECALL_SF1.json, round 8): the
+    sf0.001 code shape (m=4, k=8 -> 12 bits) holds recall 0.6+ on a few
+    hundred vectors but COLLAPSES to 0.093 recall@10 at a 20k-vector
+    corpus, because 2^12 distinct codes over 20k points makes ~5 points
+    per code cell — ADC can no longer order them. Doubling bits past
+    2*log2(n) keeps expected code collisions ~O(1): 4 B/vec restores
+    0.404, 8 B/vec 0.669 at sf1. ``m`` is clamped to a divisor-friendly
+    ceiling of ``dim`` (PQ needs dim % m == 0; callers round to the
+    nearest divisor)."""
+    import math
+
+    if corpus_n <= 1:
+        return 1
+    bits_per_sub = max(1, int(math.log2(k_cells)))
+    need = 2.0 * math.log2(corpus_n)
+    return min(dim, max(1, math.ceil(need / bits_per_sub)))
+
+
+def pq_code_bits_check(
+    m: int, k_cells: int, corpus_n: int, dim: int, action: str = "warn"
+) -> bool:
+    """Enforce the corpus-scaled PQ code-bits rule (see
+    :func:`pq_min_subspaces`). Returns True when ``m * log2(k_cells)``
+    carries enough bits for ``corpus_n``; otherwise warns (default) or
+    raises with the derived minimal ``m`` — the r7 ``rerank<=topk``
+    contract-raise idiom applied to the r8 measurement finding."""
+    import math
+    import warnings
+
+    bits = m * max(1, int(math.log2(k_cells)))
+    need = 2.0 * math.log2(corpus_n) if corpus_n > 1 else 0.0
+    if bits >= need:
+        return True
+    msg = (
+        f"under-bit PQ: m={m}, k_cells={k_cells} carries {bits} code bits "
+        f"but a corpus of {corpus_n} vectors needs >= {need:.1f} "
+        f"(rule: m*log2(k_cells) >= 2*log2(corpus); measured collapse "
+        f"ANN_RECALL_SF1.json — recall 0.093 at 12 bits / 20k vectors). "
+        f"Use m >= {pq_min_subspaces(corpus_n, k_cells, dim)} "
+        f"(rounded to a divisor of dim={dim}) or raise k_cells."
+    )
+    if action == "raise":
+        raise ValueError(msg)
+    warnings.warn(msg, stacklevel=3)
+    return False
+
+
 def pq_codebooks(
     sample: list[list[float]],
     dim: int,
@@ -584,6 +635,8 @@ def pq_topk(
     codebooks: list[list[list[float]]] | None = None,
     rerank: int = 0,
     rerank_scale: int = 1000,
+    corpus_n: int | None = None,
+    bits_action: str = "warn",
 ) -> DataFrame:
     """PQ + ADC approximate top-k by inner product (Jégou et al. 2011):
     every candidate compresses to ``m`` one-byte codes (its nearest
@@ -631,6 +684,19 @@ def pq_topk(
     from pyspark.sql.functions import pandas_udf
 
     sub = dim // m
+    # the r8 measurement finding promoted into the operator: an
+    # under-bit code shape silently collapses recall as the corpus
+    # grows (0.093 at 12 bits / 20k vectors), so the shape is checked
+    # against the ACTUAL corpus size here — warn by default,
+    # bits_action="raise" for hard enforcement; pass corpus_n to skip
+    # the count when the caller already knows it
+    pq_code_bits_check(
+        m,
+        k_cells,
+        candidates.count() if corpus_n is None else int(corpus_n),
+        dim,
+        action=bits_action,
+    )
     if codebooks is None:
         sampled = (
             candidates.select(cand_id, "c_emb")

@@ -46,6 +46,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from rapids_and_rivers_spark.streaming import fsutil
+
 #: mirrors catalog.ISO_FMT so streaming output is comparable to the batch
 #: oracle rows byte-for-byte
 _ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
@@ -131,9 +133,8 @@ def resolve_buckets(
     import json
 
     pin = os.path.join(state_dir, "buckets.json")
-    if os.path.exists(pin):
-        with open(pin) as f:
-            return int(json.load(f)["n_buckets"])
+    if fsutil.exists(pin):
+        return int(json.loads(fsutil.read_text(pin))["n_buckets"])
     if explicit is not None:
         n = int(explicit)
     elif expected_rows is not None:
@@ -141,9 +142,8 @@ def resolve_buckets(
         n = 1 << (n - 1).bit_length()  # next power of two
     else:
         n = floor
-    os.makedirs(state_dir, exist_ok=True)
-    with open(pin, "w") as f:
-        json.dump({"n_buckets": n}, f)
+    fsutil.mkdirs(state_dir)
+    fsutil.write_text(pin, json.dumps({"n_buckets": n}))
     return n
 
 
@@ -337,12 +337,10 @@ def _latest_version(
     base is always a snapshot from a fully-committed earlier epoch.
     """
     root = os.path.join(state_dir, name)
-    if not os.path.isdir(root):
-        return None
     versions = sorted(
         (
             d
-            for d in os.listdir(root)
+            for d in fsutil.listdir(root)
             if d.startswith("v")
             and d[1:].isdigit()
             and (before_epoch is None or int(d[1:]) < before_epoch)
@@ -1568,10 +1566,8 @@ def cdc_apply_foreach_batch(
     def _latest_snapshot(spark, before_epoch: int):
         import re as _re
 
-        if not os.path.isdir(base_dir):
-            return None
         best = None
-        for name in os.listdir(base_dir):
+        for name in fsutil.listdir(base_dir):
             m = _re.fullmatch(r"snap_v(\d+)", name)
             if m and int(m.group(1)) < before_epoch:
                 if best is None or int(m.group(1)) > best[0]:
@@ -1603,7 +1599,7 @@ def read_latest_snapshot(spark, base_dir: str) -> DataFrame:
 
     versions = [
         int(m.group(1))
-        for name in os.listdir(base_dir)
+        for name in fsutil.listdir(base_dir)
         if (m := _re.fullmatch(r"snap_v(\d+)", name))
     ]
     return spark.read.parquet(
@@ -2807,10 +2803,11 @@ def packing_from_index(spark, state_dir: str) -> DataFrame:
     :func:`packing_foreach_batch` — each source at the version of the
     last epoch that touched it."""
     root = os.path.join(state_dir, "packing")
-    if not os.path.isdir(root):
+    names = fsutil.listdir(root)
+    if not names:
         raise FileNotFoundError(f"no packing snapshots under {root}")
     out = None
-    for d in sorted(os.listdir(root)):
+    for d in names:
         p = _latest_version(os.path.join(state_dir, "packing"), d)
         df = spark.read.parquet(p)
         out = df if out is None else out.unionByName(df)
@@ -3386,16 +3383,11 @@ def assoc_items_foreach_batch(
         )
         items_root = os.path.join(store_dir, "items")
 
-        def _store_has_data() -> bool:
-            # an empty epoch writes only _SUCCESS (no part files) and
-            # schema inference over a part-less store throws; short-
-            # circuits on the first data file found
-            for r, _dirs, files in os.walk(items_root):
-                if any(f.endswith(".parquet") for f in files):
-                    return True
-            return False
-
-        if epoch > 0 and os.path.isdir(items_root) and _store_has_data():
+        # probe through the Hadoop FileSystem API, matching the path
+        # scheme of store_dir — os.walk on an S3/HDFS store silently
+        # reports "absent", skipping the anti-join and double-counting
+        # replayed memberships (ADVICE r8)
+        if epoch > 0 and fsutil.has_parquet_files(items_root):
             # bounded-collect: touched-bucket prune — <= min(n_buckets,
             # |batch baskets|) distinct bucket ints (the er_index bkt_rows
             # class), fed to a directory-pruned store read

@@ -633,3 +633,43 @@ def test_rerank_not_exceeding_topk_rejected(spark):
         S.matryoshka_topk(q, c, prefix_dim=2, topk=5, rerank=5)
     with pytest.raises(ValueError, match="rerank"):
         S.pq_topk(q, c, dim=4, m=2, topk=5, rerank=4)
+
+
+def test_pq_under_bit_shape_warns_and_raises(spark):
+    """The r8 sf1 measurement (ANN_RECALL_SF1.json: 12-bit codes
+    collapse to 0.093 recall at 20k vectors) lives in the OPERATOR now:
+    an under-bit (m, k_cells) for the actual corpus warns by default,
+    raises under bits_action='raise', and the derived minimal m from
+    pq_min_subspaces satisfies the rule."""
+    import math
+    import warnings
+
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    n = c.count()  # few hundred at sf0.001 -> needs ~2*log2(n) > 16 bits
+    assert 2 * math.log2(n) > 16
+    # m=2, k=8 -> 6 bits: under-bit for ANY corpus over 8 vectors
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        S.pq_topk(q, c, dim=64, m=2, k_cells=8, topk=3).collect()
+    assert any("under-bit PQ" in str(w.message) for w in caught)
+    with pytest.raises(ValueError, match="under-bit PQ"):
+        S.pq_topk(q, c, dim=64, m=2, k_cells=8, topk=3, bits_action="raise")
+    # a rule-satisfying shape stays silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        S.pq_topk(q, c, dim=64, m=16, k_cells=16, topk=3).collect()
+    assert not any("under-bit PQ" in str(w.message) for w in caught)
+    # the derive helper satisfies its own rule at the r8 failure point
+    m_min = S.pq_min_subspaces(20_000, 8, 64)
+    assert m_min * 3 >= 2 * math.log2(20_000)
+    assert S.pq_code_bits_check(m_min, 8, 20_000, 64)

@@ -359,6 +359,32 @@ def test_cusum_flat_series_no_alarms(spark):
     assert cusum_alarms(daily).count() == 0
 
 
+def test_cusum_negative_total_no_alarm_storm(spark):
+    """ADVICE r8: a refund-heavy key whose cents sum NEGATIVE must use
+    |T| as the threshold — with a raw (negative) total every row fires
+    both directions with daily resets. The series here mirrors the
+    level-shift test, negated: alarms must still be one-sided per half,
+    and in particular NOT fire both directions on the same day."""
+    from rapids_and_rivers_spark.operators.forecast import cusum_alarms
+
+    rows = [("k", d, -(100 if d <= 10 else 300)) for d in range(1, 21)]
+    daily = spark.createDataFrame(rows, "key string, day int, cents long")
+    alarms = cusum_alarms(daily).collect()
+    fired = {(a["day"], a["direction"]) for a in alarms}
+    assert not any(
+        (d, "up") in fired and (d, "down") in fired for d in range(1, 21)
+    )
+    # negated series: early half is ABOVE the (negative) mean → up,
+    # late half below → down
+    assert any(a["direction"] == "up" and a["day"] <= 10 for a in alarms)
+    assert any(a["direction"] == "down" and a["day"] > 10 for a in alarms)
+    # and an all-zero series stays silent (|T| = 0, d = 0 identically)
+    zero = spark.createDataFrame(
+        [("z", d, 0) for d in range(1, 15)], "key string, day int, cents long"
+    )
+    assert cusum_alarms(zero).count() == 0
+
+
 def test_cusum_stream_equals_batch(spark):
     """One daily store, two readers: the CUSUM reader over the merged
     epochs equals batch alarms over the union (all-integer merge)."""
@@ -380,6 +406,19 @@ def test_cusum_stream_equals_batch(spark):
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(want) > 0  # the shift must actually fire
+
+
+def test_adamic_adar_duplicate_edges_invariant(spark):
+    """ADVICE r8: the dedup contract is now ENFORCED, not documented —
+    feeding every edge twice must produce byte-identical scores (deg,
+    common_neighbors, aa_micro all came out doubled before the fix)."""
+    path = [(1, 2), (2, 3), (3, 4), (1, 3)]
+    rows = path + [(b, a) for a, b in path]
+    clean = spark.createDataFrame(rows, "src int, dst int")
+    dup = clean.unionAll(clean)
+    want = sorted(tuple(r) for r in G.adamic_adar(clean).collect())
+    got = sorted(tuple(r) for r in G.adamic_adar(dup).collect())
+    assert got == want and len(want) > 0
 
 
 def test_adamic_adar_recovers_held_out_edges(spark):

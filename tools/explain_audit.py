@@ -15,13 +15,25 @@ flags patterns that would hurt at 100 TB:
   slow path; only `ArrowEvalPython` / `MapInPandas` / `FlatMapGroupsInPandas`
   are acceptable Python operators.
 
-Shuffle-budget regression pinning (round 8): PLAN_BUDGETS.json records
-each query's executed-plan shuffle count at sf0.001 (deterministic data
--> deterministic AQE decisions). A full-catalog audit FAILS any query
-whose observed count EXCEEDS its recorded budget — the "someone added a
-needless repartition/groupBy to a hot path" regression that correctness
-gates can't see. Run with --record to re-baseline after an intentional
-plan change (the diff shows up in git, so a re-baseline is reviewable).
+Stage-budget regression pinning (round 8, metric fixed round 9):
+PLAN_BUDGETS.json records each query's EXECUTED STAGE count at sf0.001
+(deterministic data -> deterministic AQE decisions), measured from the
+status tracker over the job-id range of the query's build+collect with
+a cold cache (`spark.catalog.clearCache()` per query). A full-catalog
+audit FAILS any query whose observed count EXCEEDS its recorded budget
+— the "someone added a needless repartition/groupBy to a hot path"
+regression that correctness gates can't see. Run with --record to
+re-baseline after an intentional plan change (the diff shows up in git,
+so a re-baseline is reviewable).
+
+Why executed stages and not plan-text exchanges (ADVICE r8,
+bfs_part_reach budgeted 3100 vs ~29 real): executedPlan().toString()
+re-expands the full build lineage under EVERY InMemoryTableScan
+reference and appends AQE "Initial Plan" sections, so text counts on
+cache-heavy iterative plans overstate reality ~100x — a budget pinned
+on them can never catch a regression. An executed stage is one actual
+shuffle boundary that ran (skipped/reused stages report zero completed
+tasks and are excluded), which is the thing that costs at 100 TB.
 
 Usage: python tools/explain_audit.py [--record] [sf_dir] [query ...]
 Exit code 1 if any *unexpected* red flag is found (whitelist below) or
@@ -240,34 +252,64 @@ def main() -> int:
     if not record and os.path.exists(BUDGETS_PATH):
         budgets = json.load(open(BUDGETS_PATH))
     spark = build_session("explain_audit")
+    sc = spark.sparkContext
+
+    def _next_job_id() -> int:
+        return int(sc._jsc.sc().dagScheduler().nextJobId())
+
+    def _executed_stages(first_job: int, last_job: int) -> int:
+        # every actually-run shuffle boundary in [first_job, last_job):
+        # skipped/reused stages complete zero tasks and don't count.
+        # job-id RANGE (not job group) so streaming foreachBatch jobs
+        # fired from stream threads are included too
+        t = sc.statusTracker()
+        stage_ids = set()
+        for j in range(first_job, last_job):
+            ji = t.getJobInfo(j)
+            if ji is not None:
+                stage_ids.update(ji.stageIds)
+        n = 0
+        for s in stage_ids:
+            si = t.getStageInfo(s)
+            if si is not None and si.numCompletedTasks > 0:
+                n += 1
+        return n
+
     failures = 0
     observed: dict[str, int] = {}
     for name, fn in catalog.queries().items():
         if only and name not in only:
             continue
         try:
+            # cold cache per query: shared internal persists (e.g. the
+            # co-order edge cache) would otherwise make stage counts
+            # depend on which queries ran earlier in the sweep
+            spark.catalog.clearCache()
+            before = _next_job_id()
             df = fn(spark, sf_dir)
             # execute THIS DataFrame (not a derived count) so AQE finalizes
             # and the plan string carries real codegen/shuffle decisions
             df.collect()
+            stages = _executed_stages(before, _next_job_id())
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {exc}")
             failures += 1
             continue
         flags, stats = audit_plan(name, plan)
-        observed[name] = stats["shuffles"]
+        stats["stages"] = stages
+        observed[name] = stages
         # budgets are recorded at sf0.001 (deterministic data ->
         # deterministic AQE decisions); only compare at that SF
         if name in budgets and "sf0.001" in sf_dir:
-            if stats["shuffles"] > budgets[name]:
+            if stages > budgets[name]:
                 flags.append(
-                    f"shuffle budget exceeded: {stats['shuffles']} > "
+                    f"stage budget exceeded: {stages} > "
                     f"{budgets[name]} (re-baseline with --record if "
                     f"intentional)"
                 )
         line = (
-            f"{name}: shuffles={stats['shuffles']} "
+            f"{name}: stages={stats['stages']} "
             f"broadcasts={stats['broadcasts']} scans={stats['scans']} "
             f"codegen={stats['codegen_spans']}"
         )
@@ -285,7 +327,7 @@ def main() -> int:
             observed = merged
         with open(BUDGETS_PATH, "w") as f:
             json.dump(dict(sorted(observed.items())), f, indent=1)
-        print(f"\nrecorded {len(observed)} shuffle budgets -> {BUDGETS_PATH}")
+        print(f"\nrecorded {len(observed)} stage budgets -> {BUDGETS_PATH}")
     print(f"\n{failures} flagged" if failures else "\nall plans clean")
     return 1 if failures else 0
 
