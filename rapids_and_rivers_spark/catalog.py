@@ -94,47 +94,42 @@ DRIVER_GATE: list[str] = [
     # TPC-H flagship (the other 21 adaptations: driver-green r1-r7,
     # still local-verified at 3 scale factors)
     "q1_pricing_summary",
-    # ROTATION (r8 mid-round, VERDICT r7 #6 discipline): OUT 11 rows
-    # that are driver-green in BOTH r7 and r8 prefixes (dedup_minhash,
-    # semantic_dedup, sim_ann_ivf, label_noise_probe, bm25_search,
-    # heavy_hitters_cms, wordpiece_encode_counts, linreg_price_model,
-    # bt_supplier_strength, image_neardup_phash, training_shard_stats)
-    # — IN the 11 never-driver-checked round-8 additions below. Every
-    # displaced row stays green in the committed CORRECTNESS_local
-    # artifacts at sf0.01 + sf0.1 (+ the sf1 sweeps).
-    # dedup family (4) — the r8 inverted-index oracles
-    "dedup_ngram_jaccard", "dedup_containment", "ssjoin_prefix",
-    "entity_resolution",
-    # fuzzy string matching (1) — r8 SymSpell-identity oracle
-    "fuzzy_name_match",
-    # ANN / similarity (2)
-    "sim_ann_pq", "mmr_rerank_diverse",
-    # diversity selection (1, NEW r8)
-    "kcenter_diverse_exemplars",
-    # text quality (1)
-    "gopher_quality_flags",
-    # tokenizers (1)
-    "bpe_encode_counts",
-    # keyword extraction (1, NEW r8)
-    "textrank_keywords",
-    # model training on mergeable stats (3; stump NEW r8)
-    "nb_source_confusion", "decision_stump_returns",
-    "stream_decision_stump",
-    # pattern mining (2, NEW r8)
-    "assoc_rules_brands", "stream_assoc_rules",
-    # link prediction + reach (2, NEW r8)
-    "link_prediction_parts", "bfs_part_reach",
-    # forecasting (2, NEW r8)
-    "ses_forecast_events", "stream_ses_forecast",
-    # multimodal (1, NEW r8)
-    "video_neardup_frames",
-    # batch graph (1)
-    "pagerank_purchase_graph",
-    # streaming duals incl. the graph family (6) — labelprop
-    # (driver-green r7) rotated out for the r8 PageRank dual
-    "scd2_user_state", "stream_triangles_copurchase",
-    "stream_kcore_purchase", "stream_pagerank_purchase",
-    "stream_er_entities", "stream_ivf_index",
+    # ROTATION (round 9, VERDICT r8 #5): all 28 rotatable slots swap to
+    # NEVER-driver-checked queries — OUT the 28 round-8 rows (each
+    # driver-green in CORRECTNESS_r08 and green in the committed local
+    # artifacts at sf0.01/sf0.1/sf1) — IN, first, the three queries
+    # whose only committed evidence was the sf1 sweep
+    # (cusum_changepoints, stream_cusum_alarms, phrase_search_
+    # positional — the r8 gate-lag finding), then 25 more never-checked
+    # rows spread across every family. Cumulative driver-visible
+    # coverage rises 91 -> 119 unique queries (r1-r9).
+    # forecasting + phrase search (3) — the sf1-only-evidence trio
+    "cusum_changepoints", "stream_cusum_alarms",
+    "phrase_search_positional",
+    # dedup family (4)
+    "dedup_exact", "dedup_simhash", "dedup_clusters_star",
+    "dedup_keep_list",
+    # ANN / similarity tiers (4)
+    "sim_cosine_topk", "sim_ann_lsh", "sim_ann_sq8",
+    "sim_ann_matryoshka",
+    # sketches (2)
+    "hll_user_distinct", "sketch_theta_setops",
+    # text analysis (2)
+    "text_langid", "text_quality_filter",
+    # tokenizers (2)
+    "unigram_encode_counts", "wordpiece_train_vocab",
+    # retrieval (2)
+    "tfidf_keywords", "rrf_search_fusion",
+    # multimodal (2)
+    "image_phash", "multimodal_frames",
+    # selection / packing (2)
+    "dsir_importance", "pack_training_sequences",
+    # batch graph (2)
+    "graph_triangles", "ppr_supplier_recs",
+    # streaming duals (2)
+    "stream_decontaminate", "stream_linreg_price",
+    # windows family (1)
+    "rolling_7d_revenue",
 ]
 
 

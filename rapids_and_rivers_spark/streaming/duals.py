@@ -3139,8 +3139,10 @@ def ivf_index_foreach_batch(
         # freeze-gate on the committer's _SUCCESS marker, not bare dir
         # existence: Spark creates the directory before committing, so a
         # crash mid-epoch-0 write would otherwise leave a partial dir
-        # that a replay mistakes for a frozen codebook (ADVICE r7)
-        if not os.path.isfile(os.path.join(cb_dir, "_SUCCESS")):
+        # that a replay mistakes for a frozen codebook (ADVICE r7);
+        # probed through the Hadoop FS API so non-local stores agree
+        # with the write that follows (the r8 fsutil migration)
+        if not fsutil.exists(os.path.join(cb_dir, "_SUCCESS")):
             build_codebook_table(
                 batch_df,
                 dim,
