@@ -12020,3 +12020,398 @@ def stream_cusum_alarms(spark, sf_dir):
     return cusum_from_store(spark, out_dir).withColumn(
         "day", F.date_format("day", "yyyy-MM-dd")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Pareto frontier (skyline), survivorship, leakage-safe splits,
+# rolling sketch windows
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+    WITH pts AS (
+      SELECT p_partkey AS id,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS x,
+             CAST(-p_size AS BIGINT) AS y
+      FROM part
+    ),
+    mx AS (SELECT x, min(y) AS my FROM pts GROUP BY x),
+    run AS (
+      SELECT x, my,
+             min(my) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prior
+      FROM mx
+    )
+    SELECT p.id AS p_partkey, p.x AS price_cents,
+           CAST(-p.y AS BIGINT) AS p_size
+    FROM pts p JOIN run r ON p.x = r.x
+    WHERE p.y = r.my AND (r.prior IS NULL OR p.y < r.prior)
+    ORDER BY price_cents, p_partkey
+    """
+
+
+def _pareto_points(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias(
+            "price_cents"
+        ),
+        (-F.col("p_size")).cast("long").alias("neg_size"),
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    _PARETO_ORACLE,
+    doc="exact 2-objective Pareto frontier (skyline — Börzsönyi et al. "
+    "ICDE 2001) of the part catalog: cheapest-for-its-size parts, "
+    "minimizing price cents and maximizing size (negated to the "
+    "canonical all-min form). operators/frontier.py skyline_2d: "
+    "fixed-width x-DOMAIN buckets (price spans ~100 dollars at every "
+    "SF — bucket count bounded by the domain contract, never the "
+    "corpus) give a cross-bucket strict-predecessor minimum over O(1) "
+    "rows; the in-bucket test runs under bucket-PARTITIONED windows, "
+    "so nothing global touches corpus-sized data. All-int64 dominance "
+    "-> engine-invariant frontier. FULL value oracle: DuckDB computes "
+    "the same frontier via the per-x-min / running-strict-min window "
+    "identity (equivalent to NOT EXISTS dominance, but O(n log n) so "
+    "the sf1 sweep stays cheap)",
+)
+def pareto_frontier_parts(spark, sf_dir):
+    from rapids_and_rivers_spark.operators.frontier import skyline_2d
+
+    pts = _pareto_points(spark, sf_dir)
+    sky = skyline_2d(pts, x_col="price_cents", y_col="neg_size",
+                     bucket_width=100)
+    return sky.select(
+        "p_partkey",
+        "price_cents",
+        (-F.col("neg_size")).cast("long").alias("p_size"),
+    ).orderBy("price_cents", "p_partkey")
+
+
+@register(
+    "stream_pareto_frontier",
+    _PARETO_ORACLE,
+    doc="the STREAMING Pareto-frontier dual: the skyline is a MERGEABLE "
+    "summary (skyline(A∪B) = skyline(skyline(A)∪skyline(B))), so each "
+    "epoch stores only its LOCAL frontier (output-sized — KB) and the "
+    "reader merges (duals.skyline_foreach_batch / skyline_from_store). "
+    "Per-epoch cost is one skyline over the batch; the accumulated "
+    "store is never read during ingest; replay overwrites an epoch's "
+    "own frontier idempotently. Drained state must equal batch "
+    "pareto_frontier_parts over the union stream — its FULL window-"
+    "identity oracle verbatim. This is the dominance analogue of the "
+    "sketch duals: live 'best tradeoffs so far' under ingest",
+)
+def stream_pareto_frontier(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        skyline_foreach_batch,
+        skyline_from_store,
+    )
+
+    pts = _pareto_points(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="rars_stream_sky_")
+    stage = skyline_foreach_batch(
+        store, x_col="price_cents", y_col="neg_size", bucket_width=100
+    )
+    stage(pts.filter(F.pmod("p_partkey", F.lit(2)) == 0), 0)
+    stage(pts.filter(F.pmod("p_partkey", F.lit(2)) == 1), 1)
+    sky = skyline_from_store(
+        spark, store, x_col="price_cents", y_col="neg_size",
+        bucket_width=100,
+    )
+    return sky.select(
+        "p_partkey",
+        "price_cents",
+        (-F.col("neg_size")).cast("long").alias("p_size"),
+    ).orderBy("price_cents", "p_partkey")
+
+
+@register(
+    "cluster_safe_splits",
+    "WITH sd AS (" + _REGISTRY["semantic_dedup"].oracle + """
+    )
+    SELECT CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT rep_id) AS BIGINT) AS n_clusters,
+           min(vec_id) AS min_vec,
+           max(vec_id) AS max_vec
+    FROM (
+      SELECT vec_id, rep_id,
+             CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM sd
+    )
+    GROUP BY 1
+    ORDER BY split
+    """,
+    doc="LEAKAGE-SAFE train/val/test split: the hash bucket that decides "
+    "a document's split is computed from its near-dup CLUSTER "
+    "representative (semantic_dedup's SemDeDup rep_id), not its own id "
+    "— so an entire near-duplicate cluster lands in ONE split by "
+    "construction, closing the classic eval-contamination hole where a "
+    "test doc's near-copy sits in train (the reason split_train_val_"
+    "test alone is not enough for a pretraining corpus). Singleton "
+    "docs hash on themselves (rep_id = own id), so the 90/5/5 "
+    "proportions still hold in expectation. Cost over the plain split: "
+    "exactly the semantic_dedup cluster derivation it reuses; the "
+    "assignment itself stays a pure hash function — zero extra "
+    "shuffle, stable under corpus growth. FULL chained oracle: the "
+    "entire semantic_dedup recursive-CTE pipeline + md5 bucketing",
+)
+def cluster_safe_splits(spark, sf_dir):
+    emb = _neardup_blocked(load_table(spark, sf_dir, "embeddings"))
+    sd = D.semantic_dedup(
+        emb, emb_col="embedding", id_col="vec_id", block_col="blk",
+        threshold=0.4,
+    )
+    bucket = T.token_hash_bucket(F.col("rep_id").cast("string"), 100)
+    return (
+        sd.withColumn(
+            "split",
+            F.when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("rep_id").alias("n_clusters"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "er_golden_record",
+    _shingle_cte() + _shingle_pairs_cte() + r"""
+    ssj AS (
+      SELECT id_a, id_b FROM pairs0
+      WHERE round(inter / CAST(sa + sb - inter AS DOUBLE), 4) >= 0.5
+    ),
+    rn AS (
+      SELECT doc_id,
+             lower(trim(text)) AS norm,
+             substr(lower(trim(text)), 1, 8) AS blk
+      FROM documents WHERE trim(text) != ''
+    ),
+    rk AS (
+      SELECT doc_id, norm, blk,
+             row_number() OVER (PARTITION BY blk ORDER BY norm, doc_id) AS rk
+      FROM rn
+    ),
+    snm AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rk a JOIN rk b
+        ON a.blk = b.blk AND b.rk - a.rk BETWEEN 1 AND 2
+      WHERE levenshtein(substr(a.norm, 1, 80), substr(b.norm, 1, 80)) <= 10
+    ),
+    pairs AS (SELECT id_a, id_b FROM ssj UNION SELECT id_a, id_b FROM snm),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM r JOIN edges e ON r.b = e.u
+      )
+      SELECT * FROM r
+    ),
+    comp AS (
+      SELECT a AS node, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    ),
+    mem AS (
+      SELECT comp.cluster AS canonical_id, comp.node AS doc_id,
+             length(trim(d.text)) AS len, d.source
+      FROM comp JOIN documents d ON d.doc_id = comp.node
+    ),
+    pick AS (
+      SELECT canonical_id, doc_id AS golden_doc, len AS golden_len,
+             row_number() OVER (PARTITION BY canonical_id
+                                ORDER BY len DESC, doc_id) AS prk
+      FROM mem
+    ),
+    srcn AS (
+      SELECT canonical_id, source, count(*) AS c FROM mem GROUP BY 1, 2
+    ),
+    srcp AS (
+      SELECT canonical_id, source AS source_mode,
+             row_number() OVER (PARTITION BY canonical_id
+                                ORDER BY c DESC, source) AS srk
+      FROM srcn
+    )
+    SELECT p.canonical_id,
+           CAST(n.n_records AS BIGINT) AS n_records,
+           p.golden_doc,
+           CAST(p.golden_len AS BIGINT) AS golden_len,
+           s.source_mode
+    FROM pick p
+    JOIN srcp s ON s.canonical_id = p.canonical_id AND s.srk = 1
+    JOIN (SELECT cluster AS canonical_id, count(*) AS n_records
+          FROM comp GROUP BY 1) n ON n.canonical_id = p.canonical_id
+    WHERE p.prk = 1
+    ORDER BY p.canonical_id
+    """,
+    doc="SURVIVORSHIP — the canonicalize step entity_resolution "
+    "summarizes, done properly: for every resolved entity cluster, one "
+    "GOLDEN RECORD assembled by classic survivorship rules (most-"
+    "complete-value wins: the member with the longest trimmed text, "
+    "deterministic doc_id tiebreak; most-frequent-source wins for the "
+    "source attribute, count-then-value tiebreak). Every rule is a "
+    "cluster-PARTITIONED window or keyed aggregate over the match "
+    "graph's components — survivorship costs one pass over cluster "
+    "members, nothing global. Integer lengths/counts + total-order "
+    "tiebreaks -> engine-invariant golden records. FULL chained "
+    "oracle: both ER evidence channels, the recursive-CTE closure, "
+    "and the survivorship windows replayed in DuckDB",
+)
+def er_golden_record(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    snm = FZ.sorted_neighborhood_pairs(
+        docs, col="text", id_col="doc_id", block_chars=8, key_chars=80,
+        window=2, max_distance=10,
+    ).select("id_a", "id_b")
+    ssj = D.prefix_filter_pairs(
+        docs, col="text", id_col="doc_id", shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    pairs = ssj.unionByName(snm).distinct()
+    comp = D.duplicate_clusters(pairs)
+    mem = comp.join(
+        docs.select("doc_id", "text", "source"),
+        comp["node"] == F.col("doc_id"),
+    ).select(
+        F.col("cluster").alias("canonical_id"),
+        "doc_id",
+        F.length(F.trim(F.col("text"))).cast("long").alias("len"),
+        "source",
+    )
+    wp = W.partitionBy("canonical_id").orderBy(F.desc("len"), "doc_id")
+    pick = (
+        mem.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("golden_doc"),
+            F.col("len").alias("golden_len"),
+        )
+    )
+    srcn = mem.groupBy("canonical_id", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ws = W.partitionBy("canonical_id").orderBy(F.desc("c"), "source")
+    srcp = (
+        srcn.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") == 1)
+        .select("canonical_id", F.col("source").alias("source_mode"))
+    )
+    nrec = mem.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+    return (
+        pick.join(srcp, "canonical_id")
+        .join(nrec, "canonical_id")
+        .select(
+            "canonical_id", "n_records", "golden_doc", "golden_len",
+            "source_mode",
+        )
+        .orderBy("canonical_id")
+    )
+
+
+@register(
+    "rolling_hll_users",
+    r"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    reg AS (
+      SELECT day, h & 63 AS bucket,
+             max(CASE WHEN (h >> 6) = 0 THEN 47
+                      ELSE 47 - length(bin(h >> 6)) END) AS m_j
+      FROM h GROUP BY 1, 2
+    ),
+    spine AS (SELECT DISTINCT day FROM h),
+    grid AS (
+      SELECT s.day, b.bucket
+      FROM spine s CROSS JOIN (SELECT unnest(range(64)) AS bucket) b
+    ),
+    rolled AS (
+      SELECT g.day, g.bucket,
+             max(r.m_j) OVER (PARTITION BY g.bucket
+                              ORDER BY (g.day - DATE '1970-01-01')
+                              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS m7
+      FROM grid g LEFT JOIN reg r ON r.day = g.day AND r.bucket = g.bucket
+    ),
+    agg AS (
+      SELECT day, sum(power(CAST(2.0 AS DOUBLE), -m7)) AS sum_present,
+             count(*) AS n_registers
+      FROM rolled WHERE m7 IS NOT NULL GROUP BY 1
+    ),
+    est AS (
+      SELECT day, n_registers,
+             CAST(0.709 AS DOUBLE) * 64 * 64
+               / (sum_present + (64 - n_registers)) AS raw,
+             64 - n_registers AS zeros
+      FROM agg
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_registers AS BIGINT) AS n_registers,
+           round(CASE WHEN raw <= 160.0 AND zeros > 0
+                      THEN 64.0 * ln(64.0 / zeros)
+                      ELSE raw END, 2) AS hll7_estimate
+    FROM est
+    ORDER BY day
+    """,
+    doc="7-day ROLLING distinct users per day from MERGED daily HLL "
+    "sketches — the sliding-window application of the register "
+    "mergeability hll_user_distinct only states: one register table "
+    "per day (<= 64 rows/day, the only corpus-sized shuffle), then the "
+    "trailing-week union is an elementwise register MAX over a "
+    "bucket-PARTITIONED 6-day range window on a bounded day x 64 grid "
+    "(the gap_filled_daily_counts spine-cross class) — no day ever "
+    "re-touches raw events, which is what makes a 90-day retention "
+    "dashboard over 100 TB of events cost 64 ints per day instead of "
+    "a distinct-count per window. Same md5-register determinism "
+    "contract as hll_user_distinct -> FULL value oracle (exact binary-"
+    "fraction register sums, shared correction branch)",
+)
+def rolling_hll_users(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    regs = K.hll_registers(base, ["day"], "uid", p=6)
+    spine = base.select("day").distinct()
+    buckets = spark.range(64).select(F.col("id").cast("long").alias("bucket"))
+    grid = spine.crossJoin(F.broadcast(buckets))
+    j = grid.join(regs, ["day", "bucket"], "left").withColumn(
+        "didx", F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+    )
+    w7 = W.partitionBy("bucket").orderBy("didx").rangeBetween(-6, 0)
+    rolled = (
+        j.withColumn("m7", F.max("m_j").over(w7))
+        .filter(F.col("m7").isNotNull())
+        .select("day", "bucket", F.col("m7").alias("m_j"))
+    )
+    est = K.hll_estimate(rolled, ["day"], p=6)
+    # dates leave queries as ISO strings (catalog rule)
+    return est.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_registers",
+        F.col("hll_estimate").alias("hll7_estimate"),
+    ).orderBy("day")

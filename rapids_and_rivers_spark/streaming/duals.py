@@ -138,7 +138,14 @@ def resolve_buckets(
     if explicit is not None:
         n = int(explicit)
     elif expected_rows is not None:
-        n = max(floor, -(-int(expected_rows) // int(target_bucket_rows)))
+        # trust the caller's corpus estimate: the floor only backstops
+        # the NO-estimate case. Applying it on top of an estimate
+        # over-buckets small corpora (256 buckets for 5k records =
+        # ~256 near-empty commit files per epoch — measured as the
+        # dominant fixed cost of the ER dual at sf0.1, VERDICT r8 #4);
+        # a minimum of 8 keeps touched-bucket pruning meaningful even
+        # for tiny estimates
+        n = max(8, -(-int(expected_rows) // int(target_bucket_rows)))
         n = 1 << (n - 1).bit_length()  # next power of two
     else:
         n = floor
@@ -2042,14 +2049,24 @@ def er_index_foreach_batch(
         # channel then reads ONLY the touched buckets via directory
         # pruning — per-epoch cost is |touched buckets|, never the full
         # record history. Epoch-dir overwrite keeps replay idempotent.
-        recs.write.partitionBy("blk_bucket").mode("overwrite").parquet(
+        # repartition on the partition key: a partitionBy write from T
+        # shuffle tasks over B bucket values commits up to T x B tiny
+        # files per epoch (measured 2 KB/file, ~70% of the epoch's wall
+        # time in commit overhead — VERDICT r8 #4); one delta-sized
+        # shuffle makes it <= B properly-sized files
+        recs.repartition("blk_bucket").write.partitionBy("blk_bucket").mode("overwrite").parquet(
             os.path.join(index_dir, "records", f"epoch={int(epoch_id)}")
         )
 
         # -- prefix-Jaccard channel -----------------------------------
+        # persist-scope: in-function — base feeds the posting explode
+        # AND the shingles write; prefix feeds its own write AND the
+        # candidate join. Shingling is the epoch's hottest projection,
+        # so recomputing it per consumer doubled the epoch cost.
+        # Both unpersisted at the end of the epoch.
         base = shingled(recs, "text", "id", n=shingle_n).withColumn(
             "sz", F.size("shingles")
-        )
+        ).persist()
         post = base.select(
             "id", "sz", F.explode_outer("shingles").alias("t")
         ).filter(F.col("t").isNotNull())
@@ -2065,6 +2082,7 @@ def er_index_foreach_batch(
             post.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= prefix_len)
             .select("id", "sz", "t")
+            .persist()
         )
         # index new docs FIRST so the join sees new-new pairs too
         prefix.write.mode("overwrite").parquet(
@@ -2157,6 +2175,8 @@ def er_index_foreach_batch(
             "overwrite"
         ).parquet(os.path.join(index_dir, "snm_touched", f"v{epoch_id}"))
         recs.unpersist()
+        base.unpersist()
+        prefix.unpersist()
 
     return stage
 
@@ -2459,10 +2479,15 @@ def triangles_foreach_batch(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
+            .persist()
         )
+        # persist-scope: in-function — canon feeds the edge write, the
+        # touched-bucket collect and the delta anti-join; without it the
+        # distinct shuffle (and the caller's edge derivation) re-runs
+        # once per consumer. Unpersisted at the end of the epoch.
         canon.withColumn(
             "abkt", F.pmod(F.xxhash64("a"), F.lit(n_buckets))
-        ).write.partitionBy("abkt").mode("overwrite").parquet(
+        ).repartition("abkt").write.partitionBy("abkt").mode("overwrite").parquet(
             os.path.join(epath, f"epoch={int(epoch_id)}")
         )
         spark.catalog.refreshByPath(epath)
@@ -2493,9 +2518,10 @@ def triangles_foreach_batch(
         adj_new = delta.select(
             F.col("a").alias("u"), F.col("b").alias("v")
         ).unionByName(delta.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        # repartition: the T x B tiny-file commit fix (see records note)
         adj_new.withColumn(
             "ubkt", F.pmod(F.xxhash64("u"), F.lit(n_buckets))
-        ).write.partitionBy("ubkt").mode("overwrite").parquet(
+        ).repartition("ubkt").write.partitionBy("ubkt").mode("overwrite").parquet(
             os.path.join(apath, f"epoch={int(epoch_id)}")
         )
         spark.catalog.refreshByPath(apath)
@@ -2565,6 +2591,7 @@ def triangles_foreach_batch(
             os.path.join(state_dir, "counts", f"v{epoch_id}")
         )
         delta.unpersist()
+        canon.unpersist()
 
     return stage
 
@@ -3158,7 +3185,7 @@ def ivf_index_foreach_batch(
         cents = codebook_from_table(spark.read.parquet(cb_dir))
         assign_cells(batch_df, cents, emb_col=emb_col).select(
             cand_id, emb_col, "cell"
-        ).write.partitionBy("cell").mode("overwrite").parquet(
+        ).repartition("cell").write.partitionBy("cell").mode("overwrite").parquet(
             os.path.join(index_dir, "postings", f"epoch={int(epoch_id)}")
         )
 
@@ -3382,7 +3409,12 @@ def assoc_items_foreach_batch(
             .withColumn(
                 "bkt", F.pmod(F.xxhash64(F.col("basket").cast("string")), F.lit(n_buckets))
             )
+            .persist()
         )
+        # persist-scope: in-function — bi feeds the touched-bucket
+        # collect, the anti-join and the within-epoch pair join; the
+        # distinct shuffle would otherwise re-run per consumer.
+        # Unpersisted after the epoch's writes.
         items_root = os.path.join(store_dir, "items")
 
         # probe through the Hadoop FileSystem API, matching the path
@@ -3434,10 +3466,13 @@ def assoc_items_foreach_batch(
         ).write.mode("overwrite").parquet(
             os.path.join(store_dir, "pair_delta", f"v{epoch}")
         )
-        new.select("basket", "item", "bkt").write.partitionBy("bkt").mode(
+        # repartition: the T x B tiny-file commit fix (measured 20 s of
+        # this stage's 46 s at sf0.1 was the two items writes)
+        new.select("basket", "item", "bkt").repartition("bkt").write.partitionBy("bkt").mode(
             "overwrite"
         ).parquet(os.path.join(items_root, f"epoch={epoch}"))
         new.unpersist()
+        bi.unpersist()
 
     return stage
 
@@ -3534,3 +3569,52 @@ def cusum_from_store(
         .agg(F.sum("cents").cast("long").alias("cents"))
     )
     return cusum_alarms(daily, threshold_den=threshold_den)
+
+
+def skyline_foreach_batch(
+    store_dir: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    bucket_width: int = 1000,
+):
+    """Streaming Pareto-frontier maintenance — the sketch-dual pattern
+    applied to dominance: the skyline is a mergeable summary
+    (``skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))`` —
+    operators/frontier.py), so each epoch stores only its LOCAL
+    frontier (output-sized, usually KB) and the reader re-derives the
+    union's frontier. Per-epoch cost is one :func:`frontier.skyline_2d`
+    over the batch — O(|batch|) shuffled on bucket/x keys — plus a tiny
+    write; the accumulated store is never read during ingest, and
+    replaying an epoch overwrites its own directory with the identical
+    frontier (deterministic integer dominance), so at-least-once
+    delivery is idempotent by construction."""
+    from rapids_and_rivers_spark.operators.frontier import skyline_2d
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        local = skyline_2d(
+            batch_df, x_col=x_col, y_col=y_col, bucket_width=bucket_width
+        )
+        local.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "frontier", f"v{int(epoch_id)}")
+        )
+
+    return stage
+
+
+def skyline_from_store(
+    spark,
+    store_dir: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Frontier of everything streamed so far: merge the epoch-local
+    frontiers (the mergeability identity makes this EQUAL batch
+    ``skyline_2d`` over the union stream — pinned by test and by the
+    stream_pareto_frontier catalog oracle)."""
+    from rapids_and_rivers_spark.operators.frontier import skyline_merge
+
+    parts = read_epoch_table(spark, os.path.join(store_dir, "frontier"))
+    return skyline_merge(
+        parts, x_col=x_col, y_col=y_col, bucket_width=bucket_width
+    )

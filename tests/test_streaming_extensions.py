@@ -3123,7 +3123,13 @@ def test_resolve_buckets_sizing_and_pin(tmp_path):
     from rapids_and_rivers_spark.streaming.duals import resolve_buckets
 
     d1 = str(tmp_path / "a")
-    assert resolve_buckets(d1, expected_rows=1_000) == 64  # floor
+    # an explicit estimate is TRUSTED (r9: the floor only backstops the
+    # no-estimate case — floor-on-top-of-estimate over-bucketed small
+    # corpora into per-epoch tiny-file storms); minimum 8 keeps
+    # touched-bucket pruning meaningful
+    assert resolve_buckets(d1, expected_rows=1_000) == 8
+    d1f = str(tmp_path / "af")
+    assert resolve_buckets(d1f) == 64  # no estimate -> floor
     d2 = str(tmp_path / "b")
     assert resolve_buckets(d2, expected_rows=10_000_000) == 128
     d3 = str(tmp_path / "c")
@@ -3137,7 +3143,7 @@ def test_resolve_buckets_sizing_and_pin(tmp_path):
     d5 = str(tmp_path / "e")
     assert resolve_buckets(
         d5, expected_rows=10_000_000, target_bucket_rows=1_000_000
-    ) == 64
+    ) == 16
 
 
 def test_bucket_prune_literal_and_join_paths_agree(spark):

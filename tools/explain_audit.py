@@ -76,14 +76,20 @@ SCALAR_CROSS_OK = {
     # crosses above; zero-token docs must still score on priors alone,
     # so a left join can't replace it (classify.py nb_classify)
     "stream_nb_confusion",  # same nb_classify prior cross, streaming dual
+    "rolling_hll_users",  # day-spine x 64-bucket register dim cross:
+    # bounded tiny, the gap_filled_daily_counts class
 }
 
 # Time-truncation expressions that bound an aggregate's group count by
 # O(days)/O(months) rather than O(rows): a global window over such a
 # rollup stays a constant-size single-task sort at any corpus size.
+# __dom_bucket is the skyline operator's fixed-width x-DOMAIN bucket
+# (operators/frontier.py): its cardinality is bounded by the value
+# domain span / bucket_width — a documented operator contract, the same
+# boundedness class as a date truncation.
 _TIME_TRUNC = re.compile(
     r"date_format\(|date_trunc\(|\btrunc\(|as date\)|"
-    r"\bwindow\(|\byear\(|\bmonth\(|\bweekofyear\(",
+    r"\bwindow\(|\byear\(|\bmonth\(|\bweekofyear\(|__dom_bucket",
     re.IGNORECASE,
 )
 # AQE / codegen wrapper nodes that sit between the "real" operators in a
