@@ -358,13 +358,12 @@ def adamic_adar(
     Output: (node_a, node_b, common_neighbors, aa_micro) with
     node_a < node_b.
     """
-    # persist-scope: returned plan — e feeds FOUR consumers (degree agg,
-    # both two-hop sides, the existing-edge anti-join); without it the
-    # caller's edge construction re-runs per consumer.
     # .distinct() ENFORCES the deduplicated-edge contract instead of
     # documenting it (ADVICE r8): duplicate rows silently inflate deg,
     # common_neighbors and aa_micro — one extra shuffle on the edge
-    # projection, cheap next to the two-hop join it feeds
+    # projection, cheap next to the two-hop join it feeds.
+    # persist-scope: returned plan — e feeds FOUR consumers (degree agg,
+    # both two-hop sides, the existing-edge anti-join)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -425,12 +424,13 @@ def bfs_levels(
 
     Output: (node, hop) — exact integers, engine-independent.
     """
-    # persist-scope: returned plan — e is joined once per hop; without it
-    # the caller's edge construction re-runs max_hops times and the
-    # level lineage compounds (measured 2032 -> ~40 shuffles at sf0.001).
     # .distinct() enforces the dedup contract (ADVICE r8); for BFS dup
     # edges only waste work (the frontier is distinct'd per hop), but
-    # one shuffle on the persisted projection keeps the API honest
+    # one shuffle on the persisted projection keeps the API honest.
+    # (e is joined once per hop; without the persist the caller's edge
+    # construction re-runs max_hops times and the level lineage
+    # compounds — measured 2032 -> ~40 shuffles at sf0.001.)
+    # persist-scope: returned plan
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
