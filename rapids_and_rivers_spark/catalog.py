@@ -106,20 +106,18 @@ DRIVER_GATE: list[str] = [
     # forecasting + phrase search (3) — the sf1-only-evidence trio
     "cusum_changepoints", "stream_cusum_alarms",
     "phrase_search_positional",
-    # dedup family (4)
+    # dedup family (3)
     "dedup_exact", "dedup_simhash", "dedup_clusters_star",
-    "dedup_keep_list",
-    # ANN / similarity tiers (4)
+    # ANN / similarity tiers (3)
     "sim_cosine_topk", "sim_ann_lsh", "sim_ann_sq8",
-    "sim_ann_matryoshka",
-    # sketches (2)
-    "hll_user_distinct", "sketch_theta_setops",
+    # sketches (1)
+    "hll_user_distinct",
     # text analysis (2)
     "text_langid", "text_quality_filter",
-    # tokenizers (2)
-    "unigram_encode_counts", "wordpiece_train_vocab",
-    # retrieval (2)
-    "tfidf_keywords", "rrf_search_fusion",
+    # tokenizers (1)
+    "unigram_encode_counts",
+    # retrieval (1)
+    "tfidf_keywords",
     # multimodal (2)
     "image_phash", "multimodal_frames",
     # selection / packing (2)
@@ -130,6 +128,13 @@ DRIVER_GATE: list[str] = [
     "stream_decontaminate", "stream_linreg_price",
     # windows family (1)
     "rolling_7d_revenue",
+    # round-9 additions (5) — shipped WITH driver evidence the round
+    # they land (dedup_keep_list / sim_ann_matryoshka /
+    # sketch_theta_setops / wordpiece_train_vocab / rrf_search_fusion
+    # yielded their never-checked slots; they stay green in the r9
+    # local artifacts at sf0.01 + sf0.1)
+    "pareto_frontier_parts", "stream_pareto_frontier",
+    "er_golden_record", "cluster_safe_splits", "rolling_hll_users",
 ]
 
 
