@@ -12420,3 +12420,118 @@ def rolling_hll_users(spark, sf_dir):
         "n_registers",
         F.col("hll_estimate").alias("hll7_estimate"),
     ).orderBy("day")
+
+
+@register(
+    "stream_assoc_compacted",
+    _REGISTRY["assoc_rules_brands"].oracle,
+    doc="STORE COMPACTION under ingest — the lifecycle operator an "
+    "epoch-versioned store needs at 100 TB (10k micro-batches = 10k "
+    "epoch dirs x B buckets of small files; listing eats the touched-"
+    "bucket advantage): ingest two epochs, compact the membership rows "
+    "(append-only set -> one epoch=E dir, bucket partitioning "
+    "preserved) and the pair-count deltas (mergeable integer sums -> "
+    "one summed v{E}) via duals.assoc_compact_store, then ingest a "
+    "THIRD epoch against the compacted store — its anti-join sees the "
+    "compacted rows at epoch<new exactly as it saw the originals. "
+    "Crash-safe: _-prefixed temp dir (invisible to readers), "
+    "_SUCCESS-gated resume, delete-then-rename swap. The drained rules "
+    "must equal batch assoc_rules_brands over the union — compaction "
+    "is contract-invisible, which is the whole point; its FULL value "
+    "oracle verbatim",
+)
+def stream_assoc_compacted(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        assoc_compact_store,
+        assoc_items_foreach_batch,
+        assoc_rules_from_store,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mem = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("p_brand").alias("item"),
+        F.pmod(
+            F.xxhash64(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_partkey").cast("string"),
+                )
+            ),
+            F.lit(3),
+        ).alias("par"),
+    )
+    store_dir = tempfile.mkdtemp(prefix="rars_stream_assoc_cp_")
+    stage = assoc_items_foreach_batch(store_dir, expected_items=li.count())
+    stage(mem.filter(F.col("par") == 0), 0)
+    stage(mem.filter(F.col("par") == 1), 1)
+    # epochs 0-1 are committed; compact them, then keep ingesting
+    assoc_compact_store(spark, store_dir, through_epoch=1)
+    stage(mem.filter(F.col("par") == 2), 2)
+    return assoc_rules_from_store(
+        spark,
+        store_dir,
+        min_item_support=50,
+        min_pair_support=20,
+        min_confidence=0.02,
+    )
+
+
+@register(
+    "pps_token_sample",
+    r"""
+    WITH sized AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS c
+      FROM sized
+    ),
+    tot AS (SELECT source, sum(n_tokens) AS t FROM sized GROUP BY 1)
+    SELECT c.source, c.doc_id, c.n_tokens,
+           CAST((c.c * 10) // tot.t
+                - ((c.c - c.n_tokens) * 10) // tot.t AS BIGINT)
+             AS slots
+    FROM cum c JOIN tot USING (source)
+    WHERE tot.t > 0
+      AND (c.c * 10) // tot.t
+          > ((c.c - c.n_tokens) * 10) // tot.t
+    ORDER BY source, doc_id
+    """,
+    doc="systematic PPS sampling (Madow 1949): 10 docs per source, "
+    "inclusion probability proportional to token count, selected where "
+    "the doc's cumulative-token span crosses one of 10 equally-spaced "
+    "thresholds — the INTEGER-EXACT weighted sampler (no RNG, no libm "
+    "u^(1/w) keys): the sample is a pure function of the data, "
+    "reproducible by any engine forever, which is what a training-mix "
+    "audit trail actually needs. Docs heavier than total/10 are "
+    "certainty-selected and absorb multiple slots. One per-source "
+    "cumulative-sum window (the pack_training_sequences class) + a "
+    "broadcast per-source total. operators/selection.py pps_systematic. "
+    "FULL value oracle (both sides use INTEGER division of the exact "
+    "n*c and T int64s — no doubles anywhere, valid past 2^53)",
+)
+def pps_token_sample(spark, sf_dir):
+    from rapids_and_rivers_spark.operators.selection import pps_systematic
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return pps_systematic(
+        sized, group_col="source", id_col="doc_id",
+        weight_col="n_tokens", n_per_group=10,
+    ).orderBy("source", "doc_id")

@@ -377,3 +377,74 @@ def kcenter_greedy(
         prev.unpersist()
     cur.unpersist()
     return trace
+
+
+def pps_systematic(
+    items: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    n_per_group: int = 10,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling per group —
+    the survey-sampling classic (Madow 1949) as one Catalyst plan, and
+    the INTEGER-EXACT alternative to A-ES weighted reservoirs (whose
+    ``u^(1/w)`` keys are libm-dependent and engine-drift-prone):
+
+    walk the group's items in a fixed total order (``id_col``),
+    accumulate integer weights ``c``, and select every item whose
+    cumulative span crosses one of ``n`` equally-spaced thresholds —
+    i.e. where ``floor(c*n/T) > floor((c-w)*n/T)`` with ``T`` the
+    group total. Inclusion probability is proportional to weight (the
+    PPS property); items heavier than ``T/n`` are selected with
+    certainty and absorb multiple slots (reported in ``slots``); at
+    most ``n`` items are selected per group. Every comparison is int64
+    (``c*n`` at 100 TB: 1e13 tokens x n=10 << 2^63), so the sample is
+    engine-invariant — no RNG, no libm, reproducible forever from the
+    data alone.
+
+    Plan shape: one group-partitioned cumulative-sum window in id
+    order plus a broadcast-scale per-group total join — the
+    pack_training_sequences window class (per-group sequential scan;
+    groups are sources/shards, so per-partition volume is bounded by
+    shard sizing, and the selection itself adds nothing global).
+
+    Output: ``(group, id, weight, slots)`` for selected items only,
+    ``slots >= 1`` = how many of the n quanta the item absorbed.
+    """
+    from pyspark.sql import Window as W
+
+    g, i = F.col(group_col), F.col(id_col)
+    w = F.col(weight_col).cast("long")
+    n = F.lit(int(n_per_group)).cast("long")
+    cum = F.sum(w).over(
+        W.partitionBy(g).orderBy(i).rowsBetween(W.unboundedPreceding, 0)
+    )
+    totals = items.groupBy(g.alias("__g")).agg(
+        F.sum(w).cast("long").alias("__total")
+    )
+    staged = (
+        items.select(g.alias(group_col), i.alias(id_col), w.alias(weight_col))
+        .withColumn("__cum", cum)
+        .join(
+            F.broadcast(totals),
+            F.col(group_col) == F.col("__g"),
+        )
+        .filter(F.col("__total") > 0)
+    )
+    # INTEGER division (SQL `div`), not floor(a/b): `/` on longs is
+    # double division, and c*n at 100 TB (1e13 tokens x n=10 = 1e14)
+    # exceeds double's 2^53 exact-integer range — floor would misround
+    # exactly where the corpus is big enough to matter
+    hi = F.expr(
+        f"(__cum * CAST({int(n_per_group)} AS BIGINT)) div __total"
+    )
+    lo = F.expr(
+        f"((__cum - CAST({weight_col} AS BIGINT)) * "
+        f"CAST({int(n_per_group)} AS BIGINT)) div __total"
+    )
+    return (
+        staged.withColumn("slots", (hi - lo).cast("long"))
+        .filter(F.col("slots") > 0)
+        .select(group_col, id_col, weight_col, "slots")
+    )

@@ -3618,3 +3618,134 @@ def skyline_from_store(
     return skyline_merge(
         parts, x_col=x_col, y_col=y_col, bucket_width=bucket_width
     )
+
+
+# --- epoch-store compaction --------------------------------------------------
+
+
+def compact_epoch_store(
+    spark,
+    root: str,
+    through_epoch: int,
+    partition_col: str | None = None,
+) -> None:
+    """Compact the ``epoch=0..E`` subdirs of an accumulated Hive-
+    partitioned store into ONE ``epoch=E`` dir — the store-lifecycle
+    operator every epoch-versioned layout needs at scale: after 10k
+    micro-batches a store holds 10k epoch dirs x B bucket dirs of
+    small files, and both the per-epoch touched-bucket reads and the
+    final drain pay the listing. Compaction restores
+    O(buckets) files while preserving every reader contract:
+
+    - content: the union of rows in epochs <= E, unchanged (these
+      stores are append-only row sets; mergeable-delta stores use
+      :func:`compact_versioned_deltas` instead);
+    - the ``epoch`` partition value of compacted rows becomes E, so a
+      later epoch's ``epoch < new`` anti-join sees exactly the same
+      prior rows;
+    - ``partition_col`` (bkt/ubkt/blk_bucket/cell) is re-partitioned
+      and re-written, so touched-bucket directory pruning is untouched.
+
+    SAFETY CONTRACT — compact only epochs strictly below the stream's
+    committed checkpoint: foreachBatch at-least-once replays re-run the
+    LATEST uncommitted epoch; replaying an epoch that was folded into
+    the compacted dir would re-write its ``epoch=e`` dir beside the
+    compacted copy and double its rows. The caller owns that watermark
+    (it is the streaming-commit boundary, not a store property).
+
+    Crash-safe and resumable: the compacted data is first written to a
+    ``_``-prefixed temp dir (invisible to Spark readers) and gated on
+    its ``_SUCCESS`` marker; old epoch dirs are deleted only after the
+    marker exists, then the temp dir is renamed in. A crash anywhere
+    re-runs to completion on the next call (the rebuild is skipped if
+    the marker is already there). Run it in a maintenance window — the
+    delete-then-rename swap is not atomic for concurrent readers.
+    """
+    from rapids_and_rivers_spark.streaming import fsutil
+
+    tmp = os.path.join(root, f"_compact_tmp_e{int(through_epoch)}")
+    if not fsutil.exists(os.path.join(tmp, "_SUCCESS")):
+        df = (
+            spark.read.parquet(root)
+            .filter(F.col("epoch") <= int(through_epoch))
+            .drop("epoch")
+        )
+        if partition_col is not None:
+            df.repartition(partition_col).write.partitionBy(
+                partition_col
+            ).mode("overwrite").parquet(tmp)
+        else:
+            df.write.mode("overwrite").parquet(tmp)
+    for name in fsutil.listdir(root):
+        if name.startswith("epoch="):
+            try:
+                e = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if e <= int(through_epoch):
+                fsutil.delete(os.path.join(root, name))
+    fsutil.rename(tmp, os.path.join(root, f"epoch={int(through_epoch)}"))
+    spark.catalog.refreshByPath(root)
+
+
+def compact_versioned_deltas(
+    spark,
+    root: str,
+    through_epoch: int,
+    key_cols: list,
+    sum_col: str,
+) -> None:
+    """Compact the ``v0..vE`` delta dirs of a MERGEABLE-statistic store
+    into one ``v{E}`` holding the keyed integer sums — readers that
+    ``groupBy(keys).sum(col)`` over the union see identical totals
+    (integer-sum associativity IS the store's merge law, so compaction
+    is just applying it early). Same temp-dir/_SUCCESS/resume
+    discipline and the same committed-epochs-only safety contract as
+    :func:`compact_epoch_store`."""
+    from rapids_and_rivers_spark.streaming import fsutil
+
+    versions = [
+        n
+        for n in fsutil.listdir(root)
+        if n.startswith("v")
+        and n[1:].isdigit()
+        and int(n[1:]) <= int(through_epoch)
+    ]
+    if not versions:
+        return
+    tmp = os.path.join(root, f"_compact_tmp_v{int(through_epoch)}")
+    if not fsutil.exists(os.path.join(tmp, "_SUCCESS")):
+        df = None
+        for n in versions:
+            part = spark.read.parquet(os.path.join(root, n))
+            df = part if df is None else df.unionByName(part)
+        df.groupBy(*key_cols).agg(
+            F.sum(sum_col).cast("long").alias(sum_col)
+        ).write.mode("overwrite").parquet(tmp)
+    for n in versions:
+        fsutil.delete(os.path.join(root, n))
+    fsutil.rename(tmp, os.path.join(root, f"v{int(through_epoch)}"))
+    spark.catalog.refreshByPath(root)
+
+
+def assoc_compact_store(spark, store_dir: str, through_epoch: int) -> None:
+    """Compact both halves of the association-rule store: the
+    bucket-partitioned membership rows (append-only set) and the
+    pair-count deltas (mergeable integer sums). The reader
+    (:func:`assoc_rules_from_store`) is contract-identical before and
+    after — pinned by test and by the stream_assoc_compacted catalog
+    oracle — and post-compaction ingest keeps working because compacted
+    memberships keep an ``epoch`` value strictly below any new epoch."""
+    compact_epoch_store(
+        spark,
+        os.path.join(store_dir, "items"),
+        through_epoch,
+        partition_col="bkt",
+    )
+    compact_versioned_deltas(
+        spark,
+        os.path.join(store_dir, "pair_delta"),
+        through_epoch,
+        key_cols=["ia", "ib"],
+        sum_col="c_ab",
+    )

@@ -28,6 +28,8 @@ __all__ = [
     "mkdirs",
     "read_text",
     "write_text",
+    "delete",
+    "rename",
 ]
 
 _LOCAL_SCHEMES = ("", "file")
@@ -141,3 +143,33 @@ def write_text(path: str, text: str) -> None:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
+
+
+def delete(path: str) -> None:
+    """Recursive delete; no-op when the path does not exist."""
+    h = _jfs(path)
+    if h is None:
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+        return
+    fs, jpath, _ = h
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def rename(src: str, dst: str) -> None:
+    """Directory/file rename. Atomic on HDFS and local disk; on object
+    stores it is a copy — callers that need crash-safety gate on the
+    _SUCCESS-marked source and make the whole sequence resumable (the
+    compaction discipline in duals.compact_epoch_store)."""
+    h = _jfs(src)
+    if h is None:
+        os.rename(src, dst)
+        return
+    fs, jsrc, jvm = h
+    if not fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")

@@ -122,3 +122,135 @@ def test_cluster_safe_split_no_leakage(spark):
         F.count(F.lit(1)).alias("n"),
     )
     assert multi.filter((F.col("n") > 1) & (F.col("n_splits") > 1)).count() > 0
+
+
+# --------------------------------------------------------------------------
+# epoch-store compaction
+# --------------------------------------------------------------------------
+
+
+def _count_files(root):
+    import os
+
+    n = 0
+    for r, _d, files in os.walk(root):
+        n += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n
+
+
+def _baskets_df(spark, n=400):
+    rows = [(i % 97, f"item{(i * 7) % 23}") for i in range(n)]
+    return spark.createDataFrame(rows, "basket int, item string")
+
+
+def test_assoc_compaction_contract_invisible(spark):
+    """Reader output identical before/after compaction; file count
+    collapses; ingest AFTER compaction still anti-joins correctly
+    against the compacted memberships (no double counting)."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        assoc_compact_store,
+        assoc_items_foreach_batch,
+        assoc_rules_from_store,
+    )
+
+    df = _baskets_df(spark)
+    out_a = tempfile.mkdtemp(prefix="rars_t_cp_a_")
+    out_b = tempfile.mkdtemp(prefix="rars_t_cp_b_")
+    for out in (out_a, out_b):
+        stage = assoc_items_foreach_batch(out, expected_items=1000)
+        stage(df.filter(F.col("basket") % 3 == 0), 0)
+        stage(df.filter(F.col("basket") % 3 == 1), 1)
+        if out == out_b:
+            assoc_compact_store(spark, out_b, through_epoch=1)
+        stage(df.filter(F.col("basket") % 3 == 2), 2)
+    want = sorted(tuple(r) for r in assoc_rules_from_store(spark, out_a).collect())
+    got = sorted(tuple(r) for r in assoc_rules_from_store(spark, out_b).collect())
+    assert got == want and len(want) > 0
+    assert _count_files(out_b) < _count_files(out_a)
+
+
+def test_compaction_resumes_after_simulated_crash(spark):
+    """Crash between the _SUCCESS-gated temp write and the swap: the
+    next call must finish the swap without rebuilding or losing rows."""
+    import os
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        assoc_items_foreach_batch,
+        compact_epoch_store,
+    )
+
+    df = _baskets_df(spark)
+    out = tempfile.mkdtemp(prefix="rars_t_cp_crash_")
+    stage = assoc_items_foreach_batch(out, expected_items=1000)
+    stage(df.filter(F.col("basket") % 2 == 0), 0)
+    stage(df.filter(F.col("basket") % 2 == 1), 1)
+    items = os.path.join(out, "items")
+    # materialize NOW: the lazy plan would re-read files the compaction
+    # deletes
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(items).select("basket", "item").collect())
+    )
+    n_before = len(before_rows)
+
+    # simulate: temp dir fully written (with _SUCCESS) but old epoch
+    # dirs still present — i.e. a crash right before the delete loop
+    tmp = os.path.join(items, "_compact_tmp_e1")
+    (
+        spark.read.parquet(items)
+        .filter(F.col("epoch") <= 1)
+        .drop("epoch")
+        .repartition("bkt")
+        .write.partitionBy("bkt")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    compact_epoch_store(spark, items, 1, partition_col="bkt")
+    after = spark.read.parquet(items).select("basket", "item")
+    assert after.count() == n_before
+    assert sorted(map(tuple, after.collect())) == before_rows
+    # exactly one epoch dir remains
+    eps = [d for d in os.listdir(items) if d.startswith("epoch=")]
+    assert eps == ["epoch=1"]
+
+
+# --------------------------------------------------------------------------
+# systematic PPS sampling
+# --------------------------------------------------------------------------
+
+
+def test_pps_systematic_hand_case(spark):
+    """Weights 50,30,20 with n=2 and T=100: thresholds at 50,100.
+    Item a's span (0,50] hits 50; c's span (80,100] hits 100; b's
+    (50,80] hits nothing."""
+    from rapids_and_rivers_spark.operators.selection import pps_systematic
+
+    df = spark.createDataFrame(
+        [("s", 1, 50), ("s", 2, 30), ("s", 3, 20)],
+        "source string, doc_id int, n_tokens int",
+    )
+    got = {(r.doc_id, r.slots) for r in pps_systematic(df, n_per_group=2).collect()}
+    assert got == {(1, 1), (3, 1)}
+
+
+def test_pps_systematic_certainty_and_slot_conservation(spark):
+    """A heavier-than-T/n item is selected with certainty and absorbs
+    multiple slots; slots always sum to exactly n per group."""
+    from rapids_and_rivers_spark.operators.selection import pps_systematic
+
+    rows = [("a", 1, 70), ("a", 2, 10), ("a", 3, 10), ("a", 4, 10)] + [
+        ("b", i, (i * 13) % 7 + 1) for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_tokens int")
+    out = pps_systematic(df, n_per_group=5).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.source, []).append(r)
+    # the 70-weight item spans 3.5 of the 5 quanta -> >= 3 slots
+    heavy = [r for r in by_g["a"] if r.doc_id == 1]
+    assert heavy and heavy[0].slots >= 3
+    for g, rs in by_g.items():
+        assert sum(r.slots for r in rs) == 5, (g, rs)
+    # deterministic: identical rerun
+    again = pps_systematic(df, n_per_group=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
