@@ -92,13 +92,15 @@ def skyline_2d(
     )
 
     big = F.lit((1 << 62)).cast("long")
+    # join on x alone: x == __x already implies equal buckets
+    # (floor(x/width) is a function of x), and a bucket-equality term
+    # in a self-join lineage resolves both sides to the same attribute
+    # (Spark's "trivially true equals" warning)
     survivors = (
         pts.join(
-            xstats,
-            (pts["__dom_bucket"] == xstats["__dom_bucket"])
-            & (x == F.col("__x")),
+            xstats.drop("__dom_bucket"),
+            x == F.col("__x"),
         )
-        .drop(xstats["__dom_bucket"])
         .join(prior, "__dom_bucket")
         .filter(
             # same-x: only the minimal y survives (a same-x smaller-y
