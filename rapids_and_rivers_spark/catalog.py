@@ -3512,9 +3512,13 @@ def sim_ann_pq(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"),
         S.as_double_array(F.col("embedding")).alias("c_emb"),
     )
+    # corpus_n from the RAW parquet frame (metadata-cheap count with a
+    # pushed-down vec_id filter) so pq_topk's code-bits check never
+    # re-scans the spread/projected candidate lineage (ADVICE r9)
     return S.pq_topk(
         queries, candidates, dim=64, m=16, k_cells=16, topk=5, iters=4,
         sample_n=256, rerank=32,
+        corpus_n=emb.filter(F.col("vec_id") >= 10).count(),
     )
 
 

@@ -49,6 +49,7 @@ def skyline_2d(
     x_col: str = "x",
     y_col: str = "y",
     bucket_width: int = 1000,
+    max_buckets: int = 100_000,
 ) -> DataFrame:
     """Exact 2-objective skyline (minimize ``x_col`` AND ``y_col``,
     strict dominance). Returns the input rows that survive, original
@@ -59,10 +60,30 @@ def skyline_2d(
     tens of thousands) — it bounds the one corpus-independent window
     this plan runs. Never derive it from the data (a corpus-dependent
     bucket count would put an unbounded window back into the plan).
+
+    ``max_buckets`` ENFORCES that contract mechanically (VERDICT r9
+    #3 / the pq_code_bits_check pattern): the plan itself raises when
+    the observed touched-bucket count exceeds the limit, because past
+    ~1e5 rows the partition-less cross-bucket window stops being the
+    constant-size single-task sort the design assumes. The check is
+    woven into the ``__prior_min`` expression over the already-tiny
+    per-bucket frame — zero extra scan, and column pruning cannot
+    drop it. Raise ``bucket_width`` (or, if the single-task window is
+    genuinely acceptable, ``max_buckets``) to proceed.
     """
     x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    # int64-exact floor division (ADVICE r9): floor(x / w) with `/` is
+    # DOUBLE division, only exact for |x| < 2^53 — a misrounded bucket
+    # past that breaks the "earlier bucket => strictly smaller x"
+    # invariant. (x - pmod(x, w)) is w-divisible, so truncating `div`
+    # equals mathematical floor, all in int64 (the pps_systematic rule).
+    w = int(bucket_width)
     pts = points.withColumn(
-        "__dom_bucket", F.floor(x / F.lit(int(bucket_width))).cast("long")
+        "__dom_bucket",
+        F.expr(
+            f"(cast({x_col} as bigint) - pmod(cast({x_col} as bigint), "
+            f"{w})) div {w}"
+        ),
     )
 
     # cross-bucket strict-predecessor min: one row per touched bucket —
@@ -70,8 +91,34 @@ def skyline_2d(
     # a constant-size single-task sort at any corpus size
     bmin = pts.groupBy("__dom_bucket").agg(F.min(y).alias("__bmin"))
     wb = W.orderBy("__dom_bucket").rowsBetween(W.unboundedPreceding, -1)
+    # the bucket-contract guard rides the window's own ordering: a
+    # full-frame count over the SAME single-task sort is free, and
+    # putting the raise inside __prior_min (the column every survivor
+    # reads) means Catalyst cannot prune the check away
+    wall = W.orderBy("__dom_bucket").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    nb = F.count(F.lit(1)).over(wall)
     prior = bmin.select(
-        "__dom_bucket", F.min("__bmin").over(wb).alias("__prior_min")
+        "__dom_bucket",
+        F.when(
+            nb > F.lit(int(max_buckets)),
+            F.raise_error(
+                F.concat(
+                    F.lit("skyline_2d bucket contract violated: "),
+                    nb.cast("string"),
+                    F.lit(
+                        f" touched buckets > max_buckets={int(max_buckets)}"
+                        f" at bucket_width={int(bucket_width)}; the"
+                        " cross-bucket window is single-task by design"
+                        " and bounded only by the x-domain contract —"
+                        " raise bucket_width (preferred) or max_buckets"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.min("__bmin").over(wb))
+        .alias("__prior_min"),
     )
 
     # in-bucket: per (bucket, x) min y, then the strict-predecessor min
@@ -121,6 +168,7 @@ def skyline_merge(
     x_col: str = "x",
     y_col: str = "y",
     bucket_width: int = 1000,
+    max_buckets: int = 100_000,
 ) -> DataFrame:
     """Re-derive the frontier of a UNION of partial frontiers —
     ``skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))``. This is the
@@ -128,4 +176,4 @@ def skyline_merge(
     frontier (output-sized, tiny), the reader merges. Identical to
     :func:`skyline_2d`; named separately so call sites document which
     algebraic role they play."""
-    return skyline_2d(frontiers, x_col, y_col, bucket_width)
+    return skyline_2d(frontiers, x_col, y_col, bucket_width, max_buckets)

@@ -105,11 +105,21 @@ def resolve_buckets(
     bucket count for an epoch store's touched-bucket pruning.
 
     Sizing rule (the round-5 blocking law applied to bucket counts: a
-    pruning key's cardinality must GROW with the corpus, VERDICT r6 #1):
+    pruning key's cardinality must GROW with the corpus, VERDICT r6 #1),
+    two branches (ADVICE r9 doc fix):
 
-        n_buckets = next_pow2(max(floor, expected_rows / target_bucket_rows))
+        with an estimate:  n_buckets = next_pow2(max(8, expected_rows
+                           / target_bucket_rows))   — ``floor`` ignored
+        without one:       n_buckets = floor        — pure backstop
 
-    so each bucket holds ~``target_bucket_rows`` rows of the ACCUMULATED
+    The caller's corpus estimate is TRUSTED (min 8): stacking ``floor``
+    on top of an estimate over-buckets small corpora (256 near-empty
+    commit files per epoch was the dominant ER-dual fixed cost at
+    sf0.1, VERDICT r8 #4). Pass ``floor`` only to set the no-estimate
+    fallback; it has no effect when ``expected_rows``/``explicit`` is
+    given.
+
+    With an estimate, each bucket holds ~``target_bucket_rows`` rows of the ACCUMULATED
     store no matter the corpus size, and a delta's touched-bucket read
     costs O(|touched| x target_bucket_rows) = O(delta), never
     O(accumulated). A FIXED bucket count (the old ``n_buckets=64``)
@@ -2032,6 +2042,8 @@ def er_index_foreach_batch(
         expected_rows=expected_records,
         target_bucket_rows=target_bucket_rows,
         explicit=n_buckets,
+        # no-estimate backstop ONLY (expected_records=None); ignored
+        # whenever the caller passes an estimate — ADVICE r9 doc rule
         floor=256,
     )
 
@@ -3395,6 +3407,8 @@ def assoc_items_foreach_batch(
         expected_rows=expected_items,
         target_bucket_rows=target_bucket_rows,
         explicit=n_buckets,
+        # no-estimate backstop ONLY (expected_items=None); ignored
+        # whenever the caller passes an estimate — ADVICE r9 doc rule
         floor=64,
     )
 
@@ -3711,10 +3725,17 @@ def compact_versioned_deltas(
         and n[1:].isdigit()
         and int(n[1:]) <= int(through_epoch)
     ]
-    if not versions:
-        return
     tmp = os.path.join(root, f"_compact_tmp_v{int(through_epoch)}")
-    if not fsutil.exists(os.path.join(tmp, "_SUCCESS")):
+    tmp_ready = fsutil.exists(os.path.join(tmp, "_SUCCESS"))
+    # resume contract (ADVICE r9, high): a crash AFTER the delete loop
+    # but BEFORE the rename leaves versions empty with a completed
+    # temp dir pending — early-returning there would strand the
+    # compacted data invisibly (readers see zero counts). Only treat
+    # "no versions" as done when no completed temp is waiting; with a
+    # pending temp we fall through to the rename.
+    if not versions and not tmp_ready:
+        return
+    if not tmp_ready:
         df = None
         for n in versions:
             part = spark.read.parquet(os.path.join(root, n))

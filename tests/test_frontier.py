@@ -49,6 +49,43 @@ def test_skyline_bucket_width_invariant(spark):
     assert a == b == c and len(a) > 0
 
 
+def test_skyline_negative_and_huge_x_bucket_exact(spark):
+    """ADVICE r9: the bucket must be MATHEMATICAL floor(x/width) in
+    int64 — pmod-based div, not double division. Negative x exercises
+    floor-vs-truncate; |x| > 2^53 exercises the double-rounding hole
+    (1<<53 and (1<<53)+1 collapse to the same double)."""
+    big = 1 << 53
+    rows = [
+        (1, -5, 10),
+        (2, -4, 12),   # dominated by (-5,10)
+        (3, 3, 3),
+        (4, big, 2),
+        (5, big + 1, 1),   # survives: strictly larger x but smaller y
+        (6, big + 2, 1),   # y-tie with strictly larger x -> dominated
+    ]
+    got = {r.id for r in skyline_2d(_pts(spark, rows), bucket_width=3).collect()}
+    assert got == {1, 3, 4, 5}
+    # bucket-width invariance must hold across the negative/huge range
+    got2 = {r.id for r in skyline_2d(_pts(spark, rows), bucket_width=1000).collect()}
+    assert got2 == got
+
+
+def test_skyline_bucket_guard_raises_past_max(spark):
+    """VERDICT r9 #3: the x-domain contract is enforced mechanically —
+    the plan itself raises when touched buckets exceed max_buckets
+    (the partition-less cross-bucket window would otherwise silently
+    become an unbounded single-task sort)."""
+    import pytest
+
+    rows = [(i, i * 10, 1000 - i) for i in range(200)]
+    df = _pts(spark, rows)
+    with pytest.raises(Exception, match="skyline_2d bucket contract"):
+        skyline_2d(df, bucket_width=1, max_buckets=100).collect()
+    # same data under the limit: exact frontier, guard silent
+    ok = skyline_2d(df, bucket_width=1, max_buckets=5000)
+    assert ok.count() == 200  # strictly decreasing y: all on frontier
+
+
 def test_skyline_mergeability(spark):
     """skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B)) — the
     algebraic law the streaming dual rests on."""
@@ -212,6 +249,84 @@ def test_compaction_resumes_after_simulated_crash(spark):
     # exactly one epoch dir remains
     eps = [d for d in os.listdir(items) if d.startswith("epoch=")]
     assert eps == ["epoch=1"]
+
+
+def test_versioned_delta_compaction_resumes_after_delete_crash(spark):
+    """ADVICE r9 (high): crash AFTER the delete loop removed every v*
+    dir but BEFORE the rename — a re-run finds versions empty with a
+    completed _compact_tmp_v{E} pending. The old code early-returned
+    there, stranding the compacted data (readers silently saw zero
+    counts); the fix must finish the rename and lose nothing."""
+    import os
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        assoc_items_foreach_batch,
+        compact_versioned_deltas,
+        read_epoch_table,
+    )
+
+    df = _baskets_df(spark)
+    out = tempfile.mkdtemp(prefix="rars_t_vd_crash_")
+    stage = assoc_items_foreach_batch(out, expected_items=1000)
+    stage(df.filter(F.col("basket") % 2 == 0), 0)
+    stage(df.filter(F.col("basket") % 2 == 1), 1)
+    pd_dir = os.path.join(out, "pair_delta")
+    want = sorted(
+        map(
+            tuple,
+            read_epoch_table(spark, pd_dir)
+            .groupBy("ia", "ib")
+            .agg(F.sum("c_ab").cast("long").alias("c_ab"))
+            .collect(),
+        )
+    )
+    assert want, "fixture must produce pair deltas"
+
+    # simulate the crash state: completed temp (with _SUCCESS), every
+    # v* dir already deleted, rename never ran
+    tmp = os.path.join(pd_dir, "_compact_tmp_v1")
+    (
+        read_epoch_table(spark, pd_dir)
+        .groupBy("ia", "ib")
+        .agg(F.sum("c_ab").cast("long").alias("c_ab"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    import shutil
+
+    for name in os.listdir(pd_dir):
+        if name.startswith("v") and name[1:].isdigit():
+            shutil.rmtree(os.path.join(pd_dir, name))
+
+    compact_versioned_deltas(
+        spark, pd_dir, 1, key_cols=["ia", "ib"], sum_col="c_ab"
+    )
+    got = sorted(
+        map(
+            tuple,
+            read_epoch_table(spark, pd_dir)
+            .groupBy("ia", "ib")
+            .agg(F.sum("c_ab").cast("long").alias("c_ab"))
+            .collect(),
+        )
+    )
+    assert got == want
+    assert os.path.isdir(os.path.join(pd_dir, "v1"))
+    assert not os.path.exists(tmp)
+    # and a second call over the already-compacted store is a no-op
+    compact_versioned_deltas(
+        spark, pd_dir, 1, key_cols=["ia", "ib"], sum_col="c_ab"
+    )
+    assert sorted(
+        map(
+            tuple,
+            read_epoch_table(spark, pd_dir)
+            .groupBy("ia", "ib")
+            .agg(F.sum("c_ab").cast("long").alias("c_ab"))
+            .collect(),
+        )
+    ) == want
 
 
 # --------------------------------------------------------------------------

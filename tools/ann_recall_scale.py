@@ -133,7 +133,7 @@ def main() -> int:
             (r.query_id, r.neighbor_id)
             for r in S.pq_topk(
                 qs, cands, 64, m=m, k_cells=kc, topk=K, sample_n=sn,
-                rerank=rr,
+                rerank=rr, corpus_n=n,
             ).collect()
         }
         rec = round(len(exact & got) / len(exact), 4)
