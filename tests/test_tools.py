@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 import explain_audit  # noqa: E402
 import check_oracle  # noqa: E402
 import bench_compare  # noqa: E402
+import collect_audit  # noqa: E402
 
 
 # ---------------------------------------------------------------- plans
@@ -573,3 +574,85 @@ class TestShinglePairsIdentity:
         # the dupe pair must carry full-overlap intersection counts
         full = [r for r in brute if r[0] == 6 and r[1] == 7]
         assert full and full[0][2] == full[0][3] == full[0][4]
+
+
+# ------------------------------------------- collect_audit growth mode
+
+class TestCollectGrowthAudit:
+    """VERDICT r9 #7: --fail-on-growth verifies the BOUND an annotation
+    asserts, not just its existence — a 'bounded-collect: vocab' whose
+    frame silently became corpus-sized must fail the audit."""
+
+    def test_ceiling_table_first_match_wins(self):
+        assert collect_audit.ceiling_for("limit(1) top pair, scalar") == 64
+        # substring match: 'vocab' keyword catches 'vocabulary' too
+        assert collect_audit.ceiling_for("the trained vocabulary") == 262144
+        assert collect_audit.ceiling_for(None) == collect_audit.DEFAULT_CEILING
+        assert collect_audit.ceiling_for("n_cells codebook rows") == 65536
+        assert (
+            collect_audit.ceiling_for("some unrecognized free text")
+            == collect_audit.DEFAULT_CEILING
+        )
+
+    def test_degenerate_fixture_fails_growth_audit(self, spark, tmp_path):
+        """A fixture module whose annotated 'vocab' collect actually
+        materializes > ceiling rows must be flagged; the honest small
+        collect in the same module must not."""
+        fixture = tmp_path / "degenerate_mod.py"
+        fixture.write_text(textwrap.dedent(
+            """
+            def bad(spark, n):
+                df = spark.range(n)
+                # bounded-collect: vocab (asserted, but degenerate)
+                rows = df.collect()
+                return len(rows)
+
+            def good(spark):
+                df = spark.range(10)
+                # bounded-collect: one global scalar
+                rows = df.collect()
+                return len(rows)
+            """
+        ))
+        sys.path.insert(0, str(tmp_path))
+        try:
+            import degenerate_mod  # noqa: E402
+
+            cap = collect_audit.ceiling_for("vocab")
+
+            def workload():
+                degenerate_mod.good(spark)
+                degenerate_mod.bad(spark, cap + 10)
+
+            observed = collect_audit.run_growth_audit(
+                workload, [str(tmp_path)]
+            )
+            violations = collect_audit.judge_observations(observed)
+        finally:
+            sys.path.remove(str(tmp_path))
+            sys.modules.pop("degenerate_mod", None)
+        assert len(violations) == 2 - 1  # exactly the degenerate site
+        path, lineno, rows, ceiling, ann = violations[0]
+        assert rows == cap + 10 and ceiling == cap
+        assert "vocab" in ann
+        # the honest site was observed but not flagged
+        assert len(observed) == 2
+
+    def test_instrumentation_restores_methods(self, spark):
+        from pyspark.sql import DataFrame
+
+        classes = [DataFrame]
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+            classes.append(CDF)
+        except ImportError:
+            pass
+        before = [
+            (c, c.__dict__.get("collect"), c.__dict__.get("toPandas"))
+            for c in classes
+        ]
+        collect_audit.run_growth_audit(lambda: None, ["/nonexistent"])
+        for c, bc, bp in before:
+            assert c.__dict__.get("collect") is bc
+            assert c.__dict__.get("toPandas") is bp

@@ -22,6 +22,9 @@ python tools/explain_audit.py /root/testdata/sf0.001
 echo "== 3b/6 source collect audit =="
 python tools/collect_audit.py
 
+echo "== 3c/6 collect bound-class growth audit (sf0.001, driver gate) =="
+python tools/collect_audit.py --fail-on-growth /root/testdata/sf0.001
+
 echo "== 4/6 partitioning determinism =="
 python tools/determinism_check.py "$SF"
 

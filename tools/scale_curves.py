@@ -45,25 +45,36 @@ HEAVIEST = [
     "audio_pcm_features",
 ]
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SFS = [
     ("sf0.1", "/root/testdata/sf0.1", 1.0),
-    ("sf0.3", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale/sf0.3"), 3.0),
-    ("sf1", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale/sf1"), 10.0),
+    ("sf0.3", os.path.join(_REPO, ".scale/sf0.3"), 3.0),
+    ("sf1", os.path.join(_REPO, ".scale/sf1"), 10.0),
 ]
+# --sf3 appends the 30x tier (VERDICT r9 #1: probe the steepest curves
+# past sf1 to see whether blocked-pair growth bends super-linear where
+# fixed epoch/JVM overheads stop masking it) and records the TOP-END
+# alpha sf1->sf3 alongside the usual sf0.1->sf1 fit.
+SF3 = ("sf3", os.path.join(_REPO, ".scale/sf3"), 30.0)
 
 REPS = 3
 
 
 def main() -> int:
-    out_json = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
-    only = sys.argv[2:] or HEAVIEST
+    argv = sys.argv[1:]
+    sfs = list(SFS)
+    if "--sf3" in argv:
+        argv.remove("--sf3")
+        sfs = sfs + [SF3]
+    out_json = argv[0] if argv else "SCALING.json"
+    only = argv[1:] or HEAVIEST
     spark = build_session("scale_curves")
     qs = catalog.queries()
     results: dict = {}
     for name in only:
         fn = qs[name]
         results[name] = {}
-        for sf_name, sf_dir, _mult in SFS:
+        for sf_name, sf_dir, _mult in sfs:
             times = []
             for _ in range(REPS):
                 spark.catalog.clearCache()
@@ -82,6 +93,11 @@ def main() -> int:
         alpha = math.log(max(hi, 1e-9) / max(lo, 1e-9)) / math.log(10.0)
         results[name]["alpha_sf0.1_to_sf1"] = round(alpha, 3)
         print(f"{name}: alpha = {alpha:.2f}", flush=True)
+        if "sf3" in results[name]:
+            top = results[name]["sf3"]["median_s"]
+            a3 = math.log(max(top, 1e-9) / max(hi, 1e-9)) / math.log(3.0)
+            results[name]["alpha_sf1_to_sf3"] = round(a3, 3)
+            print(f"{name}: top-end alpha (sf1->sf3) = {a3:.2f}", flush=True)
     payload = {
         "reps": REPS,
         "load_avg": os.getloadavg()[0],
