@@ -94,47 +94,37 @@ DRIVER_GATE: list[str] = [
     # TPC-H flagship (the other 21 adaptations: driver-green r1-r7,
     # still local-verified at 3 scale factors)
     "q1_pricing_summary",
-    # ROTATION (round 9, VERDICT r8 #5): all 28 rotatable slots swap to
-    # NEVER-driver-checked queries — OUT the 28 round-8 rows (each
-    # driver-green in CORRECTNESS_r08 and green in the committed local
-    # artifacts at sf0.01/sf0.1/sf1) — IN, first, the three queries
-    # whose only committed evidence was the sf1 sweep
-    # (cusum_changepoints, stream_cusum_alarms, phrase_search_
-    # positional — the r8 gate-lag finding), then 25 more never-checked
-    # rows spread across every family. Cumulative driver-visible
-    # coverage rises 91 -> 119 unique queries (r1-r9).
-    # forecasting + phrase search (3) — the sf1-only-evidence trio
-    "cusum_changepoints", "stream_cusum_alarms",
-    "phrase_search_positional",
+    # ROTATION (round 10, VERDICT r9 #4): all 28 rotatable slots swap
+    # to NEVER-driver-checked queries — OUT the 28 round-9 rows (each
+    # driver-green in CORRECTNESS_r09 and green in the committed local
+    # artifacts at sf0.01/sf0.1) — IN, first, the heavy streaming
+    # duals whose epoch-store write paths changed most in r9/r10
+    # (tokenizer encode/train duals, the mergeable-stat duals, and
+    # stream_assoc_compacted, which exercises the compaction reader),
+    # then never-checked rows spread across every family. Cumulative
+    # driver-visible coverage rises 119 -> 147 unique queries (r1-r10).
+    # heavy streaming duals (8)
+    "stream_assoc_compacted", "stream_bm25_search",
+    "stream_pack_sequences", "stream_unigram_encode",
+    "stream_wordpiece_encode", "stream_bt_strength",
+    "stream_source_mix", "stream_nb_confusion",
+    # tokenizer training (3)
+    "bpe_train_merges", "unigram_train_vocab", "wordpiece_train_vocab",
+    # selection / sampling (2)
+    "pps_token_sample", "sample_weighted_tokens",
     # dedup family (3)
-    "dedup_exact", "dedup_simhash", "dedup_clusters_star",
-    # ANN / similarity tiers (3)
-    "sim_cosine_topk", "sim_ann_lsh", "sim_ann_sq8",
-    # sketches (1)
-    "hll_user_distinct",
+    "dedup_shared_spans", "dedup_keep_list", "dedup_sorted_neighborhood",
+    # ANN / similarity / kNN (4)
+    "sim_ann_binary", "sim_ann_matryoshka", "label_noise_knn",
+    "knn_graph_probe",
+    # sketches (2)
+    "sketch_theta_setops", "sketch_ams_f2",
     # text analysis (2)
-    "text_langid", "text_quality_filter",
-    # tokenizers (1)
-    "unigram_encode_counts",
-    # retrieval (1)
-    "tfidf_keywords",
+    "text_char_entropy", "ccnet_perplexity_buckets",
     # multimodal (2)
-    "image_phash", "multimodal_frames",
-    # selection / packing (2)
-    "dsir_importance", "pack_training_sequences",
+    "audio_pcm_features", "multimodal_resize",
     # batch graph (2)
-    "graph_triangles", "ppr_supplier_recs",
-    # streaming duals (2)
-    "stream_decontaminate", "stream_linreg_price",
-    # windows family (1)
-    "rolling_7d_revenue",
-    # round-9 additions (5) — shipped WITH driver evidence the round
-    # they land (dedup_keep_list / sim_ann_matryoshka /
-    # sketch_theta_setops / wordpiece_train_vocab / rrf_search_fusion
-    # yielded their never-checked slots; they stay green in the r9
-    # local artifacts at sf0.01 + sf0.1)
-    "pareto_frontier_parts", "stream_pareto_frontier",
-    "er_golden_record", "cluster_safe_splits", "rolling_hll_users",
+    "communities_purchase_graph", "graph_kcore",
 ]
 
 
@@ -4192,24 +4182,41 @@ def _lsh_band_cols_sql(
 
 def _neardup_blocked(emb):
     """Spark side of the near-dup blocking: the MULTI-BAND OR key set
-    (dedup.banded_blocks — label x 8 independent 4-plane sign-LSH
-    buckets, ADVICE r5). A single AND-composed band kept blocks small
-    but silently dropped most qualifying pairs (survival ~0.16 at
-    cos 0.4); 8 bands OR'd recover 0.75 at the 0.4 threshold, 0.98 at
+    (dedup.banded_blocks — label x independent sign-LSH buckets,
+    ADVICE r5). A single AND-composed band kept blocks small but
+    silently dropped most qualifying pairs (survival ~0.16 at cos
+    0.4); OR'd bands recover >= 0.74 at the 0.4 threshold, 0.98 at
     0.8, ~1.0 above 0.9 (recall floor pinned in
-    tests/test_operators.py) while each band's block sizes stay the
-    bounded label x 2^4 shape (see SCALING.md)."""
-    from rapids_and_rivers_spark.operators.dedup import banded_blocks
+    tests/test_operators.py).
+
+    Band SHAPE is corpus-scaled (round-10 sf3 probe: fixed 4-plane
+    bands left bucket count constant, so bucket size — and the
+    within-bucket pair space — grew quadratically; cluster_safe_splits
+    hit top-end alpha 1.72 at sf1->sf3). dedup.adaptive_band_params
+    grows planes ~log2(rows per label / 64) and re-derives the band
+    count from the recall S-curve; at the oracle scales
+    (sf0.001-sf0.1) it resolves to exactly the (4, 8) the registered
+    DuckDB oracles unroll, pinned by
+    tests/test_operators.py::test_adaptive_band_params_oracle_scales.
+    The two sizing inputs are metadata-cheap (a parquet count and a
+    10-value distinct)."""
+    from rapids_and_rivers_spark.operators.dedup import (
+        adaptive_band_params,
+        banded_blocks,
+    )
     from rapids_and_rivers_spark.operators.similarity import as_double_array
 
+    n = emb.count()
+    n_labels = emb.select("label").distinct().count()
+    n_planes, n_bands = adaptive_band_params(n, n_labels)
     return emb.withColumn(
         "blk",
         banded_blocks(
             as_double_array(F.col("embedding")),
             F.col("label"),
             64,
-            n_planes=4,
-            n_bands=8,
+            n_planes=n_planes,
+            n_bands=n_bands,
             seed=7,
         ),
     )

@@ -941,6 +941,56 @@ def semantic_dedup(
     )
 
 
+def adaptive_band_params(
+    n_rows: int,
+    n_groups: int = 1,
+    threshold: float = 0.4,
+    target_block_rows: int = 64,
+    recall_floor: float = 0.74,
+    min_planes: int = 4,
+    min_bands: int = 8,
+) -> tuple[int, int]:
+    """Corpus-scaled ``(n_planes, n_bands)`` for :func:`banded_blocks`
+    — the plan change the round-10 sf3 probe demanded (cluster_safe_
+    splits top-end alpha 1.72 at sf1->sf3 under FIXED 4-plane bands).
+
+    The failure mode is the round-5 fixed-cardinality-blocking-key law
+    applied to LSH bit counts: with ``label x 2^4`` buckets, bucket
+    COUNT is constant, so bucket SIZE grows with the corpus and the
+    within-bucket pair space grows quadratically. The cure is the
+    standard LSH scaling: planes per band grow ~log2 of the expected
+    bucket size,
+
+        r = max(min_planes, ceil(log2(n_rows / (n_groups * target))))
+
+    so each band's buckets hold ~``target_block_rows`` rows at ANY
+    corpus size (random-pair collisions per band fall from
+    O(n^2 / 2^r) to O(n * target) — linear), and the band count is
+    re-derived from the S-curve so pair recall at ``threshold`` never
+    drops below ``recall_floor``:
+
+        p = 1 - acos(threshold)/pi;  b = ceil(ln(1-floor)/ln(1-p^r))
+
+    Oracle-stability contract: at the catalog's oracle scales
+    (sf0.001-sf0.1, <= 2000 vectors over 10 labels) this resolves to
+    exactly the registered queries' static (4, 8) — pinned by test —
+    so the DuckDB oracles' unrolled band SQL stays bit-identical while
+    the same code picks (5, 13) at 20k vectors and (7, 34) at 60k.
+    Band cost grows ~log-linearly (b * n key rows); the quadratic term
+    is gone.
+    """
+    import math
+
+    r = min_planes
+    if n_rows > 0 and n_groups > 0:
+        per = n_rows / (n_groups * target_block_rows)
+        if per > 1:
+            r = max(min_planes, math.ceil(math.log2(per)))
+    p = 1.0 - math.acos(threshold) / math.pi
+    b = math.ceil(math.log(1.0 - recall_floor) / math.log(1.0 - p**r))
+    return r, max(min_bands, b)
+
+
 def banded_blocks(
     emb: Column,
     label: Column | None,

@@ -194,6 +194,31 @@ def test_embedding_neardup_threshold(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
 
 
+def test_adaptive_band_params_oracle_scales():
+    """The corpus-scaled band shape (round-10 sf3 fix) must resolve to
+    EXACTLY the (4, 8) the registered DuckDB oracles unroll at every
+    oracle scale (sf0.001: 500 vectors / sf0.01: 500 / sf0.1: 2000,
+    all over 10 labels) — and grow past them, with the recall S-curve
+    floor holding at every derived shape."""
+    import math
+
+    assert D.adaptive_band_params(500, 10) == (4, 8)
+    assert D.adaptive_band_params(2000, 10) == (4, 8)
+    # growth: planes track log2(rows/label/64), bands re-derive
+    r1, b1 = D.adaptive_band_params(20000, 10)
+    r3, b3 = D.adaptive_band_params(60000, 10)
+    assert r1 == 5 and r3 == 7 and b3 > b1 > 8
+    # the recall floor holds at every derived shape
+    p = 1.0 - math.acos(0.4) / math.pi
+    for n in (500, 2000, 20000, 60000, 600000):
+        r, b = D.adaptive_band_params(n, 10)
+        assert 1.0 - (1.0 - p**r) ** b >= 0.74, (n, r, b)
+        # and buckets stay ~target-sized: expected rows per (label,
+        # band-bucket) <= 2x target once past the minimum shape
+        if n / (10 * 64) > 16:
+            assert n / (10 * (1 << r)) <= 2 * 64, (n, r)
+
+
 def test_banded_blocks_recall_floor(spark):
     """Multi-band OR blocking (ADVICE r5) must recover most qualifying
     near-dup pairs: vs the exhaustive within-label truth at threshold
