@@ -12546,3 +12546,161 @@ def pps_token_sample(spark, sf_dir):
         sized, group_col="source", id_col="doc_id",
         weight_col="n_tokens", n_per_group=10,
     ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 10 additions: store-lifecycle compaction under ingest for the ER,
+# triangle, and IVF epoch stores (VERDICT r9 #3) — each is its
+# uncompacted twin's FULL value oracle verbatim, because compaction is
+# contract-invisible by construction (the same reason
+# stream_assoc_compacted shares assoc_rules_brands' oracle).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_er_compacted",
+    _REGISTRY["stream_er_entities"].oracle,
+    doc="ER store compaction under ingest (duals.er_compact_store): "
+    "three document epochs; after epochs 0-1 commit, the records "
+    "epoch-dirs fold to one (blk_bucket layout preserved for the SNM "
+    "touched-bucket pruning) and the five v-dir index channels "
+    "(ssj_prefix/shingles/pairs, snm_pairs/touched — the snm rows "
+    "CARRY their epoch, so last-writer-wins reads survive the fold) "
+    "each collapse to one dir; epoch 2 then ingests against the "
+    "compacted store — its cross-epoch candidate joins and "
+    "bucket-pruned SNM recompute see exactly the rows the originals "
+    "held. Drained entities must equal stream_er_entities (same FULL "
+    "DuckDB oracle verbatim). Crash-safe per the shared "
+    "_SUCCESS-gated temp/swap discipline incl. the ADVICE r10 "
+    "crash-after-delete resume",
+)
+def stream_er_compacted(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        er_compact_store,
+        er_current_entities,
+        er_index_foreach_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = tempfile.mkdtemp(prefix="rars_stream_er_cp_")
+    stage = er_index_foreach_batch(index_dir, expected_records=docs.count())
+    stage(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    stage(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    # epochs 0-1 are committed; compact them, then keep ingesting
+    er_compact_store(spark, index_dir, through_epoch=1)
+    stage(docs.filter(F.col("doc_id") % 3 == 2), 2)
+    return er_current_entities(spark, index_dir)
+
+
+@register(
+    "stream_triangles_compacted",
+    _REGISTRY["stream_triangles_copurchase"].oracle,
+    doc="adjacency-store compaction under ingest "
+    "(duals.triangles_compact_store): the co-purchase kNN edge set in "
+    "three epochs by edge hash; after epochs 0-1 commit, the edge and "
+    "adjacency epoch-dirs fold to one (abkt/ubkt bucket layouts "
+    "preserved — compacted rows take epoch=1, still strictly below "
+    "epoch 2's delta anti-join) and the latest-only counts snapshots "
+    "prune to one; epoch 2's delta triangles close against the "
+    "compacted adjacency. Must equal stream_triangles_copurchase "
+    "(same FULL DuckDB oracle verbatim)",
+)
+def stream_triangles_compacted(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        read_latest_tricounts,
+        triangles_compact_store,
+        triangles_foreach_batch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    ok = cs.groupBy("c").agg(F.count(F.lit(1)).alias("nsup")).filter(
+        F.col("nsup") <= 40
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    pairs = (
+        a.join(ok.select("c"), "c")
+        .join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("pa"), F.col("b.s").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .persist()
+    )
+    directed = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "shared"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "shared")
+    )
+    wk = W.partitionBy("src").orderBy(F.desc("shared"), "dst")
+    edges = (
+        directed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 8)
+        .select("src", "dst")
+    )
+    state_dir = tempfile.mkdtemp(prefix="rars_stream_tri_cp_")
+    n_suppliers = load_table(spark, sf_dir, "supplier").count()
+    stage = triangles_foreach_batch(
+        state_dir, expected_adj_rows=16 * n_suppliers
+    )
+    par = F.pmod(F.xxhash64(F.concat_ws("|", "src", "dst")), F.lit(3))
+    stage(edges.filter(par == 0), 0)
+    stage(edges.filter(par == 1), 1)
+    # epochs 0-1 are committed; compact them, then keep ingesting
+    triangles_compact_store(spark, state_dir, through_epoch=1)
+    stage(edges.filter(par == 2), 2)
+    pairs.unpersist()
+    cs.unpersist()
+    return read_latest_tricounts(spark, state_dir)
+
+
+@register(
+    "stream_ivf_compacted",
+    _ivf_oracle_sql(train_where="vec_id >= 10 AND vec_id % 3 = 0"),
+    doc="IVF postings compaction under ingest (duals.ivf_compact_store): "
+    "candidates arrive in three epochs by vec_id mod 3 (quantizer "
+    "trains on epoch 0's md5-ordered sample and freezes); after "
+    "epochs 0-1 commit, postings/epoch=0..1 fold into one epoch dir "
+    "with the cell partition layout preserved (queries keep pruning "
+    "on the cell directory key); epoch 2 appends beside the compacted "
+    "dir. The drained probe must equal the same frozen-codebook "
+    "ivf_probe_rank chain — FULL value oracle with the training "
+    "sample restricted to the epoch-0 (vec_id % 3 = 0) subset",
+)
+def stream_ivf_compacted(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        ivf_compact_store,
+        ivf_index_foreach_batch,
+        ivf_query_from_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    candidates = spread(
+        emb.filter(F.col("vec_id") >= 10), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array(F.col("embedding")).alias("c_emb"),
+    )
+    index_dir = tempfile.mkdtemp(prefix="rars_stream_ivf_cp_")
+    stage = ivf_index_foreach_batch(index_dir, dim=64, n_cells=16)
+    stage(candidates.filter(F.col("neighbor_id") % 3 == 0), 0)
+    stage(candidates.filter(F.col("neighbor_id") % 3 == 1), 1)
+    # epochs 0-1 are committed; compact them, then keep ingesting
+    ivf_compact_store(spark, index_dir, through_epoch=1)
+    stage(candidates.filter(F.col("neighbor_id") % 3 == 2), 2)
+    return ivf_query_from_index(spark, index_dir, queries, k=5, nprobe=4)
