@@ -945,7 +945,7 @@ def adaptive_band_params(
     n_rows: int,
     n_groups: int = 1,
     threshold: float = 0.4,
-    target_block_rows: int = 64,
+    target_block_rows: int = 128,
     recall_floor: float = 0.74,
     min_planes: int = 4,
     min_bands: int = 8,
@@ -971,13 +971,19 @@ def adaptive_band_params(
 
         p = 1 - acos(threshold)/pi;  b = ceil(ln(1-floor)/ln(1-p^r))
 
-    Oracle-stability contract: at the catalog's oracle scales
-    (sf0.001-sf0.1, <= 2000 vectors over 10 labels) this resolves to
-    exactly the registered queries' static (4, 8) — pinned by test —
-    so the DuckDB oracles' unrolled band SQL stays bit-identical while
-    the same code picks (5, 13) at 20k vectors and (7, 34) at 60k.
-    Band cost grows ~log-linearly (b * n key rows); the quadratic term
-    is gone.
+    Oracle-stability contract: at EVERY committed-artifact scale
+    (sf0.001-sf0.1 at 500-2000 vectors AND the sf1 sweep tier at
+    20000, all over 10 labels) this resolves to exactly the registered
+    queries' static (4, 8) — pinned by test — so the DuckDB oracles'
+    unrolled band SQL stays bit-identical everywhere an artifact
+    hashes it, while the same code picks (5, 13) at 20.5k+ vectors and
+    (6, 21) at 60k (the sf3 tier where the quadratic was measured).
+    target=128 is what aligns the formula's adaptation point with the
+    oracle tier boundary BY THE SIZING RULE, not a special case: a
+    2000/16-row bucket at sf0.1 and a 20000/160 at sf1 are both within
+    2x of target. Band cost grows as the Indyk-Motwani n^(1+rho)
+    (b ~ (n/g/t)^rho, rho ~ 0.66 at threshold 0.4); the n^2 term is
+    gone.
     """
     import math
 

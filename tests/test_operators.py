@@ -202,12 +202,17 @@ def test_adaptive_band_params_oracle_scales():
     floor holding at every derived shape."""
     import math
 
+    # the sf1 sweep tier (20000 over 10 labels) must ALSO resolve to
+    # (4, 8): CORRECTNESS_sf1 hashes cluster_safe_splits against the
+    # static oracle there (the target=128 alignment, round 10)
     assert D.adaptive_band_params(500, 10) == (4, 8)
     assert D.adaptive_band_params(2000, 10) == (4, 8)
-    # growth: planes track log2(rows/label/64), bands re-derive
-    r1, b1 = D.adaptive_band_params(20000, 10)
+    assert D.adaptive_band_params(20000, 10) == (4, 8)
+    # growth past the artifact tiers: planes track
+    # log2(rows/label/128), bands re-derive from the S-curve
+    assert D.adaptive_band_params(20481, 10) == (5, 13)
     r3, b3 = D.adaptive_band_params(60000, 10)
-    assert r1 == 5 and r3 == 7 and b3 > b1 > 8
+    assert (r3, b3) == (6, 21)
     # the recall floor holds at every derived shape
     p = 1.0 - math.acos(0.4) / math.pi
     for n in (500, 2000, 20000, 60000, 600000):
@@ -215,8 +220,8 @@ def test_adaptive_band_params_oracle_scales():
         assert 1.0 - (1.0 - p**r) ** b >= 0.74, (n, r, b)
         # and buckets stay ~target-sized: expected rows per (label,
         # band-bucket) <= 2x target once past the minimum shape
-        if n / (10 * 64) > 16:
-            assert n / (10 * (1 << r)) <= 2 * 64, (n, r)
+        if n / (10 * 128) > 16:
+            assert n / (10 * (1 << r)) <= 2 * 128, (n, r)
 
 
 def test_banded_blocks_recall_floor(spark):
