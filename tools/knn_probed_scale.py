@@ -85,10 +85,14 @@ def main() -> int:
         emb = _emb(spark, sf_dir)
         n = emb.count()
         cells = n_cells_for(n)
-        for shape, nprobe in (
-            ("fixed", min(FIXED_NPROBE, cells)),
-            ("fraction", max(1, cells // 4)),
-        ):
+        shapes = [("fixed", min(FIXED_NPROBE, cells))]
+        # the fraction shape is Θ(n²)/4 BY CONSTRUCTION — measuring it
+        # at sf3 costs ~20 min to confirm arithmetic; two tiers pin the
+        # exponent (1.04 measured sf0.1->sf1) and the sf3 point is
+        # extrapolation the reader can do
+        if name != "sf3":
+            shapes.append(("fraction", max(1, cells // 4)))
+        for shape, nprobe in shapes:
             med, mn = _time_knn(spark, emb, cells, nprobe)
             results["shapes"][shape][name] = {
                 "n": n, "n_cells": cells, "nprobe": nprobe,
@@ -100,6 +104,8 @@ def main() -> int:
             )
     for shape, t in results["shapes"].items():
         for lo, hi, span in (("sf0.1", "sf1", 10.0), ("sf1", "sf3", 3.0)):
+            if lo not in t or hi not in t:
+                continue
             a = math.log(
                 max(t[hi]["median_s"], 1e-9) / max(t[lo]["median_s"], 1e-9)
             ) / math.log(span)
