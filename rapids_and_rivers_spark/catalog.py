@@ -3178,6 +3178,79 @@ def sim_ann_lsh(spark, sf_dir):
     return S.lsh_topk(queries, candidates, dim=64, k=5, n_planes=4)
 
 
+def _kmeans_cb_ctes(
+    dim=64, n_cells=16, seed=13, sample=512, iters=8, q=1024,
+    train_where="vec_id >= 10",
+) -> str:
+    """The shared deterministic-k-means CTE prefix: md5-ordered sample,
+    grid-snapped spherical-Lloyd iterations unrolled as CTEs — the exact
+    chain similarity.lloyd_codebook runs in numpy (see
+    :func:`_ivf_oracle_sql` for the full determinism argument). Returns
+    ``WITH sample ... cb{iters}``; callers append their own CTEs and the
+    final SELECT. Extracted so the cluster-blocked SemDeDup family
+    (semantic_dedup_clustered — round-11 headline) reuses the identical
+    codebook the IVF oracles already unroll."""
+    from rapids_and_rivers_spark.operators.similarity import SCORE_GRID
+
+    def snap(expr: str) -> str:
+        return f"floor(({expr}) * {SCORE_GRID}.0 + 0.5)"
+
+    grid = f"floor(v * {q}.0 + 0.5) / {q}.0"
+    order = f"md5('s{seed}-' || CAST(vec_id AS VARCHAR))"
+    parts = [
+        f"""
+    WITH sample AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS emb,
+             row_number() OVER (ORDER BY {order}) AS sid
+      FROM embeddings WHERE {train_where}
+      ORDER BY {order} LIMIT {sample}
+    ),
+    snorm AS MATERIALIZED (
+      SELECT sid,
+             CASE WHEN sqrt(list_inner_product(emb, emb)) = 0 THEN emb
+                  ELSE list_transform(emb,
+                         v -> v / sqrt(list_inner_product(emb, emb)))
+             END AS xn
+      FROM sample
+    ),
+    cb0 AS MATERIALIZED (
+      SELECT sid AS cell, list_transform(xn, v -> {grid}) AS centroid
+      FROM snorm WHERE sid <= {n_cells}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    assign{i} AS (
+      SELECT sid, xn, cell FROM (
+        SELECT s.sid, s.xn, c.cell,
+               row_number() OVER (PARTITION BY s.sid
+                 ORDER BY {snap("list_inner_product(s.xn, c.centroid)")} DESC,
+                          c.cell) AS rnk
+        FROM snorm s CROSS JOIN cb{p} c) WHERE rnk = 1
+    ),
+    mvec{i} AS (
+      SELECT cell, list(m ORDER BY pos) AS mv FROM (
+        SELECT cell, p.range AS pos, avg(xn[p.range + 1]) AS m
+        FROM assign{i}, range({dim}) p GROUP BY cell, p.range)
+      GROUP BY cell
+    ),
+    cb{i} AS MATERIALIZED (
+      SELECT c.cell,
+             CASE WHEN n.mv IS NULL
+                       OR sqrt(list_inner_product(n.mv, n.mv)) = 0
+                  THEN c.centroid
+                  ELSE list_transform(n.mv,
+                    m -> floor(m / sqrt(list_inner_product(n.mv, n.mv))
+                               * {q}.0 + 0.5) / {q}.0)
+             END AS centroid
+      FROM cb{p} c LEFT JOIN mvec{i} n USING (cell)
+    )"""
+        )
+    return "".join(parts)
+
+
 def _ivf_oracle_sql(
     dim=64, n_cells=16, nprobe=4, k=5, seed=13, sample=512, iters=8, q=1024,
     train_where="vec_id >= 10",
@@ -3209,59 +3282,12 @@ def _ivf_oracle_sql(
     def snap(expr: str) -> str:
         return f"floor(({expr}) * {SCORE_GRID}.0 + 0.5)"
 
-    grid = f"floor(v * {q}.0 + 0.5) / {q}.0"
-    order = f"md5('s{seed}-' || CAST(vec_id AS VARCHAR))"
     parts = [
-        f"""
-    WITH sample AS (
-      SELECT CAST(embedding AS DOUBLE[]) AS emb,
-             row_number() OVER (ORDER BY {order}) AS sid
-      FROM embeddings WHERE {train_where}
-      ORDER BY {order} LIMIT {sample}
-    ),
-    snorm AS (
-      SELECT sid,
-             CASE WHEN sqrt(list_inner_product(emb, emb)) = 0 THEN emb
-                  ELSE list_transform(emb,
-                         v -> v / sqrt(list_inner_product(emb, emb)))
-             END AS xn
-      FROM sample
-    ),
-    cb0 AS (
-      SELECT sid AS cell, list_transform(xn, v -> {grid}) AS centroid
-      FROM snorm WHERE sid <= {n_cells}
-    )"""
-    ]
-    for i in range(1, iters + 1):
-        p = i - 1
-        parts.append(
-            f""",
-    assign{i} AS (
-      SELECT sid, xn, cell FROM (
-        SELECT s.sid, s.xn, c.cell,
-               row_number() OVER (PARTITION BY s.sid
-                 ORDER BY {snap("list_inner_product(s.xn, c.centroid)")} DESC,
-                          c.cell) AS rnk
-        FROM snorm s CROSS JOIN cb{p} c) WHERE rnk = 1
-    ),
-    mvec{i} AS (
-      SELECT cell, list(m ORDER BY pos) AS mv FROM (
-        SELECT cell, p.range AS pos, avg(xn[p.range + 1]) AS m
-        FROM assign{i}, range({dim}) p GROUP BY cell, p.range)
-      GROUP BY cell
-    ),
-    cb{i} AS (
-      SELECT c.cell,
-             CASE WHEN n.mv IS NULL
-                       OR sqrt(list_inner_product(n.mv, n.mv)) = 0
-                  THEN c.centroid
-                  ELSE list_transform(n.mv,
-                    m -> floor(m / sqrt(list_inner_product(n.mv, n.mv))
-                               * {q}.0 + 0.5) / {q}.0)
-             END AS centroid
-      FROM cb{p} c LEFT JOIN mvec{i} n USING (cell)
-    )"""
+        _kmeans_cb_ctes(
+            dim=dim, n_cells=n_cells, seed=seed, sample=sample, iters=iters,
+            q=q, train_where=train_where,
         )
+    ]
     parts.append(
         f""",
     cands AS (
@@ -3820,7 +3846,7 @@ def _knn_blocked_oracle_sql(
       FROM embeddings
       ORDER BY {order} LIMIT {sample}
     ),
-    snorm AS (
+    snorm AS MATERIALIZED (
       SELECT sid,
              CASE WHEN sqrt(list_inner_product(emb, emb)) = 0 THEN emb
                   ELSE list_transform(emb,
@@ -3828,7 +3854,7 @@ def _knn_blocked_oracle_sql(
              END AS xn
       FROM sample
     ),
-    cb0 AS (
+    cb0 AS MATERIALIZED (
       SELECT sid AS cell, list_transform(xn, v -> {grid}) AS centroid
       FROM snorm WHERE sid <= {n_cells}
     )"""
@@ -3851,7 +3877,7 @@ def _knn_blocked_oracle_sql(
         FROM assign{i}, range({dim}) p GROUP BY cell, p.range)
       GROUP BY cell
     ),
-    cb{i} AS (
+    cb{i} AS MATERIALIZED (
       SELECT c.cell,
              CASE WHEN n.mv IS NULL
                        OR sqrt(list_inner_product(n.mv, n.mv)) = 0
@@ -4183,7 +4209,7 @@ def _lsh_band_cols_sql(
 _BAND_SHAPE_CACHE: dict[str, tuple[int, int]] = {}
 
 
-def _neardup_blocked(emb):
+def _neardup_blocked(spark, sf_dir):
     """Spark side of the near-dup blocking: the MULTI-BAND OR key set
     (dedup.banded_blocks — label x independent sign-LSH buckets,
     ADVICE r5). A single AND-composed band kept blocks small but
@@ -4205,13 +4231,18 @@ def _neardup_blocked(emb):
     per input path for the session (the testdata dirs are immutable;
     the round-10 A/B measured two separate per-call count jobs as
     ~2 s/query across the 6-query family at sf0.1 — the sizing must
-    not tax every call in a sweep)."""
+    not tax every call in a sweep). The memo key is the table's file
+    list, which is only a safe key for the UNFILTERED table — so this
+    function loads the table itself (ADVICE r10): callers pass
+    (spark, sf_dir), making it impossible to feed a filtered/subset
+    frame whose (n, g) would silently reuse the full-table shape."""
     from rapids_and_rivers_spark.operators.dedup import (
         adaptive_band_params,
         banded_blocks,
     )
     from rapids_and_rivers_spark.operators.similarity import as_double_array
 
+    emb = load_table(spark, sf_dir, "embeddings")
     key = ";".join(sorted(str(f) for f in emb.inputFiles()))
     shape = _BAND_SHAPE_CACHE.get(key)
     if shape is None:
@@ -4261,7 +4292,7 @@ def _neardup_blocked(emb):
     "(blocking bounds the pair space at scale)",
 )
 def embedding_neardup(spark, sf_dir):
-    emb = _neardup_blocked(load_table(spark, sf_dir, "embeddings"))
+    emb = _neardup_blocked(spark, sf_dir)
     return D.embedding_neardup_pairs(
         emb, emb_col="embedding", id_col="vec_id", block_col="blk", threshold=0.4
     )
@@ -4306,7 +4337,7 @@ def embedding_neardup(spark, sf_dir):
     "(oracle: transitive closure by recursive CTE)",
 )
 def dedup_clusters(spark, sf_dir):
-    emb = _neardup_blocked(load_table(spark, sf_dir, "embeddings"))
+    emb = _neardup_blocked(spark, sf_dir)
     pairs = D.embedding_neardup_pairs(
         emb, emb_col="embedding", id_col="vec_id", block_col="blk", threshold=0.4
     )
@@ -4359,9 +4390,244 @@ def dedup_clusters(spark, sf_dir):
     "CTE oracle",
 )
 def semantic_dedup(spark, sf_dir):
-    emb = _neardup_blocked(load_table(spark, sf_dir, "embeddings"))
+    emb = _neardup_blocked(spark, sf_dir)
     return D.semantic_dedup(
         emb, emb_col="embedding", id_col="vec_id", block_col="blk", threshold=0.4
+    )
+
+
+# --- k-means cluster-blocked SemDeDup (round-11 headline) --------------------
+#
+# The round-10 sf3 probe measured the banded-LSH blocking family above at
+# its Indyk-Motwani theory floor n^1.66 (threshold 0.4); SemDeDup's own
+# blocking (Abbas et al. 2023 §2) — global k-means, k ∝ corpus, dedup
+# WITHIN clusters — is O(n · cluster): the linear 100 TB design. The
+# codebook chain is the _ivf_oracle_sql contract verbatim (md5-ordered
+# sample, grid-snapped unrolled Lloyd), so the family keeps FULL value
+# oracles; the pair cosines use the knn_self_join int64-quantized
+# exactness contract (exact integer dots, one double division, rounding
+# at the output boundary).
+
+
+def _semdedup_clustered_ctes(
+    dim=64, n_cells=16, seed=13, sample=512, iters=8, q=1024, scale=1000,
+    threshold="0.4",
+) -> str:
+    """Shared CTE chain for the cluster-blocked SemDeDup oracles:
+    deterministic k-means codebook (:func:`_kmeans_cb_ctes`, trained on
+    ALL embeddings) -> argmax-snapped-dot cell assignment (ties ->
+    lowest cell, exactly similarity.assign_cells) -> int64-quantized
+    within-cell pair cosines (``floor(v*scale)`` dots are exact in
+    double; ``n2_a * n2_b`` is one rounding in both engines; one
+    division; round(.,4) at the boundary) -> ``sem_pairs``."""
+    from rapids_and_rivers_spark.operators.similarity import SCORE_GRID
+
+    snap = (
+        f"floor((list_inner_product(v.emb, cb.centroid)) * {SCORE_GRID}.0"
+        " + 0.5)"
+    )
+    return (
+        _kmeans_cb_ctes(
+            dim=dim, n_cells=n_cells, seed=seed, sample=sample, iters=iters,
+            q=q, train_where="TRUE",
+        )
+        + f""",
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cassign AS (
+      SELECT vec_id, emb, cell FROM (
+        SELECT v.vec_id, v.emb, cb.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {snap} DESC,
+                          cb.cell) AS rnk
+        FROM vecs v CROSS JOIN cb{iters} cb) WHERE rnk = 1
+    ),
+    qn AS (
+      SELECT vec_id, cell, qe, list_inner_product(qe, qe) AS n2 FROM (
+        SELECT vec_id, cell,
+               list_transform(emb, x -> floor(x * {scale}.0)) AS qe
+        FROM cassign)
+    ),
+    sem_pairs AS MATERIALIZED (
+      SELECT id_a, id_b, cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_inner_product(a.qe, b.qe)
+                     / sqrt(a.n2 * b.n2), 4) AS cos
+        FROM qn a JOIN qn b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      WHERE cos >= {threshold}
+    )"""
+    )
+
+
+_SEMDEDUP_CB_CACHE: dict[str, list] = {}
+
+
+def _semdedup_codebook(spark, sf_dir):
+    """Deterministic global k-means codebook for the cluster-blocked
+    SemDeDup family, memoized per corpus like _neardup_blocked's band
+    shape (and with the same structural invariant: this function loads
+    the UNFILTERED table itself, so a filtered frame can never poison
+    the file-list cache key). Cell count is corpus-scaled
+    (dedup.adaptive_cell_count: k ∝ n, cluster size ~constant) and
+    resolves to the static oracles' 16 at every artifact-hashed scale
+    by the sizing rule — pinned by
+    test_adaptive_cell_count_oracle_scales."""
+    from rapids_and_rivers_spark.operators.similarity import (
+        codebook_sample_order,
+        lloyd_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = ";".join(sorted(str(f) for f in emb.inputFiles()))
+    cb = _SEMDEDUP_CB_CACHE.get(key)
+    if cb is None:
+        # bounded-collect: one global count row (cell-count sizing)
+        n_cells = D.adaptive_cell_count(emb.count())
+        # bounded-collect: 32 * n_cells codebook-sample rows (KB-scale,
+        # the build_codebook_table class)
+        sampled = (
+            emb.select("vec_id", S.as_double_array(F.col("embedding")).alias("e"))
+            .orderBy(codebook_sample_order("vec_id", 13))
+            .limit(32 * n_cells)
+            .collect()
+        )
+        cb = lloyd_codebook(
+            [list(r["e"]) for r in sampled], 64, n_cells, 8, 13, quantize=1024
+        )
+        if key:
+            _SEMDEDUP_CB_CACHE[key] = cb
+    return cb
+
+
+def _semdedup_emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double_array(F.col("embedding")).alias("embedding")
+    )
+
+
+@register(
+    "neardup_pairs_clustered",
+    _semdedup_clustered_ctes() + """
+    SELECT id_a, id_b, cos FROM sem_pairs
+    """,
+    doc="within-cluster embedding-cosine near-dup pairs under k-means "
+    "cell blocking (dedup.cell_blocked_neardup_pairs) — the SemDeDup "
+    "candidate generator: one shuffle on cell, one chunked int64 GEMM "
+    "per cell, pair space O(n x cluster) with k ∝ corpus. FULL value "
+    "oracle: unrolled deterministic k-means + quantized-dot cosines",
+)
+def neardup_pairs_clustered(spark, sf_dir):
+    return D.cell_blocked_neardup_pairs(
+        _semdedup_emb(spark, sf_dir),
+        64,
+        _semdedup_codebook(spark, sf_dir),
+        threshold=0.4,
+    )
+
+
+@register(
+    "semantic_dedup_clustered",
+    _semdedup_clustered_ctes() + """,
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM sem_pairs
+      UNION ALL
+      SELECT id_b, id_a FROM sem_pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM r JOIN edges e ON r.b = e.u
+      )
+      SELECT * FROM r
+    ),
+    clusters AS (
+      SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    )
+    SELECT e.vec_id,
+           coalesce(c.cluster, e.vec_id) AS rep_id,
+           coalesce(c.cluster, e.vec_id) = e.vec_id AS is_kept
+    FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
+    """,
+    doc="SemDeDup with its OWN blocking (Abbas et al. 2023 §2): global "
+    "k-means clusters (k ∝ corpus via dedup.adaptive_cell_count, "
+    "cluster size ~constant) as candidate blocks -> within-cluster "
+    "GEMM pairs -> large-star/small-star components -> keep-list. The "
+    "round-11 replacement for the banded-LSH blocking measured at its "
+    "n^1.66 Indyk-Motwani floor in SCALING_r10_sf3.json: candidate "
+    "work is O(n x cluster) — linear — and cross-cluster pairs are out "
+    "of contract BY THE OPERATOR'S DEFINITION (the paper dedups within "
+    "clusters). Full recursive-CTE value oracle",
+)
+def semantic_dedup_clustered(spark, sf_dir):
+    return D.semantic_dedup_clustered(
+        _semdedup_emb(spark, sf_dir),
+        dim=64,
+        threshold=0.4,
+        codebook=_semdedup_codebook(spark, sf_dir),
+    )
+
+
+@register(
+    "semdedup_prune_stats",
+    "WITH dedup AS (" + _semdedup_clustered_ctes() + """,
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM sem_pairs
+      UNION ALL
+      SELECT id_b, id_a FROM sem_pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM r JOIN edges e ON r.b = e.u
+      )
+      SELECT * FROM r
+    ),
+    clusters AS (
+      SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    )
+    SELECT e.vec_id,
+           coalesce(c.cluster, e.vec_id) = e.vec_id AS is_kept
+    FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
+    )
+    SELECT emb.label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.is_kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(CAST(count(*) - sum(CASE WHEN d.is_kept THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS drop_rate
+    FROM dedup d JOIN embeddings emb ON d.vec_id = emb.vec_id
+    GROUP BY emb.label
+    """,
+    doc="the corpus-prune report a SemDeDup run feeds back to the data "
+    "team: per-label document counts, survivors, and drop rate under "
+    "cluster-blocked semantic dedup. Integer counts + the one-division "
+    "rule for the rate; reuses the semantic_dedup_clustered keep-list "
+    "chain so the report is oracle-consistent with the prune itself",
+)
+def semdedup_prune_stats(spark, sf_dir):
+    keep = D.semantic_dedup_clustered(
+        _semdedup_emb(spark, sf_dir),
+        dim=64,
+        threshold=0.4,
+        codebook=_semdedup_codebook(spark, sf_dir),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = F.sum(F.when(F.col("is_kept"), 1).otherwise(0))
+    return (
+        keep.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            kept.cast("bigint").alias("n_kept"),
+            F.round(
+                (F.count(F.lit(1)) - kept).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("drop_rate"),
+        )
     )
 
 
@@ -4558,7 +4824,7 @@ def kmv_daily_distinct(spark, sf_dir):
     "hot-key trouble downstream",
 )
 def dedup_cluster_sizes(spark, sf_dir):
-    emb = _neardup_blocked(load_table(spark, sf_dir, "embeddings"))
+    emb = _neardup_blocked(spark, sf_dir)
     pairs = D.embedding_neardup_pairs(
         emb, emb_col="embedding", id_col="vec_id", block_col="blk", threshold=0.4
     )
@@ -6572,7 +6838,7 @@ def median_value_by_type(spark, sf_dir):
     "oracle; cheap count+hash-sum fingerprint detects convergence",
 )
 def dedup_clusters_star(spark, sf_dir):
-    emb = _neardup_blocked(load_table(spark, sf_dir, "embeddings"))
+    emb = _neardup_blocked(spark, sf_dir)
     pairs = D.embedding_neardup_pairs(
         emb, emb_col="embedding", id_col="vec_id", block_col="blk", threshold=0.4
     )
@@ -12197,7 +12463,7 @@ def stream_pareto_frontier(spark, sf_dir):
     "entire semantic_dedup recursive-CTE pipeline + md5 bucketing",
 )
 def cluster_safe_splits(spark, sf_dir):
-    emb = _neardup_blocked(load_table(spark, sf_dir, "embeddings"))
+    emb = _neardup_blocked(spark, sf_dir)
     sd = D.semantic_dedup(
         emb, emb_col="embedding", id_col="vec_id", block_col="blk",
         threshold=0.4,

@@ -1342,3 +1342,212 @@ def ngram_containment_pairs(
         )
         .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
     )
+
+
+# --- k-means cluster blocking (SemDeDup proper) ------------------------------
+
+
+def adaptive_cell_count(
+    n_rows: int,
+    target_cluster_rows: int = 2000,
+    min_cells: int = 16,
+) -> int:
+    """Corpus-scaled k-means cell count for cluster-blocked semantic
+    dedup — the round-10 sf3 conclusion (SCALING.md): the banded-LSH
+    blocking family sits at its Indyk-Motwani floor n^1.66 at cosine
+    threshold 0.4, and the genuinely-linear design is SemDeDup's own
+    (Abbas et al. 2023, arXiv:2303.09540 §2) corpus-scaled k-means
+    blocking: ``k ∝ n`` keeps the EXPECTED cluster size constant, so the
+    within-cluster pair space is O(n · target_cluster_rows) — linear —
+    while cross-cluster pairs are explicitly out of contract (the
+    SemDeDup semantic, not an approximation of all-pairs).
+
+        k = max(min_cells, ceil(n_rows / target_cluster_rows))
+
+    Oracle-stability contract (the adaptive_band_params discipline —
+    parameters resolve to the static oracle's value at EVERY scale an
+    artifact hashes, BY THE SIZING RULE, not by special case): at
+    sf0.001/sf0.01 (500 vectors), sf0.1 (2000), the sf0.3 curve tier
+    (6000) and the sf1 sweep tier (20000) this resolves to exactly the
+    registered oracle's 16 cells — a 2000-row corpus over 16 cells is
+    125 rows/cluster, comfortably under target — while at the sf3
+    measurement tier (60000) it picks 30, holding ~2000-row clusters.
+    Pinned by test_adaptive_cell_count_oracle_scales.
+    """
+    import math
+
+    if n_rows <= 0:
+        return min_cells
+    return max(min_cells, math.ceil(n_rows / target_cluster_rows))
+
+
+def cell_blocked_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    codebook: list[list[float]],
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    scale: int = 1000,
+    ndigits: int = 4,
+    batch_rows: int = 1024,
+) -> DataFrame:
+    """Within-cluster embedding-cosine pairs (cos >= threshold) under
+    k-means cell blocking: every vector is assigned to its nearest
+    coarse centroid (similarity.assign_cells — the IVF building block,
+    snapped-dot argmax, ties -> lowest cell) and pairs are generated
+    ONLY inside a cell — the SemDeDup blocking contract. One shuffle on
+    ``cell``, then one grouped Arrow batch per cell running a chunked
+    int64 GEMM (the knn_self_join scoring kernel): exact integer dots of
+    ``floor(x * scale)`` vectors, one double division per pair, rounding
+    at the output boundary only — the knn_self_join exactness contract,
+    which is what lets a DuckDB oracle reproduce every cosine
+    bit-for-bit.
+
+    Scale shape: cells grow with the corpus (:func:`adaptive_cell_count`)
+    so per-cell work is O(target²) and total work O(n · target) — the
+    linear fix for the banded-LSH family's n^1.66 floor. Per-task memory
+    is O(cluster_rows · dim); a pathologically skewed cell (k-means does
+    not guarantee balance) degrades latency, not correctness — if skew
+    ever dominates, the knn_self_join target-salting template applies
+    (block-paired sub-GEMMs within the cell).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from rapids_and_rivers_spark.operators.similarity import assign_cells
+
+    cells = assign_cells(
+        df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("c_emb")),
+        codebook,
+        emb_col="c_emb",
+    )
+    # inner raw-sim cutoff: a superset of "round(sim, ndigits) >= t"
+    # (round half-up keeps x >= t - 0.5*10^-ndigits), final filter on the
+    # ROUNDED value below so the boundary is decided by F.round exactly
+    # as the oracle's SQL round decides it
+    raw_cut = threshold - 0.5 * 10 ** (-ndigits) - 1e-12
+
+    def pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        Q = np.floor(
+            np.stack(pdf["c_emb"].to_numpy()).astype(np.float64) * scale
+        ).astype(np.int64)
+        n2 = (Q * Q).sum(axis=1)
+        ids = pdf["id"].to_numpy().astype(np.int64)
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n, batch_rows):
+            hi = min(lo + batch_rows, n)
+            dots = Q[lo:hi] @ Q.T  # exact int64 GEMM
+            sims = dots.astype(np.float64) / np.sqrt(
+                np.outer(n2[lo:hi], n2).astype(np.float64)
+            )
+            for i in range(lo, hi):
+                # strict upper triangle: each unordered pair exactly once
+                js = np.nonzero(sims[i - lo, i + 1 :] >= raw_cut)[0] + i + 1
+                if len(js):
+                    out_a.append(np.full(len(js), ids[i]))
+                    out_b.append(ids[js])
+                    out_s.append(sims[i - lo, js])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    raw = cells.groupBy("cell").applyInPandas(
+        pairs_in_cell, schema="id_a long, id_b long, sim double"
+    )
+    return (
+        raw.withColumn("cos", F.round("sim", ndigits))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def semantic_dedup_clustered(
+    df: DataFrame,
+    dim: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_cells: int | None = None,
+    target_cluster_rows: int = 2000,
+    scale: int = 1000,
+    seed: int = 13,
+    sample_per_cell: int = 32,
+    lloyd_iters: int = 8,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup with its OWN blocking (Abbas et al. 2023 §2): global
+    k-means clusters as the candidate blocks, replacing the banded-LSH
+    family that the round-10 sf3 probe measured at its n^1.66 theory
+    floor. ``k ∝ n`` (:func:`adaptive_cell_count`) keeps cluster size
+    constant, so candidate generation is O(n · cluster) — the linear
+    100 TB shape — and cross-cluster near-dups are out of contract BY
+    THE OPERATOR'S DEFINITION (the paper dedups within clusters), not a
+    recall loss against it.
+
+    Pipeline: deterministic spherical k-means codebook (md5-ordered
+    sample + grid-snapped driver Lloyd — similarity.lloyd_codebook, the
+    exact chain the IVF oracles already unroll in SQL) -> cell
+    assignment -> within-cell GEMM pairs
+    (:func:`cell_blocked_neardup_pairs`) -> large-star/small-star
+    components -> keep-list ``(id, rep_id, is_kept)`` over EVERY input
+    row, keeper = component minimum id.
+
+    Reference anchor: the dedup extension mandate (SURVEY.md §7.2 M5);
+    same output contract as :func:`semantic_dedup`.
+    """
+    from rapids_and_rivers_spark.operators.similarity import (
+        codebook_sample_order,
+        lloyd_codebook,
+    )
+
+    if codebook is None:
+        if n_cells is None:
+            # bounded-collect: one global count row (cell-count sizing)
+            n_cells = adaptive_cell_count(
+                df.count(), target_cluster_rows=target_cluster_rows
+            )
+        sampled = (
+            df.select(id_col, emb_col)
+            .orderBy(codebook_sample_order(id_col, seed))
+            .limit(sample_per_cell * n_cells)
+            .collect()
+        )
+        # bounded-collect: sample_per_cell * n_cells codebook-sample rows
+        # (KB-scale) — the build_codebook_table class
+        codebook = lloyd_codebook(
+            [list(r[emb_col]) for r in sampled],
+            dim,
+            n_cells,
+            lloyd_iters,
+            seed,
+            quantize=1024,
+        )
+    pairs = cell_blocked_neardup_pairs(
+        df,
+        dim,
+        codebook,
+        emb_col=emb_col,
+        id_col=id_col,
+        threshold=threshold,
+        scale=scale,
+    )
+    clusters = duplicate_clusters_star(pairs)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(
+        clusters.select(F.col("node").alias("id"), "cluster"), "id", "left"
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce("cluster", "id").alias("rep_id"),
+        (F.coalesce("cluster", F.col("id")) == F.col("id")).alias("is_kept"),
+    )

@@ -80,8 +80,11 @@ def skyline_2d(
     w = int(bucket_width)
     pts = points.withColumn(
         "__dom_bucket",
+        # identifier backtick-quoted (ADVICE r10): a column name with
+        # dots/spaces/reserved words must parse the same here as the
+        # F.col path the rest of the plan uses
         F.expr(
-            f"(cast({x_col} as bigint) - pmod(cast({x_col} as bigint), "
+            f"(cast(`{x_col}` as bigint) - pmod(cast(`{x_col}` as bigint), "
             f"{w})) div {w}"
         ),
     )

@@ -948,6 +948,113 @@ def mmr_rerank(
     return pool.groupBy("qid").applyInPandas(greedy, schema=out_schema)
 
 
+def two_level_probe_cells(
+    targets: DataFrame,
+    codebook: list[list[float]],
+    nprobe: int,
+    emb_col: str = "t_emb",
+    n_super: int | None = None,
+    super_probe: int | None = None,
+    seed: int = 13,
+) -> DataFrame:
+    """Two-level IVF probe selection (VERDICT r10 task 2): pick each
+    target's ``nprobe`` cells by scoring a coarse-over-coarse quantizer
+    first, instead of scoring every centroid.
+
+    The round-10 KNN_PROBED_SCALE measurement showed the fixed-nprobe
+    tier bending to top-end alpha 1.32: with ``cells ~ n/48``, flat
+    probe selection scores all centroids per target — O(n · cells) =
+    O(n²/48), the last super-linear term in the probed-kNN path. Here
+    the ``n_cells`` centroids are themselves clustered into
+    ``n_super ~ sqrt(n_cells)`` super-centroids (same deterministic
+    grid-snapped Lloyd, driver-side over KB of centroids); each target
+    scores the supers — O(sqrt(cells)) — takes its top ``super_probe``
+    supers, and scores only their member centroids — O(super_probe ·
+    cells/sqrt(cells)). Selection cost per target drops from O(cells)
+    to O(sqrt(cells)), total O(n · sqrt(cells)).
+
+    Vectorized end to end: one Arrow batch -> two snapped int64-keyed
+    GEMMs (targets x supers, then a padded gather of member centroids
+    and an einsum) — no per-row Python. Tie-breaks replicate the flat
+    expression path exactly (snapped score desc, HIGHER cell id wins),
+    so at any (n_cells, nprobe) where both paths see identical member
+    sets the probe lists agree; the selection itself is approximate in
+    the standard IVF sense (a cell whose super lost can be missed) —
+    the recall cost is measured, not asserted, by
+    tools/knn_probed_scale.py's fixed_shape_recall metric.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(codebook, dtype=np.float64)
+    n_cells = len(C)
+    if n_super is None:
+        n_super = max(2, int(round(math.sqrt(n_cells))))
+    if super_probe is None:
+        # cover ~4x nprobe expected member cells so a near-boundary
+        # neighbor cell rarely hides behind a losing super
+        super_probe = max(
+            2, math.ceil(4 * nprobe * n_super / max(1, n_cells))
+        )
+    super_probe = min(super_probe, n_super)
+    dim = C.shape[1]
+    # super-codebook: the same deterministic grid-snapped Lloyd, run on
+    # the centroids themselves (driver-side, KB-scale)
+    S = np.asarray(
+        lloyd_codebook([list(c) for c in C], dim, n_super, 4, seed,
+                       quantize=1024),
+        dtype=np.float64,
+    )
+    # assign each centroid to its super (snapped argmax, ties -> lowest
+    # super — the assign_cells convention), then pad member lists
+    cassign = snap_scores(C @ S.T).argmax(axis=1)
+    members = [np.nonzero(cassign == s)[0] for s in range(n_super)]
+    M = max(1, max(len(m) for m in members))
+    mem_pad = np.full((n_super, M), n_cells, dtype=np.int64)  # pad -> dummy
+    for s, m in enumerate(members):
+        mem_pad[s, : len(m)] = m
+    Cext = np.vstack([C, np.zeros((1, dim))])  # dummy row for pads
+    k_super = np.int64(n_super + 1)
+    k_cell = np.int64(n_cells + 2)
+
+    @pandas_udf("array<long>")
+    def _probe(v):
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        b = len(X)
+        # level 1: snapped scores vs supers; composite int key makes the
+        # sort a single argsort with the higher-id tiebreak built in
+        sk = snap_scores(X @ S.T).astype(np.int64) * k_super + np.arange(
+            n_super, dtype=np.int64
+        )
+        top_s = np.argsort(-sk, axis=1)[:, :super_probe]
+        # level 2: gather member cells of the chosen supers
+        cells0 = mem_pad[top_s].reshape(b, -1)  # (b, super_probe*M), 0-based
+        cand = Cext[cells0]  # (b, k, dim)
+        s2 = snap_scores(np.einsum("bd,bkd->bk", X, cand)).astype(np.int64)
+        valid = cells0 < n_cells
+        key2 = np.where(
+            valid, s2 * k_cell + cells0 + 1, np.int64(-(2**62))
+        )
+        order = np.argsort(-key2, axis=1)[:, :nprobe]
+        rows = []
+        for i in range(b):
+            sel = cells0[i, order[i]]
+            rows.append([int(c) + 1 for c in sel if c < n_cells])
+        return pd.Series(rows, dtype=object)
+
+    return (
+        targets.withColumn("__cells", _probe(F.col(emb_col)))
+        .withColumn("cell", F.explode("__cells"))
+        .drop("__cells")
+        .withColumn("cell", F.col("cell").cast("long"))
+    )
+
+
 def knn_self_join(
     df: DataFrame,
     dim: int,
@@ -1051,6 +1158,11 @@ def knn_self_join(
         probes = targets.withColumn(
             "cell", F.explode(F.sequence(F.lit(1), F.lit(n_cells)))
         ).withColumn("cell", F.col("cell").cast("long"))
+    elif n_cells > 64:
+        # at corpus-scaled cell counts (cells ~ n/48) flat selection is
+        # the O(n · cells) term that bent KNN_PROBED_SCALE to alpha 1.32
+        # — route through the two-level quantizer, O(n · sqrt(cells))
+        probes = two_level_probe_cells(targets, codebook, nprobe)
     else:
         scores = F.array(
             *[

@@ -864,6 +864,14 @@ def minhash_index_foreach_batch(
     rows_per_band = num_hashes // bands
 
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        # refuse a replay of an epoch already folded by the store's
+        # compactor (ADVICE r10 — silent folded-history overwrite)
+        guard_uncompacted_epoch(
+            epoch_id,
+            os.path.join(index_dir, "bands"),
+            os.path.join(index_dir, "shingles"),
+            pairs_dir,
+        )
         spark = batch_df.sparkSession
         base = (
             shingled(batch_df, col, id_col, n=shingle_n)
@@ -2042,12 +2050,20 @@ def er_index_foreach_batch(
         expected_rows=expected_records,
         target_bucket_rows=target_bucket_rows,
         explicit=n_buckets,
-        # no-estimate backstop ONLY (expected_records=None); ignored
-        # whenever the caller passes an estimate — ADVICE r9 doc rule
-        floor=256,
     )
 
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        # refuse a replay of an epoch already folded by the store's
+        # compactor (ADVICE r10 — silent folded-history overwrite)
+        guard_uncompacted_epoch(
+            epoch_id,
+            os.path.join(index_dir, "records"),
+            os.path.join(index_dir, "ssj_prefix"),
+            os.path.join(index_dir, "ssj_shingles"),
+            os.path.join(index_dir, "ssj_pairs"),
+            os.path.join(index_dir, "snm_pairs"),
+            os.path.join(index_dir, "snm_touched"),
+        )
         spark = batch_df.sparkSession
         norm = F.lower(F.trim(F.col(col)))
         recs = batch_df.select(
@@ -2255,6 +2271,12 @@ def pagerank_foreach_batch(
     from rapids_and_rivers_spark.operators.graph import pagerank
 
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        # refuse a replay of an epoch already folded by the store's
+        # compactor (ADVICE r10 — silent folded-history overwrite)
+        guard_uncompacted_epoch(
+            epoch_id,
+            os.path.join(state_dir, "edges"),
+        )
         spark = batch_df.sparkSession
         batch_df.select(
             F.col(src).alias("src"),
@@ -2393,6 +2415,12 @@ def label_prop_foreach_batch(
     from rapids_and_rivers_spark.operators.graph import label_propagation
 
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        # refuse a replay of an epoch already folded by the store's
+        # compactor (ADVICE r10 — silent folded-history overwrite)
+        guard_uncompacted_epoch(
+            epoch_id,
+            os.path.join(state_dir, "edges"),
+        )
         spark = batch_df.sparkSession
         batch_df.select(
             F.col(src).alias("src"),
@@ -2481,6 +2509,13 @@ def triangles_foreach_batch(
     )
 
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        # refuse a replay of an epoch already folded by the store's
+        # compactor (ADVICE r10 — silent folded-history overwrite)
+        guard_uncompacted_epoch(
+            epoch_id,
+            os.path.join(state_dir, "edges"),
+            os.path.join(state_dir, "adj"),
+        )
         spark = batch_df.sparkSession
         epath = os.path.join(state_dir, "edges")
         apath = os.path.join(state_dir, "adj")
@@ -2646,6 +2681,12 @@ def kcore_foreach_batch(
     from rapids_and_rivers_spark.operators.graph import kcore_peel
 
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        # refuse a replay of an epoch already folded by the store's
+        # compactor (ADVICE r10 — silent folded-history overwrite)
+        guard_uncompacted_epoch(
+            epoch_id,
+            os.path.join(state_dir, "edges"),
+        )
         spark = batch_df.sparkSession
         epath = os.path.join(state_dir, "edges")
         batch_df.select(
@@ -3173,6 +3214,12 @@ def ivf_index_foreach_batch(
     )
 
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        # refuse a replay of an epoch already folded by the store's
+        # compactor (ADVICE r10 — silent folded-history overwrite)
+        guard_uncompacted_epoch(
+            epoch_id,
+            os.path.join(index_dir, "postings"),
+        )
         spark = batch_df.sparkSession
         cb_dir = os.path.join(index_dir, "codebook")
         # freeze-gate on the committer's _SUCCESS marker, not bare dir
@@ -3413,6 +3460,13 @@ def assoc_items_foreach_batch(
     )
 
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        # refuse a replay of an epoch already folded by the store's
+        # compactor (ADVICE r10 — silent folded-history overwrite)
+        guard_uncompacted_epoch(
+            epoch_id,
+            os.path.join(store_dir, "items"),
+            os.path.join(store_dir, "pair_delta"),
+        )
         spark = batch_df.sparkSession
         epoch = int(epoch_id)
         bi = (
@@ -3636,6 +3690,60 @@ def skyline_from_store(
 
 # --- epoch-store compaction --------------------------------------------------
 
+#: compaction watermark manifest, written at each compacted store root
+#: AFTER its fold completes. ``_``-prefixed so Spark's directory readers
+#: never see it as data.
+_WATERMARK_FILE = "_compacted_through.json"
+
+
+def _write_compaction_watermark(root: str, through_epoch: int) -> None:
+    from rapids_and_rivers_spark.streaming import fsutil
+
+    import json as _json
+
+    fsutil.write_text(
+        os.path.join(root, _WATERMARK_FILE),
+        _json.dumps({"compacted_through": int(through_epoch)}),
+    )
+
+
+def compaction_watermark(root: str) -> int | None:
+    """The store's compaction watermark: every epoch <= this value has
+    been folded into one compacted dir (or pruned). ``None`` if the
+    store was never compacted."""
+    from rapids_and_rivers_spark.streaming import fsutil
+
+    import json as _json
+
+    path = os.path.join(root, _WATERMARK_FILE)
+    if not fsutil.exists(path):
+        return None
+    return int(_json.loads(fsutil.read_text(path))["compacted_through"])
+
+
+def guard_uncompacted_epoch(epoch_id: int, *roots: str) -> None:
+    """Refuse a foreachBatch write into an epoch at or below a store's
+    compaction watermark (ADVICE r10). Under the documented
+    committed-epochs-only contract this state is unreachable — streams
+    only replay epochs ABOVE their checkpoint commit, and compaction is
+    restricted to epochs strictly below it. If the contract is ever
+    violated, the failure used to be silent DATA LOSS: an at-least-once
+    replay of folded epoch E would ``mode("overwrite")``-rewrite
+    ``v{E}``/``epoch={E}`` — the dir that now holds ALL folded pre-E
+    history. The manifest makes that sharp edge loud: each compactor
+    records its watermark, and every compactable store's ingest stage
+    calls this guard first."""
+    for root in roots:
+        w = compaction_watermark(root)
+        if w is not None and int(epoch_id) <= w:
+            raise RuntimeError(
+                f"epoch {int(epoch_id)} write refused: store {root} is "
+                f"compacted through epoch {w} — replaying a folded epoch "
+                "would overwrite the compacted dir and destroy folded "
+                "history. Compact only epochs strictly below the stream's "
+                "committed checkpoint."
+            )
+
 
 def compact_epoch_store(
     spark,
@@ -3699,6 +3807,7 @@ def compact_epoch_store(
             if e <= int(through_epoch):
                 fsutil.delete(os.path.join(root, name))
     fsutil.rename(tmp, os.path.join(root, f"epoch={int(through_epoch)}"))
+    _write_compaction_watermark(root, through_epoch)
     spark.catalog.refreshByPath(root)
 
 
@@ -3767,6 +3876,13 @@ def prune_versions(root: str, through_epoch: int) -> None:
     )
     for e in versions[:-1]:
         fsutil.delete(os.path.join(root, f"v{e}"))
+    if versions:
+        # latest-only stores: replaying a pruned epoch re-writes an OLD
+        # v-dir that _latest_version would rightly ignore — harmless for
+        # reads, but record the watermark anyway so the ingest-stage
+        # guard (guard_uncompacted_epoch) keeps the contract symmetric
+        # across all three store shapes
+        _write_compaction_watermark(root, versions[-1])
 
 
 def _compact_version_dirs(spark, root, through_epoch, rebuild) -> None:
@@ -3799,6 +3915,7 @@ def _compact_version_dirs(spark, root, through_epoch, rebuild) -> None:
     for n in versions:
         fsutil.delete(os.path.join(root, n))
     fsutil.rename(tmp, os.path.join(root, f"v{int(through_epoch)}"))
+    _write_compaction_watermark(root, through_epoch)
     spark.catalog.refreshByPath(root)
 
 

@@ -351,3 +351,75 @@ def test_ivf_compaction_invisible(spark):
     got, dirs_b = run(compact=True)
     assert got == want and len(want) == 25  # 5 queries x k=5
     assert dirs_b == 2 < dirs_a
+
+
+# --------------------------------------------------------------------------
+# label propagation: union edge log + latest-only snapshots (ADVICE r10)
+# --------------------------------------------------------------------------
+
+
+def test_label_prop_compaction_invisible(spark):
+    """label_prop_compact_store was the only compactor without a
+    dedicated contract-invisibility test (ADVICE r10): same shape as
+    the kcore test — a CONTROL run and a compacted run must read
+    identically, with the ring-closing edge arriving POST-compaction so
+    the labels only converge if the folded edge log is intact."""
+    from rapids_and_rivers_spark.streaming.duals import (
+        label_prop_compact_store,
+        label_prop_foreach_batch,
+        read_latest_labels,
+    )
+
+    ring = [(i, (i + 1) % 6, 1.0) for i in range(6)]
+    out_a = tempfile.mkdtemp(prefix="rars_t_lpc_a_")
+    out_b = tempfile.mkdtemp(prefix="rars_t_lpc_b_")
+    schema = "src long, dst long, weight double"
+    for out in (out_a, out_b):
+        stage = label_prop_foreach_batch(out, iters_per_epoch=3)
+        stage(spark.createDataFrame(ring[:3], schema), 0)
+        stage(spark.createDataFrame(ring[3:5], schema), 1)
+        if out == out_b:
+            label_prop_compact_store(spark, out_b, through_epoch=1)
+        stage(spark.createDataFrame(ring[5:], schema), 2)
+    want = sorted(tuple(r) for r in read_latest_labels(spark, out_a).collect())
+    got = sorted(tuple(r) for r in read_latest_labels(spark, out_b).collect())
+    assert got == want and len(want) == 6
+    assert _count_dirs(os.path.join(out_b, "edges"), "v") == 2
+    assert _count_dirs(os.path.join(out_b, "labels"), "v") == 2
+    shutil.rmtree(out_a, ignore_errors=True)
+    shutil.rmtree(out_b, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# compaction watermark manifest (ADVICE r10): a replay of a FOLDED epoch
+# must refuse loudly instead of silently overwriting folded history
+# --------------------------------------------------------------------------
+
+
+def test_compaction_watermark_refuses_folded_epoch_replay(spark):
+    from rapids_and_rivers_spark.streaming.duals import (
+        compaction_watermark,
+        kcore_compact_store,
+        kcore_foreach_batch,
+        read_latest_core,
+    )
+
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    out = tempfile.mkdtemp(prefix="rars_t_wmg_")
+    try:
+        stage = kcore_foreach_batch(out, k=2, rounds=3)
+        stage(spark.createDataFrame(ring[:3], "src long, dst long"), 0)
+        stage(spark.createDataFrame(ring[3:5], "src long, dst long"), 1)
+        kcore_compact_store(spark, out, through_epoch=1)
+        assert compaction_watermark(os.path.join(out, "edges")) == 1
+        # contract-violating replay of folded epoch 1: must raise, and
+        # must NOT touch the compacted edge log
+        import pytest
+
+        with pytest.raises(RuntimeError, match="compacted through epoch 1"):
+            stage(spark.createDataFrame(ring[3:5], "src long, dst long"), 1)
+        # the legitimate next epoch still ingests fine
+        stage(spark.createDataFrame(ring[5:], "src long, dst long"), 2)
+        assert read_latest_core(spark, out).count() == 6
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

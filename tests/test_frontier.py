@@ -130,7 +130,7 @@ def test_cluster_safe_split_no_leakage(spark):
     from rapids_and_rivers_spark.operators import text as T
     from rapids_and_rivers_spark.sources import load_table
 
-    emb = _neardup_blocked(load_table(spark, "/root/testdata/sf0.001", "embeddings"))
+    emb = _neardup_blocked(spark, "/root/testdata/sf0.001")
     sd = D.semantic_dedup(
         emb, emb_col="embedding", id_col="vec_id", block_col="blk",
         threshold=0.4,

@@ -224,6 +224,116 @@ def test_adaptive_band_params_oracle_scales():
             assert n / (10 * (1 << r)) <= 2 * 128, (n, r)
 
 
+def test_adaptive_cell_count_oracle_scales():
+    """The corpus-scaled k-means cell count (round-11 cluster-blocked
+    SemDeDup) must resolve to EXACTLY the 16 cells the registered
+    DuckDB oracles unroll at every artifact-hashed scale — sf0.001/
+    sf0.01 (500 vectors), sf0.1 (2000), the sf0.3 curve tier (6000)
+    and the sf1 sweep tier (20000) — by the sizing rule
+    (target_cluster_rows=2000), and grow past them: k ∝ n keeps the
+    expected cluster size ~constant (the linear SemDeDup shape)."""
+    for n in (500, 2000, 6000, 20000, 32000):
+        assert D.adaptive_cell_count(n) == 16, n
+    # growth past the artifact tiers
+    assert D.adaptive_cell_count(60000) == 30
+    assert D.adaptive_cell_count(1_000_000) == 500
+    # cluster size stays ~target at any corpus size
+    for n in (60000, 600000, 50_000_000):
+        k = D.adaptive_cell_count(n)
+        assert n / k <= 2000, (n, k)
+
+
+def test_cell_blocked_neardup_pairs_within_cell_exact(spark):
+    """Every emitted pair shares a k-means cell, each unordered pair
+    appears exactly once, and the cosine matches the int64-quantized
+    brute-force value bit-for-bit (the knn_self_join exactness
+    contract applied to all-pairs-above-threshold)."""
+    import numpy as np
+
+    from rapids_and_rivers_spark.operators.similarity import (
+        assign_cells,
+        lloyd_codebook,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(6, 64)
+    # plant near-dup groups: rows 10..29 are jittered copies of 6 bases
+    vecs = np.vstack([
+        base[i % 6] + 0.05 * rng.randn(64) for i in range(30)
+    ]).round(3)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = lloyd_codebook([list(v) for v in vecs[:16]], 64, 4, 4, 13,
+                        quantize=1024)
+    got = D.cell_blocked_neardup_pairs(
+        df, 64, cb, threshold=0.4
+    ).collect()
+    # brute-force reference restricted to same-cell pairs
+    cells = {
+        r["id"]: r["cell"]
+        for r in assign_cells(
+            df.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").alias("c_emb")),
+            cb,
+        ).collect()
+    }
+    Q = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    n2 = (Q * Q).sum(axis=1)
+    want = {}
+    for a in range(30):
+        for b in range(a + 1, 30):
+            if cells[a] != cells[b]:
+                continue
+            sim = float(Q[a] @ Q[b]) / float(
+                np.sqrt(float(n2[a] * n2[b]))
+            )
+            # decimal round half-up, matching F.round / SQL round
+            from decimal import Decimal, ROUND_HALF_UP
+
+            cos = float(
+                Decimal(repr(sim)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            )
+            if cos >= 0.4:
+                want[(a, b)] = cos
+    got_pairs = {(r.id_a, r.id_b): r.cos for r in got}
+    assert set(got_pairs) == set(want)
+    for k, v in want.items():
+        assert abs(got_pairs[k] - v) < 5e-10, (k, got_pairs[k], v)
+    assert len(want) > 0  # the planted dups actually collide
+
+
+def test_semantic_dedup_clustered_keeplist_contract(spark):
+    """Keep-list invariants: one row per input id, rep_id is the
+    component minimum, is_kept iff id == rep_id, and reps are
+    self-mapped (rep of a rep is itself)."""
+    import numpy as np
+
+    from rapids_and_rivers_spark.operators.similarity import lloyd_codebook
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(5, 64)
+    vecs = np.vstack([
+        base[i % 5] + 0.03 * rng.randn(64) for i in range(25)
+    ]).round(3)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(25)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = lloyd_codebook([list(v) for v in vecs[:8]], 64, 4, 4, 13,
+                        quantize=1024)
+    out = D.semantic_dedup_clustered(
+        df, dim=64, threshold=0.6, codebook=cb
+    ).collect()
+    assert len(out) == 25
+    rep = {r.vec_id: r.rep_id for r in out}
+    kept = {r.vec_id: r.is_kept for r in out}
+    assert all(rep[i] <= i for i in rep)
+    assert all(kept[i] == (rep[i] == i) for i in rep)
+    assert all(rep[rep[i]] == rep[i] for i in rep)
+    # the jittered copies actually deduplicate
+    assert sum(kept.values()) < 25
+
+
 def test_banded_blocks_recall_floor(spark):
     """Multi-band OR blocking (ADVICE r5) must recover most qualifying
     near-dup pairs: vs the exhaustive within-label truth at threshold
