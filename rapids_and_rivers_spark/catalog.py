@@ -94,37 +94,39 @@ DRIVER_GATE: list[str] = [
     # TPC-H flagship (the other 21 adaptations: driver-green r1-r7,
     # still local-verified at 3 scale factors)
     "q1_pricing_summary",
-    # ROTATION (round 10, VERDICT r9 #4): all 28 rotatable slots swap
-    # to NEVER-driver-checked queries — OUT the 28 round-9 rows (each
-    # driver-green in CORRECTNESS_r09 and green in the committed local
-    # artifacts at sf0.01/sf0.1) — IN, first, the heavy streaming
-    # duals whose epoch-store write paths changed most in r9/r10
-    # (tokenizer encode/train duals, the mergeable-stat duals, and
-    # stream_assoc_compacted, which exercises the compaction reader),
-    # then never-checked rows spread across every family. Cumulative
-    # driver-visible coverage rises 119 -> 147 unique queries (r1-r10).
-    # heavy streaming duals (8)
-    "stream_assoc_compacted", "stream_bm25_search",
-    "stream_pack_sequences", "stream_unigram_encode",
-    "stream_wordpiece_encode", "stream_bt_strength",
-    "stream_source_mix", "stream_nb_confusion",
-    # tokenizer training (3)
-    "bpe_train_merges", "unigram_train_vocab", "wordpiece_train_vocab",
-    # selection / sampling (2)
-    "pps_token_sample", "sample_weighted_tokens",
-    # dedup family (3)
-    "dedup_shared_spans", "dedup_keep_list", "dedup_sorted_neighborhood",
-    # ANN / similarity / kNN (4)
-    "sim_ann_binary", "sim_ann_matryoshka", "label_noise_knn",
-    "knn_graph_probe",
-    # sketches (2)
-    "sketch_theta_setops", "sketch_ams_f2",
-    # text analysis (2)
-    "text_char_entropy", "ccnet_perplexity_buckets",
+    # ROTATION (round 11, VERDICT r10 #4): all 28 rotatable slots swap
+    # again to NEVER-driver-checked queries — OUT the 28 round-10 rows
+    # (each driver-green in CORRECTNESS_r10 and green in the committed
+    # local artifacts at sf0.01/sf0.1) — IN, first, the round-11
+    # cluster-blocked SemDeDup family and the three round-10 compacted
+    # streams (whose store-lifecycle paths changed again this round:
+    # compaction watermark manifests), then never-checked rows spread
+    # across every family. Cumulative driver-visible coverage rises
+    # 147 -> 175 unique queries (r1-r11).
+    # round-11 cluster-blocked SemDeDup family (3)
+    "neardup_pairs_clustered", "semantic_dedup_clustered",
+    "semdedup_prune_stats",
+    # compacted streaming stores (3)
+    "stream_er_compacted", "stream_ivf_compacted",
+    "stream_triangles_compacted",
+    # dedup family (4)
+    "dedup_clusters", "dedup_incremental", "dedup_lines",
+    "dedup_cluster_sizes",
+    # ANN / similarity / embedding (4)
+    "sim_ann_ivf_codebook", "embedding_neardup", "embedding_centroids",
+    "embedding_pca_project",
+    # retrieval / text scoring (4)
+    "inverted_index_postings", "bigram_lm_score", "rrf_search_fusion",
+    "text_quality",
+    # tokenizer / packing (2)
+    "text_token_bpe", "token_budget_pack",
     # multimodal (2)
-    "audio_pcm_features", "multimodal_resize",
-    # batch graph (2)
-    "communities_purchase_graph", "graph_kcore",
+    "image_ahash", "multimodal_byte_stats",
+    # selection / splits / decontamination (3)
+    "split_train_val_test", "split_leakage_check",
+    "decontaminate_overlap",
+    # analytics (3)
+    "funnel_conversion", "cohort_retention", "revenue_pareto",
 ]
 
 
@@ -4411,7 +4413,7 @@ def semantic_dedup(spark, sf_dir):
 
 def _semdedup_clustered_ctes(
     dim=64, n_cells=16, seed=13, sample=512, iters=8, q=1024, scale=1000,
-    threshold="0.4",
+    threshold="0.4", train_where="TRUE",
 ) -> str:
     """Shared CTE chain for the cluster-blocked SemDeDup oracles:
     deterministic k-means codebook (:func:`_kmeans_cb_ctes`, trained on
@@ -4429,7 +4431,7 @@ def _semdedup_clustered_ctes(
     return (
         _kmeans_cb_ctes(
             dim=dim, n_cells=n_cells, seed=seed, sample=sample, iters=iters,
-            q=q, train_where="TRUE",
+            q=q, train_where=train_where,
         )
         + f""",
     vecs AS (
@@ -4630,6 +4632,106 @@ def semdedup_prune_stats(spark, sf_dir):
         )
     )
 
+
+
+
+_SEMDEDUP_CLOSURE_SQL = """,
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM sem_pairs
+      UNION ALL
+      SELECT id_b, id_a FROM sem_pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM r JOIN edges e ON r.b = e.u
+      )
+      SELECT * FROM r
+    ),
+    clusters AS (
+      SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    )
+    SELECT e.vec_id,
+           coalesce(c.cluster, e.vec_id) AS rep_id,
+           coalesce(c.cluster, e.vec_id) = e.vec_id AS is_kept
+    FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
+    """
+
+
+@register(
+    "stream_semantic_dedup_clustered",
+    _semdedup_clustered_ctes(train_where="vec_id % 2 = 0")
+    + _SEMDEDUP_CLOSURE_SQL,
+    doc="the round-11 headline under INGEST: cluster-blocked SemDeDup "
+    "as a streaming index (duals.semdedup_clustered_foreach_batch). "
+    "Vectors arrive in two epochs by vec_id parity; the k-means "
+    "codebook trains once on epoch 0's md5-ordered sample and FREEZES "
+    "(the faiss/stream_ivf_index pattern — retraining would re-block "
+    "the accumulated corpus); each epoch assigns only its own vectors, "
+    "appends them cell-partitioned, and generates pairs new x "
+    "(new + prior-in-touched-cells) through the SAME int64-GEMM kernel "
+    "as batch — each unordered pair created exactly once, when its "
+    "later member arrives. Drained keep-list equals batch "
+    "semantic_dedup_clustered under the same frozen codebook. FULL "
+    "value oracle: the clustered-SemDeDup chain with the codebook "
+    "sample restricted to the epoch-0 subset",
+)
+def stream_semantic_dedup_clustered(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        semdedup_clustered_foreach_batch,
+        semdedup_clustered_keep_list,
+    )
+
+    emb = _semdedup_emb(spark, sf_dir)
+    index_dir = tempfile.mkdtemp(prefix="rars_stream_semdedup_")
+    stage = semdedup_clustered_foreach_batch(index_dir, dim=64, threshold=0.4)
+    stage(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    stage(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    return semdedup_clustered_keep_list(spark, index_dir)
+
+
+@register(
+    "stream_semdedup_compacted",
+    _semdedup_clustered_ctes(train_where="vec_id % 3 = 0")
+    + _SEMDEDUP_CLOSURE_SQL,
+    doc="the compaction SCHEDULING policy (duals.auto_compacting, "
+    "round-11 task 5) exercised end-to-end in a catalog query: three "
+    "ingest epochs by vec_id mod 3 with max_version_dirs=1, so the "
+    "size-pressure trigger fires mid-stream and folds the "
+    "cell-partitioned vector store and the pair log while ingest "
+    "continues against the compacted store. The keep-list is "
+    "oracle-identical to the uncompacted chain — compaction plus its "
+    "scheduling are reader-invisible BY CONSTRUCTION, now "
+    "driver-checkable. Shares stream_semantic_dedup_clustered's full "
+    "oracle with the epoch-0 (mod 3) training subset",
+)
+def stream_semdedup_compacted(spark, sf_dir):
+    import tempfile
+
+    from rapids_and_rivers_spark.streaming.duals import (
+        auto_compacting,
+        semdedup_clustered_compact_store,
+        semdedup_clustered_foreach_batch,
+        semdedup_clustered_keep_list,
+    )
+
+    emb = _semdedup_emb(spark, sf_dir)
+    index_dir = tempfile.mkdtemp(prefix="rars_stream_semdedup_c_")
+    stage = auto_compacting(
+        semdedup_clustered_foreach_batch(index_dir, dim=64, threshold=0.4),
+        lambda sp, through: semdedup_clustered_compact_store(
+            sp, index_dir, through
+        ),
+        watch_roots=[index_dir + "/pairs"],
+        max_version_dirs=1,
+    )
+    stage(emb.filter(F.col("vec_id") % 3 == 0), 0)
+    stage(emb.filter(F.col("vec_id") % 3 == 1), 1)
+    stage(emb.filter(F.col("vec_id") % 3 == 2), 2)
+    return semdedup_clustered_keep_list(spark, index_dir)
 
 
 @register(

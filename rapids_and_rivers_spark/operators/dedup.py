@@ -1384,13 +1384,15 @@ def adaptive_cell_count(
 def cell_blocked_neardup_pairs(
     df: DataFrame,
     dim: int,
-    codebook: list[list[float]],
+    codebook: list[list[float]] | None = None,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.4,
     scale: int = 1000,
     ndigits: int = 4,
     batch_rows: int = 1024,
+    cell_col: str | None = None,
+    new_col: str | None = None,
 ) -> DataFrame:
     """Within-cluster embedding-cosine pairs (cos >= threshold) under
     k-means cell blocking: every vector is assigned to its nearest
@@ -1411,17 +1413,40 @@ def cell_blocked_neardup_pairs(
     not guarantee balance) degrades latency, not correctness — if skew
     ever dominates, the knn_self_join target-salting template applies
     (block-paired sub-GEMMs within the cell).
+
+    ``cell_col`` accepts PRE-ASSIGNED cells (the streaming-index path:
+    rows carry the cell they got at ingest under the frozen codebook —
+    ``codebook`` may then be None); ``new_col`` names a boolean flag
+    restricting output to pairs with at least one new member (the
+    incremental later-member contract of
+    duals.semdedup_clustered_foreach_batch — old-old pairs were emitted
+    at their own epoch and never recompute).
     """
     import numpy as np
     import pandas as pd
 
     from rapids_and_rivers_spark.operators.similarity import assign_cells
 
-    cells = assign_cells(
-        df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("c_emb")),
-        codebook,
-        emb_col="c_emb",
+    flag = (
+        [F.col(new_col).cast("boolean").alias("is_new")] if new_col else []
     )
+    if cell_col is None:
+        cells = assign_cells(
+            df.select(
+                F.col(id_col).alias("id"), *flag,
+                F.col(emb_col).alias("c_emb"),
+            ),
+            codebook,
+            emb_col="c_emb",
+        )
+    else:
+        # pre-assigned cells (the streaming store path: rows carry the
+        # cell they were assigned at ingest under the FROZEN codebook)
+        cells = df.select(
+            F.col(id_col).alias("id"), *flag,
+            F.col(emb_col).alias("c_emb"),
+            F.col(cell_col).cast("long").alias("cell"),
+        )
     # inner raw-sim cutoff: a superset of "round(sim, ndigits) >= t"
     # (round half-up keeps x >= t - 0.5*10^-ndigits), final filter on the
     # ROUNDED value below so the boundary is decided by F.round exactly
@@ -1438,6 +1463,11 @@ def cell_blocked_neardup_pairs(
         ).astype(np.int64)
         n2 = (Q * Q).sum(axis=1)
         ids = pdf["id"].to_numpy().astype(np.int64)
+        newf = (
+            pdf["is_new"].to_numpy().astype(bool)
+            if "is_new" in pdf.columns
+            else None
+        )
         out_a, out_b, out_s = [], [], []
         for lo in range(0, n, batch_rows):
             hi = min(lo + batch_rows, n)
@@ -1448,6 +1478,11 @@ def cell_blocked_neardup_pairs(
             for i in range(lo, hi):
                 # strict upper triangle: each unordered pair exactly once
                 js = np.nonzero(sims[i - lo, i + 1 :] >= raw_cut)[0] + i + 1
+                if newf is not None and len(js):
+                    # incremental contract: only pairs with at least one
+                    # NEW member — old-old pairs were found at their own
+                    # later-member epoch and never recompute
+                    js = js[newf[i] | newf[js]]
                 if len(js):
                     out_a.append(np.full(len(js), ids[i]))
                     out_b.append(ids[js])

@@ -994,10 +994,13 @@ def two_level_probe_cells(
     if n_super is None:
         n_super = max(2, int(round(math.sqrt(n_cells))))
     if super_probe is None:
-        # cover ~4x nprobe expected member cells so a near-boundary
-        # neighbor cell rarely hides behind a losing super
+        # constant super fan-out keeps selection O(sqrt(cells)) per
+        # target (member lists are ~cells/supers ~ sqrt(cells) each);
+        # the floor of 4 is the recall knob: 2 supers halved the
+        # fixed-tier recall vs flat selection in the first measurement,
+        # 4 covers ~4*sqrt(cells) member cells for a ~2x selection cost
         super_probe = max(
-            2, math.ceil(4 * nprobe * n_super / max(1, n_cells))
+            4, math.ceil(4 * nprobe * n_super / max(1, n_cells))
         )
     super_probe = min(super_probe, n_super)
     dim = C.shape[1]
@@ -1020,12 +1023,27 @@ def two_level_probe_cells(
     k_super = np.int64(n_super + 1)
     k_cell = np.int64(n_cells + 2)
 
+    # when the chosen supers' padded member lists cover as much as the
+    # whole codebook, two-level stops paying (measured: the
+    # nprobe=cells/4 "fraction" tier probed EVERY super and the padded
+    # gather cost 2.6x flat) — score all cells in one GEMM instead;
+    # still one vectorized Arrow batch, just without the gather
+    flat_all = super_probe * M >= n_cells
+
     @pandas_udf("array<long>")
     def _probe(v):
         if not len(v):
             return pd.Series([], dtype=object)
         X = np.vstack(v.to_numpy()).astype(np.float64)
         b = len(X)
+        if flat_all:
+            s = snap_scores(X @ C.T).astype(np.int64)
+            key = s * k_cell + np.arange(1, n_cells + 1, dtype=np.int64)
+            order = np.argsort(-key, axis=1)[:, :nprobe]
+            return pd.Series(
+                [[int(c) + 1 for c in order[i]] for i in range(b)],
+                dtype=object,
+            )
         # level 1: snapped scores vs supers; composite int key makes the
         # sort a single argsort with the higher-id tiebreak built in
         sk = snap_scores(X @ S.T).astype(np.int64) * k_super + np.arange(

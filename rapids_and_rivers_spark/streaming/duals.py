@@ -1097,6 +1097,185 @@ def semdedup_keep_list(spark, index_dir: str, id_col: str = "vec_id") -> DataFra
     )
 
 
+# --- streaming cluster-blocked SemDeDup (round 11) ---------------------------
+
+
+def semdedup_clustered_foreach_batch(
+    index_dir: str,
+    dim: int = 64,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    scale: int = 1000,
+    seed: int = 13,
+    sample_per_cell: int = 32,
+    lloyd_iters: int = 8,
+):
+    """Streaming ingest for CLUSTER-BLOCKED SemDeDup — the dual of
+    ``dedup.semantic_dedup_clustered`` (the round-11 headline), shaped
+    like :func:`ivf_index_foreach_batch`:
+
+    - the k-means codebook trains ONCE on epoch 0's md5-ordered sample
+      and FREEZES (_SUCCESS-gated; retraining per batch would re-block
+      the accumulated corpus — an O(corpus) rewrite per epoch);
+    - each epoch assigns only ITS vectors (O(|batch| x n_cells) dots)
+      and appends them cell-partitioned
+      (``vecs/epoch=E/cell=C`` — touched-cell directory pruning);
+    - near-dup pairs are generated by the SAME chunked int64-GEMM
+      kernel as batch (``dedup.cell_blocked_neardup_pairs`` with
+      ``cell_col``/``new_col``): the epoch's new vectors against
+      new + prior rows of the TOUCHED cells only, each unordered pair
+      created exactly once — when its LATER member arrives (the
+      minhash-index incremental law). Old-old pairs never recompute.
+
+    Per-epoch cost is O(|batch| x cluster) — the accumulated store is
+    read only at its touched cells. Writes are per-epoch overwrites, so
+    at-least-once replay is idempotent; a replayed epoch 0 retrains the
+    identical codebook (deterministic sample, grid-snapped Lloyd).
+
+    Drained equality (pinned by test + FULL DuckDB oracle):
+    :func:`semdedup_clustered_keep_list` over everything ingested
+    equals batch ``semantic_dedup_clustered`` on the union corpus with
+    the same frozen codebook.
+    """
+    from rapids_and_rivers_spark.operators.dedup import (
+        cell_blocked_neardup_pairs,
+    )
+    from rapids_and_rivers_spark.operators.similarity import (
+        assign_cells,
+        build_codebook_table,
+        codebook_from_table,
+    )
+
+    def stage(batch_df: DataFrame, epoch_id: int) -> None:
+        # refuse a replay of an epoch already folded by the store's
+        # compactor (the compaction-watermark contract)
+        guard_uncompacted_epoch(
+            epoch_id,
+            os.path.join(index_dir, "vecs"),
+            os.path.join(index_dir, "pairs"),
+        )
+        spark = batch_df.sparkSession
+        cb_dir = os.path.join(index_dir, "codebook")
+        if not fsutil.exists(os.path.join(cb_dir, "_SUCCESS")):
+            build_codebook_table(
+                batch_df,
+                dim,
+                n_cells=n_cells,
+                lloyd_iters=lloyd_iters,
+                seed=seed,
+                sample_per_cell=sample_per_cell,
+                cand_id=id_col,
+                emb_col=emb_col,
+                quantize=1024,
+            ).write.mode("overwrite").parquet(cb_dir)
+        spark.catalog.refreshByPath(cb_dir)
+        cents = codebook_from_table(spark.read.parquet(cb_dir))
+        vecs_root = os.path.join(index_dir, "vecs")
+        assigned = assign_cells(
+            batch_df.select(
+                F.col(id_col).alias("id"), F.col(emb_col).alias("c_emb")
+            ),
+            cents,
+            emb_col="c_emb",
+        ).persist()
+        # persist-scope: in-function — assigned feeds the store write,
+        # the touched-cell collect and the pair join; unpersisted below
+        assigned.repartition("cell").write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(os.path.join(vecs_root, f"epoch={int(epoch_id)}"))
+        # bounded-collect: touched-cell prune — <= n_cells distinct cell
+        # ints (the er_index bkt_rows class), fed to a directory-pruned
+        # store read
+        touched = [
+            r["cell"] for r in assigned.select("cell").distinct().collect()
+        ]
+        spark.catalog.refreshByPath(vecs_root)
+        prior = (
+            spark.read.parquet(vecs_root)
+            .filter(
+                (F.col("epoch") < int(epoch_id))
+                & F.col("cell").isin(touched)
+            )
+            .select("id", "c_emb", "cell", F.lit(False).alias("is_new"))
+        )
+        both = assigned.select(
+            "id", "c_emb", "cell", F.lit(True).alias("is_new")
+        ).unionByName(prior)
+        pairs = cell_blocked_neardup_pairs(
+            both,
+            dim,
+            emb_col="c_emb",
+            id_col="id",
+            threshold=threshold,
+            scale=scale,
+            cell_col="cell",
+            new_col="is_new",
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "pairs", f"v{int(epoch_id)}")
+        )
+        assigned.unpersist()
+
+    return stage
+
+
+def semdedup_clustered_keep_list(
+    spark, index_dir: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Keep-list from the streaming cluster-blocked SemDeDup index:
+    large-star/small-star components over the accumulated pairs,
+    keeper = component minimum — identical resolution to batch
+    ``semantic_dedup_clustered``, so the drained result equals the
+    batch operator on the union corpus under the same frozen codebook.
+    Output: ``(id_col, rep_id, is_kept)`` for every ingested vector."""
+    from rapids_and_rivers_spark.operators.dedup import (
+        duplicate_clusters_star,
+    )
+
+    pairs = (
+        read_epoch_table(spark, os.path.join(index_dir, "pairs"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    clusters = duplicate_clusters_star(pairs)
+    all_ids = (
+        spark.read.parquet(os.path.join(index_dir, "vecs"))
+        .select("id")
+        .distinct()
+    )
+    return all_ids.join(
+        clusters.select(F.col("node").alias("id"), "cluster"), "id", "left"
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce("cluster", "id").alias("rep_id"),
+        (F.coalesce("cluster", F.col("id")) == F.col("id")).alias("is_kept"),
+    )
+
+
+def semdedup_clustered_compact_store(
+    spark, index_dir: str, through_epoch: int
+) -> None:
+    """Compact the streaming cluster-blocked SemDeDup index: the
+    cell-partitioned vector store keeps its layout
+    (:func:`compact_epoch_store` — touched-cell pruning untouched, the
+    folded rows' ``epoch`` becomes ``through_epoch``, still strictly
+    below any future epoch's ``epoch <`` prior read); the pair output
+    is an append-only union store. Same committed-epochs-only safety
+    contract as every compactor here; the frozen codebook never
+    grows."""
+    compact_epoch_store(
+        spark,
+        os.path.join(index_dir, "vecs"),
+        through_epoch,
+        partition_col="cell",
+    )
+    compact_union_versions(
+        spark, os.path.join(index_dir, "pairs"), through_epoch
+    )
+
+
 # --- streaming decontamination gate -------------------------------------------
 
 
@@ -3743,6 +3922,67 @@ def guard_uncompacted_epoch(epoch_id: int, *roots: str) -> None:
                 "history. Compact only epochs strictly below the stream's "
                 "committed checkpoint."
             )
+
+
+def store_version_dirs(root: str) -> int:
+    """Count the epoch/version directories at a store root (``epoch=E``
+    Hive dirs or ``v{E}`` delta dirs) — the small-file pressure signal
+    the compaction policy watches."""
+    from rapids_and_rivers_spark.streaming import fsutil
+
+    if not fsutil.exists(root):
+        return 0
+    n = 0
+    for name in fsutil.listdir(root):
+        if name.startswith("epoch=") or (
+            name.startswith("v") and name[1:].isdigit()
+        ):
+            n += 1
+    return n
+
+
+def auto_compacting(
+    stage,
+    compactor,
+    watch_roots: list,
+    max_version_dirs: int = 32,
+):
+    """Wrap a foreachBatch stage with a store-lifecycle SCHEDULING
+    policy (VERDICT r10 task 5): the compactors exist, but nothing
+    decided WHEN to run them — an unattended stream still accumulated
+    one directory per epoch forever.
+
+    After each epoch's writes, if ANY watched store root holds more
+    than ``max_version_dirs`` epoch/version dirs, the wrapped
+    ``compactor(spark, through_epoch)`` runs with
+    ``through_epoch = epoch_id - 1``. That watermark is safe BY THE
+    foreachBatch COMMIT CONTRACT, not by caller discipline: batch E's
+    offsets commit before batch E+1 starts, so when stage(E) is
+    running, every epoch strictly below E is committed and can never be
+    replayed — only E itself can, and E is never folded. An
+    at-least-once replay of E therefore re-runs the same compaction
+    call (idempotent: the fold through E-1 already happened, the
+    version scan finds nothing to do) and re-writes only v{E}/epoch=E.
+
+    The trigger is a size-pressure ratio, not a fixed cadence: with
+    ``max_version_dirs = B``, steady state oscillates between B/ and
+    ~1 dir per store, so per-epoch touched-bucket reads and the final
+    drain pay O(B) listings instead of O(total epochs) — bounded file
+    counts over an unbounded run (pinned by the 100-epoch soak,
+    tools/compaction_soak.py -> SOAK_r11.json, and
+    test_auto_compaction_bounds_dirs_over_long_run).
+    """
+
+    def wrapped(batch_df: DataFrame, epoch_id: int) -> None:
+        stage(batch_df, epoch_id)
+        if epoch_id < 1:
+            return
+        if any(
+            store_version_dirs(r) > max_version_dirs for r in watch_roots
+        ):
+            compactor(batch_df.sparkSession, int(epoch_id) - 1)
+
+    return wrapped
 
 
 def compact_epoch_store(

@@ -423,3 +423,102 @@ def test_compaction_watermark_refuses_folded_epoch_replay(spark):
         assert read_latest_core(spark, out).count() == 6
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# compaction SCHEDULING policy (VERDICT r10 task 5): size-pressure
+# trigger wired into the stage — bounded dirs over a long run, derived
+# result identical to the never-compacted control
+# --------------------------------------------------------------------------
+
+
+def test_auto_compaction_bounds_dirs_over_long_run(spark):
+    from rapids_and_rivers_spark.streaming.duals import (
+        auto_compacting,
+        kcore_compact_store,
+        kcore_foreach_batch,
+        read_latest_core,
+        store_version_dirs,
+    )
+
+    n = 24
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    out_a = tempfile.mkdtemp(prefix="rars_t_apc_a_")
+    out_b = tempfile.mkdtemp(prefix="rars_t_apc_b_")
+    max_dirs = 6
+    peak_b = 0
+    for out in (out_a, out_b):
+        stage = kcore_foreach_batch(out, k=2, rounds=2)
+        if out == out_b:
+            stage = auto_compacting(
+                stage,
+                lambda sp, through: kcore_compact_store(sp, out_b, through),
+                watch_roots=[os.path.join(out_b, "edges")],
+                max_version_dirs=max_dirs,
+            )
+        for e in range(n):
+            stage(spark.createDataFrame(ring[e : e + 1], "src long, dst long"), e)
+            if out == out_b:
+                peak_b = max(
+                    peak_b, store_version_dirs(os.path.join(out_b, "edges"))
+                )
+    # policy keeps the edge log bounded: never more than max_dirs + 1
+    # (the trigger fires AFTER the epoch that crosses the threshold)
+    assert peak_b <= max_dirs + 1, peak_b
+    assert store_version_dirs(os.path.join(out_a, "edges")) == n
+    # reader contract: identical derived cores, and the ring closes
+    want = sorted(tuple(r) for r in read_latest_core(spark, out_a).collect())
+    got = sorted(tuple(r) for r in read_latest_core(spark, out_b).collect())
+    assert got == want and len(want) == n
+    shutil.rmtree(out_a, ignore_errors=True)
+    shutil.rmtree(out_b, ignore_errors=True)
+
+
+def test_semdedup_clustered_compaction_invisible(spark):
+    """The round-11 dual's store under its compactor + the scheduling
+    wrapper: ingest 3 epochs with max_version_dirs=1 (trigger fires
+    mid-stream), derived keep-list identical to the never-compacted
+    control, dirs bounded."""
+    from pyspark.sql import functions as F
+
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.streaming.duals import (
+        auto_compacting,
+        semdedup_clustered_compact_store,
+        semdedup_clustered_foreach_batch,
+        semdedup_clustered_keep_list,
+        store_version_dirs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    outs = {}
+    for mode in ("control", "compacted"):
+        idx = tempfile.mkdtemp(prefix=f"rars_t_sdc_{mode}_")
+        stage = semdedup_clustered_foreach_batch(idx, dim=64, threshold=0.4)
+        if mode == "compacted":
+            stage = auto_compacting(
+                stage,
+                lambda sp, through, idx=idx: semdedup_clustered_compact_store(
+                    sp, idx, through
+                ),
+                watch_roots=[os.path.join(idx, "pairs")],
+                max_version_dirs=1,
+            )
+        for e in range(3):
+            stage(emb.filter(F.col("vec_id") % 3 == e), e)
+        outs[mode] = (
+            idx,
+            sorted(
+                tuple(r)
+                for r in semdedup_clustered_keep_list(spark, idx).collect()
+            ),
+        )
+    assert outs["control"][1] == outs["compacted"][1]
+    assert len(outs["control"][1]) == emb.count()
+    assert store_version_dirs(
+        os.path.join(outs["compacted"][0], "pairs")
+    ) < store_version_dirs(os.path.join(outs["control"][0], "pairs"))
+    for idx, _ in outs.values():
+        shutil.rmtree(idx, ignore_errors=True)

@@ -3437,3 +3437,73 @@ def test_assoc_rules_real_stream_foreach_batch(spark, tmp_path):
         union, 3, min_item_support=1, min_pair_support=1
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and len(want) > 0
+
+
+def test_semdedup_clustered_stream_matches_batch(spark, tmp_path):
+    """Round-11 dual: cluster-blocked SemDeDup under ingest. Vectors
+    arrive over two micro-batches; the k-means codebook freezes on
+    batch 1's sample; cross-batch pairs are found via the touched-cell
+    prior read; and the drained keep-list equals batch
+    semantic_dedup_clustered over the full corpus UNDER THE SAME FROZEN
+    CODEBOOK (read back from the index — the duality law as stated in
+    the operator docstring)."""
+    from rapids_and_rivers_spark.operators.dedup import (
+        semantic_dedup_clustered,
+    )
+    from rapids_and_rivers_spark.operators.similarity import (
+        codebook_from_table,
+    )
+    from rapids_and_rivers_spark.sources import load_table
+    from rapids_and_rivers_spark.streaming.duals import (
+        semdedup_clustered_foreach_batch,
+        semdedup_clustered_keep_list,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = emb.collect()
+    b1 = [r for r in rows if r.vec_id % 2 == 0]
+    b2 = [r for r in rows if r.vec_id % 2 == 1]
+
+    def enc(r):
+        return json.dumps({"vec_id": r.vec_id, "embedding": list(r.embedding)})
+
+    stream = _two_batch_source(
+        spark,
+        str(tmp_path / "in"),
+        [enc(r) for r in b1],
+        [enc(r) for r in b2],
+        "vec_id long, embedding array<double>",
+    )
+    index_dir = str(tmp_path / "semdedup_c")
+    q = (
+        stream.writeStream.foreachBatch(
+            semdedup_clustered_foreach_batch(index_dir, dim=64, threshold=0.4)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.vec_id, r.rep_id, r.is_kept)
+        for r in semdedup_clustered_keep_list(spark, index_dir).collect()
+    }
+    frozen = codebook_from_table(
+        spark.read.parquet(str(tmp_path / "semdedup_c" / "codebook"))
+    )
+    expected = {
+        (r.vec_id, r.rep_id, r.is_kept)
+        for r in semantic_dedup_clustered(
+            emb, dim=64, threshold=0.4, codebook=frozen
+        ).collect()
+    }
+    assert got == expected and len(got) == len(rows)
+    # the incremental index actually found CROSS-batch pairs: at least
+    # one non-kept doc whose rep lives in the other parity class
+    cross = [
+        (v, rep) for v, rep, kept in got if not kept and (v % 2) != (rep % 2)
+    ]
+    assert cross, "no cross-batch near-dup resolved through the index"

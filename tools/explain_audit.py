@@ -80,6 +80,20 @@ SCALAR_CROSS_OK = {
     # bounded tiny, the gap_filled_daily_counts class
 }
 
+# Queries whose RETURN plan ends in a full global sort (orderBy with no
+# following limit -> Exchange rangepartitioning + Sort over the whole
+# result) where the sorted frame is bounded for a reason the structural
+# walk cannot prove (VERDICT r10 task 7). Every entry documents its
+# bound; anything not listed and not structurally bounded is flagged —
+# at 100 TB an unbounded total ordering is a full range-shuffle of the
+# output for presentation only.
+ORDERED_RETURN_OK = {
+    # (currently empty: every catalog return plan is either unordered,
+    # limited, or structurally bounded below the sort — keep it that
+    # way; add entries only with a documented O(1)/O(days)/O(dims)
+    # output bound)
+}
+
 # Time-truncation expressions that bound an aggregate's group count by
 # O(days)/O(months) rather than O(rows): a global window over such a
 # rollup stays a constant-size single-task sort at any corpus size.
@@ -172,45 +186,93 @@ def global_window_bounded(plan: str) -> bool:
             and any(a.startswith(("Window", "WindowGroupLimit")) for a in ancestors[1:])
         ):
             continue
-        sub = _subtree_lines(lines, i)
-        # walk the direct-child chain through pass-through nodes to the
-        # first "real" operator under the exchange
-        bounded = False
-        for k, child in enumerate(sub):
-            if not child.strip():
-                continue
-            text = _node_text(child)
-            # WindowGroupLimit(Partial) under the exchange keeps <= k rows
-            # per upstream partition (rank-pushdown), so the single
-            # partition sees at most k * parallelism rows — bounded
-            if re.match(
-                r"^(GlobalLimit|LocalLimit|TakeOrderedAndProject|WindowGroupLimit)\b",
-                text,
-            ):
-                bounded = True
-                break
-            m = _AGG_NODE.match(text)
-            if m:
-                keys = m.group(2)
-                if _TIME_TRUNC.search(keys):
-                    bounded = True
-                    break
-                # keys are attribute refs: find their defining expression
-                # (`<trunc-expr> AS day#12`) anywhere below the aggregate
-                attrs = re.findall(r"(\w+#\d+)", keys)
-                below = "\n".join(_subtree_lines(sub, k))
-                bounded = bool(attrs) and all(
-                    any(
-                        _TIME_TRUNC.search(below[max(0, dm.start() - 200):dm.start()])
-                        for dm in re.finditer(re.escape(f"AS {a}"), below)
-                    )
-                    for a in attrs
+        if not _bounded_below(lines, i):
+            return False
+    return True
+
+
+def _bounded_below(lines: list[str], i: int) -> bool:
+    """Walk the direct-child chain under lines[i] (an Exchange) through
+    pass-through nodes to the first "real" operator and decide whether
+    that input is provably bounded: a constant limit
+    (GlobalLimit/LocalLimit/TakeOrderedAndProject), a WindowGroupLimit
+    (rank pushdown keeps <= k rows per upstream partition), or an
+    aggregate keyed only by time-truncations (O(days) groups,
+    corpus-independent). Shared by the partition-less-Window check and
+    the global-sort check."""
+    sub = _subtree_lines(lines, i)
+    for k, child in enumerate(sub):
+        if not child.strip():
+            continue
+        text = _node_text(child)
+        if re.match(
+            r"^(GlobalLimit|LocalLimit|TakeOrderedAndProject|WindowGroupLimit)\b",
+            text,
+        ):
+            return True
+        m = _AGG_NODE.match(text)
+        if m:
+            keys = m.group(2)
+            if _TIME_TRUNC.search(keys):
+                return True
+            # keys are attribute refs: find their defining expression
+            # (`<trunc-expr> AS day#12`) anywhere below the aggregate
+            attrs = re.findall(r"(\w+#\d+)", keys)
+            below = "\n".join(_subtree_lines(sub, k))
+            return bool(attrs) and all(
+                any(
+                    _TIME_TRUNC.search(below[max(0, dm.start() - 200):dm.start()])
+                    for dm in re.finditer(re.escape(f"AS {a}"), below)
                 )
+                for a in attrs
+            )
+        if _PASSTHROUGH.match(text):
+            continue
+        break  # raw scan / join / anything unbounded
+    return False
+
+
+def global_sort_bounded(plan: str) -> bool:
+    """Structural check for full global sorts in a RETURN plan
+    (VERDICT r10 task 7): `Sort [...], true` fed by an
+    `Exchange rangepartitioning` with no limit above it totally orders
+    the entire result — a full range-shuffle at 100 TB that only makes
+    sense when the sorted frame is provably small. Accepted only when
+    the exchange's input is bounded (same classes as the window check:
+    constant limit, rank pushdown, or time-trunc-keyed aggregate —
+    :func:`_bounded_below`); a sort that feeds a GlobalLimit /
+    TakeOrderedAndProject above is top-k and fine (Spark usually
+    collapses that to TakeOrderedAndProject with no exchange at all)."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange rangepartitioning" not in line:
+            continue
+        # walk UP: nearest real ancestor must be a global Sort; if any
+        # ancestor above that is a limit, the pair is top-k — bounded
+        d = _node_depth(line)
+        saw_sort = False
+        limited = False
+        for j in range(i - 1, -1, -1):
+            dj = _node_depth(lines[j])
+            if lines[j].strip() and dj < d:
+                text = _node_text(lines[j])
+                d = dj
+                if _WRAPPER.match(text):
+                    continue
+                if not saw_sort:
+                    if text.startswith("Sort"):
+                        saw_sort = True
+                        continue
+                    break  # range exchange not feeding a Sort (e.g.
+                    # repartitionByRange) — not this check's concern
+                if re.match(
+                    r"^(GlobalLimit|LocalLimit|TakeOrderedAndProject)\b", text
+                ):
+                    limited = True
                 break
-            if _PASSTHROUGH.match(text):
-                continue
-            break  # raw scan / join / anything unbounded
-        if not bounded:
+        if not saw_sort or limited:
+            continue
+        if not _bounded_below(lines, i):
             return False
     return True
 
@@ -238,6 +300,11 @@ def audit_plan(name: str, plan: str) -> tuple[list[str], dict[str, int]]:
     # time-trunc-keyed aggregate) — see global_window_bounded().
     if not global_window_bounded(plan):
         flags.append("partition-less Window over unbounded input (global single-task sort)")
+    # full global sort of the return frame (orderBy, no limit): a total
+    # range-shuffle at 100 TB — accepted only when the sorted input is
+    # structurally bounded or carries a documented output bound
+    if name not in ORDERED_RETURN_OK and not global_sort_bounded(plan):
+        flags.append("unbounded global sort in return plan (orderBy with no limit)")
     return flags, stats
 
 
