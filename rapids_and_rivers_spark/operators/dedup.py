@@ -1552,14 +1552,14 @@ def semantic_dedup_clustered(
             n_cells = adaptive_cell_count(
                 df.count(), target_cluster_rows=target_cluster_rows
             )
+        # bounded-collect: sample_per_cell * n_cells codebook-sample rows
+        # (KB-scale) — the build_codebook_table class
         sampled = (
             df.select(id_col, emb_col)
             .orderBy(codebook_sample_order(id_col, seed))
             .limit(sample_per_cell * n_cells)
             .collect()
         )
-        # bounded-collect: sample_per_cell * n_cells codebook-sample rows
-        # (KB-scale) — the build_codebook_table class
         codebook = lloyd_codebook(
             [list(r[emb_col]) for r in sampled],
             dim,

@@ -973,6 +973,16 @@ def two_level_probe_cells(
     cells/sqrt(cells)). Selection cost per target drops from O(cells)
     to O(sqrt(cells)), total O(n · sqrt(cells)).
 
+    Honest asymptote: with ``cells ∝ corpus`` (the constant-cluster
+    sizing), per-target selection is O(sqrt(cells)) = O(sqrt(n)) — the
+    TOTAL is O(n^1.5), sub-quadratic but not linear. Its constant is
+    tiny (~5 dot-equivalents per member cell), so scoring
+    (O(nprobe · cluster) per target, truly linear) dominates until
+    cells ~ 10^5; past that the named successor is a LOG-DEPTH
+    quantizer tree (recursive coarse-over-coarse — the faiss
+    IVF-HNSW coarse quantizer pattern), which this two-level layout
+    extends naturally.
+
     Vectorized end to end: one Arrow batch -> two snapped int64-keyed
     GEMMs (targets x supers, then a padded gather of member centroids
     and an einsum) — no per-row Python. Tie-breaks replicate the flat
@@ -1050,19 +1060,29 @@ def two_level_probe_cells(
             n_super, dtype=np.int64
         )
         top_s = np.argsort(-sk, axis=1)[:, :super_probe]
-        # level 2: gather member cells of the chosen supers
-        cells0 = mem_pad[top_s].reshape(b, -1)  # (b, super_probe*M), 0-based
-        cand = Cext[cells0]  # (b, k, dim)
-        s2 = snap_scores(np.einsum("bd,bkd->bk", X, cand)).astype(np.int64)
-        valid = cells0 < n_cells
-        key2 = np.where(
-            valid, s2 * k_cell + cells0 + 1, np.int64(-(2**62))
-        )
-        order = np.argsort(-key2, axis=1)[:, :nprobe]
+        # level 2: gather member cells of the chosen supers — in row
+        # sub-batches so the (rows x super_probe*M x dim) gather stays
+        # ~256 MB even when the super codebook is unbalanced (M is the
+        # LARGEST member list; an unbounded gather OOM-killed a worker
+        # at 1024 cells in measurement)
+        spm = super_probe * M
+        sub = max(64, int(256e6 // (spm * dim * 8)))
         rows = []
-        for i in range(b):
-            sel = cells0[i, order[i]]
-            rows.append([int(c) + 1 for c in sel if c < n_cells])
+        for lo in range(0, b, sub):
+            hi = min(lo + sub, b)
+            cells0 = mem_pad[top_s[lo:hi]].reshape(hi - lo, -1)
+            cand = Cext[cells0]  # (sub, spm, dim)
+            s2 = snap_scores(
+                np.einsum("bd,bkd->bk", X[lo:hi], cand)
+            ).astype(np.int64)
+            valid = cells0 < n_cells
+            key2 = np.where(
+                valid, s2 * k_cell + cells0 + 1, np.int64(-(2**62))
+            )
+            order = np.argsort(-key2, axis=1)[:, :nprobe]
+            for i in range(hi - lo):
+                sel = cells0[i, order[i]]
+                rows.append([int(c) + 1 for c in sel if c < n_cells])
         return pd.Series(rows, dtype=object)
 
     return (

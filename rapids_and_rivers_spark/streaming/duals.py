@@ -1138,6 +1138,17 @@ def semdedup_clustered_foreach_batch(
     :func:`semdedup_clustered_keep_list` over everything ingested
     equals batch ``semantic_dedup_clustered`` on the union corpus with
     the same frozen codebook.
+
+    Honest caveat (the IVF_FREEZE_DRIFT class): a FROZEN cell count
+    means cluster size grows with the accumulated corpus, so over an
+    unbounded stream the within-cell pair term drifts back toward the
+    quadratic the batch operator's ``adaptive_cell_count`` avoids.
+    Size ``n_cells`` from the EXPECTED total corpus at stream start
+    (the resolve_buckets estimate discipline), and treat a corpus that
+    outgrows its estimate by >2x as a re-cluster event: an offline
+    rebuild with a larger codebook (the faiss retrain pattern) — the
+    keep-list re-derives from pairs, so rebuilds don't lose dedup
+    state, they only re-block future candidate generation.
     """
     from rapids_and_rivers_spark.operators.dedup import (
         cell_blocked_neardup_pairs,
@@ -1185,9 +1196,9 @@ def semdedup_clustered_foreach_batch(
         assigned.repartition("cell").write.partitionBy("cell").mode(
             "overwrite"
         ).parquet(os.path.join(vecs_root, f"epoch={int(epoch_id)}"))
-        # bounded-collect: touched-cell prune — <= n_cells distinct cell
-        # ints (the er_index bkt_rows class), fed to a directory-pruned
-        # store read
+        # fed to a directory-pruned store read (the er_index bkt_rows
+        # class of collect):
+        # bounded-collect: touched-cell prune — <= n_cells distinct ints
         touched = [
             r["cell"] for r in assigned.select("cell").distinct().collect()
         ]

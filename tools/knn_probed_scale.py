@@ -49,7 +49,13 @@ FIXED_NPROBE = 8
 
 
 def n_cells_for(n: int) -> int:
-    return 1 << max(2, int(round(math.log2(n / TARGET_CELL_ROWS))))
+    # exact corpus-proportional cells, NOT pow2-rounded: the rounding
+    # swung rows-per-cell 34..68 between tiers (sf1 read 39, sf3 59),
+    # aliasing a spurious 1.5x into the 2-point scoring term — the
+    # r10 1.32 and the first r11 1.62 top-end fits both carried it.
+    # Constant cluster rows is the controlled variable that lets the
+    # fit measure the ALGORITHM's n-dependence.
+    return max(4, math.ceil(n / TARGET_CELL_ROWS))
 
 
 def _emb(spark, sf_dir):
