@@ -4042,7 +4042,6 @@ def label_noise_probe(spark, sf_dir):
             .cast("long")
             .alias("n_suspects"),
         )
-        .orderBy("label")
     )
 
 
@@ -6082,7 +6081,7 @@ def sketch_quantile_sample(spark, sf_dir):
         "n",
         K.quantile_from_sample(F.col("vals"), F.col("n"), 0.5).alias("est_p50"),
         K.quantile_from_sample(F.col("vals"), F.col("n"), 0.9).alias("est_p90"),
-    ).orderBy("event_type")
+    )
 
 
 @register(
@@ -8316,7 +8315,6 @@ def bloom_prune_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -8380,7 +8378,6 @@ def zorder_cluster_stats(spark, sf_dir):
             F.min("d").cast("long").alias("min_day"),
             F.max("d").cast("long").alias("max_day"),
         )
-        .orderBy("zbucket")
     )
 
 
@@ -8678,7 +8675,6 @@ def ab_test_welch(spark, sf_dir):
             F.round((F.col("mean1") - F.col("mean0")) / F.sqrt(se2), 4).alias("t_stat"),
             F.round(df_w, 1).alias("df_welch"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -8809,7 +8805,6 @@ def attribution_linear(spark, sf_dir):
                 / F.lit(1000000.0)
             ).alias("credited_revenue"),
         )
-        .orderBy("channel", "day")
     )
 
 
@@ -8852,7 +8847,7 @@ def embedding_gram_matrix(spark, sf_dir):
     from rapids_and_rivers_spark.operators import linalg as LA
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return LA.quantized_gram(emb, "embedding", dim=64, scale=1000).orderBy("i", "j")
+    return LA.quantized_gram(emb, "embedding", dim=64, scale=1000)
 
 
 @register(
@@ -8912,7 +8907,6 @@ def embedding_pca_project(spark, sf_dir):
     return (
         LA.project_on_exact(emb, "embedding", w, nrm, scale=1000)
         .select("vec_id", (F.round("proj", 4) + F.lit(0.0)).alias("proj"))
-        .orderBy("vec_id")
     )
 
 
@@ -9065,7 +9059,7 @@ def mmr_rerank_diverse(spark, sf_dir):
         F.col("cid").alias("cand_id"),
         F.round("rel", 4).alias("rel"),
         F.round("score", 4).alias("score"),
-    ).orderBy("query_id", "rank")
+    )
 
 
 @register(
@@ -9134,7 +9128,6 @@ def graph_kcore(spark, sf_dir):
             F.max("deg").alias("max_deg"),
             F.round(F.avg("deg"), 4).alias("avg_deg"),
         )
-        .orderBy("node_type")
     )
 
 
@@ -9202,7 +9195,6 @@ def zipf_fit_by_source(spark, sf_dir):
             F.round(slope, 4).alias("zipf_slope"),
             F.round((F.sum("y") - slope * F.sum("x")) / n, 4).alias("intercept"),
         )
-        .orderBy("source")
     )
 
 
@@ -9330,7 +9322,6 @@ def mad_outliers(spark, sf_dir):
             .cast("long")
             .alias("n_outliers"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -9413,7 +9404,6 @@ def event_pmi_pairs(spark, sf_dir):
                 4,
             ).alias("pmi"),
         )
-        .orderBy("t1", "t2")
     )
 
 
@@ -9555,7 +9545,6 @@ def survival_time_to_purchase(spark, sf_dir):
             )
             .alias("survival")
         )
-        .orderBy("day")
     )
 
 
@@ -9682,7 +9671,7 @@ def bpe_train_merges(spark, sf_dir):
         .select(F.lit(0).alias("step"), F.col("t").alias("token"), "weight")
     )
     merges = spark.createDataFrame(steps, "step int, token string, weight long")
-    return merges.unionByName(vocab).orderBy("step", F.desc("weight"), "token")
+    return merges.unionByName(vocab)
 
 
 @register(
@@ -10071,7 +10060,6 @@ def psi_value_drift(spark, sf_dir):
             F.count(F.lit(1)).alias("n_bands"),
             F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -10174,7 +10162,6 @@ def label_noise_knn(spark, sf_dir):
             .cast("long")
             .alias("n_suspects"),
         )
-        .orderBy("label")
     )
 
 
@@ -11481,7 +11468,6 @@ def nb_source_confusion(spark, sf_dir):
             F.col("pred").alias("pred_source"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("true_source", "pred_source")
     )
 
 
@@ -11831,7 +11817,6 @@ def bfs_part_reach(spark, sf_dir):
     return (
         G.bfs_levels(edges, seeds, max_hops=3)
         .select("node", F.col("hop").cast("int").alias("hop"))
-        .orderBy("hop", "node")
     )
 
 
@@ -12247,7 +12232,6 @@ def video_neardup_frames(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
         .filter(F.col("shared_frames") >= 4)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -12307,7 +12291,6 @@ def phrase_search_positional(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_occurrences"),
             F.min("doc_id").alias("first_doc"),
         )
-        .orderBy(F.desc("n_occurrences"), "w1", "w2")
     )
 
 
@@ -12487,7 +12470,7 @@ def pareto_frontier_parts(spark, sf_dir):
         "p_partkey",
         "price_cents",
         (-F.col("neg_size")).cast("long").alias("p_size"),
-    ).orderBy("price_cents", "p_partkey")
+    )
 
 
 @register(
@@ -12527,7 +12510,7 @@ def stream_pareto_frontier(spark, sf_dir):
         "p_partkey",
         "price_cents",
         (-F.col("neg_size")).cast("long").alias("p_size"),
-    ).orderBy("price_cents", "p_partkey")
+    )
 
 
 @register(
@@ -12584,7 +12567,6 @@ def cluster_safe_splits(spark, sf_dir):
             F.min("vec_id").alias("min_vec"),
             F.max("vec_id").alias("max_vec"),
         )
-        .orderBy("split")
     )
 
 
@@ -12724,7 +12706,6 @@ def er_golden_record(spark, sf_dir):
             "canonical_id", "n_records", "golden_doc", "golden_len",
             "source_mode",
         )
-        .orderBy("canonical_id")
     )
 
 
@@ -12929,7 +12910,7 @@ def pps_token_sample(spark, sf_dir):
     return pps_systematic(
         sized, group_col="source", id_col="doc_id",
         weight_col="n_tokens", n_per_group=10,
-    ).orderBy("source", "doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -96,7 +96,7 @@ def ses_backtest(
         )
         .otherwise(F.lit(None).cast("double"))
         .alias("mae"),
-    ).orderBy("key")
+    )
 
 
 def cusum_alarms(
@@ -192,4 +192,4 @@ def cusum_alarms(
         F.col("a.o").alias("day"),
         F.col("a.dir").alias("direction"),
         F.col("a.s").alias("s_scaled"),
-    ).orderBy("key", "day", "direction")
+    )

@@ -81,7 +81,6 @@ def rules_from_counts(
         .select(
             "antecedent", "consequent", "c_ab", "c_a", "c_b", "confidence", "lift"
         )
-        .orderBy("antecedent", "consequent")
     )
 
 

@@ -3555,7 +3555,6 @@ def nb_confusion_from_stats(spark, out_dir: str, n_buckets: int = 64) -> DataFra
             F.col("pred").alias("pred_source"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("true_source", "pred_source")
     )
 
 

@@ -260,7 +260,11 @@ def global_sort_bounded(plan: str) -> bool:
                 if _WRAPPER.match(text):
                     continue
                 if not saw_sort:
-                    if text.startswith("Sort"):
+                    # only GLOBAL sorts (`Sort [...], true`): a local
+                    # sortWithinPartitions above a repartitionByRange
+                    # (the z-order write layout) is per-partition work,
+                    # not a total ordering
+                    if re.match(r"^Sort \[.*\], true", text):
                         saw_sort = True
                         continue
                     break  # range exchange not feeding a Sort (e.g.
