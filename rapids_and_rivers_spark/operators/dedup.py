@@ -833,6 +833,17 @@ def duplicate_clusters_star(
     Output matches :func:`duplicate_clusters`: ``(node, cluster)`` for
     every id in ``pairs``, cluster = component minimum.
     """
+    # persist-scope: in-function — `pairs` feeds TWO eager
+    # materializations (the nodes and edges localCheckpoints); without
+    # the persist the caller's pair generation (typically the pipeline's
+    # most expensive stage: a blocked cosine join or a within-cell GEMM)
+    # runs twice (guide §5). Skipped if the caller already persisted it;
+    # unpersisted right after both checkpoints are materialized.
+    own_persist = pairs.storageLevel.useMemory is False and (
+        pairs.storageLevel.useDisk is False
+    )
+    if own_persist:
+        pairs = pairs.persist()
     e0 = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
@@ -848,6 +859,8 @@ def duplicate_clusters_star(
         .localCheckpoint()
     )
     edges = e0.localCheckpoint()
+    if own_persist:
+        pairs.unpersist()
 
     def fingerprint(df: DataFrame) -> tuple:
         row = df.agg(

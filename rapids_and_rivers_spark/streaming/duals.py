@@ -407,12 +407,21 @@ def tfidf_foreach_batch(state_dir: str, text_col: str = "text",
             ).alias("token"),
         ).filter(F.length("token") >= min_token_len)
         tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        # persist-scope: in-function — tf feeds its own epoch write, the
+        # doc_len derivation and the token document-frequency merge;
+        # without it the corpus tokenize+explode+agg re-runs once per
+        # consumer (2-3 full passes per epoch, guide §5). Unpersisted at
+        # the end of the epoch.
+        tf = tf.persist()
         tf.write.mode("overwrite").parquet(
             os.path.join(state_dir, "doc_tf", f"v{epoch_id}")
         )
         if track_doc_len:
-            toks.groupBy("doc_id").agg(
-                F.count(F.lit(1)).alias("dl")
+            # dl = total tokens per doc = sum of its per-token tfs — the
+            # identical integer, derived from the persisted tf instead of
+            # a second tokenize pass over the raw text
+            tf.groupBy("doc_id").agg(
+                F.sum("tf").alias("dl")
             ).write.mode("overwrite").parquet(
                 os.path.join(state_dir, "doc_len", f"v{epoch_id}")
             )
@@ -441,6 +450,7 @@ def tfidf_foreach_batch(state_dir: str, text_col: str = "text",
         spark.createDataFrame([(n,)], "n long").write.mode("overwrite").parquet(
             os.path.join(state_dir, "n_docs", f"v{epoch_id}")
         )
+        tf.unpersist()
 
     return stage
 
@@ -2938,9 +2948,13 @@ def contamination_index_foreach_batch(
         from rapids_and_rivers_spark.operators.dedup import shingled
 
         spark = batch_df.sparkSession
+        # persist-scope: in-function — sh feeds both the corpus-postings
+        # write and the benchmark-shingle merge; without it the heavy
+        # normalize+tokenize+shingle-hash pass runs twice per epoch
+        # (guide §5). Unpersisted at the end of the epoch.
         sh = shingled(
             batch_df, text_col, id_col, extra_cols=[bench_col], n=shingle_n
-        )
+        ).persist()
         corpus = sh.filter(~F.col(bench_col)).select(
             "id",
             F.size("shingles").alias("n_shingles"),
@@ -2964,6 +2978,7 @@ def contamination_index_foreach_batch(
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, "bench_sh", f"v{epoch_id}")
         )
+        sh.unpersist()
 
     return stage
 
@@ -3029,6 +3044,11 @@ def packing_foreach_batch(
             token_count(F.col(text_col)).cast("long").alias("n_tokens"),
         )
         spath = os.path.join(state_dir, "sized")
+        # persist-scope: in-function — sized feeds the epoch write AND
+        # the touched-source collect; without it the batch tokenize
+        # (token_count over the text) runs once per consumer.
+        # Unpersisted at the end of the epoch.
+        sized = sized.persist()
         sized.write.mode("overwrite").parquet(
             os.path.join(spath, f"v{epoch_id}")
         )
@@ -3038,6 +3058,7 @@ def packing_foreach_batch(
             r.source for r in sized.select("source").distinct().collect()
         )
         if not touched:
+            sized.unpersist()
             return
         spark.catalog.refreshByPath(spath)
         acc = read_epoch_table(spark, spath).filter(
@@ -3059,11 +3080,21 @@ def packing_foreach_batch(
             .cast("long")
             .alias("seq_offset"),
         )
+        # persist-scope: in-function — the per-source snapshot loop below
+        # writes |touched| times from this one frame; without the persist
+        # each write re-runs the accumulated-store read AND the prefix-sum
+        # window once per source (O(|sources|) recomputes of the epoch's
+        # heaviest stage — measured as the dominant cost of
+        # stream_pack_sequences, guide §5 "caching is worth it when a
+        # DataFrame is reused"). Unpersisted at the end of the epoch.
+        packed = packed.persist()
         for src in touched:
             key = hashlib.md5(str(src).encode()).hexdigest()[:16]
             packed.filter(F.col("source") == src).write.mode(
                 "overwrite"
             ).parquet(os.path.join(state_dir, "packing", f"s{key}", f"v{epoch_id}"))
+        packed.unpersist()
+        sized.unpersist()
 
     return stage
 
