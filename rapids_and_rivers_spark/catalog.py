@@ -10296,12 +10296,17 @@ def stream_kcore_purchase(spark, sf_dir):
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
         .distinct()
+        # persist-scope: in-function — both epoch stages filter this
+        # frame; without it the lineitem join + distinct re-ran once per
+        # epoch (the stream_triangles_copurchase cs/pairs pattern)
+        .persist()
     )
     state_dir = tempfile.mkdtemp(prefix="rars_stream_core_")
     stage = kcore_foreach_batch(state_dir, k=3, rounds=3)
     par = F.pmod(F.xxhash64(F.concat_ws("|", "src", "dst")), F.lit(2))
     stage(e0.filter(par == 0), 0)
     stage(e0.filter(par == 1), 1)
+    e0.unpersist()
     return read_latest_core(spark, state_dir)
 
 

@@ -73,12 +73,40 @@ def bt_sufficient_stats(contests: DataFrame):
     ``games (i, j, n)`` with ``i < j`` and ``wins (s, wn)``. Both are
     component-wise addable across shards/epochs (the linreg
     sufficient-statistics property), which is what makes the streaming
-    dual exact."""
-    games = contests.groupBy("i", "j").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    dual exact.
+
+    ONE corpus pass: the per-pair reduction carries each pair's win
+    split (``wi``; ``wj = n - wi`` since every game is won by i or j),
+    materialized via ``localCheckpoint`` so both returned tables are
+    projections of one computed |player-pairs|-sized frame. The
+    previous shape aggregated ``contests`` twice, and because the two
+    results are materialized by separate actions downstream (epoch
+    writes, checkpoint jobs), each one re-executed the full contest
+    self-join — two corpus passes for one reduction (profiled on
+    stream_bt_strength: the contest-join stage ran twice per epoch).
+    ``wins`` keeps the original row contract (players with >= 1 win),
+    and the values are identical integer counts."""
+    pairs = (
+        contests.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("w") == F.col("i"), 1).otherwise(0)
+            ).cast("long").alias("wi"),
+        )
+        .localCheckpoint()
     )
-    wins = contests.groupBy(F.col("w").alias("s")).agg(
-        F.count(F.lit(1)).cast("long").alias("wn")
+    games = pairs.select("i", "j", "n")
+    wins = (
+        pairs.select(F.col("i").alias("s"), F.col("wi").alias("x"))
+        .unionByName(
+            pairs.select(
+                F.col("j").alias("s"), (F.col("n") - F.col("wi")).alias("x")
+            )
+        )
+        .groupBy("s")
+        .agg(F.sum("x").cast("long").alias("wn"))
+        .filter(F.col("wn") > 0)
     )
     return games, wins
 
@@ -94,11 +122,23 @@ def bt_mm_ratings(games: DataFrame, wins: DataFrame, rounds: int = 3) -> DataFra
     at rating 1 (GREATEST guard), so no round divides by zero: a games
     edge always has at least one past winner on it.
     """
-    # deliberately NOT persisted: games/wins recur in every round, but
-    # Catalyst's ReusedExchange already dedupes the repeated contest
-    # subplan — measured at sf0.1, caching them is 4x SLOWER (31 s vs
-    # 7 s median: InMemoryRelation blocks the exchange reuse and the
-    # broadcast pipelines)
+    # Materialize the sufficient statistics ONCE and truncate lineage
+    # (guide §3.3/§5 — "materialising an intermediate truncates the
+    # plan"): the unrolled MM plan references games twice per round and
+    # the previous round's ratings four times (ti/tj joins + the union),
+    # so the formatted physical plan grows ~4x per round (measured
+    # 26,400 lines at rounds=3) and EVERY broadcast build of a round's
+    # ratings re-executed the whole upstream contest chain as its own
+    # job (profiled: five repeated 46-task denom stages + two 32-task
+    # contest-join stages, wall 18.6 s of which ~9 s was driver
+    # planning). localCheckpoint cuts the lineage at the
+    # |player-pairs|-sized boundary — the corpus pass runs exactly once
+    # and each round's plan stays constant-size. (Plain persist() was
+    # measured 4x SLOWER in r9 — InMemoryRelation blocks exchange reuse
+    # while the lineage still re-plans; checkpointing removes the
+    # lineage itself, which is the actual cost.)
+    games = games.localCheckpoint()
+    wins = wins.localCheckpoint()
     players = (
         games.select(F.col("i").alias("s"))
         .unionByName(games.select(F.col("j").alias("s")))
@@ -145,6 +185,10 @@ def bt_mm_ratings(games: DataFrame, wins: DataFrame, rounds: int = 3) -> DataFra
                 ).alias("th"),
             )
         )
+        # per-round lineage cut: round k+1's broadcast of r builds from
+        # the materialized |players|-sized table instead of re-executing
+        # rounds 1..k (the plan-growth note above)
+        r = r.localCheckpoint()
     plays = (
         games.select(F.col("i").alias("s"), "n")
         .unionByName(games.select(F.col("j").alias("s"), "n"))

@@ -3090,20 +3090,38 @@ def packing_foreach_batch(
             .cast("long")
             .alias("seq_offset"),
         )
-        # persist-scope: in-function — the per-source snapshot loop below
-        # writes |touched| times from this one frame; without the persist
-        # each write re-runs the accumulated-store read AND the prefix-sum
-        # window once per source (O(|sources|) recomputes of the epoch's
-        # heaviest stage — measured as the dominant cost of
-        # stream_pack_sequences, guide §5 "caching is worth it when a
-        # DataFrame is reused"). Unpersisted at the end of the epoch.
-        packed = packed.persist()
+        # ONE partitionBy write for all touched sources, then per-source
+        # directory renames into the s{key}/v{E} layout (guide §2.4 —
+        # remove jobs, not just shuffles): the previous per-source loop
+        # ran |touched| filter+write jobs off a persisted frame, and at
+        # 20 sources x 2 epochs the ~40 job launches (plus their AQE
+        # stage jobs) dominated the query's wall time (profiled: 74 jobs,
+        # ~6 s of driver gaps for ~2 s of executor work). The staged
+        # write computes the prefix-sum once and commits every touched
+        # source in a single job; the moves are driver-side metadata
+        # renames. skey is md5(source)[:16] — the exact directory key the
+        # loop used, computed in-plan so the partition dirs land already
+        # keyed. Readers see identical rows (source stays a data column;
+        # skey is only the staging partition key). Crash-safety class is
+        # unchanged: overwrite-staged + delete-then-rename per source is
+        # idempotent on replay, like the per-source overwrite was.
+        staged = os.path.join(state_dir, "packing", f"_staged_v{epoch_id}")
+        packed.withColumn(
+            "skey", F.substring(F.md5(F.col("source").cast("string")), 1, 16)
+        ).repartition("skey").write.partitionBy("skey").mode(
+            "overwrite"
+        ).parquet(staged)
         for src in touched:
             key = hashlib.md5(str(src).encode()).hexdigest()[:16]
-            packed.filter(F.col("source") == src).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(state_dir, "packing", f"s{key}", f"v{epoch_id}"))
-        packed.unpersist()
+            dst_parent = os.path.join(state_dir, "packing", f"s{key}")
+            dst = os.path.join(dst_parent, f"v{epoch_id}")
+            part_dir = os.path.join(staged, f"skey={key}")
+            if not fsutil.exists(part_dir):
+                continue
+            fsutil.mkdirs(dst_parent)
+            fsutil.delete(dst)
+            fsutil.rename(part_dir, dst)
+        fsutil.delete(staged)
         sized.unpersist()
 
     return stage
@@ -3119,7 +3137,13 @@ def packing_from_index(spark, state_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no packing snapshots under {root}")
     out = None
     for d in names:
+        # skip a crash-left "_staged_v{E}" dir (invisible to Spark's own
+        # readers by the _-prefix convention; this listing is manual)
+        if not d.startswith("s"):
+            continue
         p = _latest_version(os.path.join(state_dir, "packing"), d)
+        if p is None:
+            continue
         df = spark.read.parquet(p)
         out = df if out is None else out.unionByName(df)
     return out
