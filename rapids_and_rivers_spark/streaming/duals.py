@@ -1173,6 +1173,11 @@ def semdedup_clustered_foreach_batch(
         codebook_from_table,
     )
 
+    # closure-cached FROZEN codebook — the ivf_index_foreach_batch
+    # pattern: re-reading + re-collecting the never-changing codebook per
+    # epoch was pure driver overhead; a restarted stream reloads once
+    cents_cache: list = []
+
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
         # refuse a replay of an epoch already folded by the store's
         # compactor (the compaction-watermark contract)
@@ -1195,8 +1200,13 @@ def semdedup_clustered_foreach_batch(
                 emb_col=emb_col,
                 quantize=1024,
             ).write.mode("overwrite").parquet(cb_dir)
-        spark.catalog.refreshByPath(cb_dir)
-        cents = codebook_from_table(spark.read.parquet(cb_dir))
+            cents_cache.clear()
+        if not cents_cache:
+            spark.catalog.refreshByPath(cb_dir)
+            cents_cache.append(
+                codebook_from_table(spark.read.parquet(cb_dir))
+            )
+        cents = cents_cache[0]
         vecs_root = os.path.join(index_dir, "vecs")
         assigned = assign_cells(
             batch_df.select(
@@ -3468,6 +3478,16 @@ def ivf_index_foreach_batch(
         codebook_from_table,
     )
 
+    # closure-cached FROZEN codebook: the contract above says the
+    # codebook never changes after epoch 0's _SUCCESS commit, yet the
+    # stage used to re-read + re-collect it from parquet on every epoch
+    # (profiled: 3 driver-sequential collect jobs per epoch on
+    # stream_ivf_compacted, pure plan/py4j overhead). Load once per
+    # stage lifetime; a restarted stream reconstructs the closure and
+    # reloads once from the committed store — same values by the
+    # freeze/replay-stability argument in the docstring.
+    cents_cache: list = []
+
     def stage(batch_df: DataFrame, epoch_id: int) -> None:
         # refuse a replay of an epoch already folded by the store's
         # compactor (ADVICE r10 — silent folded-history overwrite)
@@ -3495,8 +3515,13 @@ def ivf_index_foreach_batch(
                 emb_col=emb_col,
                 quantize=quantize,
             ).write.mode("overwrite").parquet(cb_dir)
-        spark.catalog.refreshByPath(cb_dir)
-        cents = codebook_from_table(spark.read.parquet(cb_dir))
+            cents_cache.clear()
+        if not cents_cache:
+            spark.catalog.refreshByPath(cb_dir)
+            cents_cache.append(
+                codebook_from_table(spark.read.parquet(cb_dir))
+            )
+        cents = cents_cache[0]
         assign_cells(batch_df, cents, emb_col=emb_col).select(
             cand_id, emb_col, "cell"
         ).repartition("cell").write.partitionBy("cell").mode("overwrite").parquet(
