@@ -5612,8 +5612,14 @@ def image_phash(spark, sf_dir):
 )
 def image_neardup_phash(spark, sf_dir):
     media = media_corpus(spark, sf_dir)
-    sigs = M.phash_signatures(media, grid=8).select(
-        "doc_id", "phash_lo", "phash_hi"
+    # persist-scope: returned plan — the chunked self-join below
+    # references the signatures on BOTH sides; without this the BMP
+    # decode + pHash mapInPandas pipeline (the query's dominant cost)
+    # runs twice. Three 8-byte columns per image — KB-scale cache.
+    sigs = (
+        M.phash_signatures(media, grid=8)
+        .select("doc_id", "phash_lo", "phash_hi")
+        .persist()
     )
     chunked = sigs.select(
         "doc_id",
