@@ -376,34 +376,45 @@ def ivf_probe_rank(
     :data:`SCORE_GRID` exactly like :func:`assign_cells` and the DuckDB
     oracle."""
 
-    def scores_of(col: Column) -> Column:
-        # probe-ranking dots snapped to the shared grid (SCORE_GRID) so
-        # probe selection matches assign_cells and the SQL oracle exactly
-        return F.array(
-            *[
-                snap_dot_col(dot(col, F.array(*[F.lit(x) for x in p])))
-                for p in cents
-            ]
-        )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # Probe selection as ONE Arrow-batched numpy argsort per batch — the
+    # assign_cells kernel applied to the query side. The previous
+    # formulation built an F.array of n_cells fold-dots over n_cells x
+    # dim literal expressions (16 x 64 = 1024 literals here), and
+    # Catalyst analysis/planning of that tree cost ~2 s per IVF query at
+    # 1.3 s of actual work (profiled on sim_ann_ivf_codebook). Dots snap
+    # to SCORE_GRID exactly as before — the grid is what makes numpy's
+    # pairwise summation and the SQL oracle's sequential fold agree
+    # (the assign_cells argument) — and ties keep the old
+    # reverse(array_sort) semantics: equal snapped score -> HIGHER cell
+    # first (the +frac key below, fractions < 1 against integer-valued
+    # snapped scores).
+    C = np.asarray(cents, dtype=np.float64).T  # (dim, n_cells)
+    n_cells = len(cents)
+    cell_frac = (np.arange(1, n_cells + 1)) / (n_cells + 2.0)
+
+    @pandas_udf("array<int>")
+    def _probe_cells(v):
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy())
+        S = snap_scores(X @ C)  # (n, n_cells), integer-valued floats
+        order = np.argsort(-(S + cell_frac), axis=1, kind="stable")
+        top = (order[:, :nprobe] + 1).astype("int32")
+        return pd.Series(list(top))
 
     c = assigned.withColumn("c_nrm", norm(F.col("c_emb")))
-    # queries: probe the nprobe best cells (scores bound to an attribute
-    # BEFORE the transform — HOF lambdas re-evaluate outer expressions)
-    q = queries.withColumn("__scores", scores_of(F.col("q_emb")))
-    ranked = F.transform(
-        F.col("__scores"),
-        lambda s, i: F.struct(s.alias("score"), (i + 1).alias("cell")),
-    )
     q = (
-        q.withColumn("__probe", F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe))
+        queries.withColumn("__probe", _probe_cells(F.col("q_emb")))
         .withColumn("q_nrm", norm(F.col("q_emb")))
         .select(
             query_id,
             "q_emb",
             "q_nrm",
-            F.explode(F.transform(F.col("__probe"), lambda s: s["cell"])).alias(
-                "cell"
-            ),
+            F.explode(F.col("__probe")).alias("cell"),
         )
     )
     paired = c.join(F.broadcast(q), "cell")
