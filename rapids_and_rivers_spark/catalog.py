@@ -5612,10 +5612,10 @@ def image_phash(spark, sf_dir):
 )
 def image_neardup_phash(spark, sf_dir):
     media = media_corpus(spark, sf_dir)
-    # persist-scope: returned plan — the chunked self-join below
-    # references the signatures on BOTH sides; without this the BMP
-    # decode + pHash mapInPandas pipeline (the query's dominant cost)
-    # runs twice. Three 8-byte columns per image — KB-scale cache.
+    # The chunked self-join below references the signatures on BOTH
+    # sides; without this the BMP decode + pHash mapInPandas pipeline
+    # (the query's dominant cost) runs twice.
+    # persist-scope: returned plan — 3 8-byte columns/image, KB-scale.
     sigs = (
         M.phash_signatures(media, grid=8)
         .select("doc_id", "phash_lo", "phash_hi")
