@@ -2797,20 +2797,43 @@ def triangles_foreach_batch(
         )
         spark.catalog.refreshByPath(epath)
         all_canon = read_store(spark, epath)
+        # ONE bucket-id collect per epoch serving BOTH prunes (was two
+        # driver round-trips): side 0 rows are the delta edges'
+        # a-buckets (the anti-join prune below); the union of both
+        # sides over-approximates the delta endpoints' u-buckets (canon
+        # superset-of delta), so the adjacency prune after the adj write
+        # reads at most the same buckets it would have computed from
+        # adj_new — bucket_prune is a read prune, a superset only adds
+        # rows the delta-keyed joins discard.
+        side_bkts = (
+            canon.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(0).alias("side"),
+                            F.pmod(F.xxhash64("a"), F.lit(n_buckets)).alias(
+                                "bkt"
+                            ),
+                        ),
+                        F.struct(
+                            F.lit(1).alias("side"),
+                            F.pmod(F.xxhash64("b"), F.lit(n_buckets)).alias(
+                                "bkt"
+                            ),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.side", "e.bkt")
+            .distinct()
+            # bounded-collect: <= 2 x n_buckets (side, bucket-id) pairs
+            .collect()
+        )
         # delta = this epoch's canonical edges minus STRICTLY earlier
         # ones (replay-stable: a re-run of epoch E sees the same
         # earlier set). The anti-join's earlier side prunes to the
         # delta edges' a-buckets.
-        new_abkts = [
-            r.abkt
-            for r in canon.select(
-                F.pmod(F.xxhash64("a"), F.lit(n_buckets)).alias("abkt")
-            )
-            .distinct()
-            # bounded-collect: <= min(n_buckets, |delta 'a' endpoints|)
-            # ints — one bucket id per delta edge at most
-            .collect()
-        ]
+        new_abkts = [r.bkt for r in side_bkts if r.side == 0]
         earlier = bucket_prune(
             all_canon.filter(F.col("epoch") < int(epoch_id)),
             "abkt",
@@ -2830,16 +2853,10 @@ def triangles_foreach_batch(
             os.path.join(apath, f"epoch={int(epoch_id)}")
         )
         spark.catalog.refreshByPath(apath)
-        touched = [
-            r.ubkt
-            for r in adj_new.select(
-                F.pmod(F.xxhash64("u"), F.lit(n_buckets)).alias("ubkt")
-            )
-            .distinct()
-            # bounded-collect: <= min(n_buckets, |delta endpoints|) ints —
-            # two bucket ids per delta edge at most
-            .collect()
-        ]
+        # adjacency prune from the SAME collect (see side_bkts above):
+        # union of both endpoint bucket sets over canon, a superset of
+        # the delta endpoints' buckets
+        touched = sorted({r.bkt for r in side_bkts})
         adj = bucket_prune(read_store(spark, apath), "ubkt", touched).select(
             "u", "v"
         )
