@@ -12064,8 +12064,14 @@ def stream_assoc_rules(spark, sf_dir):
     # corpus-sized membership buckets (VERDICT r6 #1 rule): lineitem
     # row count is a metadata-cheap scan
     stage = assoc_items_foreach_batch(store_dir, expected_items=li.count())
+    # persist-scope: in-function — both epoch stages filter this frame
+    # and each stage runs several actions over it; without the persist
+    # the lineitem join re-ran once per action per epoch (the
+    # stream_kcore_purchase e0 pattern). Unpersisted after the stages.
+    mem = mem.persist()
     stage(mem.filter(F.col("par") == 0), 0)
     stage(mem.filter(F.col("par") == 1), 1)
+    mem.unpersist()
     return assoc_rules_from_store(
         spark,
         store_dir,
@@ -12860,11 +12866,18 @@ def stream_assoc_compacted(spark, sf_dir):
     )
     store_dir = tempfile.mkdtemp(prefix="rars_stream_assoc_cp_")
     stage = assoc_items_foreach_batch(store_dir, expected_items=li.count())
+    # persist-scope: in-function — three epoch stages filter this frame
+    # and each stage runs several actions over it; without the persist
+    # the lineitem join re-ran once per action per epoch (profiled: the
+    # epoch-2 bucket collect alone paid 4.3 s re-deriving it). The
+    # stream_kcore_purchase e0 pattern. Unpersisted after the stages.
+    mem = mem.persist()
     stage(mem.filter(F.col("par") == 0), 0)
     stage(mem.filter(F.col("par") == 1), 1)
     # epochs 0-1 are committed; compact them, then keep ingesting
     assoc_compact_store(spark, store_dir, through_epoch=1)
     stage(mem.filter(F.col("par") == 2), 2)
+    mem.unpersist()
     return assoc_rules_from_store(
         spark,
         store_dir,

@@ -500,9 +500,14 @@ def prefix_filter_pairs(
     # trap — measured 17 s for the shingle pass alone at sf0.1 vs ~2 s
     # in this shape). Empty-shingle docs contribute no postings (their
     # explode_outer null row is dropped) and can never be candidates.
+    # `base` feeds the postings subtree AND both verify sides
+    # (sh_a/sh_b); the shuffles differ per consumer, so exchange reuse
+    # cannot dedupe them and the shingle pass (tokenize + hash) re-ran
+    # up to 3x per action (guide §5). The caller materializes once.
+    # persist-scope: returned plan — LRU reclaims after.
     base = shingled(spread(df, id_col), col, id_col, n=shingle_n).withColumn(
         "sz", F.size("shingles")
-    )
+    ).persist()
     post = base.select("id", "sz", F.explode_outer("shingles").alias("t")).filter(
         F.col("t").isNotNull()
     )
@@ -782,7 +787,14 @@ def duplicate_clusters(
 
     Output: (node, cluster) for every id that appears in ``pairs``.
     """
-    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # checkpoint the directed pair set BEFORE the symmetric union: the
+    # union references `pairs` twice, and both halves land in ONE stage
+    # whose partitions each recompute the caller's pair generation —
+    # typically the pipeline's most expensive stage (profiled: the
+    # blocked cosine join ran twice inside a 64-task checkpoint stage,
+    # 24.9 executor-s where one pass costs ~12). One reference -> one
+    # pass; the second checkpoint below copies cached blocks only.
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).localCheckpoint()
     # localCheckpoint (eager) TRUNCATES LINEAGE each iteration — without it
     # every pass stacks its plan on the previous one and the final
     # iterations replan/recompute the whole history (measured 18 s on an
@@ -863,13 +875,20 @@ def duplicate_clusters_star(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # materialize `edges` FIRST: e0 references `pairs` exactly once, so
+    # this job populates the persist cache in a single pair-generation
+    # pass; `nodes`' two union branches are INDEPENDENT stages the DAG
+    # scheduler runs concurrently, and on a cold cache each recomputed
+    # the pair pipeline (profiled: two parallel ~32 executor-s GEMM
+    # stages in semdedup_prune_stats). Ordered after edges, both
+    # branches read cached blocks.
+    edges = e0.localCheckpoint()
     nodes = (
         pairs.select(F.col(id_a).alias("node"))
         .union(pairs.select(F.col(id_b).alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    edges = e0.localCheckpoint()
     if own_persist:
         pairs.unpersist()
 

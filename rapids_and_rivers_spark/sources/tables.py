@@ -26,18 +26,36 @@ TABLES = (
 
 _NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
+# First-read metadata memos, keyed by table path (guide §7.3: driver-side
+# planning overhead). The star-schema tables are immutable for a session's
+# lifetime, so the arrow footer probe and Spark's schema-inference job —
+# paid on EVERY load_table call otherwise, i.e. 1-4 single-task jobs per
+# catalog query across a 231-query sweep — are metadata that can be read
+# once per path. ROWS are always re-read from parquet at action time;
+# only the StructType/footer units are memoized (the duals.read_store
+# first-read schema-cache pattern applied to the base tables). Invariant
+# (shared with _BAND_SHAPE_CACHE): a path's files must not be rewritten
+# with a DIFFERENT schema mid-process — scale tiers live in separate dirs.
+_TS_COLS_CACHE: dict[str, dict[str, str]] = {}
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
 
 def _timestamp_columns(path: str) -> dict[str, str]:
     """column -> arrow time unit ('ns'/'us'/'ms'/'s') from the parquet footer."""
     import pyarrow.parquet as pq
     import pyarrow as pa
 
+    cached = _TS_COLS_CACHE.get(path)
+    if cached is not None:
+        return cached
     schema = pq.read_schema(_first_parquet_file(path))
-    return {
+    out = {
         f.name: f.type.unit
         for f in schema
         if pa.types.is_timestamp(f.type)
     }
+    _TS_COLS_CACHE[path] = out
+    return out
 
 
 def _first_parquet_file(path: str) -> str:
@@ -57,7 +75,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     needs_legacy = any(unit == "ns" for unit in ts_cols.values())
     if needs_legacy:
         spark.conf.set(_NANOS_AS_LONG, "true")
-    df = spark.read.parquet(path)
+    known = _SCHEMA_CACHE.get(path)
+    if known is not None:
+        # schema METADATA only — skips the per-call single-task
+        # inference job; the scan itself is untouched
+        df = spark.read.schema(known).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
     for col, unit in ts_cols.items():
         if unit == "ns" and dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(
