@@ -22,7 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from rapids_and_rivers_spark.operators.similarity import dot, norm
+from rapids_and_rivers_spark.operators.similarity import (
+    dot_rows as S_dot_rows,
+    norm,
+)
 from rapids_and_rivers_spark.operators.text import normalized, tokens
 from rapids_and_rivers_spark.sources.tables import spread
 
@@ -1068,21 +1071,26 @@ def banded_blocks(
     Returns an ``array<string>`` of ``label:band:bucket`` keys — band
     index baked into the key so bands never cross-match.
     """
-    from rapids_and_rivers_spark.operators.similarity import lsh_bucket
+    from rapids_and_rivers_spark.operators.similarity import (
+        _deterministic_planes,
+        lsh_bucket_multi,
+    )
 
     lab = label.cast("string") if label is not None else F.lit("0")
-    return F.array(
-        *[
-            F.concat_ws(
-                ":",
-                lab,
-                F.lit(str(b)),
-                lsh_bucket(emb, dim, n_planes=n_planes, seed=seed + b).cast(
-                    "string"
-                ),
-            )
-            for b in range(n_bands)
-        ]
+    # all n_bands bucket ids from ONE Arrow-batched kernel call
+    # (bit-identical to the per-band fold — see lsh_bucket_multi); the
+    # old form built bands x planes x dim literal dots and paid ~2 s of
+    # Catalyst analysis per query across the neardup family
+    plane_sets = [
+        _deterministic_planes(dim, n_planes, seed=seed + b)
+        for b in range(n_bands)
+    ]
+    buckets = lsh_bucket_multi(emb, dim, plane_sets)
+    return F.transform(
+        buckets,
+        lambda bkt, i: F.concat_ws(
+            ":", lab, i.cast("string"), bkt.cast("string")
+        ),
     )
 
 
@@ -1160,7 +1168,7 @@ def embedding_neardup_pairs(
                 "id_a",
                 "id_b",
                 F.round(
-                    dot(F.col("emb_a"), F.col("emb_b"))
+                    S_dot_rows(F.col("emb_a"), F.col("emb_b"))
                     / (F.col("nrm_a") * F.col("nrm_b")),
                     ndigits,
                 ).alias("cos"),
@@ -1203,9 +1211,14 @@ def neardup_base(
 def cosine_pair_expr(ndigits: int = 4) -> Column:
     """Rounded pair cosine over two :func:`neardup_base` sides aliased
     ``l`` and ``r`` — formula stays dot/(na*nb) so rounding matches the
-    DuckDB oracles."""
+    DuckDB oracles. The dot is the Arrow-batched sequential-fold kernel
+    (similarity.dot_rows, bit-identical to the HOF fold — guide §4.2):
+    the per-pair interpreted fold dominated the verify stages."""
+    from rapids_and_rivers_spark.operators.similarity import dot_rows
+
     return F.round(
-        dot(F.col("l.emb"), F.col("r.emb")) / (F.col("l.nrm") * F.col("r.nrm")),
+        dot_rows(F.col("l.emb"), F.col("r.emb"))
+        / (F.col("l.nrm") * F.col("r.nrm")),
         ndigits,
     )
 

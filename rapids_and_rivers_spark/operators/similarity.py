@@ -91,8 +91,12 @@ def brute_force_topk(
     c = candidates.withColumn("c_nrm", norm(F.col("c_emb")))
     paired = c.crossJoin(F.broadcast(q))
     # norms precomputed per row (not per pair): cosine costs ONE array pass
+    # dot via the Arrow-batched sequential-fold kernel (dot_rows) —
+    # bit-identical to the HOF fold; the per-pair interpreted fold
+    # dominated the verify stage (guide §4.2)
     cos = F.round(
-        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        dot_rows(F.col("q_emb"), F.col("c_emb"))
+        / (F.col("q_nrm") * F.col("c_nrm")),
         ndigits,
     )
     w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(cand_id))
@@ -120,14 +124,103 @@ def _deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[
     return planes
 
 
+def lsh_bucket_multi(
+    col: Column, dim: int, plane_sets: list[list[list[float]]]
+) -> Column:
+    """Sign-bit bucket ids for SEVERAL plane sets in ONE Arrow-batched
+    numpy kernel — returns ``array<long>``, one bucket per plane set.
+
+    The previous form built every plane dot as a Catalyst fold over a
+    dim-literal array; at bands x planes x dim literals (e.g. the
+    4-table LSH index: 24 x 64 = 1536 nodes PER SIDE) Catalyst
+    analysis cost ~4 s of driver time per query at under 1 s of actual
+    work (profiled on sim_ann_lsh), and the interpreted fold paid again
+    at run time. This kernel is bit-identical to that fold: the
+    accumulation below runs ELEMENT-SEQUENTIALLY (``acc += X[:, j] *
+    p[j]``, one IEEE-754 double mul+add per element in the fold's
+    left-to-right order, vectorized across ROWS only), so every dot —
+    and therefore every sign bit and bucket id — matches the old
+    expression and the unrolled SQL oracles exactly. NULL vectors map
+    to NULL, like the old fold's NULL propagation.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sets = [[list(map(float, p)) for p in ps] for ps in plane_sets]
+
+    @pandas_udf("array<long>")
+    def _buckets(v):
+        if not len(v):
+            return pd.Series([], dtype=object)
+        mask = v.notna().to_numpy()
+        out = np.empty(len(v), dtype=object)
+        if mask.any():
+            X = np.vstack(v[mask].to_numpy()).astype(np.float64, copy=False)
+            buckets = np.zeros((int(mask.sum()), len(sets)), dtype=np.int64)
+            for s, planes in enumerate(sets):
+                for i, plane in enumerate(planes):
+                    acc = np.zeros(X.shape[0], dtype=np.float64)
+                    # element-sequential: the exact left-fold order of
+                    # the SQL/Catalyst dot (bit-for-bit reproducible)
+                    for j in range(dim):
+                        acc += X[:, j] * plane[j]
+                    buckets[:, s] |= (acc > 0).astype(np.int64) << i
+            rows = iter(buckets.tolist())
+            for k, m in enumerate(mask):
+                out[k] = next(rows) if m else None
+        return pd.Series(out)
+
+    return _buckets(col)
+
+
 def lsh_bucket(col: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
-    """Sign-bit bucket id from random hyperplanes (deterministic literals)."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(_deterministic_planes(dim, n_planes, seed)):
-        p = F.array(*[F.lit(x) for x in plane])
-        bit = (dot(col, p) > 0).cast("long")
-        bucket = bucket + (bit * (1 << i))
-    return bucket
+    """Sign-bit bucket id from random hyperplanes (deterministic planes,
+    Arrow-batched numpy kernel — see :func:`lsh_bucket_multi`)."""
+    return F.element_at(
+        lsh_bucket_multi(col, dim, [_deterministic_planes(dim, n_planes, seed)]),
+        1,
+    )
+
+
+def dot_rows(a: Column, b: Column) -> Column:
+    """Pair dot product as ONE Arrow-batched numpy kernel, bit-identical
+    to :func:`dot`'s Catalyst fold: the accumulation runs
+    ELEMENT-SEQUENTIALLY (``acc += A[:, j] * B[:, j]`` — one IEEE-754
+    double mul+add per element in the fold's left-to-right order,
+    vectorized across ROWS only), so the result double — and any
+    rounding applied to it downstream — matches the interpreted
+    ``F.aggregate`` fold and the SQL oracles' sequential
+    ``list_inner_product`` exactly. NULL on either side -> NULL (the
+    fold's NULL propagation). Use on candidate-verify paths where the
+    per-pair interpreted fold dominates (guide §4.2); the HOF form
+    stays fine for per-query-row work.
+
+    Both arrays must be uniform-length within a batch (the embedding
+    contract everywhere in this package); the length is taken from the
+    data, not a parameter."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(va, vb):
+        if not len(va):
+            return pd.Series([], dtype="float64")
+        mask = (va.notna() & vb.notna()).to_numpy()
+        out = np.full(len(va), np.nan)
+        if mask.any():
+            A = np.vstack(va[mask].to_numpy()).astype(np.float64, copy=False)
+            B = np.vstack(vb[mask].to_numpy()).astype(np.float64, copy=False)
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            # element-sequential: the exact left-fold order (see above)
+            for j in range(A.shape[1]):
+                acc += A[:, j] * B[:, j]
+            out[mask] = acc
+        s = pd.Series(out)
+        return s.where(pd.Series(mask), None)
+
+    return _dot(a, b)
 
 
 def lloyd_codebook(
@@ -418,8 +511,12 @@ def ivf_probe_rank(
         )
     )
     paired = c.join(F.broadcast(q), "cell")
+    # dot via the Arrow-batched sequential-fold kernel (dot_rows) —
+    # bit-identical to the HOF fold; the per-pair interpreted fold
+    # dominated the verify stage (guide §4.2)
     cos = F.round(
-        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        dot_rows(F.col("q_emb"), F.col("c_emb"))
+        / (F.col("q_nrm") * F.col("c_nrm")),
         ndigits,
     )
     w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(cand_id))
@@ -459,28 +556,23 @@ def lsh_topk(
     (n_tables, n_planes) at predictable cost.
     """
 
+    # all n_tables bucket ids from ONE Arrow-batched kernel call per
+    # side (bit-identical to the per-table fold — lsh_bucket_multi),
+    # then posexplode into (table, bucket); the old per-table
+    # literal-tree form cost ~4 s of Catalyst analysis per query
+    plane_sets = [
+        _deterministic_planes(dim, n_planes, seed=42 + t)
+        for t in range(n_tables)
+    ]
+
     def tabled(df: DataFrame, emb: str) -> DataFrame:
-        exploded = df.withColumn(
-            "tb",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            lsh_bucket(F.col(emb), dim, n_planes, seed=42 + t).alias(
-                                "bucket"
-                            ),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
+        exploded = df.select(
+            *df.columns,
+            F.posexplode(lsh_bucket_multi(F.col(emb), dim, plane_sets)).alias(
+                "table", "bucket"
             ),
         )
-        return exploded.select(
-            *df.columns,
-            F.col("tb.table").alias("table"),
-            F.col("tb.bucket").alias("bucket"),
-        )
+        return exploded
 
     q = tabled(queries.withColumn("q_nrm", norm(F.col("q_emb"))), "q_emb")
     c = tabled(candidates.withColumn("c_nrm", norm(F.col("c_emb"))), "c_emb")
@@ -489,8 +581,12 @@ def lsh_topk(
         .select(query_id, cand_id, "q_emb", "c_emb", "q_nrm", "c_nrm")
         .dropDuplicates([query_id, cand_id])
     )
+    # dot via the Arrow-batched sequential-fold kernel (dot_rows) —
+    # bit-identical to the HOF fold; the per-pair interpreted fold
+    # dominated the verify stage (guide §4.2)
     cos = F.round(
-        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        dot_rows(F.col("q_emb"), F.col("c_emb"))
+        / (F.col("q_nrm") * F.col("c_nrm")),
         ndigits,
     )
     w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(cand_id))

@@ -1081,3 +1081,89 @@ def test_containment_catches_subdocument_jaccard_misses(spark):
     assert row["cont_b_in_a"] < 0.1
     jac = ngram_jaccard_pairs(df, threshold=0.2).collect()
     assert jac == []  # jaccard alone would have missed the duplication
+
+
+# --- Arrow-kernel bit-exactness vs the Catalyst fold formulations -----------
+#
+# lsh_bucket_multi and dot_rows replaced interpreted F.aggregate folds on
+# the candidate-verify hot paths (round 11). Their contract is BIT
+# identity with the fold: the kernels accumulate element-sequentially in
+# the fold's left-to-right order, so every double (and every sign bit /
+# rounded cosine derived from it) must match exactly. These tests pin
+# that contract against the original expressions, built inline here.
+
+
+def _fold_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _embeddings_df(spark, dim=16, n=60):
+    # deterministic, sign-boundary-rich values: scaled sin-like LCG grid
+    rows = []
+    state = 99
+    for i in range(n):
+        vec = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            vec.append((state / float(1 << 31)) * 2.0 - 1.0)
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_bucket_multi_matches_fold_expression(spark):
+    dim, n_planes = 16, 6
+    df = _embeddings_df(spark, dim=dim)
+    kernel = df.select(
+        "vec_id",
+        S.lsh_bucket(F.col("embedding"), dim, n_planes=n_planes, seed=7).alias("b"),
+    )
+    # the pre-kernel formulation, verbatim
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(S._deterministic_planes(dim, n_planes, 7)):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = (_fold_dot(F.col("embedding"), p) > 0).cast("long")
+        bucket = bucket + (bit * (1 << i))
+    fold = df.select("vec_id", bucket.alias("b"))
+    assert sorted(map(tuple, kernel.collect())) == sorted(map(tuple, fold.collect()))
+
+
+def test_lsh_bucket_multi_null_vector_gives_null(spark):
+    df = spark.createDataFrame(
+        [(0, [0.5, -0.25]), (1, None)], "vec_id long, embedding array<double>"
+    )
+    rows = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id", S.lsh_bucket(F.col("embedding"), 2, n_planes=3, seed=3).alias("b")
+        ).collect()
+    }
+    assert rows[1] is None and rows[0] is not None
+
+
+def test_dot_rows_matches_fold_bitwise_and_propagates_null(spark):
+    df = _embeddings_df(spark, dim=16)
+    paired = df.alias("l").join(
+        df.alias("r"), F.col("l.vec_id") < F.col("r.vec_id")
+    ).select(
+        F.col("l.vec_id").alias("ia"),
+        F.col("r.vec_id").alias("ib"),
+        F.col("l.embedding").alias("ea"),
+        F.col("r.embedding").alias("eb"),
+    )
+    both = paired.select(
+        "ia",
+        "ib",
+        S.dot_rows(F.col("ea"), F.col("eb")).alias("k"),
+        _fold_dot(F.col("ea"), F.col("eb")).alias("f"),
+    )
+    # bit identity: compare the raw doubles, not a rounded form
+    bad = both.filter(
+        ~(F.col("k") == F.col("f"))
+    ).count()
+    assert bad == 0
+    nulls = spark.createDataFrame(
+        [(1, [1.0, 2.0], None)], "i long, a array<double>, b array<double>"
+    ).select(S.dot_rows(F.col("a"), F.col("b")).alias("d"))
+    assert nulls.collect()[0].d is None
