@@ -451,6 +451,42 @@ def ivf_topk(
     )
 
 
+def probe_cells_col(col: Column, cents: list[list[float]], nprobe: int) -> Column:
+    """Top-``nprobe`` probe cells (1-based ``array<int>``) for each
+    vector in ``col`` — ONE Arrow-batched numpy argsort per batch, the
+    assign_cells kernel applied to the probe side. The pre-kernel
+    formulation built an F.array of n_cells fold-dots over n_cells x
+    dim literal expressions (16 x 64 = 1024 literals in the IVF
+    queries), and Catalyst analysis of that tree cost ~2 s per query at
+    1.3 s of actual work (profiled on sim_ann_ivf_codebook, round 11
+    batch 4). Dots snap to :data:`SCORE_GRID` exactly like
+    :func:`assign_cells` and the SQL oracles — the grid is what makes
+    numpy's pairwise summation and the oracle's sequential fold agree —
+    and ties keep the old ``reverse(array_sort)`` semantics: equal
+    snapped score -> HIGHER cell first (the +frac key below, fractions
+    < 1 against integer-valued snapped scores). Shared by
+    :func:`ivf_probe_rank` and :func:`knn_self_join`'s flat probe tier."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64).T  # (dim, n_cells)
+    n_cells = len(cents)
+    cell_frac = (np.arange(1, n_cells + 1)) / (n_cells + 2.0)
+
+    @pandas_udf("array<int>")
+    def _probe_cells(v):
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy())
+        S = snap_scores(X @ C)  # (n, n_cells), integer-valued floats
+        order = np.argsort(-(S + cell_frac), axis=1, kind="stable")
+        top = (order[:, :nprobe] + 1).astype("int32")
+        return pd.Series(list(top))
+
+    return _probe_cells(col)
+
+
 def ivf_probe_rank(
     queries: DataFrame,
     assigned: DataFrame,
@@ -469,39 +505,9 @@ def ivf_probe_rank(
     :data:`SCORE_GRID` exactly like :func:`assign_cells` and the DuckDB
     oracle."""
 
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    # Probe selection as ONE Arrow-batched numpy argsort per batch — the
-    # assign_cells kernel applied to the query side. The previous
-    # formulation built an F.array of n_cells fold-dots over n_cells x
-    # dim literal expressions (16 x 64 = 1024 literals here), and
-    # Catalyst analysis/planning of that tree cost ~2 s per IVF query at
-    # 1.3 s of actual work (profiled on sim_ann_ivf_codebook). Dots snap
-    # to SCORE_GRID exactly as before — the grid is what makes numpy's
-    # pairwise summation and the SQL oracle's sequential fold agree
-    # (the assign_cells argument) — and ties keep the old
-    # reverse(array_sort) semantics: equal snapped score -> HIGHER cell
-    # first (the +frac key below, fractions < 1 against integer-valued
-    # snapped scores).
-    C = np.asarray(cents, dtype=np.float64).T  # (dim, n_cells)
-    n_cells = len(cents)
-    cell_frac = (np.arange(1, n_cells + 1)) / (n_cells + 2.0)
-
-    @pandas_udf("array<int>")
-    def _probe_cells(v):
-        if not len(v):
-            return pd.Series([], dtype=object)
-        X = np.vstack(v.to_numpy())
-        S = snap_scores(X @ C)  # (n, n_cells), integer-valued floats
-        order = np.argsort(-(S + cell_frac), axis=1, kind="stable")
-        top = (order[:, :nprobe] + 1).astype("int32")
-        return pd.Series(list(top))
-
     c = assigned.withColumn("c_nrm", norm(F.col("c_emb")))
     q = (
-        queries.withColumn("__probe", _probe_cells(F.col("q_emb")))
+        queries.withColumn("__probe", probe_cells_col(F.col("q_emb"), cents, nprobe))
         .withColumn("q_nrm", norm(F.col("q_emb")))
         .select(
             query_id,
@@ -1309,23 +1315,14 @@ def knn_self_join(
         # — route through the two-level quantizer, O(n · sqrt(cells))
         probes = two_level_probe_cells(targets, codebook, nprobe)
     else:
-        scores = F.array(
-            *[
-                snap_dot_col(dot(F.col("t_emb"), F.array(*[F.lit(x) for x in p])))
-                for p in codebook
-            ]
-        )
-        ranked = F.transform(
-            scores, lambda s, i: F.struct(s.alias("score"), (i + 1).alias("cell"))
-        )
+        # flat probe selection via the shared Arrow kernel
+        # (probe_cells_col) — identical snapped scores and
+        # higher-cell-first tie order as the literal-tree
+        # reverse(array_sort) form it replaces, without its n_cells x
+        # dim literal nodes of Catalyst analysis per query
         probes = targets.withColumn(
             "cell",
-            F.explode(
-                F.transform(
-                    F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe),
-                    lambda s: s["cell"],
-                )
-            ),
+            F.explode(probe_cells_col(F.col("t_emb"), codebook, nprobe)),
         ).withColumn("cell", F.col("cell").cast("long"))
 
     pay_fields = (
