@@ -4483,7 +4483,10 @@ def _semdedup_codebook(spark, sf_dir):
     key = ";".join(sorted(str(f) for f in emb.inputFiles()))
     cb = _SEMDEDUP_CB_CACHE.get(key)
     if cb is None:
-        # bounded-collect: one global count row (cell-count sizing)
+        # cell-count sizing: one global count() aggregate — not a
+        # DataFrame.collect, so it carries no bounded-collect marker
+        # (the growth audit attributes the FIRST marker in its window
+        # to the sample collect below, which is codebook-class)
         n_cells = D.adaptive_cell_count(emb.count())
         # bounded-collect: 32 * n_cells codebook-sample rows (KB-scale,
         # the build_codebook_table class)

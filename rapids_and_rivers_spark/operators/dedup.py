@@ -1604,7 +1604,10 @@ def semantic_dedup_clustered(
 
     if codebook is None:
         if n_cells is None:
-            # bounded-collect: one global count row (cell-count sizing)
+            # cell-count sizing: one global count() aggregate — not a
+            # DataFrame.collect, so no bounded-collect marker (the
+            # growth audit attributes the FIRST marker in its window
+            # to the codebook-class sample collect below)
             n_cells = adaptive_cell_count(
                 df.count(), target_cluster_rows=target_cluster_rows
             )
