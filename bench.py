@@ -163,18 +163,40 @@ def main() -> None:
         "load_retries": retried,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # the load-retry pass is auditable in `load_retries`, but a consumer
+    # of the one-line JSON could miss it — surface the count explicitly
+    # (VERDICT r11 "what's wrong" #3)
+    payload["retries_applied"] = len(retried)
+    # STREAMING TRIALS x3, median reported (VERDICT r11 task 6): n=1
+    # readings at minute ~30 of a warm session swung 2x at a FIXED HEAD
+    # round-over-round; the query tier already medians 3 runs for
+    # exactly this reason. Per-trial readings are kept alongside so the
+    # artifact stays auditable. Timed regions are unchanged.
+    def _median_trials(fn, n=3):
+        vals = [fn(spark, sf_dir) for _ in range(n)]
+        return vals
+
     try:
-        payload["streaming_msgs_per_sec"] = streaming_throughput(spark, sf_dir)
+        trials = _median_trials(streaming_throughput)
+        payload["streaming_msgs_per_sec"] = round(statistics.median(trials), 1)
+        payload["streaming_msgs_per_sec_trials"] = trials
     except Exception as exc:  # noqa: BLE001
         payload["streaming_error"] = str(exc).splitlines()[0][:200]
     try:
-        payload["streaming_scd2_rows_per_sec"] = scd2_stream_throughput(spark, sf_dir)
+        trials = _median_trials(scd2_stream_throughput)
+        payload["streaming_scd2_rows_per_sec"] = round(
+            statistics.median(trials), 1
+        )
+        payload["streaming_scd2_rows_per_sec_trials"] = trials
     except Exception as exc:  # noqa: BLE001
         payload["streaming_scd2_error"] = str(exc).splitlines()[0][:200]
     try:
-        payload["river_fanout_msgs_per_sec"] = river_fanout_throughput(
-            spark, sf_dir
-        )
+        fan_trials = _median_trials(river_fanout_throughput)
+        payload["river_fanout_msgs_per_sec"] = {
+            k: round(statistics.median([t[k] for t in fan_trials]), 1)
+            for k in fan_trials[0]
+        }
+        payload["river_fanout_msgs_per_sec_trials"] = fan_trials
     except Exception as exc:  # noqa: BLE001
         payload["river_fanout_error"] = str(exc).splitlines()[0][:200]
     if errors:

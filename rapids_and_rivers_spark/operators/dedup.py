@@ -507,10 +507,18 @@ def prefix_filter_pairs(
     # (sh_a/sh_b); the shuffles differ per consumer, so exchange reuse
     # cannot dedupe them and the shingle pass (tokenize + hash) re-ran
     # up to 3x per action (guide §5). The caller materializes once.
-    # persist-scope: returned plan — LRU reclaims after.
+    # persist-scope: returned plan, MEMORY_ONLY (ADVICE r11): the
+    # default MEMORY_AND_DISK level writes LRU-evicted blocks to disk
+    # instead of discarding them, so a long multi-query sweep would
+    # accumulate cached shingle data for the session lifetime; with
+    # MEMORY_ONLY eviction actually frees the blocks (recompute on a
+    # cold re-reference is the shingle projection, cheap next to leaked
+    # storage).
+    from pyspark import StorageLevel
+
     base = shingled(spread(df, id_col), col, id_col, n=shingle_n).withColumn(
         "sz", F.size("shingles")
-    ).persist()
+    ).persist(StorageLevel.MEMORY_ONLY)
     post = base.select("id", "sz", F.explode_outer("shingles").alias("t")).filter(
         F.col("t").isNotNull()
     )

@@ -142,6 +142,12 @@ def lsh_bucket_multi(
     and therefore every sign bit and bucket id — matches the old
     expression and the unrolled SQL oracles exactly. NULL vectors map
     to NULL, like the old fold's NULL propagation.
+
+    INPUT CONTRACT (hard-fails, not NULL-propagation — ADVICE r11):
+    vectors must be uniform-length (= ``dim``) with non-null elements;
+    a ragged array or a null element raises in ``np.vstack``/``astype``
+    and fails the task, where the replaced fold would have yielded a
+    NULL bucket. Only a whole-row NULL vector maps to NULL.
     """
     import numpy as np
     import pandas as pd
@@ -196,9 +202,16 @@ def dot_rows(a: Column, b: Column) -> Column:
     per-pair interpreted fold dominates (guide §4.2); the HOF form
     stays fine for per-query-row work.
 
-    Both arrays must be uniform-length within a batch (the embedding
-    contract everywhere in this package); the length is taken from the
-    data, not a parameter."""
+    INPUT CONTRACT (hard-fails, not NULL-propagation — ADVICE r11): both
+    arrays must be uniform-length within a batch with non-null FINITE
+    elements (the embedding contract everywhere in this package; the
+    length is taken from the data, not a parameter). A ragged array or a
+    null element raises in ``np.vstack``/``astype`` and fails the task —
+    unlike the replaced ``F.aggregate`` fold, which zip_with-null-padded
+    its way to a NULL result. Only a whole-row NULL on either side maps
+    to NULL. Non-finite elements produce the same NaN the fold would
+    (the result row is carried as an object scalar, so Arrow does not
+    coerce a genuine NaN to SQL NULL)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -208,7 +221,7 @@ def dot_rows(a: Column, b: Column) -> Column:
         if not len(va):
             return pd.Series([], dtype="float64")
         mask = (va.notna() & vb.notna()).to_numpy()
-        out = np.full(len(va), np.nan)
+        acc = np.empty(0, dtype=np.float64)
         if mask.any():
             A = np.vstack(va[mask].to_numpy()).astype(np.float64, copy=False)
             B = np.vstack(vb[mask].to_numpy()).astype(np.float64, copy=False)
@@ -216,9 +229,28 @@ def dot_rows(a: Column, b: Column) -> Column:
             # element-sequential: the exact left-fold order (see above)
             for j in range(A.shape[1]):
                 acc += A[:, j] * B[:, j]
+        if not np.isnan(acc).any():
+            # fast path (every finite-embedding caller): float64 buffer,
+            # NaN marks exactly the NULL-input rows — unambiguous
+            # because no computed dot is NaN
+            if mask.all():
+                return pd.Series(acc)
+            out = np.full(len(va), np.nan)
             out[mask] = acc
-        s = pd.Series(out)
-        return s.where(pd.Series(mask), None)
+            return pd.Series(out).where(pd.Series(mask), None)
+        # genuine NaN dot (non-finite inputs): an Arrow-backed series
+        # with an EXPLICIT validity mask, so None marks only the
+        # NULL-input rows — both a float64 and an object buffer go
+        # through ``pa.Array.from_pandas``, which coerces NaN to SQL
+        # NULL and would drift from the fold's NaN answer
+        # (ADVICE r11, similarity.py:221)
+        import pyarrow as pa
+
+        vals = np.zeros(len(va), dtype=np.float64)
+        vals[mask] = acc
+        return pd.Series(
+            pa.array(vals, mask=~mask), dtype=pd.ArrowDtype(pa.float64())
+        )
 
     return _dot(a, b)
 

@@ -1167,3 +1167,24 @@ def test_dot_rows_matches_fold_bitwise_and_propagates_null(spark):
         [(1, [1.0, 2.0], None)], "i long, a array<double>, b array<double>"
     ).select(S.dot_rows(F.col("a"), F.col("b")).alias("d"))
     assert nulls.collect()[0].d is None
+
+
+def test_dot_rows_nan_stays_nan_not_null(spark):
+    """ADVICE r11 (similarity.py:221): outside the finite-embedding
+    contract a genuinely-NaN dot must surface as NaN — the Catalyst
+    fold's answer — not be coerced to SQL NULL at the Arrow boundary;
+    NULL is reserved for NULL-input rows."""
+    import math
+
+    rows = spark.createDataFrame(
+        [
+            (1, [float("nan"), 2.0], [1.0, 1.0]),  # genuine NaN dot
+            (2, [1.0, 2.0], None),                 # NULL input
+            (3, [1.0, 2.0], [3.0, 4.0]),           # finite: 11.0
+        ],
+        "i long, a array<double>, b array<double>",
+    ).select("i", S.dot_rows(F.col("a"), F.col("b")).alias("d"))
+    got = {r.i: r.d for r in rows.collect()}
+    assert got[1] is not None and math.isnan(got[1])
+    assert got[2] is None
+    assert got[3] == 11.0
