@@ -518,17 +518,109 @@ def unigram_viterbi(words, vocab):
     integer-exact Viterbi objective (min tokens, frequency tie-break,
     lexicographic final tie-break) chosen so the DP is bit-reproducible
     across engines (float log-prob scores flip argmins cross-engine;
-    see the q2 lesson).
+    see the q2 lesson). Returns ``(word, n, pieces, negsum, path)``.
 
-    Shape: ONE equi-join (word-spans x vocab on the substring) and ONE
-    word-keyed agg; the DP itself is a single JVM-side higher-order
-    ``aggregate`` over positions with an array-of-structs accumulator —
-    no Python in the loop, no per-round shuffle, parallel across the
-    distinct-word table. Returns ``(word, n, pieces, negsum, path)``.
+    Execution (guide §4.2, the lsh_bucket_multi pattern): the
+    vocabulary is a bounded driver-side collect (|chars| + top_v rows —
+    the codebook-collect class), and the whole DP runs as ONE
+    Arrow-batched kernel over the distinct-word table — no span
+    explode, no join, no interpreted higher-order aggregate. The
+    kernel is semantics-identical to the retained Catalyst reference
+    (:func:`unigram_viterbi_expr`), INCLUDING the unreachable-position
+    null flow (a position no vocab piece reaches yields a null dp
+    entry; a candidate built on one carries null fields, and Spark's
+    struct ordering sorts null fields FIRST, so such a candidate
+    poisons the min exactly like the expression did) — pinned by a
+    randomized differential test over vocab-incomplete words.
 
     Reference anchor: tokenizer-training parity target set next to the
     BPE family (bpe_char_tokens/bpe_apply_merge); the reference itself
     has no tokenizer — this is pipeline surface (SURVEY §2 extensions).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    # bounded-collect: the trained vocabulary (all corpus chars + the
+    # top_v multi-char pieces), KB-scale by construction
+    vmap = {
+        r["piece"]: int(r["cnt"])
+        for r in vocab.select("piece", "cnt").collect()
+    }
+    NS = (None, None, None)  # the null-fields candidate (see docstring)
+
+    def _key(c):
+        # Spark struct ordering: field-by-field, null sorts FIRST
+        return tuple((0,) if v is None else (1, v) for v in c)
+
+    @pandas_udf("pieces int, negsum long, path string, m boolean")
+    def _seg(wcol):
+        out = []
+        for w in wcol:
+            if w is None:
+                # a null word has no spans: the reference's inner
+                # groupBy drops it — mark for the post-filter
+                out.append(NS + (False,))
+                continue
+            n = len(w)
+            matched_any = False
+            dp: list = [(0, 0, "")]  # dp[0] = the zero accumulator
+            for i in range(1, n + 1):
+                cands = []
+                for piece_len in range(1, min(4, i) + 1):
+                    cnt = vmap.get(w[i - piece_len : i])
+                    if cnt is None:
+                        continue
+                    matched_any = True
+                    prev = dp[i - piece_len]
+                    if prev is None or prev[0] is None:
+                        cands.append(NS)
+                    else:
+                        piece = w[i - piece_len : i]
+                        cands.append(
+                            (
+                                prev[0] + 1,
+                                prev[1] - cnt,
+                                piece
+                                if prev[0] == 0
+                                else prev[2] + "|" + piece,
+                            )
+                        )
+                dp.append(min(cands, key=_key) if cands else None)
+            fin = dp[n]
+            out.append((NS if fin is None else fin) + (matched_any,))
+        return pd.DataFrame(
+            out, columns=["pieces", "negsum", "path", "m"]
+        )
+
+    # asNondeterministic: the row-drop filter below references the
+    # kernel's output, and the optimizer otherwise pushes a SECOND
+    # ArrowEvalPython below the filter — every word pays the DP twice
+    # (guide §4.4; measured 3 ArrowEvalPython nodes -> 1)
+    fin = _seg.asNondeterministic()(F.col("word"))
+    return (
+        words.select(
+            "word",
+            "n",
+            fin["pieces"].alias("pieces"),
+            fin["negsum"].alias("negsum"),
+            fin["path"].alias("path"),
+            fin["m"].alias("_m"),
+        )
+        # a word with NO vocab span anywhere was dropped by the
+        # reference form's inner groupBy — mirror that contract
+        .filter(F.col("_m"))
+        .drop("_m")
+    )
+
+
+def unigram_viterbi_expr(words, vocab):
+    """Catalyst-expression reference form of :func:`unigram_viterbi`
+    (the pre-r12 implementation): ONE equi-join (word-spans x vocab on
+    the substring) + ONE word-keyed agg, DP as a JVM-side higher-order
+    ``aggregate``. Retained as the differential-test anchor for the
+    Arrow kernel; the interpreted per-position filter/array_min made it
+    ~2x the kernel's cost at sf0.1.
     """
     from pyspark.sql import functions as F
 
@@ -703,17 +795,70 @@ def wordpiece_greedy(words, vocab, max_len: int = 4):
     ties (no float scores, no argmin instability; memory:
     exact-integer-aggregates-for-cross-engine-compares).
 
-    Shape mirrors :func:`unigram_viterbi`: ONE broadcast equi-join
-    (word spans x vocab on (piece, role)) and ONE word-keyed agg; the
-    greedy walk is a single JVM-side higher-order ``aggregate`` whose
-    accumulator carries ``(pos, toks, path)`` — length(word) fixed
-    iterations, each consuming >= 1 character, no Python in the loop,
-    parallel across the distinct-word table.
+    Execution (guide §4.2, the unigram_viterbi pattern): the
+    position-aware vocabulary is a bounded driver-side collect and the
+    greedy walk runs as ONE Arrow-batched kernel over the distinct-word
+    table — no span explode, no join, no interpreted higher-order
+    aggregate. Semantics-identical to the retained Catalyst reference
+    (:func:`wordpiece_greedy_expr`), including the LEFT-join contract:
+    every word comes back, a fully-unmatched one as (toks=0, ok=false).
 
     Returns ``(word, n, toks, path, ok)``; ``ok = false`` marks a word
     the vocabulary cannot segment (maps to [UNK] downstream — cannot
     happen when the vocab came from :func:`wordpiece_vocab` on the
     same corpus, since every character holds both roles).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    # bounded-collect: corpus chars (both roles) + 2 x top_v pieces
+    vset = {
+        (r["piece"], bool(r["cont"]))
+        for r in vocab.select("piece", "cont").collect()
+    }
+    _max_len = int(max_len)
+
+    @pandas_udf("toks int, path string, ok boolean")
+    def _walk(wcol):
+        out = []
+        for w in wcol:
+            if w is None:
+                # null word: the reference's aggregate over a null
+                # sequence yields null fields
+                out.append((None, None, None))
+                continue
+            n = len(w)
+            pos, parts = 0, []
+            while pos < n:
+                for piece_len in range(min(_max_len, n - pos), 0, -1):
+                    piece = w[pos : pos + piece_len]
+                    if (piece, pos > 0) in vset:
+                        parts.append("##" + piece if pos else piece)
+                        pos += piece_len
+                        break
+                else:
+                    break  # dead end: walk freezes, ok=false below
+            out.append((len(parts), "|".join(parts), pos == n))
+        return pd.DataFrame(out, columns=["toks", "path", "ok"])
+
+    fin = _walk(F.col("word"))
+    return words.select(
+        "word",
+        "n",
+        fin["toks"].alias("toks"),
+        fin["path"].alias("path"),
+        fin["ok"].alias("ok"),
+    )
+
+
+def wordpiece_greedy_expr(words, vocab, max_len: int = 4):
+    """Catalyst-expression reference form of :func:`wordpiece_greedy`
+    (the pre-r12 implementation): ONE broadcast equi-join
+    (word spans x vocab on (piece, role)) + ONE word-keyed agg, the
+    greedy walk as a JVM-side higher-order ``aggregate`` whose
+    accumulator carries ``(pos, toks, path)``. Retained as the
+    differential-test anchor for the Arrow kernel.
     """
     from pyspark.sql import functions as F
 

@@ -1347,15 +1347,17 @@ def semdedup_clustered_compact_store(
     below any future epoch's ``epoch <`` prior read); the pair output
     is an append-only union store. Same committed-epochs-only safety
     contract as every compactor here; the frozen codebook never
-    grows."""
-    compact_epoch_store(
-        spark,
-        os.path.join(index_dir, "vecs"),
-        through_epoch,
-        partition_col="cell",
-    )
-    compact_union_versions(
-        spark, os.path.join(index_dir, "pairs"), through_epoch
+    grows. Disjoint dirs — overlapped driver jobs (guide §2.6)."""
+    _overlap_jobs(
+        lambda: compact_epoch_store(
+            spark,
+            os.path.join(index_dir, "vecs"),
+            through_epoch,
+            partition_col="cell",
+        ),
+        lambda: compact_union_versions(
+            spark, os.path.join(index_dir, "pairs"), through_epoch
+        ),
     )
 
 
@@ -4423,16 +4425,50 @@ def _compact_version_dirs(spark, root, through_epoch, rebuild) -> None:
     if not versions and not tmp_ready:
         return
     if not tmp_ready:
-        df = None
-        for n in versions:
-            part = spark.read.parquet(os.path.join(root, n))
-            df = part if df is None else df.unionByName(part)
+        # one multi-path scan relation instead of an N-deep union tree:
+        # same rows (each version dir was written by the same stage with
+        # the same schema), flat plan, single file-listing pass
+        df = spark.read.parquet(*(os.path.join(root, n) for n in versions))
         rebuild(df).write.mode("overwrite").parquet(tmp)
     for n in versions:
         fsutil.delete(os.path.join(root, n))
     fsutil.rename(tmp, os.path.join(root, f"v{int(through_epoch)}"))
     _write_compaction_watermark(root, through_epoch)
     spark.catalog.refreshByPath(root)
+
+
+def _overlap_jobs(*thunks) -> None:
+    """Run independent store-maintenance thunks as CONCURRENT driver
+    jobs (guide §2.6): Spark's scheduler happily runs several jobs at
+    once inside one application — multi-store compactions were only
+    sequential because the driver called them sequentially, so every
+    sub-store paid its own plan/launch/commit latency back-to-back and
+    the tail of each job left the cores idle. FIFO scheduling
+    back-fills the next compaction's tasks onto executors freed by the
+    current one's tail. Each thunk keeps its own crash-safety story
+    (tempdir + _SUCCESS + resumable deletes), and the thunks touch
+    DISJOINT directories, so concurrency adds no new failure states: a
+    crash mid-pool leaves a subset compacted, exactly like a crash
+    mid-sequence, and the re-run completes the rest. Errors re-raise
+    after the pool drains."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    # inheritable_thread_target propagates the JVM thread-locals (job
+    # group, active session) into the pool threads — the documented way
+    # to run driver threads (guide §2.6); without it fsutil's
+    # getActiveSession-based scheme resolution would silently fall back
+    # to stdlib paths on fresh py4j threads.
+    # 3 in flight is plenty (guide §2.6): enough to fill job-launch
+    # gaps and task tails, not so many they fight for cores
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        for f in futures:
+            f.result()
 
 
 def er_compact_store(spark, index_dir: str, through_epoch: int) -> None:
@@ -4450,18 +4486,36 @@ def er_compact_store(spark, index_dir: str, through_epoch: int) -> None:
       fold is reader-invisible).
 
     Same safety contract as every compactor here: ``through_epoch``
-    must be strictly below the stream's committed checkpoint."""
-    compact_epoch_store(
-        spark,
-        os.path.join(index_dir, "records"),
-        through_epoch,
-        partition_col="blk_bucket",
-    )
-    for sub in ("ssj_prefix", "ssj_shingles", "ssj_pairs",
-                "snm_pairs", "snm_touched"):
-        compact_union_versions(
+    must be strictly below the stream's committed checkpoint. The six
+    channels live in disjoint directories, so their folds run as
+    overlapped driver jobs (:func:`_overlap_jobs`, guide §2.6)."""
+
+    def _records():
+        compact_epoch_store(
+            spark,
+            os.path.join(index_dir, "records"),
+            through_epoch,
+            partition_col="blk_bucket",
+        )
+
+    def _union(sub):
+        return lambda: compact_union_versions(
             spark, os.path.join(index_dir, sub), through_epoch
         )
+
+    _overlap_jobs(
+        _records,
+        *(
+            _union(sub)
+            for sub in (
+                "ssj_prefix",
+                "ssj_shingles",
+                "ssj_pairs",
+                "snm_pairs",
+                "snm_touched",
+            )
+        ),
+    )
 
 
 def triangles_compact_store(spark, state_dir: str, through_epoch: int) -> None:
@@ -4470,45 +4524,63 @@ def triangles_compact_store(spark, state_dir: str, through_epoch: int) -> None:
     keep their bucket layout (``edges`` by ``abkt`` — its compacted
     rows take ``epoch=through_epoch``, still strictly below any
     future epoch's ``epoch <`` delta anti-join; ``adj`` by ``ubkt``),
-    and the latest-only ``counts`` snapshots prune to one."""
-    compact_epoch_store(
-        spark, os.path.join(state_dir, "edges"), through_epoch,
-        partition_col="abkt",
+    and the latest-only ``counts`` snapshots prune to one. The three
+    stores are disjoint directories — overlapped driver jobs
+    (guide §2.6)."""
+    _overlap_jobs(
+        lambda: compact_epoch_store(
+            spark, os.path.join(state_dir, "edges"), through_epoch,
+            partition_col="abkt",
+        ),
+        lambda: compact_epoch_store(
+            spark, os.path.join(state_dir, "adj"), through_epoch,
+            partition_col="ubkt",
+        ),
+        lambda: prune_versions(
+            os.path.join(state_dir, "counts"), through_epoch
+        ),
     )
-    compact_epoch_store(
-        spark, os.path.join(state_dir, "adj"), through_epoch,
-        partition_col="ubkt",
-    )
-    prune_versions(os.path.join(state_dir, "counts"), through_epoch)
 
 
 def kcore_compact_store(spark, state_dir: str, through_epoch: int) -> None:
     """Compact the streaming k-core stores (:func:`kcore_foreach_batch`):
     the edge log is a plain union store; ``core`` snapshots are
-    latest-only."""
-    compact_union_versions(
-        spark, os.path.join(state_dir, "edges"), through_epoch
+    latest-only. Disjoint dirs — overlapped driver jobs (guide §2.6)."""
+    _overlap_jobs(
+        lambda: compact_union_versions(
+            spark, os.path.join(state_dir, "edges"), through_epoch
+        ),
+        lambda: prune_versions(os.path.join(state_dir, "core"), through_epoch),
     )
-    prune_versions(os.path.join(state_dir, "core"), through_epoch)
 
 
 def pagerank_compact_store(spark, state_dir: str, through_epoch: int) -> None:
     """Compact the daily-PageRank stores (:func:`pagerank_foreach_batch`):
-    union edge log + latest-only rank snapshots."""
-    compact_union_versions(
-        spark, os.path.join(state_dir, "edges"), through_epoch
+    union edge log + latest-only rank snapshots. Disjoint dirs —
+    overlapped driver jobs (guide §2.6)."""
+    _overlap_jobs(
+        lambda: compact_union_versions(
+            spark, os.path.join(state_dir, "edges"), through_epoch
+        ),
+        lambda: prune_versions(
+            os.path.join(state_dir, "ranks"), through_epoch
+        ),
     )
-    prune_versions(os.path.join(state_dir, "ranks"), through_epoch)
 
 
 def label_prop_compact_store(spark, state_dir: str, through_epoch: int) -> None:
     """Compact the streaming label-propagation stores
     (:func:`label_prop_foreach_batch`): union edge log + latest-only
-    label snapshots."""
-    compact_union_versions(
-        spark, os.path.join(state_dir, "edges"), through_epoch
+    label snapshots. Disjoint dirs — overlapped driver jobs
+    (guide §2.6)."""
+    _overlap_jobs(
+        lambda: compact_union_versions(
+            spark, os.path.join(state_dir, "edges"), through_epoch
+        ),
+        lambda: prune_versions(
+            os.path.join(state_dir, "labels"), through_epoch
+        ),
     )
-    prune_versions(os.path.join(state_dir, "labels"), through_epoch)
 
 
 def minhash_compact_store(
@@ -4516,12 +4588,17 @@ def minhash_compact_store(
 ) -> None:
     """Compact the streaming MinHash-LSH index
     (:func:`minhash_index_foreach_batch`): bands, shingles, and the
-    verified-pair output are all append-only union stores."""
-    for sub in ("bands", "shingles"):
-        compact_union_versions(
-            spark, os.path.join(index_dir, sub), through_epoch
-        )
-    compact_union_versions(spark, pairs_dir, through_epoch)
+    verified-pair output are all append-only union stores. Disjoint
+    dirs — overlapped driver jobs (guide §2.6)."""
+    _overlap_jobs(
+        lambda: compact_union_versions(
+            spark, os.path.join(index_dir, "bands"), through_epoch
+        ),
+        lambda: compact_union_versions(
+            spark, os.path.join(index_dir, "shingles"), through_epoch
+        ),
+        lambda: compact_union_versions(spark, pairs_dir, through_epoch),
+    )
 
 
 def ivf_compact_store(spark, index_dir: str, through_epoch: int) -> None:
@@ -4543,17 +4620,20 @@ def assoc_compact_store(spark, store_dir: str, through_epoch: int) -> None:
     (:func:`assoc_rules_from_store`) is contract-identical before and
     after — pinned by test and by the stream_assoc_compacted catalog
     oracle — and post-compaction ingest keeps working because compacted
-    memberships keep an ``epoch`` value strictly below any new epoch."""
-    compact_epoch_store(
-        spark,
-        os.path.join(store_dir, "items"),
-        through_epoch,
-        partition_col="bkt",
-    )
-    compact_versioned_deltas(
-        spark,
-        os.path.join(store_dir, "pair_delta"),
-        through_epoch,
-        key_cols=["ia", "ib"],
-        sum_col="c_ab",
+    memberships keep an ``epoch`` value strictly below any new epoch.
+    Disjoint dirs — overlapped driver jobs (guide §2.6)."""
+    _overlap_jobs(
+        lambda: compact_epoch_store(
+            spark,
+            os.path.join(store_dir, "items"),
+            through_epoch,
+            partition_col="bkt",
+        ),
+        lambda: compact_versioned_deltas(
+            spark,
+            os.path.join(store_dir, "pair_delta"),
+            through_epoch,
+            key_cols=["ia", "ib"],
+            sum_col="c_ab",
+        ),
     )

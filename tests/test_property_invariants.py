@@ -404,3 +404,92 @@ def test_wordpiece_greedy_keeps_fully_unmatched_words(spark):
            for r in T.wordpiece_greedy(wdf, vdf).collect()}
     assert got["zz"] == (0, "", False)
     assert got["ab"] == (2, "a|##b", True)
+
+
+# --- r12 Arrow-kernel encodes: differential vs the Catalyst reference -------
+
+_dk_words = st.lists(
+    st.text(alphabet="abz9", min_size=0, max_size=10), min_size=1, max_size=6
+)
+
+
+_dk_reachable = st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=10), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(words=_dk_reachable)
+def test_unigram_viterbi_kernel_matches_expr(spark, words):
+    """The r12 Arrow kernel must be ROW-IDENTICAL to the retained
+    Catalyst reference over every reachable word. (The alphabet is
+    vocab-COMPLETE here because the reference expression hard-crashes —
+    UnsafeWriter NPE on a null DP array element — for words with an
+    unreachable position; that latent bug never fired in queries, whose
+    vocabularies always cover the corpus chars. The kernel's defined
+    behavior for that regime is pinned separately below.)"""
+    from rapids_and_rivers_spark.operators import text as T
+
+    vocab = [("a", 3), ("b", 5), ("ab", 11), ("ba", 7), ("aab", 2)]
+    wdf = spark.createDataFrame(
+        [(w, 1) for w in sorted(set(words))], "word string, n long"
+    )
+    vdf = spark.createDataFrame(vocab, "piece string, cnt long")
+    kern = {
+        r["word"]: (r["pieces"], r["negsum"], r["path"])
+        for r in T.unigram_viterbi(wdf, vdf).collect()
+    }
+    ref = {
+        r["word"]: (r["pieces"], r["negsum"], r["path"])
+        for r in T.unigram_viterbi_expr(wdf, vdf).collect()
+    }
+    assert kern == ref
+
+
+def test_unigram_viterbi_kernel_unreachable_and_drop_contract(spark):
+    """Kernel-defined semantics outside the vocab-complete contract:
+    a word with SOME vocab span but an unreachable end segments to all
+    NULLs (the poisoned-min flow), and a word with NO vocab span at all
+    is dropped (the reference's inner-groupBy contract). The reference
+    expression NPEs on the first class, so this pins the kernel
+    directly."""
+    from rapids_and_rivers_spark.operators import text as T
+
+    wdf = spark.createDataFrame(
+        [("az", 1), ("zz", 1), ("ab", 1)], "word string, n long"
+    )
+    vdf = spark.createDataFrame(
+        [("a", 3), ("b", 5), ("ab", 11)], "piece string, cnt long"
+    )
+    got = {
+        r["word"]: (r["pieces"], r["negsum"], r["path"])
+        for r in T.unigram_viterbi(wdf, vdf).collect()
+    }
+    assert got["az"] == (None, None, None)  # reachable start, dead end
+    assert "zz" not in got                  # zero spans: row dropped
+    assert got["ab"] == (1, -11, "ab")
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(words=_dk_words)
+def test_wordpiece_greedy_kernel_matches_expr(spark, words):
+    """Same differential for the WordPiece greedy kernel: dead ends,
+    fully-unmatched words (LEFT-join keep), and role-aware matching all
+    behave exactly like the Catalyst reference."""
+    from rapids_and_rivers_spark.operators import text as T
+
+    vocab = [("a", False), ("b", False), ("a", True),
+             ("ab", True), ("ba", True), ("aba", False)]
+    wdf = spark.createDataFrame(
+        [(w, 1) for w in sorted(set(words))], "word string, n long"
+    )
+    vdf = spark.createDataFrame(vocab, "piece string, cont boolean")
+    kern = {
+        r["word"]: (r["toks"], r["path"], r["ok"])
+        for r in T.wordpiece_greedy(wdf, vdf).collect()
+    }
+    ref = {
+        r["word"]: (r["toks"], r["path"], r["ok"])
+        for r in T.wordpiece_greedy_expr(wdf, vdf).collect()
+    }
+    assert kern == ref
