@@ -497,7 +497,19 @@ def probe_cells_col(col: Column, cents: list[list[float]], nprobe: int) -> Colum
     and ties keep the old ``reverse(array_sort)`` semantics: equal
     snapped score -> HIGHER cell first (the +frac key below, fractions
     < 1 against integer-valued snapped scores). Shared by
-    :func:`ivf_probe_rank` and :func:`knn_self_join`'s flat probe tier."""
+    :func:`ivf_probe_rank` and :func:`knn_self_join`'s flat probe tier.
+
+    ACCEPTED TOLERANCE (ADVICE r11): snapped-score agreement between
+    BLAS pairwise summation and a sequential fold is exact UNLESS a raw
+    dot lands within ~1 ulp of a ``(m + 0.5) / SCORE_GRID`` boundary,
+    where the two summation orders could round the snap to adjacent
+    integers and flip a probe-cell choice. Such boundaries are not
+    exactly representable in binary, so with the grid-quantized
+    codebooks used everywhere here the event requires an adversarial
+    dot; it has never been observed across the sf0.01/sf0.1/sf1 oracle
+    sweeps and the KNN_SF1_DIFF differential. Callers needing a hard
+    guarantee must quantize inputs so dots are exact (the
+    ``quantize=1024`` codebook path)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

@@ -2248,6 +2248,34 @@ def psi_gate_foreach_batch(
     return stage
 
 
+def _prior_versions(spark, root: str, before_epoch: int):
+    """Multi-path read of a v-dir store's versions STRICTLY below
+    ``before_epoch`` — ``None`` when there are none (or none hold data
+    files). The write-then-read-back idiom (write v{E}, then read the
+    whole root) serializes an epoch's jobs: every downstream consumer
+    had to wait for the current version's commit even though its rows
+    were already in memory. Reading prior versions explicitly (and
+    unioning the in-memory current frame) removes that edge, so the
+    epoch's independent writes can overlap (guide §2.6). Listing is
+    replay-stable: a replayed epoch E sees the same <E set whether or
+    not its own failed v{E} dir exists."""
+    dirs = [
+        n
+        for n in fsutil.listdir(root)
+        if n.startswith("v")
+        and n[1:].isdigit()
+        and int(n[1:]) < int(before_epoch)
+        and fsutil.has_parquet_files(os.path.join(root, n))
+    ]
+    if not dirs:
+        return None
+    df = _cached_schema_reader(spark, root).parquet(
+        *(os.path.join(root, n) for n in dirs)
+    )
+    _STORE_SCHEMA_CACHE.setdefault(root, df.schema)
+    return df
+
+
 # --- streaming entity resolution ---------------------------------------------
 
 
@@ -2337,19 +2365,6 @@ def er_index_foreach_batch(
         ).withColumn(
             "blk_bucket", F.pmod(F.xxhash64("blk"), F.lit(n_buckets))
         ).persist()
-        # records land HIVE-PARTITIONED (epoch=E/blk_bucket=B): the SNM
-        # channel then reads ONLY the touched buckets via directory
-        # pruning — per-epoch cost is |touched buckets|, never the full
-        # record history. Epoch-dir overwrite keeps replay idempotent.
-        # repartition on the partition key: a partitionBy write from T
-        # shuffle tasks over B bucket values commits up to T x B tiny
-        # files per epoch (measured 2 KB/file, ~70% of the epoch's wall
-        # time in commit overhead — VERDICT r8 #4); one delta-sized
-        # shuffle makes it <= B properly-sized files
-        recs.repartition("blk_bucket").write.partitionBy("blk_bucket").mode("overwrite").parquet(
-            os.path.join(index_dir, "records", f"epoch={int(epoch_id)}")
-        )
-
         # -- prefix-Jaccard channel -----------------------------------
         # persist-scope: in-function — base feeds the posting explode
         # AND the shingles write; prefix feeds its own write AND the
@@ -2376,15 +2391,33 @@ def er_index_foreach_batch(
             .select("id", "sz", "t")
             .persist()
         )
-        # index new docs FIRST so the join sees new-new pairs too
-        prefix.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "ssj_prefix", f"v{epoch_id}")
+        # pin the epoch's shared projections into cache with cheap
+        # actions BEFORE any concurrent consumer starts: the bounded
+        # bucket-id collect materializes recs, prefix.count()
+        # materializes base + prefix — the overlapped jobs below would
+        # otherwise race on the cold caches and each re-run the shingle
+        # pass (the kcore concurrent-broadcast lesson)
+        # bounded-collect: <= min(n_buckets, |batch blocks|) distinct
+        # block-hash bucket ints — one bucket id per new record at most
+        bkt_rows = recs.select("blk_bucket").distinct().collect()
+        buckets = [r.blk_bucket for r in bkt_rows]
+        prefix.count()
+        # accumulated index = PRIOR versions (disk) + current epoch
+        # (memory). The old write-then-read-back idiom (write v{E},
+        # re-read the whole store) serialized the epoch: every
+        # downstream consumer waited on the current version's commit
+        # even though its rows were already cached. Unioning the
+        # in-memory frame is row-identical (long/int/array<long>
+        # parquet roundtrips are exact; new-new pairs still come from
+        # the current side) and frees ALL the epoch's writes to overlap
+        # at the end of the stage (guide §2.6).
+        prior_prefix = _prior_versions(
+            spark, os.path.join(index_dir, "ssj_prefix"), epoch_id
         )
-        base.select("id", "shingles").write.mode("overwrite").parquet(
-            os.path.join(index_dir, "ssj_shingles", f"v{epoch_id}")
-        )
-        all_prefix = read_epoch_table(
-            spark, os.path.join(index_dir, "ssj_prefix")
+        all_prefix = (
+            prefix
+            if prior_prefix is None
+            else prior_prefix.unionByName(prefix)
         )
         # symmetric length filter (t*|a| <= |b| <= |a|/t), bounds
         # loosened by 1e-9 so float error only weakens the prune
@@ -2419,7 +2452,11 @@ def er_index_foreach_batch(
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-        sh = read_epoch_table(spark, os.path.join(index_dir, "ssj_shingles"))
+        prior_sh = _prior_versions(
+            spark, os.path.join(index_dir, "ssj_shingles"), epoch_id
+        )
+        cur_sh = base.select("id", "shingles")
+        sh = cur_sh if prior_sh is None else prior_sh.unionByName(cur_sh)
         verified = (
             cand.join(
                 sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
@@ -2436,21 +2473,25 @@ def er_index_foreach_batch(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b")
         )
-        verified.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "ssj_pairs", f"v{epoch_id}")
-        )
-
         # -- sorted-neighborhood channel ------------------------------
         touched = recs.select("blk").distinct()
-        # bounded-collect: <= min(n_buckets, |batch blocks|) distinct
-        # block-hash bucket ints — one bucket id per new record at most
-        bkt_rows = recs.select("blk_bucket").distinct().collect()
-        buckets = [r.blk_bucket for r in bkt_rows]
-        all_recs = bucket_prune(
-            read_store(spark, os.path.join(index_dir, "records")),
-            "blk_bucket",
-            buckets,
-        )
+        # accumulated records = PRIOR epochs (disk, touched-bucket
+        # pruned) + current batch (memory) — same memory-union move as
+        # the prefix channel; the epoch filter also makes the read
+        # independent of a concurrently-committing records/epoch=E dir
+        rec_root = os.path.join(index_dir, "records")
+        if fsutil.has_parquet_files(rec_root):
+            prior_recs = (
+                read_store(spark, rec_root)
+                .filter(F.col("epoch") < int(epoch_id))
+                .select("id", "text", "blk", "blk_bucket")
+            )
+            all_recs = prior_recs.unionByName(
+                recs.select("id", "text", "blk", "blk_bucket")
+            )
+        else:
+            all_recs = recs.select("id", "text", "blk", "blk_bucket")
+        all_recs = bucket_prune(all_recs, "blk_bucket", buckets)
         in_touched = all_recs.join(F.broadcast(touched), "blk")
         snm = sorted_neighborhood_pairs(
             in_touched,
@@ -2466,12 +2507,56 @@ def er_index_foreach_batch(
         snm_tagged = snm.join(
             all_recs.select(F.col("id").alias("id_a"), "blk"), "id_a"
         ).select("blk", "id_a", "id_b")
-        snm_tagged.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, "snm_pairs", f"v{epoch_id}"))
-        touched.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, "snm_touched", f"v{epoch_id}"))
+
+        # every store write of the epoch is now independent (the reads
+        # above union the in-memory current frames) — run them as
+        # overlapped driver jobs (guide §2.6); all inputs are pinned in
+        # cache, so the concurrent jobs share, not recompute
+        def _w_records():
+            # records land HIVE-PARTITIONED (epoch=E/blk_bucket=B): the
+            # SNM channel reads ONLY touched buckets via directory
+            # pruning. repartition on the partition key: a partitionBy
+            # write from T shuffle tasks over B bucket values commits
+            # up to T x B tiny files per epoch (measured 2 KB/file,
+            # ~70% of the epoch's wall time — VERDICT r8 #4)
+            recs.repartition("blk_bucket").write.partitionBy(
+                "blk_bucket"
+            ).mode("overwrite").parquet(
+                os.path.join(rec_root, f"epoch={int(epoch_id)}")
+            )
+
+        def _w_prefix():
+            prefix.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "ssj_prefix", f"v{epoch_id}")
+            )
+
+        def _w_shingles():
+            cur_sh.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "ssj_shingles", f"v{epoch_id}")
+            )
+
+        def _w_pairs():
+            verified.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "ssj_pairs", f"v{epoch_id}")
+            )
+
+        def _w_snm():
+            snm_tagged.withColumn(
+                "epoch", F.lit(int(epoch_id))
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_dir, "snm_pairs", f"v{epoch_id}")
+            )
+
+        def _w_touched():
+            touched.withColumn(
+                "epoch", F.lit(int(epoch_id))
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_dir, "snm_touched", f"v{epoch_id}")
+            )
+
+        _overlap_jobs(
+            _w_records, _w_prefix, _w_shingles, _w_pairs, _w_snm, _w_touched
+        )
         recs.unpersist()
         base.unpersist()
         prefix.unpersist()
@@ -2548,28 +2633,41 @@ def pagerank_foreach_batch(
             os.path.join(state_dir, "edges"),
         )
         spark = batch_df.sparkSession
-        batch_df.select(
+        epath = os.path.join(state_dir, "edges")
+        # persist + pin the batch projection; accumulated edges = PRIOR
+        # versions (explicit multi-path read) + the in-memory batch, so
+        # the edge-log write and the rank compute+write overlap (guide
+        # §2.6). Explicit version paths also remove the stale-listing
+        # hazard the old refreshByPath guarded: a committed v-dir's
+        # file set never changes, so graph.pagerank's persisted
+        # normalized plan can never alias a GROWN store — each epoch's
+        # read names a different path set.
+        ew = batch_df.select(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
             F.col(weight).cast("double").alias("weight"),
-        ).write.mode("overwrite").parquet(
-            os.path.join(state_dir, "edges", f"v{epoch_id}")
-        )
-        # graph.pagerank persists its normalized edge plan; a later
-        # epoch's structurally-identical read of the same path would hit
-        # the CacheManager's stale entry (file listing frozen at cache
-        # time) and silently miss the new epoch's edges — refresh drops
-        # every cache entry over the path first
-        spark.catalog.refreshByPath(os.path.join(state_dir, "edges"))
-        edges = read_epoch_table(spark, os.path.join(state_dir, "edges"))
+        ).persist()
+        ew.count()
+        prior = _prior_versions(spark, epath, epoch_id)
+        edges = ew if prior is None else prior.unionByName(ew)
         prev = _latest_version(state_dir, "ranks", before_epoch=epoch_id)
         init = spark.read.parquet(prev) if prev else None
         ranks = pagerank(
             edges, iters=iters_per_epoch, damping=damping, init_ranks=init
         )
-        ranks.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "ranks", f"v{epoch_id}")
-        )
+
+        def _w_edges():
+            ew.write.mode("overwrite").parquet(
+                os.path.join(epath, f"v{epoch_id}")
+            )
+
+        def _w_ranks():
+            ranks.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "ranks", f"v{epoch_id}")
+            )
+
+        _overlap_jobs(_w_edges, _w_ranks)
+        ew.unpersist()
 
     return stage
 
@@ -2692,26 +2790,37 @@ def label_prop_foreach_batch(
             os.path.join(state_dir, "edges"),
         )
         spark = batch_df.sparkSession
-        batch_df.select(
+        epath = os.path.join(state_dir, "edges")
+        # the pagerank_foreach_batch shape: pin the batch, union prior
+        # versions in memory, overlap the two writes (guide §2.6);
+        # explicit version paths remove the stale-listing hazard the
+        # old refreshByPath guarded
+        ew = batch_df.select(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
             F.col(weight).cast("double").alias("weight"),
-        ).write.mode("overwrite").parquet(
-            os.path.join(state_dir, "edges", f"v{epoch_id}")
-        )
-        # label_propagation persists its edge plan; drop any stale
-        # CacheManager entry over the growing dir first (the
-        # pagerank_foreach_batch lesson)
-        spark.catalog.refreshByPath(os.path.join(state_dir, "edges"))
-        edges = read_epoch_table(spark, os.path.join(state_dir, "edges"))
+        ).persist()
+        ew.count()
+        prior = _prior_versions(spark, epath, epoch_id)
+        edges = ew if prior is None else prior.unionByName(ew)
         prev = _latest_version(state_dir, "labels", before_epoch=epoch_id)
         init = spark.read.parquet(prev) if prev else None
         labels = label_propagation(
             edges, iters=iters_per_epoch, init_labels=init
         )
-        labels.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "labels", f"v{epoch_id}")
-        )
+
+        def _w_edges():
+            ew.write.mode("overwrite").parquet(
+                os.path.join(epath, f"v{epoch_id}")
+            )
+
+        def _w_labels():
+            labels.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "labels", f"v{epoch_id}")
+            )
+
+        _overlap_jobs(_w_edges, _w_labels)
+        ew.unpersist()
 
     return stage
 
@@ -2802,13 +2911,14 @@ def triangles_foreach_batch(
         # touched-bucket collect and the delta anti-join; without it the
         # distinct shuffle (and the caller's edge derivation) re-runs
         # once per consumer. Unpersisted at the end of the epoch.
-        canon.withColumn(
-            "abkt", F.pmod(F.xxhash64("a"), F.lit(n_buckets))
-        ).repartition("abkt").write.partitionBy("abkt").mode("overwrite").parquet(
-            os.path.join(epath, f"epoch={int(epoch_id)}")
+        # (The epoch=E edge write itself is deferred to the overlapped
+        # write pool at the end of the stage: the anti-join below only
+        # reads epochs < E, so nothing in the epoch depends on it.)
+        all_canon = (
+            read_store(spark, epath)
+            if fsutil.has_parquet_files(epath)
+            else None
         )
-        spark.catalog.refreshByPath(epath)
-        all_canon = read_store(spark, epath)
         # ONE bucket-id collect per epoch serving BOTH prunes (was two
         # driver round-trips): side 0 rows are the delta edges'
         # a-buckets (the anti-join prune below); the union of both
@@ -2846,32 +2956,48 @@ def triangles_foreach_batch(
         # earlier set). The anti-join's earlier side prunes to the
         # delta edges' a-buckets.
         new_abkts = [r.bkt for r in side_bkts if r.side == 0]
-        earlier = bucket_prune(
-            all_canon.filter(F.col("epoch") < int(epoch_id)),
-            "abkt",
-            new_abkts,
-        ).select("a", "b")
-        delta = canon.join(earlier, ["a", "b"], "left_anti").persist()
+        if all_canon is None:
+            delta = canon.persist()
+        else:
+            earlier = bucket_prune(
+                all_canon.filter(F.col("epoch") < int(epoch_id)),
+                "abkt",
+                new_abkts,
+            ).select("a", "b")
+            delta = canon.join(earlier, ["a", "b"], "left_anti").persist()
+        # pin delta before its three concurrent consumers (adj write,
+        # triangle closure, degree delta) — a cold persist races and
+        # each overlapped job would recompute the anti-join
+        delta.count()
         # adjacency rows for BOTH orientations, bucket-partitioned by u;
-        # written before the join so same-epoch (new-new) triangles
-        # resolve too
+        # the store write is deferred to the overlapped pool — the
+        # closure below unions the in-memory adj_new (same-epoch
+        # new-new triangles still resolve), so nothing waits on it
         adj_new = delta.select(
             F.col("a").alias("u"), F.col("b").alias("v")
         ).unionByName(delta.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        # repartition: the T x B tiny-file commit fix (see records note)
-        adj_new.withColumn(
-            "ubkt", F.pmod(F.xxhash64("u"), F.lit(n_buckets))
-        ).repartition("ubkt").write.partitionBy("ubkt").mode("overwrite").parquet(
-            os.path.join(apath, f"epoch={int(epoch_id)}")
-        )
-        spark.catalog.refreshByPath(apath)
         # adjacency prune from the SAME collect (see side_bkts above):
         # union of both endpoint bucket sets over canon, a superset of
-        # the delta endpoints' buckets
+        # the delta endpoints' buckets. Accumulated adjacency = PRIOR
+        # epochs (disk, pruned) + adj_new (memory) — row-identical to
+        # the old write-then-read-back (string/long parquet roundtrips
+        # are exact), with the epoch < E filter making the read
+        # independent of a concurrently-committing epoch=E dir.
         touched = sorted({r.bkt for r in side_bkts})
-        adj = bucket_prune(read_store(spark, apath), "ubkt", touched).select(
-            "u", "v"
-        )
+        if fsutil.has_parquet_files(apath):
+            adj = (
+                bucket_prune(
+                    read_store(spark, apath).filter(
+                        F.col("epoch") < int(epoch_id)
+                    ),
+                    "ubkt",
+                    touched,
+                )
+                .select("u", "v")
+                .unionByName(adj_new)
+            )
+        else:
+            adj = adj_new
         # w in N(a): neighbor expansion keyed on a delta endpoint
         cand = (
             delta.join(adj.alias("na"), delta["a"] == F.col("na.u"))
@@ -2921,9 +3047,30 @@ def triangles_foreach_batch(
                 ).cast("long").alias("tri"),
             )
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "counts", f"v{epoch_id}")
-        )
+        # the epoch's three store writes are mutually independent now
+        # (every read above unions the in-memory frames) — overlapped
+        # driver jobs (guide §2.6); canon and delta are pinned in cache
+        def _w_edges():
+            canon.withColumn(
+                "abkt", F.pmod(F.xxhash64("a"), F.lit(n_buckets))
+            ).repartition("abkt").write.partitionBy("abkt").mode(
+                "overwrite"
+            ).parquet(os.path.join(epath, f"epoch={int(epoch_id)}"))
+
+        def _w_adj():
+            # repartition: the T x B tiny-file commit fix
+            adj_new.withColumn(
+                "ubkt", F.pmod(F.xxhash64("u"), F.lit(n_buckets))
+            ).repartition("ubkt").write.partitionBy("ubkt").mode(
+                "overwrite"
+            ).parquet(os.path.join(apath, f"epoch={int(epoch_id)}"))
+
+        def _w_counts():
+            merged.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "counts", f"v{epoch_id}")
+            )
+
+        _overlap_jobs(_w_edges, _w_adj, _w_counts)
         delta.unpersist()
         canon.unpersist()
 
@@ -2976,21 +3123,44 @@ def kcore_foreach_batch(
         )
         spark = batch_df.sparkSession
         epath = os.path.join(state_dir, "edges")
-        batch_df.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        ).filter(F.col("a") != F.col("b")).distinct().write.mode(
-            "overwrite"
-        ).parquet(os.path.join(epath, f"v{epoch_id}"))
-        spark.catalog.refreshByPath(epath)
-        und = read_epoch_table(spark, epath).distinct()
+        # persist + pin: canon feeds both the edge-log write and the
+        # peel; accumulated edges = PRIOR versions (disk) + canon
+        # (memory), so the write no longer serializes the epoch — the
+        # log write and the peeled-snapshot write run as overlapped
+        # driver jobs (guide §2.6). Row-identical to the old
+        # write-then-read-back (string parquet roundtrips are exact;
+        # the union is distinct-ed as before).
+        canon = (
+            batch_df.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .persist()
+        )
+        canon.count()
+        prior = _prior_versions(spark, epath, epoch_id)
+        und = (
+            canon if prior is None else prior.unionByName(canon)
+        ).distinct()
         both = und.select(
             F.col("a").alias("src"), F.col("b").alias("dst")
         ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         survivors = kcore_peel(both, k=k, rounds=rounds)
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "core", f"v{epoch_id}")
-        )
+
+        def _w_edges():
+            canon.write.mode("overwrite").parquet(
+                os.path.join(epath, f"v{epoch_id}")
+            )
+
+        def _w_core():
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "core", f"v{epoch_id}")
+            )
+
+        _overlap_jobs(_w_edges, _w_core)
+        canon.unpersist()
 
     return stage
 
@@ -3886,16 +4056,29 @@ def assoc_items_foreach_batch(
             F.col("b.item").alias("ib"),
         )
         delta = within if cross is None else within.unionByName(cross)
-        delta.groupBy("ia", "ib").agg(
-            F.count(F.lit(1)).cast("long").alias("c_ab")
-        ).write.mode("overwrite").parquet(
-            os.path.join(store_dir, "pair_delta", f"v{epoch}")
-        )
-        # repartition: the T x B tiny-file commit fix (measured 20 s of
-        # this stage's 46 s at sf0.1 was the two items writes)
-        new.select("basket", "item", "bkt").repartition("bkt").write.partitionBy("bkt").mode(
-            "overwrite"
-        ).parquet(os.path.join(items_root, f"epoch={epoch}"))
+        # pin `new` before its two concurrent consumers below — a cold
+        # persist races and both writers would recompute the anti-join
+        new.count()
+
+        def _w_pairs():
+            delta.groupBy("ia", "ib").agg(
+                F.count(F.lit(1)).cast("long").alias("c_ab")
+            ).write.mode("overwrite").parquet(
+                os.path.join(store_dir, "pair_delta", f"v{epoch}")
+            )
+
+        def _w_items():
+            # repartition: the T x B tiny-file commit fix (measured 20 s
+            # of this stage's 46 s at sf0.1 was the two items writes)
+            new.select("basket", "item", "bkt").repartition(
+                "bkt"
+            ).write.partitionBy("bkt").mode("overwrite").parquet(
+                os.path.join(items_root, f"epoch={epoch}")
+            )
+
+        # the two store writes consume only pinned frames and prior
+        # epochs — overlapped driver jobs (guide §2.6)
+        _overlap_jobs(_w_pairs, _w_items)
         new.unpersist()
         bi.unpersist()
 
